@@ -1,0 +1,143 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Runs every registered query at a given sf_dir on Spark AND its oracle SQL on
+DuckDB, then compares row count, column names, and values *exactly* (after
+canonicalization). Exact equality here implies any order-insensitive value
+hash matches. Usage:
+
+    python tools/verify_local.py [--sf /root/testdata/sf0.01] [--only q1,q2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_suite_spark.io import TABLES  # noqa: E402
+from etl_suite_spark.session import get_spark  # noqa: E402
+
+
+def canon_cell(v):
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NULL"
+    try:
+        if pd.isna(v) and not isinstance(v, (list, tuple, np.ndarray, dict)):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "NULL" if math.isnan(f) else repr(f)
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return repr(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return repr(bool(v))
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.isoformat()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def canon_frame(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(canon_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
+    rows.sort()
+    return cols, rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--only", default=None, help="comma-separated query ids")
+    ap.add_argument("--show-diff", type=int, default=5)
+    args = ap.parse_args()
+
+    import __spark_entry__ as mod
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    names = list(qs) if not args.only else [n.strip() for n in args.only.split(",")]
+
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    passed, failed, rows_only = [], [], []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            spdf = sdf.toPandas()
+        except Exception as e:
+            failed.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            rows_only.append((name, len(spdf)))
+            print(f"rows-only {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            opdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failed.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        sc, sr = canon_frame(spdf)
+        oc, orr = canon_frame(opdf)
+        if sc != oc:
+            failed.append((name, f"columns differ: spark={sc} oracle={oc}"))
+            print(f"FAIL {name}: columns spark={sc} vs oracle={oc}")
+            continue
+        if len(sr) != len(orr):
+            failed.append((name, f"rowcount spark={len(sr)} oracle={len(orr)}"))
+            print(f"FAIL {name}: rowcount spark={len(sr)} vs oracle={len(orr)}")
+            continue
+        diffs = [(a, b) for a, b in zip(sr, orr) if a != b]
+        if diffs:
+            failed.append((name, f"{len(diffs)} differing rows"))
+            print(f"FAIL {name}: {len(diffs)}/{len(sr)} rows differ; cols={sc}")
+            for a, b in diffs[: args.show_diff]:
+                print(f"  spark : {a}")
+                print(f"  oracle: {b}")
+        else:
+            passed.append(name)
+            print(f"PASS {name}: {len(sr)} rows  ({time.time()-t0:.1f}s)")
+
+    print(
+        f"\n== {len(passed)} passed, {len(failed)} failed, "
+        f"{len(rows_only)} rows-only, of {len(names)} =="
+    )
+    if failed:
+        print("failures:")
+        for n, msg in failed:
+            print(f"  {n}: {msg.splitlines()[0][:200]}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
