@@ -35,26 +35,42 @@ def dec(col: str | Column, scale: int = 2, precision: int = 18) -> Column:
     return c.cast(f"decimal({precision},{scale})")
 
 
+def d2d(c: Column) -> Column:
+    """Decimal → double via an exact decimal string.
+
+    A direct decimal→double cast is NOT correctly rounded in every engine
+    (DuckDB can be 1 ulp off vs Spark's BigDecimal.doubleValue), so hashes
+    flap. String→double parsing IS correctly rounded everywhere (strtod /
+    Double.parseDouble), so both engines land on the identical double.
+    """
+    return c.cast("string").cast("double")
+
+
 def dsum(col: str | Column, scale: int = 2) -> Column:
     """Exact decimal sum, emitted as double (deterministic both engines)."""
-    return F.sum(dec(col, scale)).cast("double")
+    return d2d(F.sum(dec(col, scale)))
 
 
 def davg(col: str | Column, scale: int = 2) -> Column:
     """Deterministic average: exact decimal sum ÷ exact count, in double."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(dec(c, scale)).cast("double") / F.count(c)).cast("double")
+    return (d2d(F.sum(dec(c, scale))) / F.count(c)).cast("double")
+
+
+def sql_d2d(expr: str) -> str:
+    """DuckDB oracle twin of :func:`d2d`."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
     """DuckDB oracle twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    return sql_d2d(f"SUM(CAST({expr} AS DECIMAL(18,{scale})))")
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:
     """DuckDB oracle twin of :func:`davg`."""
     return (
-        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f"CAST({sql_d2d(f'SUM(CAST({expr} AS DECIMAL(18,{scale})))')}"
         f" / COUNT({expr}) AS DOUBLE)"
     )
 

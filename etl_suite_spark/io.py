@@ -36,7 +36,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one canonical table. Column pruning + predicate pushdown are
     Catalyst's job — callers just ``.select``/``.filter`` declaratively."""
     configure(spark)
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), read as raw int64 nanos
+        # (nanosAsLong conf in session.py). Floor-divide to µs — identical
+        # to DuckDB's read_parquet ns→TIMESTAMP truncation, so oracle
+        # comparisons on ts agree to the microsecond.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

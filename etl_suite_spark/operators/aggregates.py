@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..core import davg, dec, dsum, sql_davg, sql_dsum
+from ..core import d2d, davg, dec, dsum, sql_d2d, sql_davg, sql_dsum
 from ..io import load_table
 from ..registry import query
 
@@ -26,26 +26,25 @@ def _one():
     return F.lit(1).cast("decimal(5,4)")
 
 
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+)
+_CHARGE = _DISC_PRICE + " * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))"
+
+
 @query(
     "agg_group_basic",
-    oracle="""
+    oracle=f"""
     SELECT
       l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE)
-        AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(6,4)))
-               * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE)
-        AS sum_charge,
-      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE)
-        AS avg_qty,
-      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS DOUBLE)
-        AS avg_price,
-      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS DOUBLE)
-        AS avg_disc,
+      {sql_dsum("l_quantity")} AS sum_qty,
+      {sql_dsum("l_extendedprice")} AS sum_base_price,
+      {sql_d2d(f"SUM({_DISC_PRICE})")} AS sum_disc_price,
+      {sql_d2d(f"SUM({_CHARGE})")} AS sum_charge,
+      {sql_davg("l_quantity")} AS avg_qty,
+      {sql_davg("l_extendedprice")} AS avg_price,
+      {sql_davg("l_discount", 4)} AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -65,12 +64,271 @@ def agg_group_basic(spark, sf_dir):
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(ep * (_ONE - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(ep * (_ONE - disc) * (_ONE + tax)).cast("double").alias("sum_charge"),
+            d2d(F.sum(ep * (_ONE - disc))).alias("sum_disc_price"),
+            d2d(F.sum(ep * (_ONE - disc) * (_ONE + tax))).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount", scale=4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- distinct counting ------------------------------------------------------
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL implementations differ
+def agg_approx_count_distinct(spark, sf_dir):
+    # 100 TB path: HLL sketch instead of exact distinct — no giant shuffle
+    # of distinct keys; tests assert ±5% vs exact (tests/test_aggregates.py).
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 55
+    """,
+)
+def agg_having(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .filter(F.col("n_customers") > 55)
+    )
+
+
+# --- grouping-sets family ---------------------------------------------------
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_extendedprice")} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    # via the SQL entry point (SURVEY §3.2-2)
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --- statistical aggregates -------------------------------------------------
+# Computed from exact decimal power sums (core.py rule 3) so the doubles are
+# bit-identical across engines; the engines' own streaming stddev/corr merge
+# partials in nondeterministic order.
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q, ep = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        d2d(F.sum((q * q).cast("decimal(24,4)"))).alias("sxx"),
+        dsum("l_extendedprice").alias("sy"),
+        d2d(F.sum((ep * ep).cast("decimal(24,4)"))).alias("syy"),
+        d2d(F.sum((q * ep).cast("decimal(24,4)"))).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 6) AS p50_price,
+           ROUND(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 6) AS p90_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    # exact percentiles with linear interpolation on both engines; round 6dp
+    # to absorb last-bit interpolation differences.
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+        )
+    )
+
+
+@query("agg_approx_percentile")  # rows-only: sketch implementations differ
+def agg_approx_percentile(spark, sf_dir):
+    # 100 TB path: KLL/GK-style sketch, single pass, no global sort.
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("o_totalprice", F.lit(0.95), F.lit(10000)).alias("ap95"),
+    )
+
+
+# --- collection / positional aggregates -------------------------------------
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           list_sort(list(c_nationkey)) AS nations_all
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_collect(spark, sf_dir):
+    # arrays sorted on both sides — collection order is nondeterministic.
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+        F.sort_array(F.collect_list("c_nationkey")).alias("nations_all"),
+    )
+
+
+@query(
+    "agg_first_last",
+    oracle="""
+    SELECT user_id,
+           arg_max(value, event_id) AS last_value,
+           arg_min(value, event_id) AS first_value,
+           arg_max(event_type, ts) AS last_type
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_first_last(spark, sf_dir):
+    # max_by/min_by (order-insensitive) instead of first/last-over-sort:
+    # no sort needed, deterministic because the order keys are unique.
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", "event_id").alias("last_value"),
+        F.min_by("value", "event_id").alias("first_value"),
+        F.max_by("event_type", "ts").alias("last_type"),
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    # explicit pivot value list → single-pass agg, no extra distinct scan
+    # to discover values (matters at 100 TB).
+    ev = load_table(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
     )

@@ -27,6 +27,10 @@ _RUNTIME_CONF = {
     # Keep ANSI off: SURVEY §1.2 oracle-parity note (legacy null-on-error
     # semantics; declared queries avoid relying on div-by-zero anyway).
     "spark.sql.ansi.enabled": "false",
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects; read the
+    # raw int64 and convert to µs ourselves (io.load_table) — floor division
+    # matches DuckDB's ns→µs truncation exactly.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

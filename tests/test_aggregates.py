@@ -1,0 +1,51 @@
+"""Semantic checks for the rows-only aggregates (no SQL oracle possible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_suite_spark.io import load_table
+from etl_suite_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_approx_count_distinct_within_5pct(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_count_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(1, 0.05 * ex), (k, approx[k], ex)
+
+
+def test_approx_percentile_brackets_exact(spark):
+    rows = QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()
+    o = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r["o_orderpriority"]: (r["p50"], r["p95"])
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for r in rows:
+        p50, p95 = exact[r["o_orderpriority"]]
+        assert abs(r["ap50"] - p50) / p50 < 0.10
+        assert abs(r["ap95"] - p95) / p95 < 0.10
+
+
+def test_sample_fraction_rate_and_determinism(spark):
+    df = QUERIES["sample_fraction"](spark, SF_DIR)
+    n1, n2 = df.count(), QUERIES["sample_fraction"](spark, SF_DIR).count()
+    assert n1 == n2  # seeded → stable across runs in one layout
+    total = load_table(spark, SF_DIR, "lineitem").count()
+    assert 0.05 * total < n1 < 0.15 * total
