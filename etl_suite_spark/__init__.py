@@ -15,6 +15,7 @@ from __future__ import annotations
 from . import registry  # noqa: F401
 
 # Import every operator module for registration side effects.
-from .operators import aggregates, filters, joins, setops, sorts  # noqa: F401
+from .functions import scalars  # noqa: F401
+from .operators import aggregates, filters, joins, setops, sorts, windows  # noqa: F401
 
 __all__ = ["registry"]

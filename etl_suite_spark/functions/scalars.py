@@ -1,0 +1,355 @@
+"""Scalar function families (SURVEY.md §2.8) — one declared query per family.
+
+All JVM-side built-ins (whole-stage codegen; no Python in the hot path).
+Dialect bridges vs DuckDB, established empirically (see git history):
+
+- DuckDB has no ``initcap`` → oracle emulates upper(first)||lower(rest).
+- DuckDB ``regexp_replace`` is first-match unless the 'g' flag is given;
+  Spark's replaces all → oracle always passes 'g'.
+- DuckDB ``ceil/floor`` return DOUBLE (Spark: BIGINT) → both cast BIGINT.
+- Spark ``dayofweek`` is 1=Sunday; DuckDB ``isodow`` is 1=Monday → we emit
+  ISO weekday on both sides ((dow+5)%7+1 on Spark).
+- map subscript in DuckDB yields a one-element list → oracle takes [1].
+- DATE-typed outputs are avoided (pandas converts DuckDB DATE to
+  midnight Timestamp but Spark DATE to datetime.date) → all date results
+  are cast to TIMESTAMP on both sides.
+- Transcendentals (exp/ln/log10/pow) may differ by 1 ulp across libm
+  implementations → rounded to 6 dp on both sides. sqrt is IEEE-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lc, upper(p_name) AS uc,
+           length(p_name) AS len,
+           trim(concat(' ', p_name, ' ')) AS trimmed,
+           ltrim(concat('  ', p_name)) AS ltrimmed,
+           rtrim(concat(p_name, '  ')) AS rtrimmed,
+           substring(p_name, 2, 3) AS sub23,
+           concat_ws('-', p_brand, p_type) AS joined,
+           string_split(p_name, ' ') AS words,
+           replace(p_name, 'a', 'X') AS replaced,
+           lpad(p_brand, 12, '*') AS lpadded,
+           rpad(p_brand, 12, '*') AS rpadded,
+           concat(upper(left(p_type, 1)), lower(substring(p_type, 2))) AS type_initcap,
+           strpos(p_name, 'e') AS pos_e,
+           left(p_name, 3) AS first3,
+           right(p_name, 3) AS last3,
+           repeat(p_brand, 2) AS doubled,
+           reverse(p_name) AS reversed,
+           translate(p_name, 'el', 'ip') AS translated
+    FROM part
+    """,
+)
+def fn_string(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    n = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.lower(n).alias("lc"),
+        F.upper(n).alias("uc"),
+        F.length(n).cast("long").alias("len"),
+        F.trim(F.concat(F.lit(" "), n, F.lit(" "))).alias("trimmed"),
+        F.ltrim(F.concat(F.lit("  "), n)).alias("ltrimmed"),
+        F.rtrim(F.concat(n, F.lit("  "))).alias("rtrimmed"),
+        F.substring(n, 2, 3).alias("sub23"),
+        F.concat_ws("-", "p_brand", "p_type").alias("joined"),
+        F.split(n, " ").alias("words"),
+        F.expr("replace(p_name, 'a', 'X')").alias("replaced"),
+        F.lpad("p_brand", 12, "*").alias("lpadded"),
+        F.rpad("p_brand", 12, "*").alias("rpadded"),
+        F.initcap("p_type").alias("type_initcap"),
+        F.instr(n, "e").cast("long").alias("pos_e"),
+        F.expr("left(p_name, 3)").alias("first3"),
+        F.expr("right(p_name, 3)").alias("last3"),
+        F.repeat("p_brand", 2).alias("doubled"),
+        F.reverse(n).alias("reversed"),
+        F.translate(n, "el", "ip").alias("translated"),
+    )
+
+
+@query(
+    "fn_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS word1,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS word2,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^[bh]') AS starts_bh
+    FROM part
+    """,
+)
+def fn_regexp(spark, sf_dir):
+    # patterns restricted to the Java↔RE2 shared subset (no lookbehind)
+    p = load_table(spark, sf_dir, "part")
+    n = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(n, r"([a-z]+) ([a-z]+)", 1).alias("word1"),
+        F.regexp_extract(n, r"([a-z]+) ([a-z]+)", 2).alias("word2"),
+        F.regexp_replace(n, r"[aeiou]", "_").alias("devoweled"),
+        n.rlike(r"^[bh]").alias("starts_bh"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS yr,
+           CAST(month(ts) AS BIGINT) AS mo,
+           CAST(day(ts) AS BIGINT) AS dy,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(minute(ts) AS BIGINT) AS mi,
+           CAST(second(ts) AS BIGINT) AS sec,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           date_trunc('hour', ts) AS hour_start,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+           CAST(CAST(ts AS DATE) + 30 AS TIMESTAMP) AS plus30,
+           date_diff('day', CAST(ts AS DATE), DATE '2024-06-01') AS days_to_jun,
+           CAST(last_day(ts) AS TIMESTAMP) AS month_end,
+           CAST(isodow(ts) AS BIGINT) AS iso_weekday,
+           CAST(weekofyear(ts) AS BIGINT) AS week_no,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+           CAST(make_date(2030, CAST(month(ts) AS INTEGER), CAST(day(ts) AS INTEGER)) AS TIMESTAMP) AS same_day_2030
+    FROM events
+    """,
+)
+def fn_date(spark, sf_dir):
+    # ref analog: per-day/period bucketing is the core of the reference's
+    # aggregations (SURVEY §2.8 [K]).
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.year(ts).cast("long").alias("yr"),
+        F.month(ts).cast("long").alias("mo"),
+        F.dayofmonth(ts).cast("long").alias("dy"),
+        F.hour(ts).cast("long").alias("hr"),
+        F.minute(ts).cast("long").alias("mi"),
+        F.second(ts).cast("long").alias("sec"),
+        F.date_trunc("day", ts).alias("day_start"),
+        F.date_trunc("hour", ts).alias("hour_start"),
+        F.date_trunc("week", ts).alias("week_start"),
+        F.date_add(F.to_date(ts), 30).cast("timestamp").alias("plus30"),
+        F.datediff(F.lit("2024-06-01").cast("date"), F.to_date(ts))
+        .cast("long")
+        .alias("days_to_jun"),
+        F.last_day(ts).cast("timestamp").alias("month_end"),
+        (((F.dayofweek(ts) + 5) % 7) + 1).cast("long").alias("iso_weekday"),
+        F.weekofyear(ts).cast("long").alias("week_no"),
+        F.unix_timestamp(ts).alias("epoch_sec"),
+        F.make_date(F.lit(2030), F.month(ts), F.dayofmonth(ts))
+        .cast("timestamp")
+        .alias("same_day_2030"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / 7.0, 2) AS div_rounded,
+           abs(l_discount - 0.05) AS abs_diff,
+           CAST(ceil(l_extendedprice / 7.0) AS BIGINT) AS ceiled,
+           CAST(floor(l_extendedprice / 7.0) AS BIGINT) AS floored,
+           round(exp(l_discount), 6) AS exp6,
+           round(ln(l_extendedprice), 6) AS ln6,
+           round(log10(l_extendedprice), 6) AS log10_6,
+           round(pow(l_discount + 1.0, 3), 6) AS pow6,
+           sqrt(l_extendedprice) AS sqrt_exact,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn,
+           greatest(l_quantity, l_discount * 100) AS biggest,
+           least(l_quantity, l_discount * 100) AS smallest,
+           l_orderkey % 7 AS mod7
+    FROM lineitem
+    """,
+)
+def fn_math(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    ep, disc, qty = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_quantity")
+    x = ep / 7.0
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(x, 2).alias("div_rounded"),
+        F.abs(disc - 0.05).alias("abs_diff"),
+        F.ceil(x).cast("long").alias("ceiled"),
+        F.floor(x).cast("long").alias("floored"),
+        F.round(F.exp(disc), 6).alias("exp6"),
+        F.round(F.log(ep), 6).alias("ln6"),
+        F.round(F.log10(ep), 6).alias("log10_6"),
+        F.round(F.pow(disc + 1.0, 3), 6).alias("pow6"),
+        F.sqrt(ep).alias("sqrt_exact"),
+        F.signum(disc - 0.05).cast("long").alias("sgn"),
+        F.greatest(qty, disc * 100).alias("biggest"),
+        F.least(qty, disc * 100).alias("smallest"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_el,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS el_min,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS el_max,
+           round(list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum'), 6) AS head_sum,
+           CAST(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[2] AS DOUBLE) AS doubled_2nd,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+           CAST(list_sort(embedding)[1] AS DOUBLE) AS sorted_first,
+           CAST(len(list_distinct(embedding)) AS BIGINT) AS n_distinct
+    FROM embeddings
+    """,
+)
+def fn_array(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_el"),
+        F.array_min(emb).cast("double").alias("el_min"),
+        F.array_max(emb).cast("double").alias("el_max"),
+        F.round(
+            F.aggregate(
+                F.slice(emb, 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("head_sum"),
+        F.element_at(F.transform(emb, lambda x: x.cast("double") * 2), 2)
+        .cast("double")
+        .alias("doubled_2nd"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.element_at(F.array_sort(emb), 1).cast("double").alias("sorted_first"),
+        F.size(F.array_distinct(emb)).cast("long").alias("n_distinct"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+    SELECT vec_id, i AS idx, CAST(v AS DOUBLE) AS val
+    FROM (SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id < 100)
+    """,
+)
+def fn_explode(spark, sf_dir):
+    # posexplode is 0-based; emit 1-based idx to match generate_subscripts
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("idx"),
+        F.col("v").cast("double").alias("val"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(cardinality(m) AS BIGINT) AS n_keys,
+           array_to_string(map_keys(m), ',') AS keys_csv,
+           CAST((m['k'])[1] AS BIGINT) AS k_val
+    FROM (SELECT event_id,
+                 MAP {'k': CAST(props->>'$.k' AS INTEGER)} AS m
+          FROM events)
+    """,
+)
+def fn_map(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(m).cast("long").alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           props->>'$.k' AS k_str,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INTEGER))) AS VARCHAR)
+             AS roundtrip
+    FROM events
+    """,
+)
+def fn_json(spark, sf_dir):
+    # events.props is a JSON string, e.g. {"k": 87} (FIXTURES.md)
+    ev = load_table(spark, sf_dir, "events")
+    k_int = F.from_json(F.col("props"), "struct<k:int>").getField("k")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.to_json(F.struct(k_int.alias("k"))).alias("roundtrip"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS sha,
+           md5(text) AS md5_hex,
+           sha256(concat(lang, ':', text)) AS salted_sha
+    FROM documents
+    """,
+)
+def fn_hash(spark, sf_dir):
+    # content hashing — the foundation of llm_dedup_exact (§2.10).
+    # xxhash64/crc32 are Spark-specific → covered in pytest, not declared.
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.sha2(F.concat(F.col("lang"), F.lit(":"), F.col("text")), 256).alias(
+            "salted_sha"
+        ),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 0.0) AS bal_cap0,
+           (c_acctbal IS NOT NULL AND c_acctbal > 9990) AS is_vip
+    FROM customer
+    """,
+)
+def fn_conditional(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "neg").when(bal < 5000, "mid").otherwise("high").alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(0.0)).alias("bal_cap0"),
+        (bal.isNotNull() & (bal > 9990)).alias("is_vip"),
+    )

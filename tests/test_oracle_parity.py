@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pytest
 
-from verify_local import canon_frame
+from verify_local import canon_duck, canon_spark
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_DIR
@@ -20,10 +20,8 @@ ORACLES = entry_mod.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(name, spark, duck):
-    sdf = QUERIES[name](spark, SF_DIR).toPandas()
-    odf = duck.execute(ORACLES[name]).df()
-    sc, sr = canon_frame(sdf)
-    oc, orr = canon_frame(odf)
+    sc, sr = canon_spark(QUERIES[name](spark, SF_DIR))
+    oc, orr = canon_duck(duck, ORACLES[name])
     assert sc == oc, f"columns: spark={sc} oracle={oc}"
     assert len(sr) == len(orr), f"rowcount: spark={len(sr)} oracle={len(orr)}"
     mismatches = [i for i, (a, b) in enumerate(zip(sr, orr)) if a != b]

@@ -68,6 +68,23 @@ def canon_frame(pdf):
     return cols, rows
 
 
+def canon_spark(df):
+    """Canonicalize straight from collect() — no pandas smoothing, so type
+    asymmetries (DATE vs TIMESTAMP) surface exactly as the driver sees them."""
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = sorted(tuple(canon_cell(r[i]) for i in order) for r in df.collect())
+    return sorted(cols), rows
+
+
+def canon_duck(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = sorted(tuple(canon_cell(r[i]) for i in order) for r in cur.fetchall())
+    return sorted(cols), rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01"))
@@ -92,23 +109,21 @@ def main():
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
-            spdf = sdf.toPandas()
+            sc, sr = canon_spark(sdf)
         except Exception as e:
             failed.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            rows_only.append((name, len(spdf)))
-            print(f"rows-only {name}: {len(spdf)} rows  ({time.time()-t0:.1f}s)")
+            rows_only.append((name, len(sr)))
+            print(f"rows-only {name}: {len(sr)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
-            opdf = con.execute(oracles[name]).df()
+            oc, orr = canon_duck(con, oracles[name])
         except Exception as e:
             failed.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        sc, sr = canon_frame(spdf)
-        oc, orr = canon_frame(opdf)
         if sc != oc:
             failed.append((name, f"columns differ: spark={sc} oracle={oc}"))
             print(f"FAIL {name}: columns spark={sc} vs oracle={oc}")
