@@ -17,5 +17,6 @@ from . import registry  # noqa: F401
 # Import every operator module for registration side effects.
 from .functions import scalars  # noqa: F401
 from .operators import aggregates, filters, joins, setops, sorts, windows  # noqa: F401
+from .sources import scans  # noqa: F401
 
 __all__ = ["registry"]

@@ -1,0 +1,104 @@
+"""Scan / source / sink operators (SURVEY.md §2.1).
+
+Reference analog: MySQL/ClickHouse table reads and warehouse loads
+(SURVEY §0.1 [K]); here the at-rest format is parquet (columnar, splittable
+— the right call at 100 TB), with CSV/JSON roundtrips for interchange and a
+partitioned parquet sink that enables partition pruning downstream.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table, table_path
+from ..registry import query
+
+
+@query("scan_parquet", oracle="SELECT * FROM lineitem")
+def scan_parquet(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@query(
+    "scan_projected",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_projected(spark, sf_dir):
+    # column pruning reaches the parquet scan (ReadSchema carries only these
+    # two columns — pinned in tests/test_plans.py)
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+@query("scan_csv_roundtrip")  # rows-only: tmp path invisible to the oracle
+def scan_csv_roundtrip(spark, sf_dir):
+    """Write orders to CSV (header), read back with an explicit schema —
+    schema-on-read discipline: inference is allowed only for ad-hoc ingest
+    (SURVEY §1.2), canonical tables always get a declared StructType."""
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_csv_"), "orders_csv")
+    o.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(out)
+    return back.orderBy("o_orderkey")
+
+
+@query("scan_json_roundtrip")  # rows-only
+def scan_json_roundtrip(spark, sf_dir):
+    # ref analog: Mongo-ish document ingest [K] — JSON lines with explicit
+    # schema on read.
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_json_"), "orders_json")
+    o.write.mode("overwrite").json(out)
+    back = spark.read.schema(_CSV_SCHEMA).json(out)
+    return back.orderBy("o_orderkey")
+
+
+@query("sink_parquet_partitioned")  # rows-only (rowcount + re-read)
+def sink_parquet_partitioned(spark, sf_dir):
+    """Partitioned warehouse load: one directory per l_returnflag. At 100 TB
+    the partition column is the dominant filter (date/lang/tenant) so scans
+    prune whole directories; verified by re-reading one partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_part_"), "lineitem_by_flag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    # partition pruning demonstrator: only the 'R' directory is scanned
+    return (
+        back.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_returnflag", "l_linestatus")
+        .count()
+    )
+
+
+def scan_jdbc(spark, url: str, table: str, **options):
+    """JDBC extract (ref: MySQL source [K]). No database exists in this
+    environment (SURVEY §2.1: deferred), so this is the documented call
+    shape only; on a cluster, partitionColumn/lowerBound/upperBound/
+    numPartitions parallelize the extract:
+
+        spark.read.format("jdbc").option("url", url)
+             .option("dbtable", table)
+             .option("partitionColumn", "id")
+             .option("lowerBound", "0").option("upperBound", "1000000")
+             .option("numPartitions", "64").load()
+    """
+    raise NotImplementedError(
+        "no JDBC database in this environment; see docstring for the "
+        "production call shape"
+    )
