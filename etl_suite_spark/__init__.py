@@ -16,6 +16,7 @@ from . import registry  # noqa: F401
 
 # Import every operator module for registration side effects.
 from .functions import scalars  # noqa: F401
+from .llm import dedup, multimodal, similarity, textstats  # noqa: F401
 from .operators import aggregates, filters, joins, setops, sorts, windows  # noqa: F401
 from .sources import scans  # noqa: F401
 

@@ -1,0 +1,282 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2.10).
+
+Four dedup families over the ``documents`` fixture, each designed for the
+100 TB shape first and verified at small sf:
+
+- exact:   normalize → content-hash → keep one doc per hash. One shuffle
+           on a 64-hex key; no pairwise work at all.
+- minhash: shingle → seeded MinHash signature → LSH band buckets →
+           candidate pairs only *within* buckets. Candidate generation is
+           linear-ish in corpus size (band-hash join), never O(n²).
+- simhash: 64-bit weighted fingerprint → 16-bit block bands → pairs within
+           Hamming ≤ 3. Same banding trick (a pair within distance d must
+           agree exactly on ≥1 of d+1 blocks), so again no cross join.
+- n-gram Jaccard: exact set similarity via a shingle-equality self-join —
+           the *verification* stage that LSH candidates feed at scale; at
+           bench sf it doubles as an oracle-checkable exact dedup.
+
+Determinism: every hash is Spark's ``xxhash64`` with a fixed literal seed
+column, so re-runs (and resumed pipelines) produce identical buckets —
+SURVEY §7 risk 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+# MinHash geometry: 32 permutations in 8 bands of 4 rows. For shingle
+# Jaccard j the candidate probability is 1-(1-j^4)^8: ≈1.0 at j=0.95 (the
+# planted near-dups sit at 0.97-0.99), ≈0.03 at j=0.3.
+_NUM_PERM = 32
+_BANDS = 8
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+_SHINGLE_K = 3
+
+
+def _normalized_text(col: str = "text") -> F.Column:
+    """lower → trim → collapse whitespace: the canonical pre-hash normalize."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _shingles(df: DataFrame, k: int = _SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) with per-doc-distinct word k-grams.
+
+    Built entirely from array higher-order functions (JVM-side, codegen'd):
+    split → sliding slice → concat. No Python in the loop.
+    """
+    return (
+        df.select("doc_id", F.split(_normalized_text(), " ").alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(0, size(w)-{k}),"
+                    f" i -> concat_ws(' ', slice(w, i+1, {k}))))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+@query(
+    "llm_dedup_exact",
+    oracle=f"""
+    SELECT min(doc_id) AS keep_doc_id,
+           sha256({_NORM_SQL}) AS content_hash,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY content_hash
+    """,
+)
+def llm_dedup_exact(spark, sf_dir):
+    """Exact dedup: one hash-shuffle, keeps the smallest doc_id per content
+    hash. At 100 TB this is the first pass of any dedup pipeline — the
+    shuffle key is the 64-hex digest, uniformly distributed, no skew."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.sha2(_normalized_text(), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+        .select("keep_doc_id", "content_hash", "n_dups")
+    )
+
+
+@query("llm_dedup_minhash")  # rows-only: xxhash64 seed family is Spark-specific
+def llm_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup candidates, fully deterministic.
+
+    signature: min over shingles of xxhash64(shingle, seed_i), i < 32.
+    banding:   8 bands × 4 rows; band key = xxhash64 of the band's rows.
+    pairs:     equi-join on (band, band_hash) — the only shuffle that
+               touches pairs, and it only materializes *colliding* pairs.
+    est_jaccard: fraction of agreeing signature positions (the standard
+               unbiased MinHash estimate), filtered at ≥ 0.5.
+
+    100 TB: every stage is a groupBy/join on bounded keys; the signature
+    agg is 32 mins folded map-side. No cross join anywhere.
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(_NUM_PERM)
+        ]
+    )
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+            ).alias("band_hash"),
+        )
+        for b in range(_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(_NUM_PERM)
+    )
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(float(_NUM_PERM))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "llm_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS shared,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+    FROM pairs
+    WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+    """,
+)
+def llm_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8).
+
+    Spark side avoids any cross join: candidate pairs come from a
+    shingle-equality self-join (only docs *sharing* a shingle meet), then
+    shared counts and per-doc sizes combine into exact Jaccard. At 100 TB
+    this exact stage runs on LSH candidates only; the oracle's list_intersect
+    cross join is fine at oracle scale but intentionally NOT our plan shape.
+    """
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query("llm_dedup_simhash")  # rows-only: xxhash64 fingerprints are Spark-specific
+def llm_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: 64-bit weighted fingerprint, Hamming ≤ 3.
+
+    fingerprint: per (doc, word) term counts vote +cnt/−cnt on each bit of
+    xxhash64(word); bit is set where the sum is positive. Everything is
+    integer arithmetic → bit-stable across runs.
+
+    pair search: the fingerprint splits into 4×16-bit blocks; two prints
+    within Hamming distance 3 must agree exactly on ≥1 block (pigeonhole),
+    so candidates come from 4 equi-joins (union), never a cross join —
+    the standard scale trick for Hamming search over billions of docs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tokens = (
+        d.select("doc_id", F.explode(F.split(_normalized_text(), " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("word"))
+    )
+    bitsum = (
+        tokens.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 63),"
+                    " i -> CASE WHEN ((h >> i) & 1) = 1 THEN cnt ELSE -cnt END)"
+                )
+            ).alias("pos", "contrib"),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    prints = bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN shiftleft(1L, pos) ELSE 0L END")
+        ).alias("simhash")
+    )
+
+    blocks = prints.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"
+            )
+        ).alias("block", "block_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,195 @@
+"""Multimodal columns: binary payloads + typed metadata (SURVEY.md §2.10,
+BASELINE.json:6 training-data mandate).
+
+Design: image/audio/video payloads are opaque ``BinaryType`` columns with a
+metadata struct alongside (mime, n_bytes, source). Decode / feature-extract
+runs as Arrow-batched ``mapInPandas`` — the payload bytes never enter the
+JVM row format twice and never hit Python row-at-a-time.
+
+The container has no image/audio libraries (SURVEY §0), so the *decode
+kernel* is stubbed two ways, per the mandate:
+
+- :func:`decode_image` / :func:`resample_audio` / :func:`sample_frames`
+  raise ``NotImplementedError`` with the exact production call shape
+  documented — drop in PIL/librosa/pyav on a real cluster.
+- the registered queries run a **deterministic fake decode** (features
+  derived from the payload bytes themselves) so the Spark-side plumbing —
+  binary schema, Arrow batch shape, mapInPandas signature, partitioning —
+  is real and oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+from ..registry import query
+from .similarity import dot, sql_dot
+
+
+def decode_image(payload: bytes):  # pragma: no cover - env has no codecs
+    """Decode an image payload → (height, width, channels, pixel array).
+
+    Production kernel (PIL)::
+
+        from PIL import Image
+        import io, numpy as np
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        arr = np.asarray(img)          # (H, W, 3) uint8
+        return arr.shape[0], arr.shape[1], 3, arr
+
+    Called from inside the mapInPandas batch loop below — the distributed
+    plumbing is identical for the real and fake kernels.
+    """
+    raise NotImplementedError("no image codec in this environment; see docstring")
+
+
+def resample_audio(payload: bytes, target_hz: int = 16_000):  # pragma: no cover
+    """Resample an audio payload → mono float32 @ target_hz (librosa/soxr)."""
+    raise NotImplementedError("no audio codec in this environment")
+
+
+def sample_frames(payload: bytes, every_n: int = 30):  # pragma: no cover
+    """Sample every Nth frame of a video payload (pyav)."""
+    raise NotImplementedError("no video codec in this environment")
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_sha", T.StringType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+    ]
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction over binary payloads.
+
+    This is the production loop: swap the two `fake_*` lines for
+    ``decode_image(payload)`` and real feature math. Everything else —
+    batch iteration, zero-copy binary columns, output schema — stays.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.str.len().astype("int64"),
+                "payload_sha": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
+                "fake_width": (payloads.str.len() % 256 + 1).astype("int64"),
+                "fake_height": (payloads.str.len() % 128 + 1).astype("int64"),
+            }
+        )
+
+
+@query(
+    "mm_binary_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha,
+           octet_length(encode(text)) % 256 + 1 AS fake_width,
+           octet_length(encode(text)) % 128 + 1 AS fake_height
+    FROM documents
+    """,
+)
+def mm_binary_features(spark, sf_dir):
+    """Binary-column decode plumbing, end-to-end and oracle-checked.
+
+    text → utf-8 payload stands in for image bytes; the mapInPandas stage
+    computes content hash + fake decode dims from the payload. At 100 TB
+    the input is pre-partitioned so each Arrow batch holds whole payloads;
+    `spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch memory for
+    large blobs (set it small when payloads are MB-scale).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    binary = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return binary.mapInPandas(_extract_features, schema=_FEAT_SCHEMA)
+
+
+@query(
+    "llm_multimodal_join",
+    oracle=f"""
+    WITH norm AS (
+      SELECT vec_id, label, {sql_dot('embedding', 'embedding')} AS sq
+      FROM embeddings
+    )
+    SELECT d.doc_id, d.lang, n.label, round(sqrt(n.sq), 6) AS l2_norm
+    FROM documents d
+    JOIN norm n ON n.vec_id = d.doc_id
+    WHERE d.text LIKE '%spark%' AND sqrt(n.sq) > 0.7
+    """,
+)
+def llm_multimodal_join(spark, sf_dir):
+    """Text predicate + vector predicate in one plan: documents⋈embeddings
+    on id, filtered by a LIKE on the text column AND an L2-norm threshold
+    on the embedding column. Both filters sit below the join in the
+    optimized plan (Catalyst pushes them through), so at 100 TB each side
+    is pruned before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.filter(F.col("text").like("%spark%"))
+        .join(e, d.doc_id == e.vec_id)
+        .withColumn("l2_sq", dot("embedding", "embedding"))
+        .filter(F.sqrt("l2_sq") > 0.7)
+        .select(
+            "doc_id", "lang", "label", F.round(F.sqrt("l2_sq"), 6).alias("l2_norm")
+        )
+    )
+
+
+@query(
+    "llm_dedup_embcos",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({sql_dot('a.embedding', 'b.embedding')}
+                 / sqrt(a.nsq * b.nsq), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+    LIMIT 20
+    """,
+)
+def llm_dedup_embcos(spark, sf_dir):
+    """Embedding-cosine near-duplicate candidates: global top-20 closest
+    pairs. Exact all-pairs at oracle scale; the declared 100 TB path is the
+    sign-LSH bucketing of llm_sim_ann_lsh (equi-join on bucket) feeding
+    this exact scorer — same scorer, pruned candidate set. Norms are
+    precomputed per vector so each pair costs one dot, not three."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nsq", dot("embedding", "embedding")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            dot("ea", "eb") / F.sqrt(F.col("nsq_a") * F.col("nsq_b")), 6
+        ).alias("cosine"),
+    )
+    return pairs.orderBy(
+        F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()
+    ).limit(20)

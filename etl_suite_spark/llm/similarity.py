@@ -1,0 +1,254 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+Operators over ``embeddings`` (``array<float>``, 64-dim):
+
+- brute-force cosine top-k — the exactness baseline; crossJoin of a
+  *broadcast* query set against all candidates. Correct at any scale as
+  long as the query set is small (it is: top-k serving / eval sets).
+- sign-LSH bucketed ANN — the 100 TB path: candidates are restricted to
+  vectors sharing an 8-bit hyperplane-sign bucket, so the join is an
+  equi-join on the bucket key instead of a cross join. Recall is tunable
+  via bucket bits / multi-probe; the operator keeps both sides
+  oracle-expressible by using deterministic axis-aligned hyperplanes.
+- per-label centroids + distance of each vector to its own centroid —
+  the array⇄relational pivot (posexplode → agg → re-join) that every
+  embedding-quality pipeline needs.
+
+Determinism discipline: dot products and norms are computed over
+6-dp-quantized components as exact DECIMAL sums (order-independent, so
+partial-aggregate merge order can't flap the hash), then finished in
+double for the final sqrt/divide. See core.py for why decimal→double
+goes through a string cast.
+
+Cost discipline: ‖v‖² is computed ONCE per vector and carried as a
+column; per-pair work is a single dot product. At N vectors × Q queries
+that's N + N·Q dots instead of 3·N·Q.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core import d2d
+from ..io import load_table
+from ..registry import query
+
+# Exact decimal dot product of two quantized float arrays. zip_with +
+# aggregate run JVM-side inside codegen; the DECIMAL(38,12) accumulator is
+# exact for 64 products of DECIMAL(18,6) values, so the fold order is
+# irrelevant — the cross-engine determinism hinge.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " CAST(round(x, 6) AS DECIMAL(18,6)) * CAST(round(y, 6) AS DECIMAL(18,6))),"
+    " CAST(0 AS DECIMAL(38,12)), (acc, v) -> CAST(acc + v AS DECIMAL(38,12)))"
+)
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, 65), i ->"
+    " CAST(round({a}[i], 6) AS DECIMAL(18,6)) * CAST(round({b}[i], 6) AS DECIMAL(18,6))))"
+)
+
+
+def dot(a: str, b: str) -> F.Column:
+    """Exact-decimal dot product of two array columns, as double."""
+    return d2d(F.expr(_DOT.format(a=a, b=b)))
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot`."""
+    return f"CAST(CAST({_SQL_DOT.format(a=a, b=b)} AS VARCHAR) AS DOUBLE)"
+
+
+def _cosine(dot_col: F.Column, nsq_a: str, nsq_b: str) -> F.Column:
+    return F.round(dot_col / F.sqrt(F.col(nsq_a) * F.col(nsq_b)), 6)
+
+
+def _sql_cosine(dot_expr: str, nsq_a: str, nsq_b: str) -> str:
+    return f"round({dot_expr} / sqrt({nsq_a} * {nsq_b}), 6)"
+
+
+@query(
+    "llm_sim_cosine_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < 10)
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+             AS cosine
+    FROM q JOIN n e ON e.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                 DESC, e.vec_id ASC) <= 5
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
+def llm_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for a 10-query set.
+
+    The query side is broadcast (tiny by construction), so the "cross"
+    join is really a map-side nested loop over each candidate partition —
+    no shuffle of the big side at all. That IS the correct 100 TB plan for
+    small query sets; for large ones, switch to llm_sim_ann_lsh below.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nsq", dot("embedding", "embedding")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cosine")
+        .orderBy("query_id", F.col("cosine").desc(), "neighbor_id")
+    )
+
+
+# Sign-LSH bucket: the sign bits of the first 8 components. Axis-aligned
+# hyperplanes keep it SQL-expressible on both engines; production would use
+# seeded random hyperplanes (same plumbing, different projection).
+_BUCKET = (
+    "aggregate(transform(sequence(0, 7),"
+    " i -> CASE WHEN element_at({e}, i + 1) >= 0 THEN shiftleft(1, i) ELSE 0 END),"
+    " 0, (acc, v) -> acc + v)"
+)
+_SQL_BUCKET = (
+    "list_sum(list_transform(range(0, 8),"
+    " i -> CASE WHEN {e}[i + 1] >= 0 THEN (1 << i) ELSE 0 END))"
+)
+
+
+@query(
+    "llm_sim_ann_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_SQL_BUCKET.format(e='embedding')} AS bucket,
+             {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM b WHERE vec_id < 10)
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+             AS cosine
+    FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                 DESC, e.vec_id ASC) <= 3
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
+def llm_sim_ann_lsh(spark, sf_dir):
+    """Approximate NN: candidates share a hyperplane-sign bucket.
+
+    The scale path: bucket assignment is a map-only projection; the search
+    join is an equi-join on (bucket), so Catalyst plans a plain shuffled
+    hash join — candidate count per query drops from N to N/2^bits in
+    expectation. Multi-probe (flip one bucket bit) raises recall without
+    changing the plan shape.
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", F.expr(_BUCKET.format(e="embedding")))
+        .withColumn("nsq", dot("embedding", "embedding"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    joined = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+        .orderBy("query_id", F.col("cosine").desc(), "neighbor_id")
+    )
+
+
+@query(
+    "llm_sim_centroid",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id, label,
+             CAST(round(unnest(embedding), 6) AS DECIMAL(18,6)) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, SUM(x) AS s, COUNT(*) AS n
+      FROM comp GROUP BY label, pos
+    )
+    SELECT c.vec_id, c.label,
+           round(sqrt(CAST(CAST(SUM(CAST(c.x * t.n - t.s AS DECIMAL(15,6))
+                                     * CAST(c.x * t.n - t.s AS DECIMAL(15,6)))
+                           AS VARCHAR) AS DOUBLE)) / any_value(t.n), 6) AS dist_to_centroid
+    FROM comp c JOIN cent t ON c.label = t.label AND c.pos = t.pos
+    GROUP BY c.vec_id, c.label
+    """,
+)
+def llm_sim_centroid(spark, sf_dir):
+    """Distance of each vector to its own label centroid, exactly.
+
+    The array⇄relational pivot: posexplode to (vec, pos, component), agg
+    per (label, pos) for centroid sums, join back, one more agg per vec.
+    The centroid division is deferred — dist = sqrt(Σ(n·x − S)²)/n — so
+    every sum is an exact DECIMAL and merge order can't flap the hash.
+    Two shuffles total (label,pos agg + vec agg); both keys are uniform.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("xf").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    dev = comp.join(cent, ["label", "pos"]).select(
+        "vec_id",
+        "label",
+        "n",
+        # |d| ≤ ~200 here; DECIMAL(15,6) keeps d*d within 31 digits so
+        # neither engine hits its 38-digit cap (Spark would silently drop
+        # scale under precision loss; DuckDB would widen differently).
+        (F.col("x") * F.col("n") - F.col("s")).cast("decimal(15,6)").alias("d"),
+    )
+    return (
+        dev.groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(d2d(F.sum(F.col("d") * F.col("d")))) / F.any_value("n"), 6
+            ).alias("dist_to_centroid")
+        )
+        .select("vec_id", "label", "dist_to_centroid")
+    )

@@ -1,0 +1,308 @@
+"""Text analysis for LLM training-data pipelines (SURVEY.md §2.10 + the
+training-data mandate in BASELINE.json:6).
+
+All operators run on ``documents`` and stay entirely JVM-side (split/
+explode/agg built-ins — no Python in the hot path), so they scale as plain
+shuffles on (lang)/(doc_id)/(word) keys:
+
+- corpus stats per language (docs, tokens, vocabulary, avg length)
+- TF-IDF top terms per document (pure DataFrame, not MLlib, so it's
+  oracle-checkable and has no driver-side vocabulary broadcast)
+- heuristic language ID via stopword-list hit rates
+- quality scoring (length / type-token ratio / word-length shape)
+- token counting: whitespace tokens + a BPE-ish regex token count
+- document fingerprinting: winnowing over rolling shingle hashes
+- routing: partitioned-by-language sink
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core import as_long, davg, sql_davg
+from ..io import load_table
+from ..registry import query
+
+
+def _words(df):
+    return df.select(
+        "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+
+
+@query(
+    "llm_text_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wa AS (
+      SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT word) AS vocab
+      FROM w GROUP BY lang
+    ), da AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST({sql_davg('n_chars', 0)} AS DOUBLE) AS avg_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT da.lang, n_docs, n_tokens, vocab, round(avg_chars, 6) AS avg_chars
+    FROM da JOIN wa ON da.lang = wa.lang
+    """,
+)
+def llm_text_stats(spark, sf_dir):
+    """Per-language corpus statistics: two independent aggregations (doc
+    grain + token grain) joined on lang — never a fan-out then re-dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words(d)
+    wa = w.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("vocab"),
+    )
+    da = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(davg("n_chars", 0), 6).alias("avg_chars"),
+    )
+    return da.join(wa, "lang").select(
+        "lang", "n_docs", "n_tokens", "vocab", "avg_chars"
+    )
+
+
+@query(
+    "llm_text_tfidf",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.word AS term,
+           round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+    QUALIFY row_number() OVER (
+        PARTITION BY tf.doc_id
+        ORDER BY round(tf.tf * ln(n.n * 1.0 / df.df), 6) DESC, tf.word ASC) <= 3
+    """,
+)
+def llm_text_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document.
+
+    DF (document frequency) is a tiny per-word table → broadcast join back
+    onto TF; N is a literal-sized 1-row frame cross-joined in. At 100 TB
+    the only big shuffles are the two word-keyed aggregations.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = _words(d).select("doc_id", "word")
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()  # scalar: one Spark job over parquet row-group metadata
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        F.col("word").alias("term"),
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("tfidf"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+# Tiny per-language stopword marker lists for the heuristic language ID.
+# Real language ID uses char n-gram profiles (same plumbing, richer
+# features); the fixture corpus shares one vocabulary so this demonstrates
+# the *mechanics* — scoring + argmax — not linguistic accuracy.
+_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "valor", "tabla", "fila"),
+    "de": ("der", "die", "das", "schnell"),
+    "fr": ("le", "la", "les", "vite"),
+    "zh": ("big", "small", "key", "hash"),
+}
+
+
+def _score_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{m}'" for m in _MARKERS[lang])
+    return f"COUNT(*) FILTER (WHERE word IN ({inlist})) * 1.0 / COUNT(*)"
+
+
+@query(
+    "llm_lang_id",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), s AS (
+      SELECT doc_id, any_value(lang) AS true_lang,
+             {_score_sql('en')} AS s_en, {_score_sql('es')} AS s_es,
+             {_score_sql('de')} AS s_de, {_score_sql('fr')} AS s_fr,
+             {_score_sql('zh')} AS s_zh
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, true_lang,
+           CASE greatest(s_en, s_es, s_de, s_fr, s_zh)
+                WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang,
+           round(greatest(s_en, s_es, s_de, s_fr, s_zh), 6) AS score
+    FROM s
+    """,
+)
+def llm_lang_id(spark, sf_dir):
+    """Stopword-hit-rate language ID: per-doc marker-list hit fractions,
+    argmax with a fixed alphabetical tiebreak (the CASE tries langs in
+    alphabetical order, so ties resolve identically on both engines)."""
+    w = _words(load_table(spark, sf_dir, "documents"))
+    scores = [
+        (F.count(F.when(F.col("word").isin(*_MARKERS[lang]), 1)) / F.count("*")).alias(
+            f"s_{lang}"
+        )
+        for lang in ("en", "es", "de", "fr", "zh")
+    ]
+    s = w.groupBy("doc_id").agg(F.any_value("lang").alias("true_lang"), *scores)
+    best = F.greatest("s_en", "s_es", "s_de", "s_fr", "s_zh")
+    pred = (
+        F.when(best == F.col("s_de"), "de")
+        .when(best == F.col("s_en"), "en")
+        .when(best == F.col("s_es"), "es")
+        .when(best == F.col("s_fr"), "fr")
+        .otherwise("zh")
+    )
+    return s.select(
+        "doc_id",
+        "true_lang",
+        pred.alias("pred_lang"),
+        F.round(best, 6).alias("score"),
+    )
+
+
+@query(
+    "llm_quality_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), m AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             COUNT(DISTINCT word) * 1.0 / COUNT(*) AS ttr,
+             SUM(len(word)) * 1.0 / COUNT(*) AS avg_word_len
+      FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id, m.n_tokens, round(m.ttr, 6) AS ttr,
+           round(m.avg_word_len, 6) AS avg_word_len,
+           round(0.4 * least(m.n_tokens / 50.0, 1.0)
+                 + 0.4 * m.ttr
+                 + 0.2 * least(m.avg_word_len / 8.0, 1.0), 6) AS quality
+    FROM documents d JOIN m ON d.doc_id = m.doc_id
+    """,
+)
+def llm_quality_score(spark, sf_dir):
+    """Heuristic document quality: length saturation + type-token ratio +
+    word-length shape, combined 0.4/0.4/0.2. All ratios are exact integer
+    divisions in double (deterministic), so the score is hashable."""
+    d = load_table(spark, sf_dir, "documents")
+    m = (
+        _words(d)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.countDistinct("word") / F.count("*")).alias("ttr"),
+            (F.sum(F.length("word")) / F.count("*")).alias("avg_word_len"),
+        )
+    )
+    quality = (
+        0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+        + 0.4 * F.col("ttr")
+        + 0.2 * F.least(F.col("avg_word_len") / 8.0, F.lit(1.0))
+    )
+    return d.select("doc_id").join(m, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@query(
+    "llm_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS re_tokens,
+           CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+    FROM documents
+    """,
+)
+def llm_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (alnum runs | single punctuation). Map-only — no shuffle at all; at
+    100 TB this is the cheapest full-corpus pass there is."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        as_long(F.regexp_count("text", F.lit(r"[a-z0-9]+|[^a-z0-9\s]"))).alias(
+            "re_tokens"
+        ),
+        (F.col("n_chars") / F.size(F.split("text", " "))).alias("chars_per_token"),
+    )
+
+
+@query("llm_fingerprint")  # rows-only: xxhash64 fingerprints are Spark-specific
+def llm_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (MOSS-style).
+
+    Rolling 5-gram shingle hashes per doc; a sliding window of 4 keeps
+    each window's minimum; the distinct kept hashes are the fingerprint.
+    Near-duplicate docs share most fingerprints, and the fingerprint set
+    is ~1/4 the shingle count — the standard sketch for plagiarism/dedup
+    at corpus scale. Deterministic via fixed-seed xxhash64.
+    """
+    k = 5
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(w)-{k}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(w, i+1, {k}))))"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = sh.select("doc_id", F.min("h").over(win).alias("fp")).distinct()
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("llm_lang_partition")  # rows-only: tmp sink path invisible to the oracle
+def llm_lang_partition(spark, sf_dir):
+    """Language-routed partitioned sink + pruned read-back: write
+    partitionBy(lang), then read only two language directories back.
+    The filter on the partition column prunes at the directory level —
+    the layout every multilingual 100 TB corpus should have."""
+    d = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_lang_"), "docs_by_lang")
+    d.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "source")
+    )

@@ -1,0 +1,94 @@
+"""LLM-data operator tests (SURVEY.md §2.10): planted-duplicate recall for
+the rows-only sketch operators, determinism of seeded hashing, and the
+multimodal stub contract. Oracle parity for the SQL-expressible ops is
+covered by test_oracle_parity.py / tools/verify_local.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_suite_spark.registry import QUERIES
+
+from conftest import SF_DIR
+
+
+def _pairs(df):
+    return {(r[0], r[1]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    return _pairs(QUERIES["llm_dedup_ngram_jaccard"](spark, SF_DIR))
+
+
+def test_minhash_recovers_planted_near_dups(spark, exact_pairs):
+    cand = _pairs(QUERIES["llm_dedup_minhash"](spark, SF_DIR))
+    # 8 bands × 4 rows ⇒ P(miss) < 1e-7 at the planted j≈0.97 — recall
+    # must be total, and est_jaccard≥0.5 filtering keeps precision high.
+    assert exact_pairs <= cand
+    assert len(cand - exact_pairs) <= max(1, len(exact_pairs) // 10)
+
+
+def test_minhash_deterministic(spark):
+    a = QUERIES["llm_dedup_minhash"](spark, SF_DIR).collect()
+    b = QUERIES["llm_dedup_minhash"](spark, SF_DIR).collect()
+    assert a == b
+
+
+def test_simhash_finds_mostly_real_near_dups(spark, exact_pairs):
+    sh = QUERIES["llm_dedup_simhash"](spark, SF_DIR)
+    rows = sh.collect()
+    assert all(r.hamming <= 3 and r.doc_a < r.doc_b for r in rows)
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    # SimHash over word multisets on a 31-word shared vocabulary is noisier
+    # than shingle MinHash: require majority precision and real recall.
+    assert len(pairs & exact_pairs) >= len(pairs) // 2
+    assert len(pairs & exact_pairs) >= len(exact_pairs) // 2
+
+
+def test_dedup_exact_keeps_min_doc_per_hash(spark):
+    out = QUERIES["llm_dedup_exact"](spark, SF_DIR)
+    rows = out.collect()
+    # fixture has no exact dups after normalization → every group size 1,
+    # and the op is idempotent: re-running on survivors changes nothing.
+    assert all(r.n_dups >= 1 for r in rows)
+    assert len({r.content_hash for r in rows}) == len(rows)
+
+
+def test_fingerprint_deterministic_and_compressing(spark):
+    fp1 = QUERIES["llm_fingerprint"](spark, SF_DIR).collect()
+    fp2 = QUERIES["llm_fingerprint"](spark, SF_DIR).collect()
+    assert fp1 == fp2
+    # winnowing with window 4 keeps ≥ 1/4 of shingle hashes but far fewer
+    # than all of them on any real doc.
+    assert all(r.n_fingerprints >= 1 for r in fp1)
+
+
+def test_ann_lsh_subset_of_bruteforce_space(spark):
+    ann = QUERIES["llm_sim_ann_lsh"](spark, SF_DIR).collect()
+    # per-query top-3 with deterministic tiebreaks; every neighbor differs
+    # from its query and cosines are within [-1, 1].
+    assert all(r.neighbor_id != r.query_id for r in ann)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in ann)
+
+
+def test_multimodal_decode_stubs_raise():
+    from etl_suite_spark.llm import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.resample_audio(b"RIFF")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(b"\x00\x00\x00 ftyp")
+
+
+def test_mm_binary_features_matches_text_length(spark):
+    feats = {r.doc_id: r for r in QUERIES["mm_binary_features"](spark, SF_DIR).collect()}
+    from etl_suite_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    for d in docs[:20]:
+        f = feats[d.doc_id]
+        assert f.n_bytes == len(d.text.encode("utf-8"))
+        assert f.fake_width == f.n_bytes % 256 + 1
