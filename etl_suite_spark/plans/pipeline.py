@@ -1,0 +1,164 @@
+"""Declarative pipeline specs — the reference's "ETL job" re-expressed
+(SURVEY.md §3.2 entry point 3).
+
+A job is a dict (JSON/YAML-friendly): source → transforms → sink, with an
+optional incremental watermark. ``compile_pipeline`` turns it into one
+DataFrame plan — every transform is declarative, so Catalyst sees the whole
+job and optimizes across step boundaries (filter pushdown through joins,
+column pruning back to the scan). Nothing executes until the sink runs.
+
+    spec = {
+        "source": {"table": "lineitem"},
+        "transforms": [
+            {"op": "filter", "predicate": "l_shipdate <= '1998-09-02'"},
+            {"op": "derive", "cols": {"revenue": "l_extendedprice * (1 - l_discount)"}},
+            {"op": "join", "table": "orders", "on": "...", "how": "inner",
+             "broadcast": False},
+            {"op": "groupby", "keys": ["..."], "aggs": {"out": "sum(expr)"}},
+            {"op": "select", "cols": [...]},
+            {"op": "sort", "by": ["col asc", "col2 desc"]},
+            {"op": "dedup_latest", "key": [...], "order_by": "ts"},
+            {"op": "limit", "n": 100},
+        ],
+        "sink": {"format": "parquet", "path": "...", "partition_by": ["lang"]},
+        "incremental": {"watermark_col": "ts", "state_path": "...",
+                        "default": "1970-01-01 00:00:00"},
+    }
+
+The incremental block injects ``watermark_col > saved_watermark`` directly
+above the source scan (pushdown → row-group skipping), exactly like the
+reference's checkpoint-window extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+from .incremental import advance_watermark, read_watermark
+
+
+def _apply_transform(spark: SparkSession, sf_dir: str, df: DataFrame, t: dict) -> DataFrame:
+    op = t["op"]
+    if op == "filter":
+        return df.filter(t["predicate"])
+    if op == "derive":
+        for name, expr in t["cols"].items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
+    if op == "select":
+        return df.select(*t["cols"])
+    if op == "join":
+        other = load_table(spark, sf_dir, t["table"])
+        if t.get("broadcast"):
+            other = F.broadcast(other)
+        return df.join(other, F.expr(t["on"]), t.get("how", "inner"))
+    if op == "groupby":
+        aggs = [F.expr(expr).alias(name) for name, expr in t["aggs"].items()]
+        return df.groupBy(*t["keys"]).agg(*aggs)
+    if op == "sort":
+        cols = []
+        for spec in t["by"]:
+            name, _, direction = spec.partition(" ")
+            c = F.col(name)
+            cols.append(c.desc() if direction == "desc" else c.asc())
+        return df.orderBy(*cols)
+    if op == "dedup_latest":
+        w = Window.partitionBy(*t["key"]).orderBy(F.col(t["order_by"]).desc())
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if op == "limit":
+        return df.limit(t["n"])
+    raise ValueError(f"unknown pipeline op: {op}")
+
+
+def compile_pipeline(spark: SparkSession, sf_dir: str, spec: dict) -> DataFrame:
+    """Spec → single DataFrame plan (unsunk). Incremental filter, if any,
+    goes directly above the scan so it pushes into the reader."""
+    df = load_table(spark, sf_dir, spec["source"]["table"])
+    inc = spec.get("incremental")
+    if inc:
+        wm = read_watermark(inc["state_path"], inc.get("default", "1970-01-01 00:00:00"))
+        df = df.filter(F.col(inc["watermark_col"]) > F.to_timestamp(F.lit(wm)))
+    for t in spec.get("transforms", ()):
+        df = _apply_transform(spark, sf_dir, df, t)
+    return df
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, spec: dict) -> DataFrame:
+    """Compile, sink (if declared), advance the watermark (if incremental).
+
+    Sink writes are partitioned when the spec says so — at 100 TB an
+    unpartitioned sink is a bug, not a choice. Returns the compiled frame
+    for inspection/chaining.
+    """
+    df = compile_pipeline(spark, sf_dir, spec)
+    sink = spec.get("sink")
+    if sink:
+        writer = df.write.mode(sink.get("mode", "overwrite"))
+        if sink.get("partition_by"):
+            writer = writer.partitionBy(*sink["partition_by"])
+        getattr(writer, sink.get("format", "parquet"))(sink["path"])
+    inc = spec.get("incremental")
+    if inc:
+        hi = (
+            compile_pipeline(spark, sf_dir, {"source": spec["source"], "incremental": inc})
+            .agg(F.max(inc["watermark_col"]).alias("hi"))
+            .collect()[0]["hi"]
+        )
+        if hi is not None:
+            advance_watermark(inc["state_path"], hi.strftime("%Y-%m-%d %H:%M:%S.%f"))
+    return df
+
+
+# Declared demonstrator: a TPC-H-Q3-shaped job written as a spec. The same
+# shape in SQL is the oracle, so the compiler itself is correctness-gated.
+_SPEC = {
+    "source": {"table": "orders"},
+    "transforms": [
+        {"op": "filter", "predicate": "o_orderdate < '1995-03-15'"},
+        {
+            "op": "join",
+            "table": "customer",
+            "on": "o_custkey = c_custkey",
+            "how": "inner",
+            "broadcast": True,
+        },
+        {"op": "filter", "predicate": "c_mktsegment = 'BUILDING'"},
+        {
+            "op": "groupby",
+            "keys": ["o_orderpriority"],
+            "aggs": {
+                "n_orders": "count(*)",
+                "sum_price": (
+                    "cast(cast(sum(cast(o_totalprice as decimal(18,2)))"
+                    " as string) as double)"
+                ),
+            },
+        },
+    ],
+}
+
+
+@query(
+    "pipeline_spec_run",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate < '1995-03-15' AND c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+)
+def pipeline_spec_run(spark, sf_dir):
+    """The pipeline compiler end-to-end: dict spec → optimized single plan.
+    Catalyst pushes the segment filter below the (broadcast) join even
+    though the spec declared it after — declarative specs get the whole
+    optimizer for free."""
+    return compile_pipeline(spark, sf_dir, _SPEC)

@@ -1,0 +1,312 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+Reference analog: the ETL-suite's checkpointed micro-batch scheduler
+(SURVEY §0.1 [K]) — here as real Structured Streaming. No Kafka connector
+exists in this environment (SURVEY §0 [V]), so sources are file drops
+(events-shaped parquet written in controlled time-slices) and sinks are
+memory/foreachBatch — the exact plumbing transfers to Kafka/Kinesis
+sources on a cluster by swapping ``readStream.format``.
+
+Every operator runs ``Trigger.AvailableNow`` with ``maxFilesPerTrigger=1``
+over time-ordered drop files, so the watermark advances batch-by-batch the
+way it would on a live stream, and the emitted (finalized) windows are
+deterministic — the registry entries are rows-only (DuckDB has no
+watermark semantics) and pinned by pytest goldens instead.
+
+Scale notes: stateful aggregation state lives in the HDFS/RocksDB state
+store keyed by group — at 100 TB of events the state is bounded by the
+watermark horizon, not the stream length; ``spark.sql.shuffle.partitions``
+sizes the state-store shard count.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..core import d2d, dec
+from ..io import load_table
+from ..registry import query
+
+# Time slices for the drop files: three deterministic cuts of the January
+# 2024 events fixture. Files land with ascending mtimes so the file source
+# processes them in order and the watermark advances between batches.
+_CUTS = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+
+
+def _write_one_file(df: DataFrame, target: str) -> None:
+    tmp = target + ".staging"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+    )
+    shutil.move(os.path.join(tmp, part), target)
+    shutil.rmtree(tmp)
+
+
+def _drop_dir(
+    spark: SparkSession, sf_dir: str, extra: DataFrame | None = None
+) -> tuple[str, T.StructType]:
+    """Write events as three time-ordered drop files; returns (dir, schema).
+
+    ``extra`` rows (duplicates / late arrivals for the dedup and late-data
+    operators) are appended to the LAST file, after the watermark has
+    already advanced past the earlier slices.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    drop = tempfile.mkdtemp(prefix="etl_stream_drop_")
+    slices = [
+        ev.filter(F.col("ts") < _CUTS[0]),
+        ev.filter((F.col("ts") >= _CUTS[0]) & (F.col("ts") < _CUTS[1])),
+        ev.filter(F.col("ts") >= _CUTS[1]),
+    ]
+    if extra is not None:
+        slices[2] = slices[2].unionByName(extra)
+    for i, s in enumerate(slices):
+        target = os.path.join(drop, f"data-{i:03d}.parquet")
+        _write_one_file(s, target)
+        os.utime(target, (1700000000 + i * 60, 1700000000 + i * 60))
+    return drop, ev.schema
+
+
+def _read_stream(spark: SparkSession, drop: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+
+
+def _run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
+    """Run an AvailableNow pass into a memory sink; return the result table."""
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="etl_stream_ckpt_")
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_tumbling_agg")  # rows-only: watermark semantics aren't SQL
+def stream_tumbling_agg(spark, sf_dir):
+    """Per-5-minute tumbling counts/sums by event_type, 10-minute
+    watermark, append mode — only *finalized* windows emit. The decimal
+    sum keeps emitted values merge-order-independent."""
+    drop, schema = _drop_dir(spark, sf_dir)
+    sdf = (
+        _read_stream(spark, drop, schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), d2d(F.sum(dec("value", 4))).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(sdf, "append").orderBy("win_start", "event_type")
+
+
+@query("stream_sliding_agg")  # rows-only
+def stream_sliding_agg(spark, sf_dir):
+    """10-minute windows sliding every 5 — each event lands in two windows;
+    same watermark/append discipline as tumbling."""
+    drop, schema = _drop_dir(spark, sf_dir)
+    sdf = (
+        _read_stream(spark, drop, schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    return _run_to_memory(sdf, "append").orderBy("win_start", "event_type")
+
+
+@query("stream_session_window")  # rows-only
+def stream_session_window(spark, sf_dir):
+    """Session windows with a 30-minute gap per user: state merges as
+    events extend a session; a session closes (and emits) once the
+    watermark passes gap-end."""
+    drop, schema = _drop_dir(spark, sf_dir)
+    sdf = (
+        _read_stream(spark, drop, schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(sdf, "append").orderBy("user_id", "sess_start")
+
+
+def _dup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministic slice of early events re-delivered late (same
+    event_id, same payload) — the at-least-once delivery scenario."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter((F.col("ts") >= _CUTS[1]) & (F.col("event_id") % 10 == 0))
+
+
+@query("stream_dedup")  # rows-only
+def stream_dedup(spark, sf_dir):
+    """dropDuplicatesWithinWatermark on event_id: re-delivered events in
+    the last drop file are suppressed because their ids were seen within
+    the watermark horizon. Output = deduped per-type counts."""
+    dups = _dup_sample(spark, sf_dir)
+    drop, schema = _drop_dir(spark, sf_dir, extra=dups)
+    deduped = (
+        _read_stream(spark, drop, schema)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = _run_to_memory(deduped.select("event_id", "event_type"), "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+_STATE_SCHEMA = "n LONG, sum_value DOUBLE"
+_STATEFUL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _running_counters(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful op: per-user running (count, sum) across batches.
+
+    The production shape for sessionization/fraud counters: state is a
+    small tuple per key in the state store; each micro-batch folds its
+    rows in and emits the updated value. (values are 2-dp fixture
+    amounts, so the float sum here is exact — cents-scale integers.)
+    """
+    (n, sv) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        sv += float(pdf["value"].sum())
+    state.update((n, round(sv, 2)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(sv, 2)]}
+    )
+
+
+@query("stream_stateful_custom")  # rows-only
+def stream_stateful_custom(spark, sf_dir):
+    """applyInPandasWithState: arbitrary per-key state across micro-batches
+    (update mode). The memory sink sees one update per (user, batch); the
+    final value per user is the one with the max event count."""
+    drop, schema = _drop_dir(spark, sf_dir)
+    sdf = (
+        _read_stream(spark, drop, schema)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_counters,
+            outputStructType=_STATEFUL_OUT,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    updates = _run_to_memory(sdf, "update")
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("stream_foreachbatch_upsert")  # rows-only
+def stream_foreachbatch_upsert(spark, sf_dir):
+    """foreachBatch merge-by-key sink: each micro-batch upserts into a
+    parquet warehouse via the dedup-latest idiom (newest row per event_id
+    wins), so re-delivery and window re-runs are idempotent — the
+    reference's delete-then-reload recovery model, Spark-side."""
+    from pyspark.sql import Window
+
+    dups = _dup_sample(spark, sf_dir)
+    drop, schema = _drop_dir(spark, sf_dir, extra=dups)
+    warehouse = os.path.join(tempfile.mkdtemp(prefix="etl_wh_"), "events_merged")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        if os.path.exists(warehouse):
+            existing = sess.read.parquet(warehouse)
+            merged = existing.unionByName(batch_df)
+        else:
+            merged = batch_df
+        w = Window.partitionBy("event_id").orderBy(
+            F.col("ts").desc(), F.col("event_type").asc()
+        )
+        final = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        staging = warehouse + f".b{batch_id}"
+        final.write.mode("overwrite").parquet(staging)
+        if os.path.exists(warehouse):
+            shutil.rmtree(warehouse)
+        os.rename(staging, warehouse)
+
+    ckpt = tempfile.mkdtemp(prefix="etl_stream_ckpt_")
+    q = (
+        _read_stream(spark, drop, schema)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(warehouse)
+    return final.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+@query("stream_late_data")  # rows-only
+def stream_late_data(spark, sf_dir):
+    """The late-data contract, demonstrated: a crafted copy of the very
+    first events (early January) arrives in the LAST drop file, long after
+    the watermark passed them. Append-mode tumbling windows must NOT count
+    them — compare n with stream_tumbling_agg's first windows to see the
+    drop (pinned in pytest)."""
+    ev = load_table(spark, sf_dir, "events")
+    late = (
+        ev.filter(F.col("ts") < "2024-01-02 00:00:00")
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    drop, schema = _drop_dir(spark, sf_dir, extra=late)
+    sdf = (
+        _read_stream(spark, drop, schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+    out = _run_to_memory(sdf, "append")
+    return out.filter(F.col("win_start") < "2024-01-02 00:00:00").orderBy("win_start")
