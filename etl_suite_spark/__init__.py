@@ -20,6 +20,7 @@ from .llm import dedup, multimodal, similarity, textstats  # noqa: F401
 from .operators import aggregates, filters, joins, setops, sorts, windows  # noqa: F401
 from .plans import incremental, pipeline  # noqa: F401
 from .streaming import ops as streaming_ops  # noqa: F401
+from .udf import surface  # noqa: F401
 from .sources import scans  # noqa: F401
 
 __all__ = ["registry"]
