@@ -58,3 +58,43 @@ def test_asof_join_is_single_sort_not_range_join(spark):
     plan = plan_of(QUERIES["join_asof"](spark, SF_DIR))
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_multimodal_join_pushes_both_filters_below_join(spark):
+    # the text LIKE filter must reach the documents scan as a pushed
+    # predicate; the join itself must broadcast (both sides are small here,
+    # but the plan must not degrade to NestedLoop).
+    plan = plan_of(QUERIES["llm_multimodal_join"](spark, SF_DIR))
+    assert "PushedFilters" in plan and "StringContains(text,spark)" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_tfidf_df_side_broadcast(spark):
+    # document-frequency table is explicitly broadcast back onto TF.
+    plan = plan_of(QUERIES["llm_text_tfidf"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_band_join_is_hash_join(spark):
+    # LSH candidate generation must be an equi-join on (band, band_hash) —
+    # a hash join, never a cartesian/nested-loop pair enumeration.
+    plan = plan_of(QUERIES["llm_dedup_minhash"](spark, SF_DIR))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    plan = plan_of(QUERIES["llm_sim_cosine_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ann_lsh_bucket_join_not_cartesian(spark):
+    plan = plan_of(QUERIES["llm_sim_ann_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_spec_filter_pushed_through_join(spark):
+    # the spec declares the segment filter AFTER the join; Catalyst must
+    # still push it below (into the customer scan).
+    plan = plan_of(QUERIES["pipeline_spec_run"](spark, SF_DIR))
+    assert "BUILDING" in plan.split("Scan parquet")[0] or "EqualTo(c_mktsegment,BUILDING)" in plan
