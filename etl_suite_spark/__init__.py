@@ -16,8 +16,16 @@ from . import registry  # noqa: F401
 
 # Import every operator module for registration side effects.
 from .functions import scalars  # noqa: F401
-from .llm import dedup, multimodal, similarity, textstats  # noqa: F401
-from .operators import aggregates, filters, joins, setops, sorts, windows  # noqa: F401
+from .llm import clustering, dedup, multimodal, similarity, textstats  # noqa: F401
+from .operators import (  # noqa: F401
+    aggregates,
+    filters,
+    joins,
+    scale,
+    setops,
+    sorts,
+    windows,
+)
 from .plans import incremental, pipeline  # noqa: F401
 from .streaming import ops as streaming_ops  # noqa: F401
 from .udf import surface  # noqa: F401

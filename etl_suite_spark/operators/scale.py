@@ -1,0 +1,140 @@
+"""Scale-path operators: skew salting, bucketed co-located joins, dynamic
+partition overwrite (SURVEY.md §4.3).
+
+These exist for the 100 TB mandate: AQE handles moderate skew and broadcast
+picks up small dims automatically, but pathological keys (one customer with
+10% of all orders) and repeated fact⋈fact joins on the same key need the
+two classic layout tools — salting and bucketing — expressed as library
+helpers so every pipeline uses the same audited implementation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: fact rows get a random salt in [0, salt),
+    the (small) dim side is exploded ×salt, and the join key becomes
+    (key, salt) — a single hot key now spreads over ``salt`` reducers.
+
+    Semantics are identical to ``fact.join(dim, key, how)`` (proved by the
+    oracle below); use only when AQE skew splitting isn't enough, because
+    it multiplies the dim side. The salt is ``pmod(xxhash64(monotonic id),
+    salt)`` — deterministic per task layout, uniform, and never collected.
+    """
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = fact_s.join(dim_s, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """The salted join must be result-identical to the plain join — the
+    oracle IS the plain join. Salting changes physics, never semantics."""
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    joined = salted_join(
+        o.select("custkey", "o_orderkey", "o_totalprice"),
+        c.select("custkey", "c_name", "c_mktsegment"),
+        key="custkey",
+    )
+    return joined.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, buckets: int = 8, path: str | None = None
+) -> None:
+    """Persist a table bucketed+sorted by the join key. Two tables bucketed
+    the same way join with ZERO shuffle (SortMergeJoin reads co-located
+    buckets directly) — the layout for repeated fact⋈fact joins at scale."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+@query("sink_bucketed_colocated_join")  # rows-only: warehouse tables, tmp paths
+def sink_bucketed_colocated_join(spark, sf_dir):
+    """Bucket orders and lineitem by orderkey, then join the two bucketed
+    tables: the plan has no Exchange on either side (pinned in
+    test_plans.py). At 100 TB this converts the biggest recurring shuffle
+    (fact⋈fact on orderkey) into a local merge per bucket."""
+    root = tempfile.mkdtemp(prefix="etl_bucket_")
+    suffix = uuid.uuid4().hex[:8]
+    o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(o, o_name, "o_orderkey", path=os.path.join(root, "o"))
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        l_name,
+        "o_orderkey",
+        path=os.path.join(root, "l"),
+    )
+    ob, lb = spark.table(o_name), spark.table(l_name)
+    return (
+        ob.join(lb, "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query("sink_overwrite_partition")  # rows-only
+def sink_overwrite_partition(spark, sf_dir):
+    """Idempotent window reload via dynamic partition overwrite: rewrite
+    ONLY the partitions present in the incoming batch, leaving the rest of
+    the warehouse untouched — the reference's delete-then-reload recovery,
+    done natively by the committer (no manual deletes)."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_dynpart_"), "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    # re-load one day twice (the idempotent re-run) — only that directory
+    # is rewritten; totals must not change.
+    one_day = ev.filter(F.col("day") == "2024-01-15")
+    one_day.write.mode("overwrite").partitionBy("day").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .orderBy("day")
+    )

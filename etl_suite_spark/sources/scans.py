@@ -86,6 +86,30 @@ def sink_parquet_partitioned(spark, sf_dir):
     )
 
 
+def scan_avro_roundtrip(spark, sf_dir):
+    """Avro interchange (the Kafka-ecosystem wire format). NOT registered:
+    this environment ships only avro-core jars, not the ``spark-avro``
+    data source module (`org.apache.spark:spark-avro_2.13`), so
+    ``format("avro")`` raises. On a cluster with the module deployed the
+    call shape is exactly the parquet/orc roundtrip:
+
+        df.write.format("avro").save(path)
+        spark.read.format("avro").load(path)
+    """
+    raise NotImplementedError("spark-avro data source module not deployed here")
+
+
+@query("scan_orc_roundtrip")  # rows-only
+def scan_orc_roundtrip(spark, sf_dir):
+    """ORC roundtrip — the other columnar warehouse format; same pushdown/
+    pruning properties as parquet from Catalyst's perspective."""
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_orc_"), "orders_orc")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.orderBy("o_orderkey")
+
+
 def scan_jdbc(spark, url: str, table: str, **options):
     """JDBC extract (ref: MySQL source [K]). No database exists in this
     environment (SURVEY §2.1: deferred), so this is the documented call

@@ -92,3 +92,29 @@ def test_mm_binary_features_matches_text_length(spark):
         f = feats[d.doc_id]
         assert f.n_bytes == len(d.text.encode("utf-8"))
         assert f.fake_width == f.n_bytes % 256 + 1
+
+
+def test_kmeans_deterministic_and_total(spark):
+    out1 = QUERIES["ml_kmeans_tiers"](spark, SF_DIR).collect()
+    out2 = QUERIES["ml_kmeans_tiers"](spark, SF_DIR).collect()
+    assert out1 == out2
+    from etl_suite_spark.io import load_table
+
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(out1) == n_vecs  # every vector assigned exactly once
+    assert {r.cluster for r in out1} <= set(range(1, 6))
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark):
+    """Lloyd's guarantee: total within-cluster squared distance is
+    non-increasing across iterations."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.llm.clustering import kmeans
+
+    vectors = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    inertia = []
+    for iters in (1, 3, 5):
+        out = kmeans(spark, vectors, iters=iters)
+        inertia.append(out.agg({"dist_sq": "sum"}).collect()[0][0])
+    assert inertia[0] >= inertia[1] - 1e-9
+    assert inertia[1] >= inertia[2] - 1e-9

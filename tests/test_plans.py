@@ -98,3 +98,30 @@ def test_pipeline_spec_filter_pushed_through_join(spark):
     # still push it below (into the customer scan).
     plan = plan_of(QUERIES["pipeline_spec_run"](spark, SF_DIR))
     assert "BUILDING" in plan.split("Scan parquet")[0] or "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # both sides bucketed+sorted by the join key → SortMergeJoin reading
+    # co-located buckets with ZERO shuffle exchanges anywhere (even the
+    # downstream groupBy on the same key reuses the bucket partitioning).
+    # Broadcast is disabled so the small fixture can't sidestep the test.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(QUERIES["sink_bucketed_colocated_join"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_salted_join_spreads_keys(spark):
+    # the salted join must not plan a broadcast of the *fact* side and must
+    # keep the (key, salt) equi-join shape.
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.operators.scale import salted_join
+
+    o = load_table(spark, SF_DIR, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = load_table(spark, SF_DIR, "customer").withColumnRenamed("c_custkey", "custkey")
+    out = salted_join(o, c.select("custkey", "c_name"), "custkey")
+    assert out.count() == o.join(c.select("custkey"), "custkey").count()
