@@ -38,11 +38,16 @@ _SHINGLE_K = 3
 
 
 def _normalized_text(col: str = "text") -> F.Column:
-    """lower → trim → collapse whitespace: the canonical pre-hash normalize."""
-    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    """lower → trim → collapse whitespace: the canonical pre-hash normalize.
+
+    The whitespace class is explicit, not ``\\s``: Java regex counts
+    vertical tab (\\x0B) in ``\\s``, RE2 (DuckDB) does not — an explicit
+    class makes the normalization engine-independent (found by the
+    hypothesis differential suite)."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), "[ \t\r\n\f\x0b]+", " ")
 
 
-_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM_SQL = "regexp_replace(lower(trim(text)), '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g')"
 
 
 def _shingles(df: DataFrame, k: int = _SHINGLE_K) -> DataFrame:
