@@ -98,7 +98,14 @@ def llm_dedup_exact(spark, sf_dir):
 def llm_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup candidates, fully deterministic.
 
-    signature: min over shingles of xxhash64(shingle, seed_i), i < 32.
+    signature: min over shingles of xxhash64(shingle, seed_i), i < 32,
+               via explode + 32 partial-min aggregates. (A "map-only"
+               array_min(transform(...)) per signature column measures
+               ~2× SLOWER: CollapseProject inlines the shingle-array
+               construction into every one of the 32 column expressions
+               and higher-order-function lambdas defeat subexpression
+               elimination — the groupBy's map-side combine is cheaper
+               than 32 rebuilds of the shingle array.)
     banding:   8 bands × 4 rows; band key = xxhash64 of the band's rows.
     pairs:     equi-join on (band, band_hash) — the only shuffle that
                touches pairs, and it only materializes *colliding* pairs.

@@ -34,30 +34,32 @@ from ..core import d2d
 from ..io import load_table
 from ..registry import query
 
-# Exact decimal dot product of two quantized float arrays. zip_with +
-# aggregate run JVM-side inside codegen; the DECIMAL(38,12) accumulator is
-# exact for 64 products of DECIMAL(18,6) values, so the fold order is
-# irrelevant — the cross-engine determinism hinge.
+# Exact dot product of two 6dp-quantized float arrays via LONG arithmetic:
+# components scale to integers (round(x·10⁶), half-up on both engines), the
+# products (≤ ~10¹²) and their 64-term sum (≤ ~6.4·10¹³) fit comfortably in
+# both int64 and double's 2⁵³ exact-integer range, so the fold is exact and
+# merge-order-independent — same determinism as a DECIMAL accumulator at a
+# fraction of the cost (long multiply vs decimal multiply inside codegen).
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) ->"
-    " CAST(round(x, 6) AS DECIMAL(18,6)) * CAST(round(y, 6) AS DECIMAL(18,6))),"
-    " CAST(0 AS DECIMAL(38,12)), (acc, v) -> CAST(acc + v AS DECIMAL(38,12)))"
+    " CAST(round(x * 1000000, 0) AS BIGINT) * CAST(round(y * 1000000, 0) AS BIGINT)),"
+    " 0L, (acc, v) -> acc + v)"
 )
 
 _SQL_DOT = (
     "list_sum(list_transform(range(1, 65), i ->"
-    " CAST(round({a}[i], 6) AS DECIMAL(18,6)) * CAST(round({b}[i], 6) AS DECIMAL(18,6))))"
+    " CAST(round({a}[i] * 1000000) AS BIGINT) * CAST(round({b}[i] * 1000000) AS BIGINT)))"
 )
 
 
 def dot(a: str, b: str) -> F.Column:
-    """Exact-decimal dot product of two array columns, as double."""
-    return d2d(F.expr(_DOT.format(a=a, b=b)))
+    """Exact quantized dot product of two array columns, as double."""
+    return F.expr(_DOT.format(a=a, b=b)).cast("double") / F.lit(1e12)
 
 
 def sql_dot(a: str, b: str) -> str:
     """DuckDB twin of :func:`dot`."""
-    return f"CAST(CAST({_SQL_DOT.format(a=a, b=b)} AS VARCHAR) AS DOUBLE)"
+    return f"(CAST({_SQL_DOT.format(a=a, b=b)} AS DOUBLE) / 1e12)"
 
 
 def _cosine(dot_col: F.Column, nsq_a: str, nsq_b: str) -> F.Column:
