@@ -332,3 +332,49 @@ def agg_pivot(spark, sf_dir):
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
     )
+
+
+@query(
+    "agg_time_rollup_multi",
+    oracle="""
+    SELECT CASE WHEN GROUPING(d) = 0 AND GROUPING(h) = 1 THEN 'day'
+                WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'total' END AS grain,
+           COALESCE(h, d) AS bucket,
+           event_type, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM (
+      SELECT event_type, value,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((h, event_type), (d, event_type), ())
+    """,
+)
+def agg_time_rollup_multi(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: hourly, daily, and grand
+    totals per event_type in ONE pass over the fact table (grouping sets →
+    a single Expand + one shuffle), instead of three scans. This is the
+    continuous-aggregate maintenance shape for a 100 TB event warehouse —
+    at scale you'd sink each grain to its own partitioned table from the
+    same job."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(d) = 0 AND GROUPING(h) = 1 THEN 'day'
+                    WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'total' END AS grain,
+               COALESCE(h, d) AS bucket,
+               event_type, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+                 AS sum_value
+        FROM (
+          SELECT event_type, value, date_trunc('hour', ts) AS h,
+                 date_trunc('day', ts) AS d
+          FROM events
+        )
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type), ())
+        """
+    )

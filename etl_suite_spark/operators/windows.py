@@ -236,3 +236,51 @@ def win_topk_per_group(spark, sf_dir):
         .filter(F.col("_rn") <= 3)
         .select("p_brand", "p_partkey", "p_name", "p_retailprice")
     )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM g
+    )
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           min(ts) AS sess_start, max(ts) AS sess_end,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def win_sessionize(spark, sf_dir):
+    """Batch sessionization: the lag + cumulative-sum idiom. A session
+    breaks after a 30-minute gap; session ids are the running count of
+    breaks. Gap comparison runs on epoch MICROseconds (unix_micros /
+    epoch_us) — exact integers on both engines, no sub-second truncation
+    drift. One shuffle on user_id serves both windows and the final agg.
+    Streaming twin: stream_session_window (same semantics, watermarked)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn(
+            "sess_id",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        d2d(F.sum(dec("value", 4))).alias("sum_value"),
+    )
