@@ -353,3 +353,30 @@ def fn_conditional(spark, sf_dir):
         F.least(bal, F.lit(0.0)).alias("bal_cap0"),
         (bal.isNotNull() & (bal > 9990)).alias("is_vip"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 1 AS orred,
+           xor(o_orderkey, 12345) AS xored,
+           o_orderkey << 2 AS shifted,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise family — the substrate of the SimHash/banding operators,
+    declared once as its own surface: and/or/xor/shift/popcount."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(1)).alias("orred"),
+        k.bitwiseXOR(F.lit(12345)).alias("xored"),
+        F.expr("o_orderkey << 2").alias("shifted"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )

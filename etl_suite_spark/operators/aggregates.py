@@ -9,6 +9,7 @@ combine is what makes these shuffles cheap at 100 TB.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core import d2d, davg, dec, dsum, sql_d2d, sql_davg, sql_dsum
@@ -377,4 +378,32 @@ def agg_time_rollup_multi(spark, sf_dir):
         )
         GROUP BY GROUPING SETS ((h, event_type), (d, event_type), ())
         """
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment AS mode_segment, n
+    FROM (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY COUNT(*) DESC, c_mktsegment ASC) AS rn
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Most-frequent value per group (count + ranked pick, alphabetical
+    tiebreak). Two shuffles: the (group, value) count and the per-group
+    window — never a collect of value lists."""
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"), "n")
     )

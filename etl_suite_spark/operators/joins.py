@@ -307,3 +307,35 @@ def join_self_agg(spark, sf_dir):
             F.col("a.avg_qty").alias("avg_qty"),
         )
     )
+
+
+@query(
+    "join_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def join_exists_correlated(spark, sf_dir):
+    """Correlated EXISTS through the SQL entry point: Catalyst decorrelates
+    the subquery into a left-semi join (same physical shape as join_semi —
+    asserted implicitly by the shared oracle result). Declared separately
+    because the *SQL surface* (correlated subqueries) is its own user-facing
+    capability."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )

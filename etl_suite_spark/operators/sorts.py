@@ -76,3 +76,27 @@ def topk_global(spark, sf_dir):
         .limit(25)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 50 OFFSET 100
+    """,
+)
+def limit_offset_page(spark, sf_dir):
+    """Keyset-stable pagination: page 3 of a total order (deterministic
+    tiebreak mandatory). Spark plans offset+limit as a single
+    GlobalLimit/CollectLimit — fine for UI-page offsets; deep offsets at
+    100 TB should switch to keyset predicates (WHERE (price, key) < last)
+    which this same sort order supports."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(100)
+        .limit(50)
+    )
