@@ -126,3 +126,65 @@ def scan_jdbc(spark, url: str, table: str, **options):
         "no JDBC database in this environment; see docstring for the "
         "production call shape"
     )
+
+
+@query("scan_csv_badrecords")  # rows-only: crafted tmp input
+def scan_csv_badrecords(spark, sf_dir):
+    """Malformed-record discipline for ad-hoc ingest: PERMISSIVE mode with
+    a _corrupt_record column — bad rows survive the scan as raw text
+    instead of failing the job (or silently vanishing), so the pipeline
+    can route them to a quarantine sink. The per-mode contract
+    (PERMISSIVE/DROPMALFORMED/FAILFAST) is pinned in tests."""
+    root = tempfile.mkdtemp(prefix="etl_badcsv_")
+    path = os.path.join(root, "mixed.csv")
+    with open(path, "w") as f:
+        f.write("k,price,day\n")
+        f.write("1,10.5,2024-01-01\n")
+        f.write("2,not_a_number,2024-01-02\n")  # type mismatch
+        f.write("3,30.25,2024-01-03\n")
+        f.write("4,40.0\n")  # missing column
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("day", T.DateType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return df.select(
+        "k",
+        "price",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    ).orderBy("k")
+
+
+@query("scan_parquet_schema_evolution")  # rows-only: crafted tmp input
+def scan_parquet_schema_evolution(spark, sf_dir):
+    """Schema evolution on read: two parquet drops with different schemas
+    (a column added later) merge under mergeSchema=true — old files yield
+    NULL for the new column. The append-only warehouse reality at 100 TB:
+    producers upgrade, history stays readable."""
+    root = tempfile.mkdtemp(prefix="etl_evolve_")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "priority_band",
+        F.when(F.col("o_totalprice") > 200000, "high").otherwise("normal"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
+    )
+    return (
+        merged.groupBy("priority_band")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("priority_band").asc_nulls_first())
+    )

@@ -1,0 +1,77 @@
+"""Source-layer contracts: malformed-record modes and schema evolution."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from conftest import SF_DIR
+
+from etl_suite_spark.registry import QUERIES
+
+
+@pytest.fixture(scope="module")
+def bad_csv():
+    root = tempfile.mkdtemp(prefix="badcsv_contract_")
+    path = os.path.join(root, "mixed.csv")
+    with open(path, "w") as f:
+        f.write("k,price\n1,10.5\n2,oops\n3,30.25\n")
+    return path
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+def test_permissive_keeps_corrupt_rows(spark, bad_csv):
+    df = (
+        spark.read.schema(_SCHEMA)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(bad_csv)
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and corrupt[0]._corrupt_record == "2,oops"
+    assert corrupt[0].price is None
+
+
+def test_dropmalformed_drops_them(spark, bad_csv):
+    df = (
+        spark.read.schema(T.StructType(_SCHEMA.fields[:2]))
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(bad_csv)
+    )
+    assert sorted(r.k for r in df.collect()) == [1, 3]
+
+
+def test_failfast_raises(spark, bad_csv):
+    df = (
+        spark.read.schema(T.StructType(_SCHEMA.fields[:2]))
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(bad_csv)
+    )
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        df.collect()
+
+
+def test_schema_evolution_nulls_old_files(spark):
+    out = QUERIES["scan_parquet_schema_evolution"](spark, SF_DIR).collect()
+    bands = {r.priority_band: r.n for r in out}
+    assert None in bands  # v1 files have no priority_band → NULL group
+    assert set(bands) - {None} <= {"high", "normal"}
+    assert sum(bands.values()) == spark.read.parquet(
+        os.path.join(SF_DIR, "orders.parquet")
+    ).count()
