@@ -18,6 +18,13 @@ Four dedup families over the ``documents`` fixture, each designed for the
 Determinism: every hash is Spark's ``xxhash64`` with a fixed literal seed
 column, so re-runs (and resumed pipelines) produce identical buckets —
 SURVEY §7 risk 4.
+
+Literature (public): Broder, "On the resemblance and containment of
+documents" (1997) — MinHash; Indyk & Motwani (1998) / Gionis et al. (1999)
+— LSH banding; Charikar, "Similarity estimation techniques from rounding
+algorithms" (STOC 2002) — SimHash; Manku, Jain & Das Sarma, "Detecting
+near-duplicates for web crawling" (WWW 2007) — the block-pigeonhole
+Hamming search used here.
 """
 
 from __future__ import annotations

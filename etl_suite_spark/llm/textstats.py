@@ -13,6 +13,10 @@ shuffles on (lang)/(doc_id)/(word) keys:
 - token counting: whitespace tokens + a BPE-ish regex token count
 - document fingerprinting: winnowing over rolling shingle hashes
 - routing: partitioned-by-language sink
+
+Literature (public): Schleimer, Wilkerson & Aiken, "Winnowing: local
+algorithms for document fingerprinting" (SIGMOD 2003) — the fingerprint
+operator; Salton & Buckley (1988) — TF-IDF weighting.
 """
 
 from __future__ import annotations
