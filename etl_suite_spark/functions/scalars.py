@@ -380,3 +380,31 @@ def fn_bitwise(spark, sf_dir):
         F.expr("o_orderkey << 2").alias("shifted"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+@query(
+    "fn_struct_nested",
+    oracle="""
+    SELECT n_nationkey,
+           to_json({'name': n_name, 'region': r_name}) AS nation_doc,
+           {'name': n_name, 'region': r_name}.name AS extracted_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def fn_struct_nested(spark, sf_dir):
+    """Nested struct surface: build a struct, extract a field, serialize
+    to JSON — the document-shaped output path (API responses, feature
+    stores). Field names sort-stably serialize the same on both engines."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    doc = F.struct(
+        F.col("n_name").alias("name"), F.col("r_name").alias("region")
+    )
+    return (
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "n_nationkey",
+            F.to_json(doc).alias("nation_doc"),
+            doc.getField("name").alias("extracted_name"),
+        )
+    )

@@ -221,3 +221,29 @@ def dedup_by_key_latest(spark, sf_dir):
 def sample_fraction(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "filter_null_safe_eq",
+    oracle="""
+    SELECT a.o_orderkey,
+           NULLIF(a.o_orderstatus, 'O') IS NOT DISTINCT FROM
+             NULLIF(b.o_orderpriority, '1-URGENT') AS ns_eq
+    FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def filter_null_safe_eq(spark, sf_dir):
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL compares equal
+    to NULL, the semantics every merge/upsert key comparison needs (a plain
+    = would return NULL and silently drop NULL-keyed rows from a match).
+    NULLIF manufactures NULLs on both sides so all four truth-table cells
+    are exercised."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("ca"))
+    b = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("cb"),
+    )
+    return a.join(b, "o_orderkey").select(
+        "o_orderkey", F.col("ca").eqNullSafe(F.col("cb")).alias("ns_eq")
+    )
