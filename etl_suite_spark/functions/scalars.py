@@ -408,3 +408,27 @@ def fn_struct_nested(spark, sf_dir):
             doc.getField("name").alias("extracted_name"),
         )
     )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 DAY AS plus_days,
+           o_orderdate - INTERVAL 12 HOUR AS minus_hours,
+           o_orderdate + INTERVAL 2 MONTH AS plus_months
+    FROM orders
+    """,
+)
+def fn_interval_arith(spark, sf_dir):
+    """Interval arithmetic on timestamps — day/hour/month offsets, the
+    checkpoint-window math of every incremental job. Month addition uses
+    calendar semantics (clamped day-of-month) identically on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 3 DAY")).alias("plus_days"),
+        (d - F.expr("INTERVAL 12 HOUR")).alias("minus_hours"),
+        (d + F.expr("INTERVAL 2 MONTH")).alias("plus_months"),
+    )

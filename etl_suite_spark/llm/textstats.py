@@ -310,3 +310,104 @@ def llm_lang_partition(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "llm_doc_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), c AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(w) - 16, 0) + 32, 32 - 16)) AS start0,
+             w
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start0 / 16 AS BIGINT) AS chunk_idx,
+           array_to_string(w[start0 + 1 : start0 + 32], ' ') AS chunk_text,
+           least(32, len(w) - start0) AS chunk_len
+    FROM c
+    WHERE start0 < len(w)
+    """,
+)
+def llm_doc_chunking(spark, sf_dir):
+    """Sliding-window document chunking — the tokenize-and-chunk pass every
+    embedding/training pipeline runs before encoding: 32-token windows with
+    16-token stride (50% overlap). Map-only (split → windowed slices →
+    explode); no shuffle at all, which is exactly what a 100 TB corpus
+    chunker must be. Chunk grid: starts at 0,16,32,… while start < len."""
+    d = load_table(spark, sf_dir, "documents")
+    size, stride = 32, 16
+    return (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, int(ceil(size(w) / {stride}.0)) - 1),"
+                    f" i -> concat_ws(' ', slice(w, i * {stride} + 1, {size})))"
+                )
+            ).alias("chunk_idx0", "chunk_text"),
+            F.size("w").alias("nw"),
+        )
+        .filter(F.col("chunk_idx0") * stride < F.col("nw"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx0").cast("long").alias("chunk_idx"),
+            "chunk_text",
+            F.least(F.lit(size), F.col("nw") - F.col("chunk_idx0") * stride)
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "llm_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact: user' || doc_id || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', '<PHONE>', 'g') AS scrubbed,
+           CAST(length(text || ' contact: user' || doc_id || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id AS VARCHAR), 4, '0'))
+                - length(regexp_replace(
+                    text || ' contact: user' || doc_id || '@example.com or +1-555-'
+                         || lpad(CAST(doc_id AS VARCHAR), 4, '0'),
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '', 'g'))
+             AS BIGINT) AS email_chars_removed
+    FROM documents
+    """,
+)
+def llm_pii_scrub(spark, sf_dir):
+    """PII redaction — the compliance pass before any corpus ships: email
+    and phone patterns replaced with typed placeholders. Synthetic PII is
+    appended per doc (the fixture corpus is clean) so the scrub provably
+    fires on every row. Patterns stay in the Java∩RE2 regex subset.
+    Map-only; at 100 TB this pipelines with chunking in one stage."""
+    d = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(with_pii, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (
+            F.length(with_pii) - F.length(F.regexp_replace(with_pii, email_re, ""))
+        )
+        .cast("long")
+        .alias("email_chars_removed"),
+    )

@@ -407,3 +407,32 @@ def agg_mode_per_group(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"), "n")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 11) AS bucket,
+           CAST(least(CAST(floor(o_totalprice / 50000) AS BIGINT), 11) * 50000
+                AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram of order values: arithmetic binning (floor of
+    x/width, top-capped) + count — a single map-side-combinable shuffle.
+    The portable form of width_bucket, and the distribution profile every
+    data-quality dashboard starts from."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(11))
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).cast("double").alias("bucket_lo"),
+            "n",
+        )
+    )
