@@ -26,7 +26,7 @@ from .operators import (  # noqa: F401
     sorts,
     windows,
 )
-from .plans import incremental, pipeline  # noqa: F401
+from .plans import incremental, pipeline, scheduler  # noqa: F401
 from .streaming import ops as streaming_ops  # noqa: F401
 from .udf import surface  # noqa: F401
 from .sources import scans  # noqa: F401

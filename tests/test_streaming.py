@@ -188,3 +188,34 @@ def test_pipeline_spec_incremental_and_sink(spark):
     written = spark.read.parquet(os.path.join(root, "out"))
     assert written.count() > 0
     assert read_watermark(state, "x") > "2024-01-15"
+
+
+def test_scheduler_runs_due_jobs_and_advances_watermark(spark):
+    """Two scheduler passes: the first tick processes the window past the
+    initial watermark; the second pass (immediately due again) extracts
+    nothing new but still runs idempotently."""
+    from etl_suite_spark.plans.incremental import advance_watermark, read_watermark
+    from etl_suite_spark.plans.scheduler import Job, Scheduler
+
+    root = tempfile.mkdtemp(prefix="schedtest_")
+    state = os.path.join(root, "wm.json")
+    advance_watermark(state, "2024-01-15 00:00:00")
+    spec = {
+        "source": {"table": "events"},
+        "transforms": [
+            {"op": "derive", "cols": {"day": "date_trunc('day', ts)"}},
+            {"op": "groupby", "keys": ["day"], "aggs": {"n": "count(*)"}},
+        ],
+        "sink": {"format": "parquet", "path": os.path.join(root, "out")},
+        "incremental": {"watermark_col": "ts", "state_path": state},
+    }
+    sched = Scheduler(spark, SF_DIR).add(Job("daily_rollup", spec, interval_s=0))
+    assert sched.run_pending(now=1000.0) == ["daily_rollup"]
+    wm1 = read_watermark(state, "x")
+    assert wm1 > "2024-01-15"
+    # second pass: due again (interval 0); no new data past the watermark.
+    assert sched.run_pending(now=2000.0) == ["daily_rollup"]
+    assert read_watermark(state, "x") == wm1
+    # not due yet → nothing runs
+    sched.jobs[0].interval_s = 9999
+    assert sched.run_pending(now=2500.0) == []
