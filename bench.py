@@ -41,6 +41,8 @@ HEADLINE = [
     "llm_dedup_minhash",
     "llm_sim_cosine_topk",
     "llm_text_stats",
+    "llm_doc_chunking",
+    "win_sessionize",
 ]
 
 

@@ -310,3 +310,32 @@ def stream_late_data(spark, sf_dir):
     )
     out = _run_to_memory(sdf, "append")
     return out.filter(F.col("win_start") < "2024-01-02 00:00:00").orderBy("win_start")
+
+
+def stream_stateful_tws(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4.x's successor to
+    applyInPandasWithState: ValueState/ListState/MapState, timers, TTL per
+    key). NOT registered: the API's python worker requires the
+    ``protobuf`` package, which this container does not ship
+    (ImportError: google.protobuf.descriptor) and installs are disallowed.
+    On a normally-provisioned cluster the call shape is:
+
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        class RunningExtremes(StatefulProcessor):
+            def init(self, handle):
+                self._state = handle.getValueState("extremes", "mx DOUBLE, n BIGINT")
+            def handleInputRows(self, key, rows, timerValues):
+                ...update state, yield a pandas frame...
+            def close(self): ...
+
+        (df.groupBy("user_id")
+           .transformWithStateInPandas(RunningExtremes(),
+               outputStructType="user_id BIGINT, max_value DOUBLE, n_events BIGINT",
+               outputMode="Update", timeMode="None"))
+
+    with ``spark.sql.streaming.stateStore.providerClass`` set to the
+    RocksDB provider. stream_stateful_custom covers the same semantics on
+    the stable applyInPandasWithState API.
+    """
+    raise NotImplementedError("protobuf python package not available here")
