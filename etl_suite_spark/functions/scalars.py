@@ -432,3 +432,40 @@ def fn_interval_arith(spark, sf_dir):
         (d - F.expr("INTERVAL 12 HOUR")).alias("minus_hours"),
         (d + F.expr("INTERVAL 2 MONTH")).alias("plus_months"),
     )
+
+
+@query(
+    "fn_array_setops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           len(list_distinct(list_cat(w[1:8], w[-8:]))) AS union_size,
+           len(list_intersect(list_distinct(w[1:8]), list_distinct(w[-8:])))
+             AS intersect_size,
+           len(list_distinct(list_filter(w[1:8],
+               x -> NOT list_contains(w[-8:], x)))) AS except_size
+    FROM t
+    """,
+)
+def fn_array_setops(spark, sf_dir):
+    """Array set algebra — union/intersect/except with set semantics, on
+    each doc's first-8 vs last-8 word windows. Sizes compared (contents
+    are order-unstable across engines; cardinalities are not)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("split(text, ' ')").alias("w"),
+    ).select(
+        "doc_id",
+        F.size(F.expr("array_union(slice(w, 1, 8), slice(w, -8, 8))")).cast(
+            "long"
+        ).alias("union_size"),
+        F.size(F.expr("array_intersect(slice(w, 1, 8), slice(w, -8, 8))")).cast(
+            "long"
+        ).alias("intersect_size"),
+        F.size(F.expr("array_except(slice(w, 1, 8), slice(w, -8, 8))")).cast(
+            "long"
+        ).alias("except_size"),
+    )

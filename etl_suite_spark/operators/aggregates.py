@@ -436,3 +436,32 @@ def agg_histogram(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "agg_string_concat_group",
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_string_concat_group(spark, sf_dir):
+    """Group string concatenation (LISTAGG/STRING_AGG): sorted-distinct
+    values joined per group — sorting before joining is what makes the
+    output deterministic regardless of partial-aggregate merge order."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
