@@ -118,3 +118,30 @@ def test_kmeans_iterations_do_not_increase_inertia(spark):
         inertia.append(out.agg({"dist_sq": "sum"}).collect()[0][0])
     assert inertia[0] >= inertia[1] - 1e-9
     assert inertia[1] >= inertia[2] - 1e-9
+
+
+def test_corpus_pipeline_stage_accounting(spark):
+    """Monotone row accounting through the pipeline; no near-dup pair
+    survives; every chunk within size bounds."""
+    from etl_suite_spark.llm.corpus import prepare_corpus
+
+    stages = prepare_corpus(spark, SF_DIR)
+    n_in = stages["input"].count()
+    n_exact = stages["exact_deduped"].count()
+    n_near = stages["near_deduped"].count()
+    n_q = stages["quality"].count()
+    assert n_in >= n_exact >= n_near >= n_q > 0
+
+    # no candidate near-dup pair has both members surviving
+    surviving = {r.doc_id for r in stages["near_deduped"].select("doc_id").collect()}
+    pairs = QUERIES["llm_dedup_minhash"](spark, SF_DIR).collect()
+    assert not [p for p in pairs if p.doc_a in surviving and p.doc_b in surviving]
+
+    # chunk bounds: 1..32 tokens each, and every surviving quality doc chunks
+    from pyspark.sql import functions as F
+
+    sizes = stages["chunks"].select(
+        F.size(F.split("chunk_text", " ")).alias("n")
+    ).collect()
+    assert sizes and all(1 <= r.n <= 32 for r in sizes)
+    assert stages["chunks"].select("doc_id").distinct().count() == n_q
