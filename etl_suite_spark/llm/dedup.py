@@ -299,3 +299,71 @@ def llm_dedup_simhash(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "llm_dedup_editdist",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w,
+             {_NORM_SQL} AS norm FROM documents
+    ), sh AS (
+      SELECT doc_id, norm,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.norm AS na, b.norm AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(na, nb) AS BIGINT) AS edit_distance,
+           round(1.0 - levenshtein(na, nb) * 1.0
+                 / greatest(length(na), length(nb)), 6) AS edit_similarity
+    FROM pairs
+    """,
+)
+def llm_dedup_editdist(spark, sf_dir):
+    """Edit-distance verification of near-dup candidates: Levenshtein on
+    normalized text, run ONLY on pairs the cheap blocking already surfaced
+    (here the 3-gram Jaccard ≥ 0.8 set; at 100 TB, the MinHash candidates).
+    Levenshtein is O(len²) per pair — the whole point of LSH blocking is
+    that this scorer never sees the full pair space."""
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .filter(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")) >= 0.8
+        )
+        .select("doc_a", "doc_b")
+    )
+    norm = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _normalized_text().alias("norm")
+    )
+    return (
+        pairs.join(norm.withColumnsRenamed({"doc_id": "doc_a", "norm": "norm_a"}), "doc_a")
+        .join(norm.withColumnsRenamed({"doc_id": "doc_b", "norm": "norm_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("norm_a", "norm_b").cast("long").alias("edit_distance"),
+            F.round(
+                1.0
+                - F.levenshtein("norm_a", "norm_b")
+                / F.greatest(F.length("norm_a"), F.length("norm_b")),
+                6,
+            ).alias("edit_similarity"),
+        )
+    )
