@@ -367,3 +367,75 @@ def llm_dedup_editdist(spark, sf_dir):
             ).alias("edit_similarity"),
         )
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components by iterative min-label propagation (the
+    MapReduce-CC shape of Kiveris et al., simplified to label diffusion):
+    every node repeatedly adopts the smallest label among itself and its
+    neighbors until fixpoint — O(diameter) rounds, each one join+agg.
+
+    ``edges``: (src, dst). Returns (node, label) with label = smallest
+    node id in the component. localCheckpoint between rounds truncates
+    the growing lineage (same discipline as k-means); at 100 TB each
+    round is two shuffles on uniformly-hashed node ids.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        via_src = edges.join(
+            labels, edges.src == labels.node
+        ).select(F.col("dst").alias("node"), "label")
+        via_dst = edges.join(
+            labels, edges.dst == labels.node
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.select("node", "label")
+            .unionByName(via_src)
+            .unionByName(via_dst)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("llm_dedup_clusters")  # rows-only: built on Spark-seeded MinHash pairs
+def llm_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: connected components over the
+    MinHash candidate graph. Pairwise dedup alone under-deletes (A~B, B~C
+    but A!~C leaves two survivors of one cluster); components give each
+    near-dup group one canonical representative — the correct survivor
+    rule for corpus dedup at any scale."""
+    pairs = llm_dedup_minhash(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .select(
+            F.col("label").alias("canonical_doc"),
+            "cluster_size",
+            F.expr("concat_ws(',', transform(members, x -> CAST(x AS STRING)))").alias(
+                "member_ids"
+            ),
+        )
+        .orderBy("canonical_doc")
+    )

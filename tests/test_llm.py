@@ -145,3 +145,34 @@ def test_corpus_pipeline_stage_accounting(spark):
     ).collect()
     assert sizes and all(1 <= r.n <= 32 for r in sizes)
     assert stages["chunks"].select("doc_id").distinct().count() == n_q
+
+
+def test_dedup_clusters_match_transitive_closure(spark):
+    """Spark connected components over the MinHash pair graph must equal
+    the union-find closure computed driver-side from the same pairs."""
+    pairs = [(r.doc_a, r.doc_b) for r in QUERIES["llm_dedup_minhash"](spark, SF_DIR).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {}
+    for node in parent:
+        expected.setdefault(find(node), set()).add(node)
+
+    got = {
+        r.canonical_doc: set(int(x) for x in r.member_ids.split(","))
+        for r in QUERIES["llm_dedup_clusters"](spark, SF_DIR).collect()
+    }
+    assert got == expected
