@@ -21,6 +21,7 @@ from .operators import (  # noqa: F401
     aggregates,
     filters,
     joins,
+    quality,
     scale,
     setops,
     sorts,

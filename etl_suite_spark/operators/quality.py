@@ -1,0 +1,120 @@
+"""Data-quality checks — the validation layer every ETL suite ships
+(reference analog: ad-hoc sanity checks in transform code, SURVEY §0.1 [K];
+here formalized the way dbt/Great Expectations/Deequ shape them).
+
+A check is a named rule over one table; ``run_checks`` evaluates a list of
+them in ONE pass per table (all rules become conditional counts in a
+single aggregation — no per-rule scans) and returns a violations report.
+At 100 TB that one-pass property is the difference between a DQ gate you
+run on every load and one you can't afford.
+
+Rule kinds:
+- not_null:        column must have no NULLs
+- unique:          column must have no duplicate values
+- accepted_values: column values ⊆ a declared set
+- range:           numeric column within [lo, hi]
+- ref_integrity:   every FK value exists in the referenced table (needs a
+                   join, so it's evaluated separately from the one-pass
+                   aggregate rules)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+
+def run_checks(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate aggregate rules in one pass; returns
+    (check, column, violations, total, passed)."""
+    total = F.count(F.lit(1))
+    exprs = []
+    for r in rules:
+        kind, col = r["kind"], r["column"]
+        if kind == "not_null":
+            bad = F.count(F.when(F.col(col).isNull(), 1))
+        elif kind == "unique":
+            bad = total - F.countDistinct(col) - F.count(F.when(F.col(col).isNull(), 1))
+        elif kind == "accepted_values":
+            bad = F.count(F.when(~F.col(col).isin(*r["values"]), 1))
+        elif kind == "range":
+            bad = F.count(
+                F.when((F.col(col) < r["lo"]) | (F.col(col) > r["hi"]), 1)
+            )
+        else:
+            raise ValueError(f"unknown aggregate rule kind: {kind}")
+        exprs.append(bad.cast("long").alias(f"{kind}:{col}"))
+    exprs.append(total.cast("long").alias("__total"))
+    row = df.agg(*exprs).collect()[0]
+    spark = df.sparkSession
+    out = [
+        (name.split(":", 1)[0], name.split(":", 1)[1], int(row[name]), int(row["__total"]))
+        for name in row.asDict()
+        if name != "__total"
+    ]
+    return spark.createDataFrame(
+        [(k, c, v, t, v == 0) for k, c, v, t in out],
+        "check STRING, column STRING, violations BIGINT, total BIGINT, passed BOOLEAN",
+    )
+
+
+def check_ref_integrity(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str
+) -> tuple[int, int]:
+    """(orphan_count, total): child rows whose FK has no parent. Anti-join
+    on the key — one shuffle, or map-only when the parent broadcasts."""
+    orphans = child.join(parent.select(F.col(pk).alias(fk)), fk, "left_anti").count()
+    return orphans, child.count()
+
+
+@query(
+    "dq_checks",
+    oracle="""
+    SELECT 'not_null' AS check, 'o_orderkey' AS column,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS violations,
+           COUNT(*) AS total FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           COUNT(*) - COUNT(DISTINCT o_orderkey)
+             - COUNT(*) FILTER (WHERE o_orderkey IS NULL),
+           COUNT(*) FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')),
+           COUNT(*) FROM orders
+    UNION ALL
+    SELECT 'range', 'o_totalprice',
+           COUNT(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 1000000),
+           COUNT(*) FROM orders
+    UNION ALL
+    SELECT 'ref_integrity', 'o_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           COUNT(*) FROM orders
+    """,
+)
+def dq_checks(spark, sf_dir):
+    """The DQ gate over orders: four one-pass aggregate rules plus FK
+    integrity against customer. All checks pass on the fixtures — the
+    interesting output is the report shape and the one-scan plan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    report = run_checks(
+        o,
+        [
+            {"kind": "not_null", "column": "o_orderkey"},
+            {"kind": "unique", "column": "o_orderkey"},
+            {"kind": "accepted_values", "column": "o_orderstatus", "values": ["O", "F", "P"]},
+            {"kind": "range", "column": "o_totalprice", "lo": 0, "hi": 1_000_000},
+        ],
+    )
+    orphans, total = check_ref_integrity(o, "o_custkey", c, "c_custkey")
+    ref_row = spark.createDataFrame(
+        [("ref_integrity", "o_custkey", orphans, total, orphans == 0)],
+        report.schema,
+    )
+    return report.unionByName(ref_row).select("check", "column", "violations", "total")

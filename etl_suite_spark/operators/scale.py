@@ -138,3 +138,38 @@ def sink_overwrite_partition(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("day")
     )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO semantics as a frame transform: source rows replace
+    matching target rows (by key), unmatched target rows survive, new
+    source rows insert. One full-outer-shaped plan expressed as
+    anti-join + union — both sides shuffle once on the key. Pair with
+    dynamic partition overwrite (sink_overwrite_partition) to land it."""
+    kept = target.join(source.select(key), key, "left_anti")
+    return kept.unionByName(source)
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'R' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def sink_merge_upsert(spark, sf_dir):
+    """MERGE demonstrator: every 7th order arrives re-stated (status 'R',
+    price +10%); the merge keeps all other rows untouched and replaces the
+    matched ones — row count invariant, values updated."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    restated = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    return merge_upsert(o, restated, "o_orderkey")
