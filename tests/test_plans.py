@@ -115,6 +115,43 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    # bloom_prune may keep non-matching rows (false positives) but must NEVER
+    # drop a row whose key is in the filter — and on this fixture it should
+    # actually prune most non-matching custkeys.
+    from etl_suite_spark.operators.scale import bloom_build, bloom_prune
+
+    c = load_table(spark, SF_DIR, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    bloom = bloom_build(c.select(F.col("c_custkey").alias("k")), "k")
+    pruned = bloom_prune(o.withColumn("k", F.col("o_custkey")), "k", bloom)
+
+    matching = o.join(
+        c.select(F.col("c_custkey").alias("o_custkey")).distinct(), "o_custkey"
+    ).count()
+    kept = pruned.count()
+    total = o.count()
+    # every truly-matching row survives the prune
+    assert (
+        pruned.join(
+            c.select(F.col("c_custkey").alias("o_custkey")).distinct(), "o_custkey"
+        ).count()
+        == matching
+    )
+    # and the prune is useful: well under the full table survives
+    assert matching <= kept < total
+
+
+def test_bloom_pruned_join_broadcasts_bitmap(spark):
+    # the one-row bitmap probe must be a broadcast (BroadcastNestedLoopJoin
+    # for the crossJoin) — the fact side must not shuffle to meet the bloom.
+    plan = plan_of(QUERIES["join_bloom_pruned"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_join_spreads_keys(spark):
     # the salted join must not plan a broadcast of the *fact* side and must
     # keep the (key, salt) equi-join shape.
