@@ -74,16 +74,9 @@ def kmeans_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans(
-    spark: SparkSession,
-    vectors: DataFrame,
-    k: int = _K,
-    iters: int = _ITERS,
-) -> DataFrame:
-    """Run Lloyd's for ``iters`` iterations; returns (vec_id, cluster,
-    dist_sq). Deterministic end-to-end: fixed init, deterministic argmin,
-    exact small-int counts, and avg over a fixed per-group multiset."""
-    centroids = (
+def kmeans_init_first_k(vectors: DataFrame, k: int) -> DataFrame:
+    """First k vectors by vec_id — cheap deterministic init."""
+    return (
         vectors.orderBy("vec_id")
         .limit(k)
         .select(
@@ -91,13 +84,83 @@ def kmeans(
             F.col("embedding").alias("centroid"),
         )
     )
+
+
+def kmeans_init_pp(vectors: DataFrame, k: int) -> DataFrame:
+    """k-means++-style spread init, deterministic: farthest-first traversal.
+
+    Seed with the lowest vec_id, then k−1 times pick the vector maximizing
+    distance² to its nearest already-chosen centroid (ties → lowest
+    vec_id). This is the derandomized k-means++ (choose argmax instead of
+    sampling ∝ D²) — same O(k·N) work as the sampled version: each round
+    is one broadcast nested loop over the candidates + a global top-1
+    (TakeOrderedAndProject, no full sort). Spread-out seeds cut Lloyd
+    iterations, which at 100 TB matters more than the init's k extra jobs.
+    """
+    chosen = (
+        vectors.orderBy("vec_id")
+        .limit(1)
+        .select(F.lit(1).alias("cluster"), F.col("embedding").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, k + 1):
+        # fold the ≤k chosen centroids into ONE broadcast row of
+        # array<array<float>> so the per-vector min-distance is a map-only
+        # higher-order function — zero shuffle of the candidate side; the
+        # global argmax is TakeOrderedAndProject (no full sort).
+        cents = chosen.agg(F.collect_list("centroid").alias("cs"))
+        scored = vectors.crossJoin(F.broadcast(cents)).withColumn(
+            "d2",
+            F.expr(
+                "array_min(transform(cs, c -> "
+                + _DIST_SQ.format(a="embedding", b="c")
+                + "))"
+            ),
+        )
+        nxt = (
+            scored.orderBy(F.col("d2").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(F.lit(i).alias("cluster"), F.col("embedding").alias("centroid"))
+        )
+        chosen = chosen.unionByName(nxt).localCheckpoint(eager=True)
+    return chosen
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    vectors: DataFrame,
+    k: int = _K,
+    iters: int = _ITERS,
+    init: str = "first_k",
+) -> tuple[DataFrame, DataFrame]:
+    """Run Lloyd's for ``iters`` iterations; returns (assignments,
+    centroids) where assignments is (vec_id, cluster, dist_sq) and
+    centroids is (cluster, centroid). Deterministic end-to-end: fixed
+    init, deterministic argmin, exact small-int counts, and avg over a
+    fixed per-group multiset."""
+    if init == "pp":
+        centroids = kmeans_init_pp(vectors, k)
+    else:
+        centroids = kmeans_init_first_k(vectors, k)
     for _ in range(iters):
         assigned = kmeans_assign(vectors, centroids)
         centroids = kmeans_update(assigned)
         # truncate lineage: each iteration's plan starts from materialized
         # centroids (k tiny rows), not the whole history.
         centroids = centroids.localCheckpoint(eager=True)
-    return kmeans_assign(vectors, centroids).select("vec_id", "cluster", "dist_sq")
+    final = kmeans_assign(vectors, centroids).select("vec_id", "cluster", "dist_sq")
+    return final, centroids
+
+
+def kmeans(
+    spark: SparkSession,
+    vectors: DataFrame,
+    k: int = _K,
+    iters: int = _ITERS,
+    init: str = "first_k",
+) -> DataFrame:
+    """Assignment-only convenience wrapper over :func:`kmeans_fit`."""
+    return kmeans_fit(spark, vectors, k, iters, init)[0]
 
 
 @query("ml_kmeans_tiers")  # rows-only: iterative, not SQL-expressible
@@ -107,6 +170,19 @@ def ml_kmeans_tiers(spark, sf_dir):
     transform, minus sklearn and minus any driver-side data movement."""
     vectors = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = kmeans(spark, vectors)
+    return out.select(
+        "vec_id", "cluster", F.round("dist_sq", 6).alias("dist_sq")
+    ).orderBy("vec_id")
+
+
+@query("ml_kmeanspp_tiers")  # rows-only: iterative, not SQL-expressible
+def ml_kmeanspp_tiers(spark, sf_dir):
+    """Same clustering with derandomized k-means++ (farthest-first) init:
+    spread seeds reach comparable inertia in fewer Lloyd iterations (3
+    here vs 5 above; pytest pins pp-inertia within 1% of first-k at equal
+    iterations plus Lloyd monotonicity under pp init)."""
+    vectors = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = kmeans(spark, vectors, iters=3, init="pp")
     return out.select(
         "vec_id", "cluster", F.round("dist_sq", 6).alias("dist_sq")
     ).orderBy("vec_id")

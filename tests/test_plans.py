@@ -93,6 +93,20 @@ def test_ann_lsh_bucket_join_not_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_multiprobe_not_cartesian(spark):
+    # 9 probes per query explode on the broadcast side only; candidate
+    # side must still be a single scan feeding a broadcast join.
+    plan = plan_of(QUERIES["llm_sim_ann_multiprobe"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_ivf_probe_join_broadcasts_queries(spark):
+    # the cell-probe join must broadcast the (query × nprobe) side, never
+    # plan a cartesian pairing of corpus × queries.
+    plan = plan_of(QUERIES["llm_sim_ann_ivf"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
 def test_pipeline_spec_filter_pushed_through_join(spark):
     # the spec declares the segment filter AFTER the join; Catalyst must
     # still push it below (into the customer scan).
