@@ -43,6 +43,8 @@ HEADLINE = [
     "llm_text_stats",
     "llm_doc_chunking",
     "win_sessionize",
+    "llm_decontaminate",
+    "llm_seq_packing",
 ]
 
 

@@ -16,7 +16,15 @@ from . import registry  # noqa: F401
 
 # Import every operator module for registration side effects.
 from .functions import scalars  # noqa: F401
-from .llm import clustering, corpus, dedup, multimodal, similarity, textstats  # noqa: F401
+from .llm import (  # noqa: F401
+    clustering,
+    corpus,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+    traindata,
+)
 from .operators import (  # noqa: F401
     aggregates,
     filters,

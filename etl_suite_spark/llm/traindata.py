@@ -1,0 +1,271 @@
+"""Training-data pipeline operators (SURVEY.md §2.10 extension): the
+corpus-engineering steps between "deduped documents" and "training batches".
+
+- sequence packing: assign documents to fixed token-budget bins via a
+  per-source prefix sum — the batch-construction step of every LLM
+  trainer. Prefix-sum binning (documents may straddle a bin boundary and
+  be split at tokenization time) keeps it a pure window computation; the
+  strict greedy variant (never split a doc) is a sequential fold and
+  would go through applyInPandas per source group.
+- decontamination: drop training documents sharing any word 3-gram with
+  a held-out benchmark set — the eval-leakage guard. Shingle equi-join
+  against a broadcast benchmark shingle set; never a cross join.
+- Gopher-style repetition filters: fraction-of-duplicate-2-grams and
+  top-word-frequency per document (Rae et al. 2021, "Scaling Language
+  Models" — the repetition subset of its quality rules).
+- deterministic stratified sampling: per-language rates via an
+  arithmetic (Knuth multiplicative) hash of doc_id — reproducible across
+  engines and runs, unlike RNG-based ``df.sample``.
+- mixture quotas: keep documents per source until a token budget is hit
+  (running sum per source) — the data-mixing step that balances sources.
+
+All five are pure window/join/HOF compositions — every stage shuffles on
+uniform keys (source, lang, shingle) and parallelizes across them, so
+the shapes hold at 100 TB; all five are DuckDB-oracle checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+from .dedup import _NORM_SQL, _normalized_text, _shingles
+
+_PACK_BUDGET = 2048  # tokens per packed sequence bin
+_MIX_QUOTA = 5000  # token quota per source
+
+# whitespace token count over normalized text, both engines
+_TOK_SQL = f"len(string_split({_NORM_SQL}, ' '))"
+
+
+def _n_tokens() -> F.Column:
+    return F.size(F.split(_normalized_text(), " "))
+
+
+@query(
+    "llm_seq_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, {_TOK_SQL} AS n_tokens FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
+           (cum_tokens - n_tokens) % {_PACK_BUDGET} AS bin_offset
+    FROM c ORDER BY source, doc_id
+    """,
+)
+def llm_seq_packing(spark, sf_dir):
+    """Pack documents into {_PACK_BUDGET}-token bins per source.
+
+    bin = which budget window the document *starts* in (prefix-sum
+    binning). The window partitions by source, so packing parallelizes
+    across sources — no global single-partition sort; at 100 TB the
+    per-source window is the right unit because mixture quotas are
+    per-source anyway."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", _n_tokens().alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return c.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(start / _PACK_BUDGET).alias("bin"),
+        (start % _PACK_BUDGET).alias("bin_offset"),
+    ).orderBy("source", "doc_id")
+
+
+@query(
+    "llm_decontaminate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      FROM t WHERE len(w) >= 3
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    ), dirty AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 50 <> 0 AND shingle IN (SELECT shingle FROM bench)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    ORDER BY doc_id
+    """,
+)
+def llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 50 ≠ 0) that
+    share ANY word 3-gram with the held-out benchmark split (doc_id % 50
+    = 0) are dropped.
+
+    The benchmark shingle set is small by construction (eval sets are),
+    so it broadcasts; contamination detection is then a map-side semi
+    join on the shingle — the big side is scanned once, no shuffle of
+    pairs. This is how eval-leakage scrubbing runs at 100 TB (cf. GPT-3
+    appendix C / PaLM's 13-gram overlap, here 3-gram at fixture scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    bench_sh = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    dirty = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_quality_gopher",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, unnest(w) AS word FROM t
+    ), wc AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word
+    ), tops AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_words FROM wc GROUP BY doc_id
+    ), grams AS (
+      SELECT doc_id,
+             len(w) - 1 AS n2,
+             len(list_distinct(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1]))) AS d2
+      FROM t WHERE len(w) >= 2
+    )
+    SELECT tops.doc_id, n_words,
+           round(top_c * 1.0 / n_words, 6) AS frac_top_word,
+           round(1 - COALESCE(d2 * 1.0 / n2, 1.0), 6) AS frac_dup_2gram,
+           (top_c * 1.0 / n_words <= 0.2
+            AND 1 - COALESCE(d2 * 1.0 / n2, 1.0) <= 0.5) AS keep
+    FROM tops LEFT JOIN grams ON tops.doc_id = grams.doc_id
+    ORDER BY tops.doc_id
+    """,
+)
+def llm_quality_gopher(spark, sf_dir):
+    """Repetition-based quality filters à la Gopher: per-document
+    top-word frequency fraction and duplicate-2-gram fraction, plus the
+    keep/drop verdict (top word ≤ 20% of tokens, ≤ 50% duplicate
+    2-grams).
+
+    The 2-gram stats are map-only higher-order functions; the top-word
+    stat is two groupBys on (doc_id, word) then (doc_id) — both uniform
+    keys, both with map-side partial aggregation. No per-doc Python."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(_normalized_text(), " ").alias("w")
+    )
+    wc = (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    tops = wc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_words")
+    )
+    grams = d.filter(F.size("w") >= 2).select(
+        "doc_id",
+        (F.size("w") - 1).alias("n2"),
+        F.size(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(w)-2),"
+                " i -> concat(element_at(w, i+1), ' ', element_at(w, i+2))))"
+            )
+        ).alias("d2"),
+    )
+    frac_top = F.col("top_c") / F.col("n_words")
+    frac_dup = 1 - F.coalesce(F.col("d2") / F.col("n2"), F.lit(1.0))
+    return (
+        tops.join(grams, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(frac_top, 6).alias("frac_top_word"),
+            F.round(frac_dup, 6).alias("frac_dup_2gram"),
+            ((frac_top <= 0.2) & (frac_dup <= 0.5)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * 2654435761) % 1000 <
+          CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: 50% of English docs, 20% of every
+    other language, selected by a Knuth multiplicative hash of doc_id —
+    no RNG, so the sample is identical on any engine, any run, any
+    partitioning (unlike ``df.sample``, whose RNG is partition-dependent).
+    Map-only: the predicate pushes to the scan; at 100 TB the sample
+    never materializes the unsampled remainder."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    rate = F.when(F.col("lang") == "en", 500).otherwise(200)
+    return d.filter(h < rate).select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "llm_data_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, {_TOK_SQL} AS n_tokens FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_MIX_QUOTA}
+    ORDER BY source, doc_id
+    """,
+)
+def llm_data_mixture(spark, sf_dir):
+    """Per-source token quota (data mixing): keep each source's documents
+    in doc_id order until {_MIX_QUOTA} cumulative tokens, drop the rest.
+    One window per source partition — parallel across sources, and the
+    running sum stops mattering once past the quota (a 100 TB variant
+    would pre-filter with an approximate per-source token count so the
+    window only runs over ~quota-sized prefixes)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", _n_tokens().alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _MIX_QUOTA)
+        .orderBy("source", "doc_id")
+    )

@@ -196,6 +196,64 @@ def test_multiprobe_recall_at_least_single_probe(spark):
     assert r_multi >= r_single
 
 
+def test_seq_packing_conserves_tokens_and_bounds_offsets(spark):
+    rows = QUERIES["llm_seq_packing"](spark, SF_DIR).collect()
+    from etl_suite_spark.io import load_table
+
+    assert len(rows) == load_table(spark, SF_DIR, "documents").count()
+    assert all(0 <= r.bin_offset < 2048 for r in rows)
+    # bins are non-decreasing within a source, starting at 0
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert rs[0].bin == 0
+        assert all(a.bin <= b.bin for a, b in zip(rs, rs[1:]))
+
+
+def test_decontaminate_removes_planted_benchmark_dups(spark):
+    """doc_id 0 is a benchmark doc with planted near-duplicates in the
+    training split — decontamination must drop those, so survivors are a
+    strict subset of the training split, and no benchmark doc appears."""
+    clean = {r.doc_id for r in QUERIES["llm_decontaminate"](spark, SF_DIR).collect()}
+    from etl_suite_spark.io import load_table
+
+    all_ids = {
+        r.doc_id for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()
+    }
+    train = {i for i in all_ids if i % 50 != 0}
+    assert clean < train  # strictly smaller: contamination was found
+    assert all(i % 50 != 0 for i in clean)
+
+
+def test_stratified_sample_rates(spark):
+    from etl_suite_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang").collect()
+    sample = QUERIES["sample_stratified"](spark, SF_DIR).collect()
+    n_en = sum(1 for r in docs if r.lang == "en")
+    s_en = sum(1 for r in sample if r.lang == "en")
+    n_other = len(docs) - n_en
+    s_other = len(sample) - s_en
+    # multiplicative-hash selection: rates land near the targets
+    assert abs(s_en / n_en - 0.5) < 0.15
+    assert abs(s_other / n_other - 0.2) < 0.1
+
+
+def test_data_mixture_respects_quota(spark):
+    rows = QUERIES["llm_data_mixture"](spark, SF_DIR).collect()
+    assert rows, "mixture kept nothing"
+    assert all(r.cum_tokens <= 5000 for r in rows)
+    # every source that has documents contributes at least its first doc
+    from etl_suite_spark.io import load_table
+
+    srcs = {
+        r.source
+        for r in load_table(spark, SF_DIR, "documents").select("source").distinct().collect()
+    }
+    assert {r.source for r in rows} == srcs
+
+
 def test_corpus_pipeline_stage_accounting(spark):
     """Monotone row accounting through the pipeline; no near-dup pair
     survives; every chunk within size bounds."""
