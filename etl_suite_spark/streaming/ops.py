@@ -312,6 +312,90 @@ def stream_late_data(spark, sf_dir):
     return out.filter(F.col("win_start") < "2024-01-02 00:00:00").orderBy("win_start")
 
 
+@query("stream_static_join")  # rows-only
+def stream_static_join(spark, sf_dir):
+    """Stream-static join: each streaming event is enriched with its
+    user's value tier, computed once from the batch events table.
+
+    Stream-static joins are STATELESS — no watermark needed on the join
+    itself; the static side is re-read per micro-batch and (being a small
+    dim) broadcast, so the streaming side never shuffles for the join. At
+    100 TB this is the canonical dimension-enrichment topology: fact
+    stream + slowly-changing dim snapshot."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tiers = (
+        ev.groupBy("user_id")
+        .agg(d2d(F.sum(dec("value", 4))).alias("total_value"))
+        .select(
+            "user_id",
+            F.ntile(3).over(Window.orderBy(F.col("total_value").desc(),
+                                           F.col("user_id").asc())).alias("tier"),
+        )
+    )
+    drop, schema = _drop_dir(spark, sf_dir)
+    sdf = _read_stream(spark, drop, schema).join(F.broadcast(tiers), "user_id")
+    out = _run_to_memory(
+        sdf.select("event_id", "event_type", "tier"), "append"
+    )
+    return (
+        out.groupBy("tier", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tier", "event_type")
+    )
+
+
+@query("stream_stream_join")  # rows-only
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join: purchases attributed to a click by the
+    same user within the previous 30 minutes.
+
+    Both sides carry a 1-hour watermark and the join predicate bounds
+    purchase_ts to [click_ts, click_ts + 30 min] — that range condition
+    is what lets Spark EVICT click state once the watermark passes
+    click_ts + 30 min, so state is bounded by the horizon, not stream
+    length (the classic unbounded-state footgun of unconstrained
+    stream-stream joins). Deterministic here: both streams read the same
+    time-ordered drop files, so watermarks advance in lockstep."""
+    drop, schema = _drop_dir(spark, sf_dir)
+    clicks = (
+        _read_stream(spark, drop, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _read_stream(spark, drop, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = user_id AND purchase_ts >= click_ts"
+            " AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+    )
+    out = _run_to_memory(
+        joined.select("user_id", "click_id", "purchase_id"), "append"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.count("*").alias("n_attributed"))
+        .orderBy("user_id")
+    )
+
+
 def stream_stateful_tws(spark, sf_dir):
     """transformWithStateInPandas (Spark 4.x's successor to
     applyInPandasWithState: ValueState/ListState/MapState, timers, TTL per

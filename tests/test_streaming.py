@@ -126,6 +126,72 @@ def test_stream_stateful_running_counters_match_batch(spark):
         assert abs(out[u][1] - sv) < 1e-9
 
 
+def test_stream_static_join_matches_batch(spark):
+    """Per-(tier, type) counts from the stream-static join equal the pure
+    batch join — the enrichment is stateless, so nothing may drop."""
+    from pyspark.sql import Window
+
+    out = {
+        (r.tier, r.event_type): r.n
+        for r in QUERIES["stream_static_join"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    tiers = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("string")
+            .cast("double")
+            .alias("total_value")
+        )
+        .select(
+            "user_id",
+            F.ntile(3)
+            .over(Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc()))
+            .alias("tier"),
+        )
+    )
+    base = {
+        (r.tier, r.event_type): r.n
+        for r in ev.join(tiers, "user_id")
+        .groupBy("tier", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == base
+
+
+def test_stream_stream_join_matches_batch_within_bound(spark):
+    """Attributed (click, purchase) pairs equal the batch self-join with
+    the same 30-minute bound — watermark eviction must not lose pairs
+    whose events are within the horizon, and determinism must hold."""
+    a = QUERIES["stream_stream_join"](spark, SF_DIR).collect()
+    b = QUERIES["stream_stream_join"](spark, SF_DIR).collect()
+    assert a == b
+    out = {r.user_id: r.n_attributed for r in a}
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    base = {
+        r.user_id: r.n
+        for r in clicks.join(
+            purchases,
+            F.expr(
+                "c_user = user_id AND purchase_ts >= click_ts"
+                " AND purchase_ts <= click_ts + interval 30 minutes"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == base
+
+
 def test_incremental_second_tick_is_empty(spark):
     """After one tick the watermark sits at max(ts); a second tick must
     extract zero rows and leave the state file unchanged."""
