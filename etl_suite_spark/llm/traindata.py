@@ -210,6 +210,92 @@ def llm_quality_gopher(spark, sf_dir):
     )
 
 
+_GREEDY_OUT = (
+    "source string, doc_id long, n_tokens int, bin long, bin_offset long"
+)
+
+
+def _greedy_pack_pdf(pdf):
+    """Sequential first-fit fold within one source group: a document never
+    splits across bins; a doc that won't fit opens the next bin (an
+    oversized doc gets a bin alone)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bins, offsets = [], []
+    cur_bin, cur_fill = 0, 0
+    for t in pdf["n_tokens"]:
+        if cur_fill + t > _PACK_BUDGET and cur_fill > 0:
+            cur_bin += 1
+            cur_fill = 0
+        bins.append(cur_bin)
+        offsets.append(cur_fill)
+        cur_fill += t
+    return pd.DataFrame(
+        {
+            "source": pdf["source"],
+            "doc_id": pdf["doc_id"],
+            "n_tokens": pdf["n_tokens"],
+            "bin": bins,
+            "bin_offset": offsets,
+        }
+    )
+
+
+@query("llm_seq_packing_greedy")  # rows-only: sequential fold, not SQL
+def llm_seq_packing_greedy(spark, sf_dir):
+    """Strict greedy packing — documents never straddle a bin boundary.
+
+    A sequential fold (each decision depends on the running fill), so it
+    can't be a window expression; it runs as applyInPandas per source
+    group — the correct Spark shape for per-group sequential logic: one
+    shuffle on the group key, then a single Arrow-batched pass per group.
+    At 100 TB the unit of sequential work stays one source's doc list;
+    sources pack in parallel. Deterministic: groups sort by doc_id inside
+    the UDF, and output is a pure function of the group."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", _n_tokens().cast("int").alias("n_tokens")
+    )
+    return (
+        d.groupBy("source")
+        .applyInPandas(_greedy_pack_pdf, schema=_GREEDY_OUT)
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "sample_group_fixed",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 999999937, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20 ORDER BY doc_id
+    """,
+)
+def sample_group_fixed(spark, sf_dir):
+    """Fixed-size uniform sample per group (reservoir-sampling semantics,
+    derandomized): exactly min(20, group size) docs per language, chosen
+    by multiplicative-hash rank — the same docs on every engine, run, and
+    partitioning. At 100 TB the per-group rank is a window over the group
+    partition only (no global sort); for extreme groups, pre-filter with
+    an approximate hash threshold so the window sees ~n survivors."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        ((F.col("doc_id") * F.lit(2654435761)) % 999999937).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "sample_stratified",
     oracle="""

@@ -211,6 +211,45 @@ def test_seq_packing_conserves_tokens_and_bounds_offsets(spark):
         assert all(a.bin <= b.bin for a, b in zip(rs, rs[1:]))
 
 
+def test_greedy_packing_never_splits_and_is_maximal(spark):
+    """Greedy invariants per source: (a) no bin exceeds the budget unless
+    it holds a single oversized doc; (b) greedy maximality — the first
+    doc of each new bin would NOT have fit in the previous bin; (c) all
+    docs packed exactly once."""
+    rows = QUERIES["llm_seq_packing_greedy"](spark, SF_DIR).collect()
+    from etl_suite_spark.io import load_table
+
+    assert len(rows) == load_table(spark, SF_DIR, "documents").count()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        fills = {}
+        for r in rs:
+            fills[r.bin] = fills.get(r.bin, 0) + r.n_tokens
+            assert r.bin_offset + r.n_tokens == fills[r.bin]
+        for b, total in fills.items():
+            n_docs = sum(1 for r in rs if r.bin == b)
+            assert total <= 2048 or n_docs == 1
+        # maximality: opener of bin b+1 would overflow bin b
+        for prev, cur in zip(rs, rs[1:]):
+            if cur.bin == prev.bin + 1:
+                prev_fill = fills[prev.bin]
+                assert prev_fill + cur.n_tokens > 2048
+
+
+def test_sample_group_fixed_sizes(spark):
+    from etl_suite_spark.io import load_table
+
+    sample = QUERIES["sample_group_fixed"](spark, SF_DIR).collect()
+    per_lang = {}
+    for r in sample:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    docs = load_table(spark, SF_DIR, "documents").groupBy("lang").count().collect()
+    for r in docs:
+        assert per_lang.get(r.lang, 0) == min(20, r["count"])
+
+
 def test_decontaminate_removes_planted_benchmark_dups(spark):
     """doc_id 0 is a benchmark doc with planted near-duplicates in the
     training split — decontamination must drop those, so survivors are a
