@@ -465,3 +465,116 @@ def agg_string_concat_group(spark, sf_dir):
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@query(
+    "agg_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.st
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.ct
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, 1 AS stage_ord, count(*) AS n_users FROM s
+    UNION ALL SELECT 'click', 2, count(*) FROM c
+    UNION ALL SELECT 'purchase', 3, count(*) FROM p
+    ORDER BY stage_ord
+    """,
+)
+def agg_funnel(spark, sf_dir):
+    """Ordered funnel: users who signed up, then clicked AT OR AFTER their
+    first signup, then purchased at or after that click. Each stage is a
+    filter + groupBy(user) + join back on user_id — every shuffle keys on
+    user_id, so at 100 TB the three stages reuse one co-partitioning (and
+    each stage's input shrinks monotonically). The event-order predicate
+    lives in the join condition, not a window over all events — no
+    per-user full event sort."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+
+    def stage(df, name, ord_):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).alias("stage_ord"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        stage(s, "signup", 1)
+        .unionByName(stage(c, "click", 2))
+        .unionByName(stage(p, "purchase", 3))
+        .orderBy("stage_ord")
+    )
+
+
+@query(
+    "agg_retention_cohort",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort,
+                  CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS wk
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort, wk, count(*) AS n_active
+    FROM a GROUP BY cohort, wk ORDER BY cohort, wk
+    """,
+)
+def agg_retention_cohort(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-seen week; for
+    each (cohort, week offset), how many are still active. Both the
+    first-seen agg and the activity join shuffle on user_id (shared
+    co-partitioning); the final agg keys on (cohort, wk) — tiny.
+    Week offsets divide an exact day difference of two Monday-truncated
+    dates by 7, avoiding engine-specific 'week' datediff boundary rules."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort"))
+                / 7
+            )
+            .cast("int")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    return (
+        a.groupBy("cohort", "wk")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort", "wk")
+    )
