@@ -578,3 +578,31 @@ def agg_retention_cohort(spark, sf_dir):
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort", "wk")
     )
+
+
+@query("agg_sketch_rollup")  # rows-only: HLL binary sketches are Spark-internal
+def agg_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: daily HyperLogLog sketches of distinct
+    users, merged into weekly estimates WITHOUT rescanning the events.
+
+    THE pre-aggregation pattern for distinct counts at 100 TB: the
+    expensive pass builds one small sketch per day (stored alongside the
+    daily rollup); any coarser granularity — week, month, arbitrary date
+    range — is a cheap union of sketch registers. HLL register-merge is
+    max-based, hence commutative and associative: estimates are
+    independent of partial-aggregation merge order, so the output is
+    deterministic. Rows-only because the sketch encoding is
+    datasketches/Spark-internal; pytest pins each weekly estimate within
+    5% of the exact distinct count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.to_date(F.date_trunc("week", "day")).alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_days_merged"),
+        )
+        .orderBy("week")
+    )

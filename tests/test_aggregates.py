@@ -49,3 +49,23 @@ def test_sample_fraction_rate_and_determinism(spark):
     assert n1 == n2  # seeded → stable across runs in one layout
     total = load_table(spark, SF_DIR, "lineitem").count()
     assert 0.05 * total < n1 < 0.15 * total
+
+
+def test_sketch_rollup_estimates_near_exact(spark):
+    """Weekly HLL estimates (merged from daily sketches) within 5% of the
+    exact weekly distinct-user counts, and deterministic across runs."""
+    a = QUERIES["agg_sketch_rollup"](spark, SF_DIR).collect()
+    b = QUERIES["agg_sketch_rollup"](spark, SF_DIR).collect()
+    assert a == b
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy(
+            F.to_date(F.date_trunc("week", "ts")).alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r.week for r in a} == set(exact)
+    for r in a:
+        assert abs(r.approx_users - exact[r.week]) <= max(1, 0.05 * exact[r.week])
