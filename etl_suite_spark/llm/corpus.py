@@ -2,8 +2,9 @@
 pipeline a training-data team actually runs (BASELINE.json:6 mandate,
 demonstrated as one lazy plan):
 
-    scrub PII → exact-dedup → near-dedup (MinHash-LSH) → quality filter
-    → chunk → language-partitioned parquet corpus
+    scrub PII → exact-dedup → near-dedup (MinHash-LSH) → benchmark
+    decontamination → quality filter (token floor + Gopher repetition
+    gate) → chunk → language-partitioned parquet corpus
 
 Every stage is the already-oracle-checked operator from this package; the
 composition itself is rows-only (the intermediate sink path is a temp dir)
@@ -63,11 +64,38 @@ def prepare_corpus(
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     near_deduped = exact_deduped.join(losers, "doc_id", "left_anti")
 
-    # 4. Quality gate: token-count floor (map-only).
-    with_tokens = near_deduped.withColumn("n_tokens", F.size(F.split("text", " ")))
-    quality = with_tokens.filter(F.col("n_tokens") >= min_quality_tokens)
+    # 4. Benchmark decontamination: the eval split (doc_id % 50 == 0)
+    #    never enters the corpus, and any training doc sharing a 3-gram
+    #    with it is dropped (broadcast semi-join on the shingle — the
+    #    eval shingle set is small by construction).
+    from .dedup import _shingles
 
-    # 5. Chunk: sliding token windows (map-only explode).
+    sh = _shingles(docs)
+    bench_sh = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    dirty = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    decontaminated = (
+        near_deduped.filter(F.col("doc_id") % 50 != 0)
+        .join(dirty, "doc_id", "left_anti")
+    )
+
+    # 5. Quality gate: token-count floor (map-only) + Gopher repetition
+    #    verdict (two uniform-key groupBys, computed on the survivors).
+    from .traindata import gopher_metrics
+
+    keep_ids = gopher_metrics(decontaminated).filter(F.col("keep")).select("doc_id")
+    with_tokens = decontaminated.withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    quality = with_tokens.filter(F.col("n_tokens") >= min_quality_tokens).join(
+        keep_ids, "doc_id", "left_semi"
+    )
+
+    # 6. Chunk: sliding token windows (map-only explode).
     chunks = (
         quality.select("doc_id", "lang", F.split("text", " ").alias("w"))
         .select(
@@ -85,7 +113,7 @@ def prepare_corpus(
         .drop("nw")
     )
 
-    # 6. Language-partitioned corpus sink (directory pruning downstream).
+    # 7. Language-partitioned corpus sink (directory pruning downstream).
     out = out_dir or os.path.join(tempfile.mkdtemp(prefix="etl_corpus_"), "corpus")
     chunks.write.mode("overwrite").partitionBy("lang").parquet(out)
 
@@ -93,6 +121,7 @@ def prepare_corpus(
         "input": docs,
         "exact_deduped": exact_deduped,
         "near_deduped": near_deduped,
+        "decontaminated": decontaminated,
         "quality": quality,
         "chunks": spark.read.parquet(out),
     }

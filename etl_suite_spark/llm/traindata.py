@@ -174,9 +174,14 @@ def llm_quality_gopher(spark, sf_dir):
     The 2-gram stats are map-only higher-order functions; the top-word
     stat is two groupBys on (doc_id, word) then (doc_id) — both uniform
     keys, both with map-side partial aggregation. No per-doc Python."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(_normalized_text(), " ").alias("w")
-    )
+    return gopher_metrics(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def gopher_metrics(docs):
+    """(doc_id, text, …) → (doc_id, n_words, frac_top_word,
+    frac_dup_2gram, keep). Reused by the corpus pipeline's quality
+    stage; see :func:`llm_quality_gopher` for the plan-shape notes."""
+    d = docs.select("doc_id", F.split(_normalized_text(), " ").alias("w"))
     wc = (
         d.select("doc_id", F.explode("w").alias("word"))
         .groupBy("doc_id", "word")
@@ -206,7 +211,6 @@ def llm_quality_gopher(spark, sf_dir):
             F.round(frac_dup, 6).alias("frac_dup_2gram"),
             ((frac_top <= 0.2) & (frac_dup <= 0.5)).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 

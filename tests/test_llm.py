@@ -302,8 +302,16 @@ def test_corpus_pipeline_stage_accounting(spark):
     n_in = stages["input"].count()
     n_exact = stages["exact_deduped"].count()
     n_near = stages["near_deduped"].count()
+    n_decon = stages["decontaminated"].count()
     n_q = stages["quality"].count()
-    assert n_in >= n_exact >= n_near >= n_q > 0
+    assert n_in >= n_exact >= n_near > n_decon >= n_q > 0
+
+    # no benchmark (eval-split) doc reaches the corpus
+    assert not [
+        r.doc_id
+        for r in stages["decontaminated"].select("doc_id").collect()
+        if r.doc_id % 50 == 0
+    ]
 
     # no candidate near-dup pair has both members surviving
     surviving = {r.doc_id for r in stages["near_deduped"].select("doc_id").collect()}
