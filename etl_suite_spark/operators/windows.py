@@ -284,3 +284,54 @@ def win_sessionize(spark, sf_dir):
         F.max("ts").alias("sess_end"),
         d2d(F.sum(dec("value", 4))).alias("sum_value"),
     )
+
+
+@query(
+    "win_pattern_adjacent",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(ts) OVER w AS next_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_click_then_error,
+           min(ts) AS first_at
+    FROM o
+    WHERE event_type = 'click' AND next_type = 'error'
+      AND epoch_us(next_ts) - epoch_us(ts) <= 600000000
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def win_pattern_adjacent(spark, sf_dir):
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite): per user, count
+    'click immediately followed by error within 10 minutes' — the
+    rage-click / error-funnel idiom. One lead() window per user partition
+    (single shuffle on user_id, reused by the final agg); the adjacency
+    test compares epoch MICROseconds, exact on both engines. Longer
+    patterns chain lead(type, k) columns on the same window — same
+    one-shuffle shape."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    return (
+        o.filter(
+            (F.col("event_type") == "click")
+            & (F.col("next_type") == "error")
+            & (F.col("next_us") - F.unix_micros("ts") <= 600_000_000)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_click_then_error"),
+            F.min("ts").alias("first_at"),
+        )
+        .orderBy("user_id")
+    )
