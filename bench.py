@@ -45,6 +45,8 @@ HEADLINE = [
     "win_sessionize",
     "llm_decontaminate",
     "llm_seq_packing",
+    "tpch_q3",
+    "tpch_q6",
 ]
 
 

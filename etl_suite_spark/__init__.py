@@ -33,6 +33,7 @@ from .operators import (  # noqa: F401
     scale,
     setops,
     sorts,
+    tpch,
     windows,
 )
 from .plans import incremental, pipeline, scheduler  # noqa: F401

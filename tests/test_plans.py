@@ -166,6 +166,26 @@ def test_bloom_pruned_join_broadcasts_bitmap(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q6_all_predicates_pushed_no_join(spark):
+    plan = plan_of(QUERIES["tpch_q6"](spark, SF_DIR))
+    assert "Join" not in plan
+    read = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for f in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f in read
+
+
+def test_tpch_q3_topk_no_global_sort(spark):
+    plan = plan_of(QUERIES["tpch_q3"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q10_broadcasts_dims(spark):
+    plan = plan_of(QUERIES["tpch_q10"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_salted_join_spreads_keys(spark):
     # the salted join must not plan a broadcast of the *fact* side and must
     # keep the (key, salt) equi-join shape.
