@@ -1,12 +1,13 @@
-"""Canonical TPC-H query shapes (Q3, Q6, Q10, Q14), adapted to the
+"""Canonical TPC-H query shapes (Q3, Q6, Q10, Q14, Q18), adapted to the
 fixture's TPC-H-ish schema (FIXTURES.md; e.g. no o_shippriority column —
 o_orderpriority stands in; p_type carries bare category words).
 
 Together with the flagship Q1 (``agg_group_basic``) these pin the classic
 analytic plan shapes end-to-end: selective-dim join + top-k (Q3), pure
 scan-agg with tight pushdown (Q6), multi-way join + group + top-k (Q10),
-and conditional-aggregation ratio (Q14). All follow the exact-decimal
-determinism discipline from core.py, and all are DuckDB-oracle checked.
+conditional-aggregation ratio (Q14), and HAVING-subquery semi join
+(Q18). All follow the exact-decimal determinism discipline from core.py,
+and all are DuckDB-oracle checked.
 """
 
 from __future__ import annotations
@@ -181,4 +182,60 @@ def tpch_q14(spark, sf_dir):
                 F.lit(100.0) * d2d(F.sum(promo)) / d2d(F.sum(rev)), 6
             ).alias("promo_revenue_pct")
         )
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """Q18 large-volume customers: orders whose line quantities sum past a
+    threshold, with their customers. The qualifying set comes from a
+    groupBy-HAVING on lineitem joined back as a LEFT SEMI join — at
+    100 TB both the qualifier agg and the semi join key on l_orderkey,
+    so one exchange serves both; the final top-100 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity", 2)).alias("s"))
+        .filter(F.col("s") > 200)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(d2d(F.sum(dec("l_quantity", 2))).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
     )
