@@ -193,3 +193,41 @@ def llm_dedup_embcos(spark, sf_dir):
     return pairs.orderBy(
         F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc()
     ).limit(20)
+
+
+@query("mm_binaryfile_scan")  # rows-only: tmp-path file scan
+def mm_binaryfile_scan(spark, sf_dir):
+    """Real multimodal ingestion: one file per payload on disk, read with
+    Spark's ``binaryFile`` source → (path, modificationTime, length,
+    content), then the SAME mapInPandas feature extractor as
+    mm_binary_features.
+
+    This is how image/audio corpora actually arrive at 100 TB — millions
+    of objects on a store, scanned distributed with ``pathGlobFilter`` /
+    partition-dir pruning, ``spark.sql.files.maxPartitionBytes`` sizing
+    payloads per task. The driver-side file writing below is fixture
+    setup only (stands in for the object store), not part of the
+    operator; the doc_id is recovered from the file name, exactly like
+    keying on object paths in production.
+    """
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    root = tempfile.mkdtemp(prefix="etl_mm_bin_")
+    for r in docs.select("doc_id", "text").collect():  # fixture setup
+        with open(os.path.join(root, f"doc_{r.doc_id:05d}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+
+    bf = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(root)
+    payloads = bf.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"doc_(\d+)", 1
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return payloads.mapInPandas(_extract_features, schema=_FEAT_SCHEMA).orderBy(
+        "doc_id"
+    )

@@ -94,6 +94,21 @@ def test_mm_binary_features_matches_text_length(spark):
         assert f.fake_width == f.n_bytes % 256 + 1
 
 
+def test_binaryfile_scan_matches_inline_features(spark):
+    """Features computed from files read via the binaryFile source must
+    equal the inline binary-column features for the same doc_ids."""
+    from_files = {
+        r.doc_id: (r.n_bytes, r.payload_sha, r.fake_width, r.fake_height)
+        for r in QUERIES["mm_binaryfile_scan"](spark, SF_DIR).collect()
+    }
+    inline = {
+        r.doc_id: (r.n_bytes, r.payload_sha, r.fake_width, r.fake_height)
+        for r in QUERIES["mm_binary_features"](spark, SF_DIR).collect()
+        if r.doc_id < 50
+    }
+    assert from_files == inline
+
+
 def test_kmeans_deterministic_and_total(spark):
     out1 = QUERIES["ml_kmeans_tiers"](spark, SF_DIR).collect()
     out2 = QUERIES["ml_kmeans_tiers"](spark, SF_DIR).collect()
