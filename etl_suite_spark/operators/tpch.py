@@ -239,3 +239,619 @@ def tpch_q18(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+# --- Adapted TPC-H shapes -------------------------------------------------
+#
+# The fixture schema (FIXTURES.md) lacks partsupp, l_commitdate/receiptdate,
+# l_shipmode/container, and c_phone, so the queries below keep each TPC-H
+# query's PLAN SHAPE (the thing that matters for a Spark engine) while
+# substituting available columns; each docstring states the substitution.
+# Threshold comparisons against averages are rewritten in exact decimal
+# cross-multiplied form (x < k*avg  ⇔  k'·x·cnt < sum) so the oracle
+# comparison can never flap on float summation order.
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking, adapted: 'line shipped after the order
+    date' stands in for commit<receipt (no commit/receipt columns). The
+    EXISTS becomes a LEFT SEMI join with a non-equi residual — at 100 TB
+    both sides hash-shuffle on orderkey once and the residual predicate
+    evaluates inside the join, never materializing the match list."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name, {sql_d2d(f"SUM({_REV})")} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    """Q5 local-supplier volume: the classic 6-table snowflake with the
+    extra c_nationkey = s_nationkey locality constraint. region→nation→
+    supplier collapse into one broadcast; the only at-scale shuffle is
+    lineitem⋈orders; the locality equi-pair rides the supplier broadcast
+    as a residual."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(dim),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(d2d(F.sum(_rev_col())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_d2d("SUM(volume)")} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             {_REV} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """Q7 volume shipping between two nations. Both nation lookups are the
+    same 25-row table under different aliases — each broadcasts, and the
+    symmetric OR pair predicate filters after the broadcasts, so the big
+    tables never shuffle for it; lineitem⋈orders⋈customer carry the
+    at-scale exchanges."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(d2d(F.sum(_rev_col())).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           round({sql_d2d("SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)")}
+                 / {sql_d2d("SUM(volume)")}, 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {_REV} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """Q8 national market share: one nation's fraction of regional volume
+    per year. Numerator and denominator come from ONE aggregation pass
+    (conditional decimal sums), so the fact tables are scanned once; all
+    five dimension tables broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = _rev_col()
+    nation_vol = F.when(F.col("nation") == "NATION_5", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.round(d2d(F.sum(nation_vol)) / d2d(F.sum(vol)), 6).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle=f"""
+    SELECT nation, o_year, {sql_d2d("SUM(volume)")} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {_REV} AS volume
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """Q9 product-type profit, adapted: revenue stands in for profit (no
+    ps_supplycost — fixture has no partsupp). The p_name LIKE filter prunes
+    part before its broadcast; supplier and nation broadcast; the orders
+    join is the one at-scale shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            _rev_col().alias("volume"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(d2d(F.sum("volume")).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """Q12 shipping-priority split, adapted: l_returnflag stands in for
+    l_shipmode (absent). Conditional COUNTs split urgent vs other order
+    priorities in one pass over the orderkey-shuffled join — COUNT(CASE)
+    rather than SUM(CASE) keeps both engines in BIGINT."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(urgent, 1)).alias("high_line_count"),
+            F.count(F.when(~urgent, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """Q13 customer order-count distribution: LEFT OUTER join with an ON
+    residual (the filter must NOT become a WHERE — that would drop
+    zero-order customers), per-customer COUNT, then a second tiny agg over
+    the counts. At 100 TB the custkey shuffle dominates; the second
+    aggregation input is |customers| rows, negligible."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_REV}) AS total_rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           {sql_d2d("total_rev_dec")} AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """Q15 top supplier: the max-revenue supplier(s) of a quarter. The
+    per-supplier revenue aggregates once; the scalar max comes from a
+    1-row agg broadcast back as a cross join (NOT an all-rows window over
+    one partition — that would serialize at scale). Decimal sums make the
+    max-equality exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_col()).alias("total_rev_dec")
+    )
+    mx = rev.agg(F.max("total_rev_dec").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev_dec") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", d2d(F.col("total_rev_dec")).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle=f"""
+    WITH qty AS (
+      SELECT l_partkey AS q_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qsum,
+             COUNT(*) AS qcnt
+      FROM lineitem
+      JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2') bp
+        ON l_partkey = p_partkey
+      GROUP BY l_partkey
+    )
+    SELECT round({sql_d2d("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))")} / 7.0, 6)
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN qty ON l_partkey = q_partkey
+    WHERE 2 * CAST(l_quantity AS DECIMAL(18,2)) * qcnt < qsum
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """Q17 small-quantity-order revenue, adapted: 'below half the part's
+    average quantity' (no p_container; 0.5 for TPC-H's 0.2 to keep the
+    fixture's result non-trivial). The correlated AVG subquery becomes a
+    per-part decimal (sum, count) aggregate joined back; the threshold is
+    cross-multiplied (2·qty·cnt < sum) so it is exact integer-decimal
+    arithmetic — no float-average boundary flap. Both the aggregate and
+    the probe shuffle on l_partkey, so one exchange feeds both sides of
+    the self-join."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_li = li.join(
+        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty = brand_li.groupBy(F.col("l_partkey").alias("q_partkey")).agg(
+        F.sum(dec("l_quantity", 2)).alias("qsum"), F.count("*").alias("qcnt")
+    )
+    return (
+        brand_li.join(qty, F.col("l_partkey") == F.col("q_partkey"))
+        .filter(F.lit(2) * dec("l_quantity", 2) * F.col("qcnt") < F.col("qsum"))
+        .agg(
+            F.round(d2d(F.sum(dec("l_extendedprice", 2))) / 7.0, 6).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {sql_d2d(f"SUM({_REV})")} AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 20
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    """Q19 discounted revenue, adapted: three OR-ed brand/size/quantity
+    conjunctions (p_container/l_shipinstruct absent). The disjunction
+    straddles both tables so it can't fully push down — but part-only
+    sub-predicates (brand ∈ {1,2,3}, size ≤ 20) are factored out below to
+    prune the broadcast side before the join, which is the scan that
+    matters at 100 TB."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 20)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 10)
+        & (q >= 1)
+        & (q <= 11)
+        | (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size") <= 15)
+        & (q >= 10)
+        & (q <= 20)
+        | (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size") <= 20)
+        & (q >= 20)
+        & (q <= 30)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            d2d(F.sum(_rev_col())).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH l2 AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late
+      FROM l2 GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(DISTINCT l_orderkey) AS numwait
+    FROM l2
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """Q21 suppliers-who-kept-orders-waiting, adapted: 'late' = shipped
+    more than 60 days after the order date (no commit/receipt columns).
+    TPC-H's EXISTS/NOT-EXISTS pair over sibling lineitems becomes one
+    per-order aggregate (distinct suppliers, distinct late suppliers) —
+    a single orderkey shuffle replaces two correlated self-joins; the
+    qualifying rows join back on the same orderkey partitioning, then
+    supplier broadcasts."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    l2 = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_late"),
+        )
+    )
+    per_order = l2.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l2.filter(F.col("is_late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle=f"""
+    WITH bal AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal_dec
+      FROM customer
+    ),
+    avg_t AS (
+      SELECT SUM(bal_dec) AS bsum, COUNT(*) AS bcnt
+      FROM bal WHERE bal_dec > 0
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {sql_d2d("SUM(bal_dec)")} AS totacctbal
+    FROM bal, avg_t
+    WHERE bal_dec * bcnt > bsum
+      AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """Q22 global sales opportunity, adapted: c_nationkey stands in for
+    the phone-prefix country code, and 'no orders since 2000' for 'no
+    orders ever' (every fixture customer has some order). The scalar AVG
+    subquery becomes a 1-row (sum, count) broadcast with the threshold
+    cross-multiplied to exact decimals (bal·cnt > sum); the NOT IN becomes
+    a LEFT ANTI join against the recent-buyer keys."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", dec("c_acctbal", 2).alias("bal_dec")
+    )
+    avg_t = c.filter(F.col("bal_dec") > 0).agg(
+        F.sum("bal_dec").alias("bsum"), F.count("*").alias("bcnt")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(avg_t))
+        .filter(F.col("bal_dec") * F.col("bcnt") > F.col("bsum"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            d2d(F.sum("bal_dec")).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
