@@ -28,6 +28,7 @@ from .llm import (  # noqa: F401
 from .operators import (  # noqa: F401
     aggregates,
     filters,
+    graph,
     joins,
     quality,
     scale,

@@ -411,3 +411,85 @@ def llm_pii_scrub(spark, sf_dir):
         .cast("long")
         .alias("email_chars_removed"),
     )
+
+
+# BM25 constants (Robertson & Walker 1994; Robertson & Zaragoza 2009).
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("join", "dup", "fast")  # mixed document frequencies
+
+
+@query(
+    "llm_bm25_search",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n FROM dl
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM w
+      WHERE word IN ('join', 'dup', 'fast') GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM w
+      WHERE word IN ('join', 'dup', 'fast') GROUP BY word
+    ), scored AS (
+      SELECT tf.doc_id, tf.word,
+             ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+               AS s
+      FROM tf JOIN df ON tf.word = df.word
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           round(COALESCE(SUM(CASE WHEN word = 'join' THEN s END), 0)
+                 + COALESCE(SUM(CASE WHEN word = 'dup' THEN s END), 0)
+                 + COALESCE(SUM(CASE WHEN word = 'fast' THEN s END), 0), 6)
+             AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 15
+    """,
+)
+def llm_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval over the corpus, pure DataFrame (no MLlib,
+    no Python in the hot path). Per-term scores are summed in a FIXED
+    term order (conditional single-element sums, then t1+t2+t3) — never a
+    float SUM over an engine-ordered group, which would flap the hash.
+    At 100 TB: dl and tf shuffle on doc_id/word; df and the (avgdl, N)
+    scalar frame are tiny broadcasts; top-15 is TakeOrderedAndProject."""
+    k1, b = _BM25_K1, _BM25_B
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n"),
+    )
+    qw = w.filter(F.col("word").isin(*_BM25_TERMS))
+    tf = qw.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = qw.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    s = (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", "word", s.alias("s"))
+    )
+    per_term = [
+        F.coalesce(F.sum(F.when(F.col("word") == t, F.col("s"))), F.lit(0.0))
+        for t in _BM25_TERMS
+    ]
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(per_term[0] + per_term[1] + per_term[2], 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )

@@ -606,3 +606,62 @@ def agg_sketch_rollup(spark, sf_dir):
         )
         .orderBy("week")
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 45
+    ORDER BY cnt DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via a count-min sketch prefilter + exact confirmation
+    (Cormode & Muthukrishnan 2005). The CMS (d=4 rows × w=1024 buckets) is
+    a mergeable 4096-row aggregate — at 100 TB it's built with one
+    map-side-combined shuffle and broadcasts everywhere; per-shard/per-day
+    sketches add cell-wise. Candidates are keys whose min-over-rows
+    estimate clears the threshold — CMS only over-counts, so no true heavy
+    hitter is pruned — and only those few keys pay the exact count.
+    The final output is EXACT (sketch prunes, exact confirms), so the
+    oracle is plain GROUP BY/HAVING."""
+    w, seeds, threshold = 1024, [0, 1, 2, 3], 45
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def bucket(seed):
+        return F.pmod(F.xxhash64(F.col("l_partkey"), F.lit(seed)), F.lit(w))
+
+    hashed = li.select(
+        "l_partkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("seed"), bucket(s).alias("bkt"))
+                    for s in seeds
+                ]
+            )
+        ).alias("h"),
+    ).select("l_partkey", "h.seed", "h.bkt")
+    sketch = hashed.groupBy("seed", "bkt").agg(F.count("*").alias("cell"))
+
+    candidates = (
+        hashed.select("l_partkey", "seed", "bkt")
+        .distinct()
+        .join(F.broadcast(sketch), ["seed", "bkt"])
+        .groupBy("l_partkey")
+        .agg(F.min("cell").alias("est"))
+        .filter(F.col("est") >= threshold)
+        .select("l_partkey")
+    )
+    return (
+        li.join(F.broadcast(candidates), "l_partkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+        .orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(20)
+    )

@@ -1,0 +1,126 @@
+"""Iterative graph algorithms as unrolled DataFrame plans (SURVEY.md §2 —
+iterative-algorithm family; companion to the connected-components clustering
+in llm/dedup.py).
+
+PageRank here demonstrates the Spark-native pattern for fixed-iteration
+graph algorithms: the loop unrolls into a DAG of joins+aggregations (one
+shuffle per iteration, keyed on the node id), never a driver-side loop over
+collected data. Ranks use FIXED-POINT INTEGER arithmetic (scale 1e12,
+floor division) — float PageRank sums contributions in engine-dependent
+order and can never be hash-compared across engines; integer fixed-point
+is bit-exact everywhere, which is also what you want for resumable
+checkpointed runs at 100 TB.
+
+Literature (public): Page, Brin, Motwani & Winograd 1999 (PageRank);
+Malewicz et al. 2010 (Pregel) for the per-iteration message/aggregate
+shape this mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import query
+
+_SCALE = 1_000_000_000_000
+_ITERS = 3
+
+
+def _oracle_pagerank() -> str:
+    """Unrolled-CTE DuckDB twin of the Spark loop (same 3 iterations,
+    same floor-division fixed-point updates)."""
+    head = f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, {_SCALE} // n AS rank FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, _ITERS + 1):
+        steps.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS contrib
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             CAST((15 * {_SCALE}) // (100 * n)
+                  + (85 * COALESCE(contrib, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node
+    )""")
+    tail = f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           node // 2 AS entity_key, rank
+    FROM r{_ITERS}
+    ORDER BY rank DESC, kind, entity_key
+    LIMIT 20
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@query("graph_pagerank", oracle=_oracle_pagerank())
+def graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 3 iterations) over the customer↔supplier
+    trade graph (who-bought-from-whom via orders⋈lineitem, symmetrized).
+    Node ids namespace the bipartite sides (2k / 2k+1). Per iteration:
+    one join of ranks onto edges (both pre-partitionable on the node key —
+    at 100 TB you'd bucket edges by src so every iteration reuses the
+    layout) and one dst-keyed aggregation; the 15%/N teleport and the
+    85% damping are floor-division fixed-point updates, so results are
+    bit-identical across engines, partitionings, and retries."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # one scalar job; every other step stays distributed
+    base = (15 * _SCALE) // (100 * n)
+
+    rank = nodes.select("node", F.lit(_SCALE // n).cast("long").alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(rank, edges["src"] == rank["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            F.expr(
+                f"CAST({base} + (85 * coalesce(contrib, 0)) div 100 AS BIGINT)"
+            ).alias("rank"),
+        )
+    return (
+        rank.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("kind"),
+            F.expr("node div 2").alias("entity_key"),
+            "rank",
+        )
+        .orderBy(F.col("rank").desc(), "kind", "entity_key")
+        .limit(20)
+    )

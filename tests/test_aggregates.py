@@ -69,3 +69,32 @@ def test_sketch_rollup_estimates_near_exact(spark):
     assert {r.week for r in a} == set(exact)
     for r in a:
         assert abs(r.approx_users - exact[r.week]) <= max(1, 0.05 * exact[r.week])
+
+
+def test_heavy_hitters_exact_and_cms_never_prunes(spark):
+    """Output equals the plain exact top-k (CMS is a pure prefilter: it
+    over-estimates, never under-estimates, so no true hitter is lost)."""
+    got = [(r.l_partkey, r.cnt) for r in QUERIES["agg_heavy_hitters"](spark, SF_DIR).collect()]
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = [
+        (r.l_partkey, r.cnt)
+        for r in li.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 45)
+        .orderBy(F.col("cnt").desc(), "l_partkey")
+        .limit(20)
+        .collect()
+    ]
+    assert got == exact
+    assert got, "threshold should catch >=1 hitter at this sf"
+
+
+def test_bm25_rare_term_doc_outranks(spark):
+    """Docs containing the rare query term ('dup') must outrank docs with
+    only common terms — the idf weighting at work."""
+    rows = QUERIES["llm_bm25_search"](spark, SF_DIR).collect()
+    assert len(rows) == 15
+    assert all(rows[i].bm25 >= rows[i + 1].bm25 for i in range(len(rows) - 1))
+    docs = {r.doc_id: r.text for r in load_table(spark, SF_DIR, "documents").collect()}
+    top = rows[0]
+    assert " dup" in docs[top.doc_id] or docs[top.doc_id].endswith("dup")
