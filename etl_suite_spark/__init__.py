@@ -21,12 +21,14 @@ from .llm import (  # noqa: F401
     corpus,
     dedup,
     multimodal,
+    scoring,
     similarity,
     textstats,
     traindata,
 )
 from .operators import (  # noqa: F401
     aggregates,
+    analytics,
     filters,
     graph,
     joins,

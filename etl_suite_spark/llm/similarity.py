@@ -399,3 +399,101 @@ def llm_sim_centroid(spark, sf_dir):
         )
         .select("vec_id", "label", "dist_to_centroid")
     )
+
+
+@query(
+    "llm_sim_knn_classify",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < 10),
+    top5 AS (
+      SELECT q.vec_id AS query_id, e.label AS label
+      FROM q JOIN n e ON e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                   DESC, e.vec_id ASC) <= 5
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes
+      FROM top5 GROUP BY query_id, label
+    )
+    SELECT query_id, label AS pred_label, votes
+    FROM votes
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label ASC) = 1
+    """,
+)
+def llm_sim_knn_classify(spark, sf_dir):
+    """kNN majority-vote classification (k=5, cosine) over embeddings.
+
+    The retrieval layer is ``llm_sim_cosine_topk``'s broadcast nested loop
+    (query side tiny by construction); the vote is a hash agg on ≤ k rows
+    per query plus a deterministic tie-break (votes DESC, label ASC). At
+    100 TB the brute-force layer swaps for the LSH/IVF candidate
+    generation (``llm_sim_ann_lsh`` / ``llm_sim_ann_ivf``) with this
+    same voting tail — the vote logic is candidate-source-agnostic.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "label", "embedding", dot("embedding", "embedding").alias("nsq"))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    pairs = F.broadcast(q).join(n, F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "label",
+        _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
+        "vec_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+@query(
+    "llm_emb_normalize",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt({sql_dot('embedding', 'embedding')}) AS norm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(norm, 6) AS norm,
+           list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) / norm * 127) AS INTEGER)) AS q_int8
+    FROM n
+    """,
+)
+def llm_emb_normalize(spark, sf_dir):
+    """L2-normalize embeddings and quantize to int8 range [-127, 127].
+
+    Standard vector-index prep (normalized vectors make cosine = dot;
+    int8 quantization cuts index memory 4×). The norm comes from the
+    exact quantized self-dot (``dot``) so both engines agree bitwise;
+    sqrt and double division are IEEE-correctly-rounded everywhere, and
+    both engines round doubles half-away-from-zero, so the int8 codes
+    match exactly. Pure per-row codegen — no shuffle at all; at 100 TB
+    this is a map-only pass bounded by scan bandwidth.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", "embedding", F.sqrt(dot("embedding", "embedding")).alias("norm"))
+    return n.select(
+        "vec_id",
+        F.round("norm", 6).alias("norm"),
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / norm * 127, 0) AS INT))"
+        ).alias("q_int8"),
+    )

@@ -1,0 +1,192 @@
+"""Event/behavioral analytics operators (extends SURVEY.md §2's inventory).
+
+Reference analog: per-period account/miner activity metrics of the
+ETL-suite's aggregation jobs (SURVEY §0.1 [K]) — streaks, navigation paths,
+conditional KPI rollups, share-of-total contribution.
+
+Scale notes (100 TB discipline):
+- Streak detection (gaps & islands) is two window passes over the SAME
+  ``user_id`` partitioning — one exchange, reused by both sorts.
+- Path transitions are a single lag/lead pass + hash agg on a tiny key
+  domain (|event_type|² groups) → map-side partial aggregation collapses
+  almost everything before the shuffle.
+- Percent-of-total uses a two-level aggregation: the exact per-key decimal
+  sums shuffle once; the grand total is a single-row broadcastable window
+  over the already-aggregated (small) result, never over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core import d2d, dec, dsum, sql_dsum
+from ..io import load_table
+from ..registry import query
+
+_EPOCH = "1970-01-01"
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, epoch_day,
+             epoch_day - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY epoch_day) AS island
+      FROM days
+    )
+    SELECT user_id,
+           CAST(DATE '1970-01-01' + INTERVAL (MIN(epoch_day)) DAY AS DATE) AS streak_start,
+           CAST(DATE '1970-01-01' + INTERVAL (MAX(epoch_day)) DAY AS DATE) AS streak_end,
+           COUNT(*) AS streak_days
+    FROM grp
+    GROUP BY user_id, island
+    """,
+)
+def win_gaps_islands(spark, sf_dir):
+    """Consecutive-active-day streaks per user (gaps-and-islands idiom).
+
+    A streak is a maximal run of consecutive calendar days with ≥1 event.
+    Classic sessionization-adjacent ETL op (ref: daily account activity
+    rollups [K]). Implemented on integer epoch days so the island key
+    (``epoch_day - row_number``) is pure int arithmetic — identical on both
+    engines, no date-interval dialect drift.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit(_EPOCH).cast("date")).alias("epoch_day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("epoch_day")
+    grp = days.withColumn("island", F.col("epoch_day") - F.row_number().over(w))
+    return (
+        grp.groupBy("user_id", "island")
+        .agg(
+            F.date_add(F.lit(_EPOCH).cast("date"), F.min("epoch_day").cast("int")).alias(
+                "streak_start"
+            ),
+            F.date_add(F.lit(_EPOCH).cast("date"), F.max("epoch_day").cast("int")).alias(
+                "streak_end"
+            ),
+            F.count("*").alias("streak_days"),
+        )
+        .drop("island")
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+    )
+
+
+@query(
+    "agg_path_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS share
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def agg_path_transitions(spark, sf_dir):
+    """Event-type transition matrix (first-order Markov counts + shares).
+
+    Ref analog: navigation/behavior path analysis over the event log [K].
+    ``share`` divides two identical ints-as-doubles → bit-deterministic.
+    One window pass (user partitioning) then a hash agg on ≤|types|² keys;
+    at 100 TB the map-side combine reduces the shuffle to a few rows per
+    task.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "share", F.col("n").cast("double") / F.sum("n").over(wt)
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_large,
+           {sql_dsum("o_totalprice")} AS sum_all,
+           CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS VARCHAR)
+               AS DOUBLE) AS sum_urgent,
+           bool_or(o_totalprice > 400000)  AS any_jumbo,
+           bool_and(o_totalprice > 1000)   AS all_above_1k
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """Conditional-aggregate family: FILTER-style counts/sums, bool_or/and.
+
+    Ref analog: KPI rollups with embedded business conditions (tier
+    labeling thresholds [K]). The filtered sum stays exact-decimal
+    (core.py discipline) so partial-aggregate merge order can't perturb it.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", dec("o_totalprice"))
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_large"),
+        dsum("o_totalprice").alias("sum_all"),
+        d2d(F.coalesce(F.sum(urgent), F.lit(0).cast("decimal(18,2)"))).alias("sum_urgent"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+    )
+
+
+@query(
+    "win_pct_of_total",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders
+      GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(rev_dec) OVER () AS VARCHAR) AS DOUBLE) AS pct_of_total
+    FROM per_cust
+    """,
+)
+def win_pct_of_total(spark, sf_dir):
+    """Share-of-total revenue per customer (contribution analysis).
+
+    Two-level plan: exact decimal sums per key (one shuffle over the fact
+    table), then an unpartitioned window over the ALREADY-AGGREGATED rows
+    — the grand total never rescans the fact table. The final ratio
+    divides two doubles that are bit-identical on both engines (d2d), so
+    the quotient is too.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    w = Window.partitionBy()
+    return per_cust.select(
+        "o_custkey",
+        d2d(F.col("rev_dec")).alias("revenue"),
+        (d2d(F.col("rev_dec")) / d2d(F.sum("rev_dec").over(w))).alias("pct_of_total"),
+    )
