@@ -27,7 +27,7 @@ import tempfile
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..core import as_long, davg, sql_davg
+from ..core import as_long, d2d, davg, sql_davg
 from ..io import load_table
 from ..registry import query
 
@@ -492,4 +492,57 @@ def llm_bm25_search(spark, sf_dir):
         .agg(F.round(per_term[0] + per_term[1] + per_term[2], 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(15)
+    )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln(CAST(c.c AS DOUBLE) / (SELECT n FROM tot)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM tok t JOIN cnt c USING (tok)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           round(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark, sf_dir):
+    """Unigram language-model scoring of each document (corpus-quality
+    signal: low avg token log-probability ⇒ rare-token gibberish; the
+    cheap stand-in for perplexity-based filtering in LLM data pipelines).
+
+    The "model" is the corpus's own unigram distribution: two hash aggs
+    (token counts, corpus total) + one re-join of tokens to counts. The
+    per-token log-prob is rounded to 6 dp THEN cast to exact decimal so
+    the per-doc sum is merge-order-independent (core.py discipline —
+    ln() is the one non-correctly-rounded libm call here, and rounding
+    before accumulation contains it). At 100 TB: the vocab count table
+    is heavy-hitter-skewed but small after aggregation → broadcast back
+    onto the token stream, so the only big shuffle is the token count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = tok.count()  # scalar; a single long, not a driver-side dataset
+    scored = tok.join(F.broadcast(cnt), "tok").select(
+        "doc_id",
+        F.round(F.log(F.col("c").cast("double") / F.lit(total)), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(d2d(F.sum("lp")) / F.count("*"), 6).alias("avg_logprob"),
     )

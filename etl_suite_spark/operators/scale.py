@@ -268,3 +268,67 @@ def sink_merge_upsert(spark, sf_dir):
         (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
     )
     return merge_upsert(o, restated, "o_orderkey")
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Rewrite a global time-range join as an equi-join on time buckets.
+
+    Semantics: pair (l, r) where ``r.ts <= l.ts`` and
+    ``r.ts > l.ts - window``. Without an equi key Spark must plan a
+    broadcast/cartesian nested loop — O(|L|·|R|) comparisons, which is the
+    operator that dies first at 100 TB. Bucketing by
+    ``floor(epoch / window)`` makes every qualifying pair share one of two
+    adjacent buckets, so the left side explodes to exactly 2 candidate
+    buckets per row, the join becomes a shuffled HASH join on the bucket
+    id, and the exact range predicate filters inside each bucket:
+    comparisons drop to O(pairs-per-window). Bucket width = window keeps
+    the candidate blowup at a constant 2×.
+    """
+    b = F.lit(window_seconds).cast("long")
+    lb = F.floor(F.col(left_ts).cast("long") / b)
+    rb = F.floor(F.col(right_ts).cast("long") / b)
+    lx = left.withColumn("bucket", F.explode(F.array(lb - 1, lb)))
+    rx = right.withColumn("bucket", rb)
+    return lx.join(rx, "bucket").filter(
+        (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) > F.col(left_ts) - F.make_interval(secs=F.lit(window_seconds)))
+    )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS p_user, c.user_id AS c_user
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts <= p.ts AND c.ts > p.ts - INTERVAL 5 MINUTE
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """Global interval join (no equi key): every click within the 5 minutes
+    up to each purchase, across ALL users — e.g. attribution against a
+    global promo feed. The oracle states the naive O(n²) form; the Spark
+    plan is the bucketed rewrite (see :func:`bucketed_range_join`), which
+    produces identical pairs through a hash join keyed on the time bucket.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    return bucketed_range_join(p, c, "p_ts", "c_ts", 300).select(
+        "purchase_id", "click_id", "p_user", "c_user"
+    )

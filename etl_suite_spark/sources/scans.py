@@ -188,3 +188,50 @@ def scan_parquet_schema_evolution(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("priority_band").asc_nulls_first())
     )
+
+
+@query("scan_text_roundtrip")  # rows-only (tmp path not visible to oracle)
+def scan_text_roundtrip(spark, sf_dir):
+    """Raw text-lines interchange (`spark.read.text`) — the ingest format of
+    web-crawl/corpus drops where each line is one record and parsing is the
+    pipeline's first transform. Round-trips ``documents.text`` through a
+    text directory and re-derives per-line length to prove lossless
+    transport (newline-free fixture text by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_text_"), "docs_txt")
+    docs.select("text").write.mode("overwrite").text(out)
+    back = spark.read.text(out)  # column: value
+    return (
+        back.select(F.length("value").alias("n_chars"))
+        .groupBy("n_chars")
+        .count()
+        .orderBy("n_chars")
+    )
+
+
+@query("sink_sorted_layout")  # rows-only
+def sink_sorted_layout(spark, sf_dir):
+    """Sorted data layout for scan-time pruning: repartition by the dominant
+    filter column's coarse bucket, then ``sortWithinPartitions`` so parquet
+    writes clustered row groups. At 100 TB this is the difference between a
+    filter reading every row group and one whose row-group min/max stats
+    skip ~all of them (z-order-lite, single key). Verified by re-reading
+    with a tight ship-date filter — correctness here; the pruning effect is
+    visible in the scan's rowgroup stats at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_sorted_"), "lineitem_sorted")
+    (
+        li.repartition(8, F.month("l_shipdate"))
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            (F.col("l_shipdate") >= "1994-03-01") & (F.col("l_shipdate") < "1994-04-01")
+        )
+        .groupBy(F.to_date(F.date_trunc("day", "l_shipdate")).alias("ship_day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("ship_day")
+    )
