@@ -469,3 +469,57 @@ def fn_array_setops(spark, sf_dir):
             "long"
         ).alias("except_size"),
     )
+
+
+# --- URL functions (web-corpus pipelines) ----------------------------------
+# The fixture tables carry no URL column, so the op synthesizes a
+# deterministic URL per document from its own attributes (same expression
+# both engines) and then exercises the parsing surface on it. In a real
+# crawl pipeline the column arrives from the source; everything after the
+# synthesis line is the production code path.
+
+_URL_SPARK = (
+    "concat('https://www.', source, '.Example.com/', lang, '/doc/', "
+    "CAST(doc_id AS STRING), '?id=', CAST(doc_id AS STRING), "
+    "'&utm_source=feed&ref=mail#sec', CAST(doc_id % 3 AS STRING))"
+)
+_URL_DUCK = (
+    "concat('https://www.', source, '.Example.com/', lang, '/doc/', "
+    "CAST(doc_id AS VARCHAR), '?id=', CAST(doc_id AS VARCHAR), "
+    "'&utm_source=feed&ref=mail#sec', CAST(doc_id % 3 AS VARCHAR))"
+)
+
+
+@query(
+    "fn_url",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) AS proto,
+           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) AS host,
+           regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+    FROM u
+    """,
+)
+def fn_url(spark, sf_dir):
+    """URL decomposition: protocol/host/path/query plus one query param.
+
+    Spark's ``parse_url`` is JVM-side (java.net.URI under the hood) and
+    stays inside codegen; the DuckDB oracle re-derives the same parts with
+    anchored regexes, which pins down the exact semantics we rely on
+    (no scheme-relative URLs, no userinfo). Map-only — scan-bandwidth
+    bound at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    )

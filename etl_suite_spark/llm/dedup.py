@@ -439,3 +439,79 @@ def llm_dedup_clusters(spark, sf_dir):
         )
         .orderBy("canonical_doc")
     )
+
+
+# --- URL canonicalization dedup --------------------------------------------
+# Web-crawl corpora carry the same page under many URL spellings (mirror
+# hosts, tracking params, fragments, case). Canonicalize-then-group is the
+# standard first dedup pass, upstream of content hashing. No URL column in
+# the fixtures → synthesize deterministic variant-rich URLs from document
+# attributes (same expression both engines); the canonicalization chain
+# below is the production code path.
+
+_RAW_URL_SPARK = (
+    "concat('https://', CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END, "
+    "source, '.Example.com/', lang, '/t/', CAST(n_chars % 20 AS STRING), "
+    "'?page=', CAST(doc_id % 5 AS STRING), "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '&utm_source=feed' "
+    "WHEN 1 THEN '&ref=mail' ELSE '' END, "
+    "'#sec', CAST(doc_id % 4 AS STRING))"
+)
+_RAW_URL_DUCK = (
+    "concat('https://', CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END, "
+    "source, '.Example.com/', lang, '/t/', CAST(n_chars % 20 AS VARCHAR), "
+    "'?page=', CAST(doc_id % 5 AS VARCHAR), "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '&utm_source=feed' "
+    "WHEN 1 THEN '&ref=mail' ELSE '' END, "
+    "'#sec', CAST(doc_id % 4 AS VARCHAR))"
+)
+
+
+@query(
+    "llm_dedup_url",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_RAW_URL_DUCK} AS url FROM documents),
+    canon AS (
+      SELECT doc_id,
+             lower(replace(
+               regexp_replace(
+                 regexp_replace(url, '#.*$', ''),
+                 '&(utm_[a-z_]+|ref)=[^&]*', '', 'g'),
+               '://www.', '://')) AS canonical_url
+      FROM u
+    )
+    SELECT canonical_url,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_variants
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def llm_dedup_url(spark, sf_dir):
+    """URL dedup: canonicalize (strip fragment → strip tracking params →
+    fold mirror host → lowercase), keep the smallest doc_id per canonical
+    URL. One map-only canonicalization pass + one hash agg on the
+    canonical key — at 100 TB the agg is the only shuffle, and the key is
+    near-uniform (URL-shaped), so no skew handling needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", F.expr(_RAW_URL_SPARK).alias("url"))
+    canonical = F.lower(
+        F.replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("url"), "#.*$", ""),
+                "&(utm_[a-z_]+|ref)=[^&]*",
+                "",
+            ),
+            F.lit("://www."),
+            F.lit("://"),
+        )
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_variants"),
+        )
+    )

@@ -665,3 +665,38 @@ def agg_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), "l_partkey")
         .limit(20)
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS n_bal_buckets,
+           COUNT(DISTINCT c_mktsegment || '|' ||
+                 CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR))
+             AS n_seg_bucket_pairs
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_multi_distinct(spark, sf_dir):
+    """Several exact COUNT(DISTINCT ...) over different columns in ONE
+    aggregation. Catalyst plans this with an Expand node (one row replica
+    per distinct-aggregate), then a single two-phase agg — not N separate
+    scans stitched by joins, which is what a naive engine does. The plan
+    costs (#distincts × rows) in the map stage but still only one shuffle;
+    at 100 TB prefer `agg_approx_count_distinct` when ±2% error is
+    acceptable (documented trade-off).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return c.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct(bucket).alias("n_bal_buckets"),
+        F.countDistinct(
+            F.concat(F.col("c_mktsegment"), F.lit("|"), bucket.cast("string"))
+        ).alias("n_seg_bucket_pairs"),
+    )

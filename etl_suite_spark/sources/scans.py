@@ -235,3 +235,36 @@ def sink_sorted_layout(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("ship_day")
     )
+
+
+@query("join_dpp_partition_pruned")  # rows-only (tmp-path warehouse layout)
+def join_dpp_partition_pruned(spark, sf_dir):
+    """Dynamic partition pruning demonstrator: fact table laid out
+    partitioned by join key, dim side filtered at runtime. Catalyst
+    injects a ``dynamicpruningexpression`` into the fact scan, so only the
+    partitions matching the filtered dim survive — at 100 TB this is what
+    turns a star-schema join over a date/tenant-partitioned warehouse from
+    a full scan into a handful of directories. Plan shape pinned in
+    tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_dpp_"), "lineitem_by_flag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    fact = spark.read.parquet(out)
+    # The dim-side predicate is computed at runtime (minority-share flags),
+    # so Catalyst cannot fold it into a static partition filter — it MUST
+    # plan dynamic pruning (a broadcast subquery feeding the fact scan).
+    from pyspark.sql import Window as _W
+
+    flag_stats = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    dim = flag_stats.withColumn(
+        "rn",
+        F.row_number().over(
+            _W.partitionBy().orderBy(F.col("n").asc(), F.col("l_returnflag").asc())
+        ),
+    ).filter(F.col("rn") == 1)
+    return (
+        fact.join(dim, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )

@@ -196,3 +196,9 @@ def test_salted_join_spreads_keys(spark):
     c = load_table(spark, SF_DIR, "customer").withColumnRenamed("c_custkey", "custkey")
     out = salted_join(o, c.select("custkey", "c_name"), "custkey")
     assert out.count() == o.join(c.select("custkey"), "custkey").count()
+
+
+def test_dpp_injects_dynamic_pruning(spark):
+    df = QUERIES["join_dpp_partition_pruned"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan.lower(), "fact scan should carry a DPP filter"
