@@ -523,3 +523,81 @@ def fn_url(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
     )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_discount), 6)  AS sin_d,
+           round(cos(l_discount), 6)  AS cos_d,
+           round(tan(l_discount), 6)  AS tan_d,
+           round(asin(l_discount), 6) AS asin_d,
+           round(acos(l_discount), 6) AS acos_d,
+           round(atan(l_discount), 6) AS atan_d,
+           round(atan2(l_discount, l_tax + 0.01), 6) AS atan2_dt,
+           round(degrees(l_discount), 6) AS deg_d,
+           round(radians(l_quantity), 6) AS rad_q,
+           round((exp(l_discount) - exp(-l_discount)) / 2, 6) AS sinh_d,
+           round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS cosh_d,
+           round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 6) AS tanh_d
+    FROM lineitem
+    WHERE l_orderkey < 400
+    """,
+)
+def fn_trig(spark, sf_dir):
+    """Trigonometric/hyperbolic scalar family. All libm-backed on both
+    engines; inputs are small (discount ∈ [0, 0.1]) and results rounded to
+    6 dp, which absorbs any 1-ulp cross-libm drift (same containment rule
+    as ln() in `llm_unigram_logprob`). DuckDB 1.0 has no sinh/cosh/tanh,
+    so the oracle states them via exp() identities — rounding absorbs the
+    re-association. Map-only, codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    d = F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(d), 6).alias("sin_d"),
+        F.round(F.cos(d), 6).alias("cos_d"),
+        F.round(F.tan(d), 6).alias("tan_d"),
+        F.round(F.asin(d), 6).alias("asin_d"),
+        F.round(F.acos(d), 6).alias("acos_d"),
+        F.round(F.atan(d), 6).alias("atan_d"),
+        F.round(F.atan2(d, F.col("l_tax") + 0.01), 6).alias("atan2_dt"),
+        F.round(F.degrees(d), 6).alias("deg_d"),
+        F.round(F.radians("l_quantity"), 6).alias("rad_q"),
+        F.round(F.sinh(d), 6).alias("sinh_d"),
+        F.round(F.cosh(d), 6).alias("cosh_d"),
+        F.round(F.tanh(d), 6).alias("tanh_d"),
+    )
+
+
+@query(
+    "fn_encode",
+    oracle="""
+    SELECT p_partkey,
+           base64(encode(p_name)) AS name_b64,
+           decode(from_base64(base64(encode(p_name)))) AS name_roundtrip,
+           to_hex(p_partkey) AS key_hex,
+           to_hex(encode(left(p_name, 4))) AS prefix_hex
+    FROM part
+    WHERE p_partkey < 300
+    """,
+)
+def fn_encode(spark, sf_dir):
+    """Binary/text encoding family: base64 encode + decode roundtrip, hex
+    of integers and of UTF-8 bytes. The wire-format toolkit for opaque
+    payload columns (multimodal pipelines store binary + encodes for
+    debugging/interchange). Spark's hex(bigint) and DuckDB's to_hex both
+    emit uppercase, verified; string-byte hex goes through explicit UTF-8
+    encode on both engines."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.base64(F.col("p_name").cast("binary")).alias("name_b64"),
+        F.decode(F.unbase64(F.base64(F.col("p_name").cast("binary"))), "UTF-8").alias(
+            "name_roundtrip"
+        ),
+        F.hex(F.col("p_partkey")).alias("key_hex"),
+        F.hex(F.left(F.col("p_name"), F.lit(4)).cast("binary")).alias("prefix_hex"),
+    )

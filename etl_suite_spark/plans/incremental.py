@@ -21,7 +21,7 @@ import json
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core import dsum, sql_dsum
@@ -127,3 +127,143 @@ def inc_batch_watermark(spark, sf_dir):
     # the tick advanced the durable watermark to max(ts) — a second tick
     # would extract nothing (asserted in tests).
     return out
+
+
+# --- CDC apply / SCD2 --------------------------------------------------------
+# The reference's idempotent window-reload [K] is one recovery model; the
+# other two canonical warehouse maintenance ops are applying a change log
+# (CDC) and building type-2 slowly-changing dimensions. Both are pure
+# window/aggregate plans — one shuffle on the business key.
+
+
+@query(
+    "inc_cdc_apply",
+    oracle="""
+    WITH snapshot AS (
+      SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status,
+             0 AS seq, 'I' AS op
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 10 IN (0, 1, 2)
+                  THEN o_totalprice + 100.0 ELSE o_totalprice END AS price,
+             o_orderstatus AS status,
+             1 AS seq,
+             CASE WHEN o_orderkey % 10 IN (0, 1, 2) THEN 'U'
+                  WHEN o_orderkey % 10 = 3 THEN 'D' END AS op
+      FROM orders
+      WHERE o_orderkey % 10 <= 3
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS key, o_totalprice * 2 AS price,
+             'O' AS status, 1 AS seq, 'I' AS op
+      FROM orders
+      WHERE o_orderkey % 10 IN (4, 5)
+    ),
+    merged AS (
+      SELECT * FROM snapshot UNION ALL SELECT * FROM changes
+    )
+    SELECT key, price, status
+    FROM merged
+    QUALIFY row_number() OVER (PARTITION BY key ORDER BY seq DESC) = 1
+      AND arg_max(op, seq) OVER (PARTITION BY key) <> 'D'
+    """,
+)
+def inc_cdc_apply(spark, sf_dir):
+    """Apply a CDC change log (insert/update/delete, sequence-ordered) onto
+    a snapshot: latest change per key wins; deletes drop the key. The
+    change set is synthesized deterministically from ``orders`` so both
+    engines see identical input. Plan: union (no shuffle) + ONE window
+    shuffle on the key — the same shape Delta/Hudi MERGE executes; at
+    100 TB the snapshot side would be bucketed on the key so only the
+    (small) change log moves.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    snapshot = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd_del = o.filter(F.col("o_orderkey") % 10 <= 3).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(
+            (F.col("o_orderkey") % 10).isin(0, 1, 2),
+            (F.col("o_totalprice") + 100.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).alias("seq"),
+        F.when((F.col("o_orderkey") % 10).isin(0, 1, 2), "U")
+        .when(F.col("o_orderkey") % 10 == 3, "D")
+        .alias("op"),
+    )
+    ins = o.filter((F.col("o_orderkey") % 10).isin(4, 5)).select(
+        (F.col("o_orderkey") + 10_000_000).alias("key"),
+        (F.col("o_totalprice") * 2).alias("price"),
+        F.lit("O").alias("status"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    merged = snapshot.unionByName(upd_del).unionByName(ins)
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .withColumn("last_op", F.first("op").over(w))
+        .filter((F.col("rn") == 1) & (F.col("last_op") != "D"))
+        .select("key", "price", "status")
+    )
+
+
+@query(
+    "dim_scd2_build",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, ts, event_id, event_type AS attr,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_attr
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, attr
+      FROM hist
+      WHERE prev_attr IS NULL OR attr <> prev_attr
+    )
+    SELECT user_id, attr,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def dim_scd2_build(spark, sf_dir):
+    """Build a type-2 slowly-changing dimension from an attribute history:
+    collapse consecutive identical values, then derive
+    [valid_from, valid_to) intervals with lead(); the open interval is the
+    current row. Two window passes over the SAME user partitioning — one
+    exchange reused by both sorts. This is the standard warehouse
+    dimension-maintenance op (ref analog: account state tracking [K]).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("attr"),
+        F.lag("event_type").over(w).alias("prev_attr"),
+    )
+    changes = hist.filter(
+        F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
+    )
+    return changes.select(
+        "user_id",
+        "attr",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
