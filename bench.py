@@ -47,6 +47,13 @@ HEADLINE = [
     "llm_seq_packing",
     "tpch_q3",
     "tpch_q6",
+    # appended after the round-1 baseline was recorded (BASELINE.md keeps
+    # dated sections; earlier numbers are never overwritten):
+    "join_range_bucketed",
+    "inc_cdc_apply",
+    "llm_unigram_logprob",
+    "llm_sim_ann_lsh",
+    "graph_pagerank",
 ]
 
 

@@ -93,6 +93,14 @@ def graph_pagerank(spark, sf_dir):
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    # Measured (sf0.1, local[32]): persisting e0/edges across iterations is
+    # a net LOSS here (~8-16s vs ~6s per run) — cache materialization adds
+    # two blocking stages and the InMemoryRelation boundary stops AQE from
+    # re-optimizing the per-iteration joins, which outweighs recomputing
+    # the distinct edge build 3×. On a real cluster with 100 TB the
+    # trade-off flips: there you persist (or better, bucket-write) the edge
+    # list once and reuse the layout every iteration. Keep the plan lazy at
+    # bench scale; bucket at warehouse scale.
     n = nodes.count()  # one scalar job; every other step stays distributed
     base = (15 * _SCALE) // (100 * n)
 
