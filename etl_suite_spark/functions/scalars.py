@@ -601,3 +601,33 @@ def fn_encode(spark, sf_dir):
         F.hex(F.col("p_partkey")).alias("key_hex"),
         F.hex(F.left(F.col("p_name"), F.lit(4)).cast("binary")).alias("prefix_hex"),
     )
+
+
+@query(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('ORD-%010d', o_orderkey) AS order_tag,
+           printf('%-12s|%05d', o_orderpriority, o_custkey % 100000) AS padded,
+           printf('%.2f', o_totalprice) AS price_2dp,
+           printf('%x', o_orderkey) AS key_hex_lower,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_lpad
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def fn_format(spark, sf_dir):
+    """printf-style string formatting (report/export rendering, stable ID
+    minting). Spark's ``format_string`` is Java String.format and DuckDB's
+    ``printf`` is C-style — the declared specifiers (%d with zero/width
+    pad, %-Ns left pad, %.2f, %x) are the overlapping subset, pinned here.
+    %.2f on exact-2dp doubles renders identically on both engines."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.format_string("ORD-%010d", "o_orderkey").alias("order_tag"),
+        F.format_string("%-12s|%05d", F.col("o_orderpriority"), F.col("o_custkey") % 100000).alias("padded"),
+        F.format_string("%.2f", "o_totalprice").alias("price_2dp"),
+        F.lower(F.hex("o_orderkey")).alias("key_hex_lower"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_lpad"),
+    )

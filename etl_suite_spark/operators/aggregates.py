@@ -700,3 +700,79 @@ def agg_multi_distinct(spark, sf_dir):
             F.concat(F.col("c_mktsegment"), F.lit("|"), bucket.cast("string"))
         ).alias("n_seg_bucket_pairs"),
     )
+
+
+@query(
+    "agg_quantile_sketch_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT CAST(date_trunc('week', day) AS DATE) AS week, bin,
+             CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT week, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY week ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY week) AS total
+      FROM weekly
+    )
+    SELECT week,
+           CAST(MAX(total) AS BIGINT) AS n_orders,
+           MIN(CASE WHEN cum * 2 >= total THEN bin END) * 10000 AS p50_est,
+           MIN(CASE WHEN cum * 20 >= total * 19 THEN bin END) * 10000 AS p95_est
+    FROM cum
+    GROUP BY week
+    """,
+)
+def agg_quantile_sketch_rollup(spark, sf_dir):
+    """Mergeable quantile sketch: equi-width histogram rollup daily→weekly,
+    then approximate p50/p95 read off the merged bins (companion to the
+    HLL rollup `agg_sketch_rollup` — count-distinct there, quantiles
+    here). The sketch is (period, bin, cnt) rows: merging IS a group-sum,
+    so a 100 TB pipeline materializes cheap daily sketches once and serves
+    any coarser period without rescanning facts. Bin edges are fixed
+    (width 10000), arithmetic all-integer → bit-exact on both engines,
+    unlike t-digest/KLL whose merge order perturbs centroids. Error is
+    bounded by bin width; tighten by narrowing hot bins (two-level
+    histogram) — documented trade-off, same plan shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+            F.floor(F.col("o_totalprice") / 10000).cast("long").alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    weekly = (
+        daily.select(
+            F.date_trunc("week", "day").cast("date").alias("week"), "bin", "cnt"
+        )
+        .groupBy("week", "bin")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    wc = Window.partitionBy("week").orderBy("bin")
+    wt = Window.partitionBy("week")
+    cum = weekly.select(
+        "week",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    return cum.groupBy("week").agg(
+        F.max("total").cast("long").alias("n_orders"),
+        (F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("bin"))) * 10000).alias(
+            "p50_est"
+        ),
+        (
+            F.min(F.when(F.col("cum") * 20 >= F.col("total") * 19, F.col("bin"))) * 10000
+        ).alias("p95_est"),
+    )

@@ -118,3 +118,82 @@ def dq_checks(spark, sf_dir):
         report.schema,
     )
     return report.unionByName(ref_row).select("check", "column", "violations", "total")
+
+
+# --- entity resolution -------------------------------------------------------
+
+_DIRTY_NAME_SPARK = (
+    "CASE WHEN c_custkey % 7 = 0 THEN "
+    " concat(substring(c_name, 1, length(c_name) - 2), "
+    "        substring(c_name, length(c_name), 1), "
+    "        substring(c_name, length(c_name) - 1, 1)) "
+    "WHEN c_custkey % 7 = 1 THEN concat(c_name, 'x') "
+    "ELSE c_name END"
+)
+_DIRTY_NAME_DUCK = (
+    "CASE WHEN c_custkey % 7 = 0 THEN "
+    " concat(substring(c_name, 1, length(c_name) - 2), "
+    "        substring(c_name, length(c_name), 1), "
+    "        substring(c_name, length(c_name) - 1, 1)) "
+    "WHEN c_custkey % 7 = 1 THEN concat(c_name, 'x') "
+    "ELSE c_name END"
+)
+
+
+@query(
+    "er_blocking_match",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_key, c_nationkey,
+             {_DIRTY_NAME_DUCK} AS name
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    clean AS (
+      SELECT c_custkey AS clean_key, c_nationkey, c_name AS name
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT d.dirty_key, c.clean_key,
+           CAST(levenshtein(d.name, c.name) AS BIGINT) AS dist
+    FROM dirty d
+    JOIN clean c
+      ON d.c_nationkey = c.c_nationkey
+     AND substring(d.name, 1, 12) = substring(c.name, 1, 12)
+    WHERE levenshtein(d.name, c.name) <= 2
+      AND d.dirty_key <> c.clean_key OR
+          (d.dirty_key = c.clean_key AND levenshtein(d.name, c.name) = 0)
+    """,
+)
+def er_blocking_match(spark, sf_dir):
+    """Entity resolution: blocking + edit-distance verification.
+
+    One record set carries deterministic typos (transposed tail chars /
+    appended char on a key-derived subset); matching joins ONLY within a
+    blocking key (nation × 12-char name prefix) and verifies candidates
+    with levenshtein ≤ 2. The blocking join is the whole scale story: an
+    all-pairs name comparison is O(n²) and impossible at 100 TB, while
+    blocking bounds candidates per block — same shape as the LSH-band
+    candidate join in `llm_dedup_minhash` (blocking keys ARE an LSH for
+    edit distance). Self-match rows (dist=0) are kept as the sanity floor.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    dirty = c.select(
+        F.col("c_custkey").alias("dirty_key"),
+        "c_nationkey",
+        F.expr(_DIRTY_NAME_SPARK).alias("name"),
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("clean_key"),
+        "c_nationkey",
+        F.col("c_name").alias("name"),
+    )
+    d, cl = dirty.alias("d"), clean.alias("cl")
+    cand = d.join(
+        cl,
+        (F.col("d.c_nationkey") == F.col("cl.c_nationkey"))
+        & (F.substring(F.col("d.name"), 1, 12) == F.substring(F.col("cl.name"), 1, 12)),
+    )
+    dist = F.levenshtein(F.col("d.name"), F.col("cl.name"))
+    return cand.filter(
+        ((dist <= 2) & (F.col("dirty_key") != F.col("clean_key")))
+        | ((F.col("dirty_key") == F.col("clean_key")) & (dist == 0))
+    ).select("dirty_key", "clean_key", dist.cast("long").alias("dist"))

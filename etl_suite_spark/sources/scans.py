@@ -268,3 +268,40 @@ def join_dpp_partition_pruned(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("l_returnflag")
     )
+
+
+@query("sink_compact_small_files")  # rows-only (tmp-path layout op)
+def sink_compact_small_files(spark, sf_dir):
+    """Small-file compaction: rewrite a fragmented dataset (many tiny
+    files — the classic streaming-sink / over-parallel-write pathology)
+    into size-targeted files. Tiny files poison 100 TB scans: per-file
+    open/footer costs dominate and the driver chokes on listing. The fix
+    is a maintenance pass — read, ``repartition`` to ceil(bytes/target),
+    rewrite — run under `sink_overwrite_partition` semantics per
+    partition in production. Here: fragment orders into 64 files, compact
+    to 4, verify row fidelity and report the file-count drop."""
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="etl_compact_")
+    frag_dir = os.path.join(base, "fragmented")
+    compact_dir = os.path.join(base, "compacted")
+    o.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    n_frag_files = len([f for f in os.listdir(frag_dir) if f.endswith(".parquet")])
+    # target size derived from actual on-disk bytes, not a guess
+    total_bytes = sum(
+        os.path.getsize(os.path.join(frag_dir, f))
+        for f in os.listdir(frag_dir)
+        if f.endswith(".parquet")
+    )
+    target_file_bytes = 4 * 1024 * 1024
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    frag.repartition(int(n_out)).write.mode("overwrite").parquet(compact_dir)
+
+    back = spark.read.parquet(compact_dir)
+    n_comp_files = len([f for f in os.listdir(compact_dir) if f.endswith(".parquet")])
+    return back.groupBy().agg(
+        F.count("*").alias("n_rows"),
+        F.lit(n_frag_files).alias("files_before"),
+        F.lit(n_comp_files).alias("files_after"),
+    )
