@@ -631,3 +631,38 @@ def fn_format(spark, sf_dir):
         F.lower(F.hex("o_orderkey")).alias("key_hex_lower"),
         F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_lpad"),
     )
+
+
+@query(
+    "fn_datetime_tz",
+    oracle="""
+    SELECT event_id, ts,
+           timezone('America/New_York', CAST(ts AS TIMESTAMPTZ)) AS ny_wall,
+           timezone('Asia/Tokyo',       CAST(ts AS TIMESTAMPTZ)) AS tokyo_wall,
+           CAST(timezone('Europe/Berlin', ts) AS TIMESTAMP) AS berlin_as_utc,
+           CAST(date_part('hour', timezone('America/New_York',
+                CAST(ts AS TIMESTAMPTZ))) AS INTEGER) AS ny_hour
+    FROM events
+    WHERE event_id < 300
+    """,
+)
+def fn_datetime_tz(spark, sf_dir):
+    """Timezone conversion family — the classic ETL trap. Both engines run
+    with session TZ pinned to UTC (FIXTURES.md rule 1), so the mapping is
+    exact: Spark ``from_utc_timestamp(ts, z)`` ≡ DuckDB
+    ``timezone(z, ts::TIMESTAMPTZ)`` (UTC instant → zone wall time) and
+    ``to_utc_timestamp(ts, z)`` ≡ ``CAST(timezone(z, ts) AS TIMESTAMP)``
+    (zone wall time → UTC instant). Covers a DST-observing, a non-DST,
+    and a negative-offset zone; both directions; plus a local-hour
+    extraction (the per-local-day bucketing primitive)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    return ev.select(
+        "event_id",
+        "ts",
+        F.from_utc_timestamp("ts", "America/New_York").alias("ny_wall"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_wall"),
+        F.to_utc_timestamp("ts", "Europe/Berlin").alias("berlin_as_utc"),
+        F.hour(F.from_utc_timestamp("ts", "America/New_York"))
+        .cast("int")
+        .alias("ny_hour"),
+    )

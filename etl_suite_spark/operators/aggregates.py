@@ -776,3 +776,85 @@ def agg_quantile_sketch_rollup(spark, sf_dir):
             F.min(F.when(F.col("cum") * 20 >= F.col("total") * 19, F.col("bin"))) * 10000
         ).alias("p95_est"),
     )
+
+
+@query(
+    "agg_higher_moments",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice) AS BIGINT) AS d
+      FROM orders
+    ),
+    sums AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(d AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(d AS DECIMAL(15,0)) * CAST(d AS DECIMAL(15,0)))
+                  AS VARCHAR) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CAST(d AS DECIMAL(12,0)) * CAST(d AS DECIMAL(12,0))
+                           * CAST(d AS DECIMAL(12,0))) AS VARCHAR) AS DOUBLE) AS s3,
+             CAST(CAST(SUM(CAST(CAST(d AS DECIMAL(15,0)) * CAST(d AS DECIMAL(15,0))
+                                AS DECIMAL(19,0))
+                           * CAST(CAST(d AS DECIMAL(15,0)) * CAST(d AS DECIMAL(15,0))
+                                  AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS s4
+      FROM q GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           round(s1 / n, 6) AS mean_d,
+           round((s2 / n - (s1/n) * (s1/n)) / 1e6, 6) AS m2_k,
+           round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                 / pow(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skewness,
+           round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                  - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                 / pow(s2/n - (s1/n)*(s1/n), 2) - 3, 6) AS excess_kurtosis
+    FROM sums
+    """,
+)
+def agg_higher_moments(spark, sf_dir):
+    """Skewness and excess kurtosis per group, computed from EXACT integer
+    power sums (S1..S4 in decimal, then closed-form population moments in
+    double). Neither engine's built-in skewness/kurtosis is usable for
+    cross-engine hashing: they stream with different update orders AND
+    disagree on sample-vs-population definitions; power sums sidestep
+    both (same trick as `agg_stats`, one order higher). Decimal widths
+    are chosen so every product stays under the 38-digit cap: d ≤ ~6e5
+    (dollars), d² ≤ 3.6e11, d³ via (12,0)³, d⁴ via (19,0)×(19,0) products
+    of the capped d². One shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    d_raw = F.round("o_totalprice").cast("long")
+    q = o.select("o_orderstatus", d_raw.alias("d"))
+    d38 = F.col("d").cast("decimal(38,0)")
+    d15 = F.col("d").cast("decimal(15,0)")
+    d12 = F.col("d").cast("decimal(12,0)")
+    # (19,0) factors force the int128 multiply path on DuckDB (its ≤18-digit
+    # decimal products run in int64 and overflow); Spark caps the formal
+    # (39,0) result at 38 digits — the actual values (≤ 1.3e23) fit exactly.
+    d2 = (d15 * d15).cast("decimal(19,0)")
+    sums = q.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        d2d(F.sum(d38)).alias("s1"),
+        d2d(F.sum(d15 * d15)).alias("s2"),
+        d2d(F.sum(d12 * d12 * d12)).alias("s3"),
+        d2d(F.sum(d2 * d2)).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return sums.select(
+        "o_orderstatus",
+        "n",
+        F.round(mu, 6).alias("mean_d"),
+        # variance reported in (thousands)^2: at raw scale (~2e10) a 6dp
+        # round sits at double-ulp resolution and engines disagree in repr
+        F.round(m2 / 1e6, 6).alias("m2_k"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("excess_kurtosis"),
+    )

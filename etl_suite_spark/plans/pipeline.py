@@ -162,3 +162,80 @@ def pipeline_spec_run(spark, sf_dir):
     though the spec declared it after — declarative specs get the whole
     optimizer for free."""
     return compile_pipeline(spark, sf_dir, _SPEC)
+
+
+# --- streaming compile -------------------------------------------------------
+
+
+def compile_pipeline_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    spec: dict,
+) -> DataFrame:
+    """Compile the SAME spec dialect against a streaming file source.
+
+    Stateless ops (filter/derive/select) reuse ``_apply_transform``
+    verbatim — the spec is execution-mode-agnostic, which is the point:
+    the reference's scheduler re-ran batch jobs over new data windows [K];
+    here one spec serves both the batch backfill (``compile_pipeline``)
+    and the continuous path (this function), Kappa-style. Stateful steps
+    are declared via ``watermark`` + ``window_agg`` (tumbling windowed
+    aggregation) since arbitrary batch groupbys aren't streamable
+    unchanged.
+    """
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    wm = spec.get("watermark")
+    if wm:
+        df = df.withWatermark(wm["col"], wm["delay"])
+    for t in spec.get("transforms", ()):
+        if t["op"] not in ("filter", "derive", "select"):
+            raise ValueError(f"op not streamable without window_agg: {t['op']}")
+        df = _apply_transform(spark, None, df, t)
+    wa = spec.get("window_agg")
+    if wa:
+        aggs = [F.expr(expr).alias(name) for name, expr in wa["aggs"].items()]
+        df = (
+            df.groupBy(
+                F.window(wa["time_col"], wa["duration"]).alias("win"),
+                *wa.get("keys", ()),
+            )
+            .agg(*aggs)
+            .select(
+                F.col("win.start").alias("win_start"),
+                *wa.get("keys", ()),
+                *[name for name in wa["aggs"]],
+            )
+        )
+    return df
+
+
+_STREAM_SPEC = {
+    "watermark": {"col": "ts", "delay": "10 minutes"},
+    "transforms": [
+        {"op": "filter", "predicate": "event_type IN ('click', 'purchase')"},
+        {"op": "derive", "cols": {"value_cents": "CAST(round(value * 100) AS BIGINT)"}},
+    ],
+    "window_agg": {
+        "time_col": "ts",
+        "duration": "15 minutes",
+        "keys": ["event_type"],
+        "aggs": {"n": "count(*)", "sum_cents": "sum(value_cents)"},
+    },
+}
+
+
+@query("pipeline_spec_stream")  # rows-only: watermark semantics aren't SQL
+def pipeline_spec_stream(spark, sf_dir):
+    """The spec compiler's continuous path: identical spec dialect compiled
+    to readStream → watermark → stateless transforms → tumbling windowed
+    agg, run AvailableNow into a memory sink (no Kafka in env [V])."""
+    from ..streaming.ops import _drop_dir, _run_to_memory
+
+    drop, schema = _drop_dir(spark, sf_dir)
+    sdf = compile_pipeline_stream(spark, drop, schema, _STREAM_SPEC)
+    return _run_to_memory(sdf, "append").orderBy("win_start", "event_type")
