@@ -666,3 +666,44 @@ def fn_datetime_tz(spark, sf_dir):
         .cast("int")
         .alias("ny_hour"),
     )
+
+
+@query(
+    "fn_surrogate_key",
+    oracle="""
+    SELECT c_custkey,
+           CAST(('0x' || substring(sha256('cust|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                AS BIGINT) AS sk,
+           substring(sha256('cust|' || CAST(c_custkey AS VARCHAR)), 1, 8) || '-' ||
+           substring(sha256('cust|' || CAST(c_custkey AS VARCHAR)), 9, 4) || '-' ||
+           substring(sha256('cust|' || CAST(c_custkey AS VARCHAR)), 13, 4) || '-' ||
+           substring(sha256('cust|' || CAST(c_custkey AS VARCHAR)), 17, 4) || '-' ||
+           substring(sha256('cust|' || CAST(c_custkey AS VARCHAR)), 21, 12) AS sk_uuid
+    FROM customer
+    WHERE c_custkey < 500
+    """,
+)
+def fn_surrogate_key(spark, sf_dir):
+    """Deterministic surrogate-key minting: 60-bit int key and UUID-shaped
+    string key, both content-derived (sha256 of a namespaced business
+    key). Content-derived keys are THE scalable pattern: no global
+    row_number (a total-order bottleneck), no monotonically_increasing_id
+    (partition-layout-dependent, unstable across re-runs) — the same row
+    always mints the same key on any cluster, which is what makes
+    backfills and cross-table FK stitching safe at 100 TB. Collision odds
+    at 60 bits: ~n²/2⁶¹ (negligible below ~10⁸ keys; use the full hash
+    string above that)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    h = F.sha2(F.concat(F.lit("cust|"), F.col("c_custkey").cast("string")), 256)
+    return c.select(
+        "c_custkey",
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint").alias("sk"),
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        ).alias("sk_uuid"),
+    )

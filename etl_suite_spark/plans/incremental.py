@@ -267,3 +267,59 @@ def dim_scd2_build(spark, sf_dir):
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "inc_backfill_window",
+    oracle=f"""
+    WITH full_rollup AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             {sql_dsum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1
+    ),
+    stale_rollup AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             {sql_dsum("o_totalprice")} AS revenue
+      FROM orders
+      WHERE NOT (o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+                 AND o_orderkey % 5 = 0)
+      GROUP BY 1
+    )
+    SELECT day, n_orders, revenue FROM stale_rollup
+    WHERE day < DATE '1995-01-01' OR day >= DATE '1995-02-01'
+    UNION ALL
+    SELECT day, n_orders, revenue FROM full_rollup
+    WHERE day >= DATE '1995-01-01' AND day < DATE '1995-02-01'
+    """,
+)
+def inc_backfill_window(spark, sf_dir):
+    """Idempotent delete-then-reload backfill of one affected window — the
+    reference's own recovery model (re-run a window; delete the window's
+    rows in the target; reload from source [K]). The 'stale' warehouse
+    here deterministically misses late rows (orderkey%5=0 in Jan-1995);
+    the backfill keeps every target row OUTSIDE the window untouched and
+    splices in a full recompute INSIDE it. Window bounds align with the
+    sink's day partitioning, so at 100 TB this is a partition-overwrite
+    (`sink_overwrite_partition` machinery) — no full-table rewrite, and
+    re-running the backfill is a no-op (idempotent)."""
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi = "1995-01-01", "1995-02-01"
+
+    def rollup(src: DataFrame) -> DataFrame:
+        return (
+            src.groupBy(F.date_trunc("day", "o_orderdate").cast("date").alias("day"))
+            .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+        )
+
+    late_missing = (
+        (F.col("o_orderdate") >= lo)
+        & (F.col("o_orderdate") < hi)
+        & (F.col("o_orderkey") % 5 == 0)
+    )
+    stale = rollup(o.filter(~late_missing))
+    full = rollup(o)
+    kept = stale.filter((F.col("day") < lo) | (F.col("day") >= hi))
+    recomputed = full.filter((F.col("day") >= lo) & (F.col("day") < hi))
+    return kept.unionByName(recomputed)
