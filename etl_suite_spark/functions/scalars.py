@@ -707,3 +707,33 @@ def fn_surrogate_key(spark, sf_dir):
             F.substring(h, 21, 12),
         ).alias("sk_uuid"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+           CAST(props->>'$.k' AS VARCHAR) AS k_str
+    FROM events
+    WHERE event_id < 400
+    """,
+)
+def fn_variant(spark, sf_dir):
+    """Spark 4 VariantType: the semi-structured fast path. ``parse_json``
+    builds a binary variant once; ``variant_get`` extracts typed fields
+    without re-parsing the JSON string per access — the right engine-side
+    representation when a props/payload column is touched by many
+    expressions. (Storage note: at 100 TB keep hot keys shredded into
+    real columns; variant is for the long tail.) Oracle uses DuckDB's
+    JSON extraction over the same string column."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        (F.expr("variant_get(parse_json(props), '$.k', 'bigint')") % 10).alias("k_mod"),
+        F.expr("cast(variant_get(parse_json(props), '$.k', 'bigint') as string)").alias(
+            "k_str"
+        ),
+    )

@@ -332,3 +332,44 @@ def join_range_bucketed(spark, sf_dir):
     return bucketed_range_join(p, c, "p_ts", "c_ts", 300).select(
         "purchase_id", "click_id", "p_user", "c_user"
     )
+
+
+@query(
+    "join_null_skew_rewrite",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS cust_fk
+      FROM orders
+    )
+    SELECT l.o_orderkey, l.cust_fk, l.o_totalprice, c.c_mktsegment
+    FROM l LEFT JOIN customer c ON l.cust_fk = c.c_custkey
+    """,
+)
+def join_null_skew_rewrite(spark, sf_dir):
+    """Null-key skew rewrite for outer joins. A left join whose FK column
+    is heavily null (here: synthesized ~14% null) hashes every null row
+    to ONE reducer in a shuffled join — the classic silent skew. The
+    rewrite splits the left side: null-FK rows bypass the join entirely
+    (their output is known: null-extended), non-null rows join normally,
+    then union. Same result as the naive plan, no hot partition. (With
+    AQE skew-join or a broadcast right side Spark often saves you anyway
+    — this is the explicit library form for when it doesn't.)"""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    left = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+    )
+    nn = left.filter(F.col("cust_fk").isNotNull()).join(
+        c, F.col("cust_fk") == F.col("c_custkey"), "left"
+    )
+    nulls = left.filter(F.col("cust_fk").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    return nn.select("o_orderkey", "cust_fk", "o_totalprice", "c_mktsegment").unionByName(
+        nulls.select("o_orderkey", "cust_fk", "o_totalprice", "c_mktsegment")
+    )

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core import dsum, sql_dsum
+from ..core import d2d, dsum, sql_dsum
 from ..io import load_table
 from ..registry import query
 
@@ -323,3 +323,71 @@ def inc_backfill_window(spark, sf_dir):
     kept = stale.filter((F.col("day") < lo) | (F.col("day") >= hi))
     recomputed = full.filter((F.col("day") >= lo) & (F.col("day") < hi))
     return kept.unionByName(recomputed)
+
+
+@query(
+    "inc_state_merge_stats",
+    oracle="""
+    WITH batches AS (
+      SELECT CASE WHEN o_orderdate < DATE '1996-01-01' THEN 'b0' ELSE 'b1' END
+               AS batch,
+             o_orderstatus,
+             COUNT(*) AS n,
+             SUM(CAST(round(o_totalprice) AS BIGINT)) AS s1,
+             SUM(CAST(round(o_totalprice) AS DECIMAL(15,0))
+                 * CAST(round(o_totalprice) AS DECIMAL(15,0))) AS s2
+      FROM orders GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT o_orderstatus,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(CAST(SUM(s1) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(s2) AS VARCHAR) AS DOUBLE) AS s2
+      FROM batches GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           round(s1 / n, 6) AS mean_d,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1)) , 6) AS stddev_d
+    FROM merged
+    """,
+)
+def inc_state_merge_stats(spark, sf_dir):
+    """Incremental statistics via mergeable state: each batch contributes
+    exact power-sum state (n, Σd, Σd²); merging batches is a group-sum;
+    mean/stddev are computed only at read time from merged state. This is
+    how running statistics stay cheap under the reference's periodic
+    re-run model [K]: no batch ever rescans history, and any batch can be
+    re-contributed idempotently (replace its state row, re-merge). Same
+    mergeable-sketch discipline as `agg_sketch_rollup` (HLL) and
+    `agg_quantile_sketch_rollup` (histogram), for moments."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.round("o_totalprice").cast("long")
+    batches = (
+        o.select(
+            F.when(F.col("o_orderdate") < "1996-01-01", "b0").otherwise("b1").alias(
+                "batch"
+            ),
+            "o_orderstatus",
+            d.alias("d"),
+        )
+        .groupBy("batch", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("d").alias("s1"),
+            F.sum(F.col("d").cast("decimal(15,0)") * F.col("d").cast("decimal(15,0)")).alias(
+                "s2"
+            ),
+        )
+    )
+    merged = batches.groupBy("o_orderstatus").agg(
+        F.sum("n").cast("long").alias("n"),
+        d2d(F.sum("s1").cast("decimal(38,0)")).alias("s1"),
+        d2d(F.sum("s2")).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return merged.select(
+        "o_orderstatus",
+        "n",
+        F.round(s1 / n, 6).alias("mean_d"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_d"),
+    )
