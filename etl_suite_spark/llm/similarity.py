@@ -497,3 +497,95 @@ def llm_emb_normalize(spark, sf_dir):
             "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / norm * 127, 0) AS INT))"
         ).alias("q_int8"),
     )
+
+
+@query(
+    "llm_sim_ann_recall",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_SQL_BUCKET.format(e='embedding')} AS bucket,
+             {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM b WHERE vec_id < 10),
+    exact3 AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM q JOIN b e ON e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                   DESC, e.vec_id ASC) <= 3
+    ),
+    lsh3 AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                   DESC, e.vec_id ASC) <= 3
+    )
+    SELECT x.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS hits,
+           round(COUNT(l.neighbor_id) / 3.0, 6) AS recall_at_3
+    FROM exact3 x
+    LEFT JOIN lsh3 l
+      ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def llm_sim_ann_recall(spark, sf_dir):
+    """Recall@3 of the LSH ANN index against brute-force ground truth,
+    per query — the 'measure, don't guess' op for approximate search:
+    before shipping an ANN path at 100 TB you quantify what the bucketing
+    loses. Both sides are deterministic, so even the quality metric is
+    oracle-checked. Ground truth runs on the (tiny, broadcast) query set
+    only — never an all-pairs job over the corpus."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", F.expr(_BUCKET.format(e="embedding")))
+        .withColumn("nsq", dot("embedding", "embedding"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cos = _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+
+    def top3(pairs):
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact3 = top3(
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+    )
+    lsh3 = top3(
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    hit = lsh3.withColumnRenamed("neighbor_id", "hit_id")
+    return (
+        exact3.join(
+            hit,
+            (exact3["query_id"] == hit["query_id"])
+            & (exact3["neighbor_id"] == hit["hit_id"]),
+            "left",
+        )
+        .groupBy(exact3["query_id"].alias("query_id"))
+        .agg(
+            F.count("hit_id").cast("long").alias("hits"),
+            F.round(F.count("hit_id") / 3.0, 6).alias("recall_at_3"),
+        )
+    )

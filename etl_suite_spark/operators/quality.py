@@ -197,3 +197,56 @@ def er_blocking_match(spark, sf_dir):
         ((dist <= 2) & (F.col("dirty_key") != F.col("clean_key")))
         | ((F.col("dirty_key") == F.col("clean_key")) & (dist == 0))
     ).select("dirty_key", "clean_key", dist.cast("long").alias("dist"))
+
+
+@query(
+    "dq_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_key_rows,
+             round(AVG(n), 6) AS avg_key_rows
+      FROM per_key
+    )
+    SELECT n_keys, n_rows, max_key_rows, avg_key_rows,
+           round(max_key_rows / avg_key_rows, 6) AS skew_factor,
+           CAST((SELECT COUNT(*) FROM per_key, stats s2
+                 WHERE n > 2 * s2.n_rows / s2.n_keys) AS BIGINT)
+             AS n_hot_keys
+    FROM stats
+    """,
+)
+def dq_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic: per-key cardinality profile of a
+    prospective shuffle key (max/avg ratio = skew factor; hot keys =
+    >2× mean). This is the measurement you run BEFORE choosing between
+    plain shuffle, AQE skew-join, and `join_salted_skew` — at 100 TB a
+    skew factor in the hundreds means one straggler task runs for hours.
+    One aggregation over the fact table + a scalar profile; cost is one
+    shuffle on the candidate key (which you were about to pay anyway)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.round(F.avg("n"), 6).alias("avg_key_rows"),
+    )
+    hot = (
+        per_key.join(F.broadcast(stats), F.lit(True))
+        .filter(F.col("n") > 2 * F.col("n_rows") / F.col("n_keys"))
+        .agg(F.count("*").cast("long").alias("n_hot_keys"))
+    )
+    return stats.join(F.broadcast(hot), F.lit(True)).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "avg_key_rows",
+        F.round(F.col("max_key_rows") / F.col("avg_key_rows"), 6).alias("skew_factor"),
+        "n_hot_keys",
+    )
