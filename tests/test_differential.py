@@ -58,6 +58,28 @@ PAIRS = [
     # Spark unix_timestamp truncates sub-second; DuckDB epoch() keeps the
     # fraction and a bare BIGINT cast would round — floor first.
     ("epoch", "cast(unix_timestamp(ts) as long)", "cast(floor(epoch(ts)) as bigint)"),
+    # -- bridges added with the fn_format/fn_encode/fn_datetime_tz/fn_trig
+    #    families (same subset rules as the declared queries) --
+    ("printf_s", "format_string('%s|%s', sa, sa)", "printf('%s|%s', sa, sa)"),
+    ("printf_d", "format_string('%07d', length(s))", "printf('%07d', length(s))"),
+    (
+        "b64_roundtrip",
+        "decode(unbase64(base64(cast(s as binary))), 'UTF-8')",
+        "decode(from_base64(base64(encode(s))))",
+    ),
+    ("hex_int", "hex(cast(length(s) as bigint))", "to_hex(length(s))"),
+    # from_utc only: every UTC instant maps uniquely to a zone wall time;
+    # the reverse direction is ambiguous inside DST gaps and engines may
+    # legitimately differ there, so the engine declares it only over
+    # fixture data (fn_datetime_tz), not as a universal bridge.
+    (
+        "tz_from_utc",
+        "from_utc_timestamp(ts, 'America/New_York')",
+        "timezone('America/New_York', CAST(ts AS TIMESTAMPTZ))",
+    ),
+    # + 0.0 folds DuckDB's -0.0 (Spark normalizes negative zero, DuckDB
+    # keeps it — same class as the abs(-0.0) note above)
+    ("atan2r", "round(atan2(x, 1.0d + abs(x)), 6) + 0.0d", "round(atan2(x, 1.0 + abs(x)), 6) + 0.0"),
 ]
 
 # Broad multi-script alphabet, minus the classes where Spark and DuckDB
