@@ -190,3 +190,63 @@ def win_pct_of_total(spark, sf_dir):
         d2d(F.col("rev_dec")).alias("revenue"),
         (d2d(F.col("rev_dec")) / d2d(F.sum("rev_dec").over(w))).alias("pct_of_total"),
     )
+
+
+@query(
+    "agg_time_to_convert",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id, su.signup_ts, MIN(e.ts) AS conv_ts
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > su.signup_ts
+      GROUP BY e.user_id, su.signup_ts
+    )
+    SELECT user_id, signup_ts, conv_ts,
+           CAST(floor(epoch(conv_ts)) - floor(epoch(signup_ts)) AS BIGINT)
+             AS delay_sec,
+           CASE
+             WHEN floor(epoch(conv_ts)) - floor(epoch(signup_ts)) < 3600 THEN '<1h'
+             WHEN floor(epoch(conv_ts)) - floor(epoch(signup_ts)) < 86400 THEN '<1d'
+             WHEN floor(epoch(conv_ts)) - floor(epoch(signup_ts)) < 604800 THEN '<1w'
+             ELSE '1w+'
+           END AS delay_bucket
+    FROM conv
+    """,
+)
+def agg_time_to_convert(spark, sf_dir):
+    """Time-to-convert: first purchase strictly after each user's first
+    signup, with the delay bucketed for funnel-latency reporting (the
+    distribution marketing actually reads). Two aggregations + one join,
+    all keyed on user_id, so one exchange is reused throughout; the
+    signup side is the small one and broadcasts. Delay arithmetic uses
+    the bridged epoch forms (Spark unix_timestamp ≡ DuckDB
+    floor(epoch)) so second-level truncation matches."""
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(su), "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    delay = F.unix_timestamp("conv_ts") - F.unix_timestamp("signup_ts")
+    return conv.select(
+        "user_id",
+        "signup_ts",
+        "conv_ts",
+        delay.cast("long").alias("delay_sec"),
+        F.when(delay < 3600, "<1h")
+        .when(delay < 86400, "<1d")
+        .when(delay < 604800, "<1w")
+        .otherwise("1w+")
+        .alias("delay_bucket"),
+    )
