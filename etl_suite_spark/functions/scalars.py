@@ -737,3 +737,52 @@ def fn_variant(spark, sf_dir):
             "k_str"
         ),
     )
+
+
+_XML_SPARK = (
+    "concat('<order><key>', CAST(o_orderkey AS STRING), '</key><status>', "
+    "o_orderstatus, '</status><total>', CAST(o_totalprice AS STRING), "
+    "'</total></order>')"
+)
+_XML_DUCK = (
+    "concat('<order><key>', CAST(o_orderkey AS VARCHAR), '</key><status>', "
+    "o_orderstatus, '</status><total>', CAST(o_totalprice AS VARCHAR), "
+    "'</total></order>')"
+)
+
+
+@query(
+    "fn_xml",
+    oracle=f"""
+    WITH x AS (SELECT o_orderkey, {_XML_DUCK} AS xml FROM orders
+               WHERE o_orderkey < 400)
+    SELECT o_orderkey, xml,
+           CAST(regexp_extract(xml, '<key>([^<]*)</key>', 1) AS BIGINT) AS key_field,
+           regexp_extract(xml, '<status>([^<]*)</status>', 1) AS status_field,
+           CAST(regexp_extract(xml, '<total>([^<]*)</total>', 1) AS DOUBLE)
+             AS total_field
+    FROM x
+    """,
+)
+def fn_xml(spark, sf_dir):
+    """XML ingestion via Spark 4's native ``from_xml`` (schema-directed,
+    JVM-side StAX parse — the legacy-feed interchange path). The XML is
+    synthesized from row data (no XML fixture column); DuckDB has no XML
+    type, so the oracle re-extracts fields with anchored regexes — which
+    also pins the subset the op relies on: well-formed, no attributes/
+    namespaces/CDATA. Number round-trip: 2dp doubles print identically
+    on both engines (shortest-repr), so CAST-back matches exactly."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    x = o.select("o_orderkey", F.expr(_XML_SPARK).alias("xml"))
+    parsed = x.select(
+        "o_orderkey",
+        "xml",
+        F.from_xml("xml", "key BIGINT, status STRING, total DOUBLE").alias("r"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        "xml",
+        F.col("r.key").alias("key_field"),
+        F.col("r.status").alias("status_field"),
+        F.col("r.total").alias("total_field"),
+    )

@@ -423,3 +423,28 @@ def stream_stateful_tws(spark, sf_dir):
     the stable applyInPandasWithState API.
     """
     raise NotImplementedError("protobuf python package not available here")
+
+
+def stream_kafka_source(spark: SparkSession, bootstrap: str, topic: str):
+    """Kafka ingestion. NOT registered: this deployment ships no
+    spark-sql-kafka connector jar (verified — SURVEY.md §0 [V]), so
+    ``format("kafka")`` raises at lookup. On a cluster with
+    ``org.apache.spark:spark-sql-kafka-0-10_2.13`` deployed, the
+    engine's call shape is:
+
+        raw = (spark.readStream.format("kafka")
+               .option("kafka.bootstrap.servers", bootstrap)
+               .option("subscribe", topic)
+               .option("startingOffsets", "earliest")
+               .load())                       # key/value BINARY + metadata
+        ev = raw.select(
+            F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e")
+        ).select("e.*")
+        # downstream: identical to the file-source operators above —
+        # withWatermark + windowed aggs / dedup / foreachBatch upsert all
+        # compose unchanged; checkpointLocation carries the Kafka offsets.
+
+    Every registered streaming operator in this module is source-agnostic
+    past the first select, which is the point of documenting the stub.
+    """
+    raise NotImplementedError("spark-sql-kafka connector not deployed here")
