@@ -231,3 +231,66 @@ def mm_binaryfile_scan(spark, sf_dir):
     return payloads.mapInPandas(_extract_features, schema=_FEAT_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+_FRAME_LEN = 16
+_FRAME_STRIDE = 64
+
+
+def _sample_frames_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampling: one input payload → many frame rows.
+
+    Production swap: replace the slicing line with
+    ``sample_frames(payload, every_n)`` (pyav) and hash/feature the real
+    frames; the 1→many batch shape, stride parameters, and output schema
+    stay identical.
+    """
+    for pdf in batches:
+        out_doc, out_idx, out_sha = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = max(0, (len(payload) - _FRAME_LEN) // _FRAME_STRIDE + 1)
+            for i in range(n):
+                frame = payload[i * _FRAME_STRIDE : i * _FRAME_STRIDE + _FRAME_LEN]
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_sha.append(hashlib.sha256(frame.encode("utf-8")).hexdigest())
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame_idx": out_idx, "frame_sha": out_sha}
+        )
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(0,
+                 (length(text) - {_FRAME_LEN}) // {_FRAME_STRIDE} + 1))) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           sha256(substring(text, CAST(frame_idx * {_FRAME_STRIDE} + 1 AS BIGINT),
+                            {_FRAME_LEN})) AS frame_sha
+    FROM f
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling over opaque payloads: the 1→many multimodal op
+    (video → sampled frames), with the document text standing in for the
+    byte stream (ASCII fixture: char slicing ≡ byte slicing). mapInPandas
+    explodes each payload into strided fixed-length frames and hashes
+    each — the exact batch shape a pyav frame sampler uses (see
+    ``sample_frames``). Output cardinality grows by ~len/stride; at
+    100 TB pre-partition by content id so frames stay co-located with
+    their source for the downstream embed/dedup join."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.col("text").alias("payload"))
+    return payloads.mapInPandas(_sample_frames_fake, schema=_FRAME_SCHEMA)
