@@ -250,3 +250,85 @@ def agg_time_to_convert(spark, sf_dir):
         .otherwise("1w+")
         .alias("delay_bucket"),
     )
+
+
+@query(
+    "win_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s, ts + INTERVAL 5 MINUTE AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                      PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                      PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    grouped AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS grp
+      FROM marked
+    )
+    SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           COUNT(*) AS n_intervals,
+           CAST(floor(epoch(MAX(e))) - floor(epoch(MIN(s))) AS BIGINT)
+             AS span_sec
+    FROM grouped
+    GROUP BY user_id, grp
+    """,
+)
+def win_interval_coalesce(spark, sf_dir):
+    """Merge overlapping intervals per user (each event opens a 5-minute
+    activity window; touching/overlapping windows coalesce into spans).
+    The running-max-end idiom: an interval starts a new span iff its
+    start exceeds the max end seen so far; a running sum of those flags
+    numbers the spans. Companion to `win_gaps_islands` (day granularity)
+    and `win_sessionize` (gap-based): this one is the general
+    interval-algebra form — works for any [s, e) intervals, not just
+    points. Two window passes + one agg over the SAME user partitioning:
+    one exchange total."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.max("e").over(w_prev), 1
+        )
+        .when(F.max("e").over(w_prev).isNull(), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = marked.withColumn("grp", F.sum("is_new").over(w_run))
+    return grouped.groupBy("user_id", "grp").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count("*").alias("n_intervals"),
+        (F.unix_timestamp(F.max("e")) - F.unix_timestamp(F.min("s")))
+        .cast("long")
+        .alias("span_sec"),
+    ).drop("grp")
