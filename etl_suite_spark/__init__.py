@@ -15,6 +15,28 @@ from __future__ import annotations
 from . import registry  # noqa: F401
 
 # Import every operator module for registration side effects.
+#
+# ORDER MATTERS: the driver's correctness harness checks the first 50
+# registered queries each round, so modules are ordered to rotate driver
+# evidence across rounds (see SURVEY.md §2 status column):
+#   round 1 window: scalars + llm (22 PASS recorded in CORRECTNESS_r01)
+#   round 2 window: sorts(4) + setops(6) + joins(13) + windows(11) +
+#                   aggregates(first 16) = exactly 50 — the core
+#                   relational families with zero driver evidence so far.
+from .operators import sorts  # noqa: F401
+from .operators import setops  # noqa: F401
+from .operators import joins  # noqa: F401
+from .operators import windows  # noqa: F401
+from .operators import aggregates  # noqa: F401
+from .sources import scans  # noqa: F401
+from .operators import filters  # noqa: F401
+from .operators import (  # noqa: F401
+    analytics,
+    graph,
+    quality,
+    scale,
+    tpch,
+)
 from .functions import scalars  # noqa: F401
 from .llm import (  # noqa: F401
     clustering,
@@ -26,22 +48,8 @@ from .llm import (  # noqa: F401
     textstats,
     traindata,
 )
-from .operators import (  # noqa: F401
-    aggregates,
-    analytics,
-    filters,
-    graph,
-    joins,
-    quality,
-    scale,
-    setops,
-    sorts,
-    tpch,
-    windows,
-)
 from .plans import incremental, pipeline, scheduler  # noqa: F401
 from .streaming import ops as streaming_ops  # noqa: F401
 from .udf import surface  # noqa: F401
-from .sources import scans  # noqa: F401
 
 __all__ = ["registry"]

@@ -36,7 +36,7 @@ from ..registry import query
            rtrim(concat(p_name, '  ')) AS rtrimmed,
            substring(p_name, 2, 3) AS sub23,
            concat_ws('-', p_brand, p_type) AS joined,
-           string_split(p_name, ' ') AS words,
+           array_to_string(string_split(p_name, ' '), '|') AS words,
            replace(p_name, 'a', 'X') AS replaced,
            lpad(p_brand, 12, '*') AS lpadded,
            rpad(p_brand, 12, '*') AS rpadded,
@@ -63,7 +63,9 @@ def fn_string(spark, sf_dir):
         F.rtrim(F.concat(n, F.lit("  "))).alias("rtrimmed"),
         F.substring(n, 2, 3).alias("sub23"),
         F.concat_ws("-", "p_brand", "p_type").alias("joined"),
-        F.split(n, " ").alias("words"),
+        # joined back to a string: the driver canonicalizer hashes pandas
+        # cells, and raw arrays arrive as unhashable numpy.ndarray
+        F.array_join(F.split(n, " "), "|").alias("words"),
         F.expr("replace(p_name, 'a', 'X')").alias("replaced"),
         F.lpad("p_brand", 12, "*").alias("lpadded"),
         F.rpad("p_brand", 12, "*").alias("rpadded"),

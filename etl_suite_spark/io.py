@@ -38,13 +38,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), read as raw int64 nanos
-        # (nanosAsLong conf in session.py). Floor-divide to µs — identical
-        # to DuckDB's read_parquet ns→TIMESTAMP truncation, so oracle
-        # comparisons on ts agree to the microsecond.
+        # ts is parquet TIMESTAMP(NANOS). How Spark surfaces it varies by
+        # version/conf: either TIMESTAMP_NTZ (Spark 4.1 default: ns
+        # truncated to µs — byte-identical to DuckDB's read_parquet
+        # truncation, verified) or raw int64 nanos (when
+        # spark.sql.legacy.parquet.nanosAsLong is in effect). Dispatch on
+        # the ACTUAL read schema — never assume a conf took effect — and
+        # normalize to session-TZ (UTC) TimestampType so every downstream
+        # operator sees one ts type.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # raw nanos → floor-divide to µs (matches DuckDB truncation)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp"):
+            # ntz → ltz is an identity rebase under the UTC session TZ
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:  # pragma: no cover - new Spark behavior would need a look
+            raise TypeError(f"events.ts read as unexpected type {ts_type!r}")
+        assert dict(df.dtypes)["ts"] == "timestamp", dict(df.dtypes)["ts"]
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
 

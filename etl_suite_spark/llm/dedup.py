@@ -413,14 +413,56 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     return labels
 
 
-@query("llm_dedup_clusters")  # rows-only: built on Spark-seeded MinHash pairs
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS shared,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ), sel AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM sel
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM sel
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ), labels AS (
+      SELECT node, MIN(lab) AS label FROM reach GROUP BY node
+    )
+    SELECT label AS canonical_doc,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           array_to_string(list_sort(list(node)), ',') AS member_ids
+    FROM labels GROUP BY label ORDER BY canonical_doc
+    """,
+)
 def llm_dedup_clusters(spark, sf_dir):
-    """Transitive duplicate clusters: connected components over the
-    MinHash candidate graph. Pairwise dedup alone under-deletes (A~B, B~C
-    but A!~C leaves two survivors of one cluster); components give each
-    near-dup group one canonical representative — the correct survivor
-    rule for corpus dedup at any scale."""
-    pairs = llm_dedup_minhash(spark, sf_dir).select(
+    """Transitive duplicate clusters: connected components over the exact
+    3-gram-Jaccard pair graph (threshold 0.8 — the same edge set
+    ``llm_dedup_ngram_jaccard`` oracle-checks). Pairwise dedup alone
+    under-deletes (A~B, B~C but A!~C leaves two survivors of one
+    cluster); components give each near-dup group one canonical
+    representative — the correct survivor rule for corpus dedup at any
+    scale. At 100 TB the edge set comes from MinHash-LSH candidates
+    verified by this exact-Jaccard stage; the component algorithm
+    (min-label propagation, O(diameter) rounds) is unchanged. The DuckDB
+    twin computes components via a recursive reachability CTE — fine at
+    oracle scale, deliberately not our distributed plan shape."""
+    pairs = llm_dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     labels = connected_components(pairs)

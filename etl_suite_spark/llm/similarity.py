@@ -472,8 +472,8 @@ def llm_sim_knn_classify(spark, sf_dir):
     )
     SELECT vec_id,
            round(norm, 6) AS norm,
-           list_transform(embedding, x ->
-               CAST(round(CAST(x AS DOUBLE) / norm * 127) AS INTEGER)) AS q_int8
+           array_to_string(list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) / norm * 127) AS INTEGER)), ',') AS q_int8
     FROM n
     """,
 )
@@ -493,8 +493,13 @@ def llm_emb_normalize(spark, sf_dir):
     return n.select(
         "vec_id",
         F.round("norm", 6).alias("norm"),
-        F.expr(
-            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / norm * 127, 0) AS INT))"
+        # string-joined codes: raw array columns are unhashable in the
+        # driver's pandas canonicalizer
+        F.array_join(
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / norm * 127, 0) AS INT))"
+            ),
+            ",",
         ).alias("q_int8"),
     )
 

@@ -274,17 +274,19 @@ def agg_approx_percentile(spark, sf_dir):
     "agg_collect",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey)) AS nations,
-           list_sort(list(c_nationkey)) AS nations_all
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+           array_to_string(list_sort(list(c_nationkey)), ',') AS nations_all
     FROM customer GROUP BY c_mktsegment
     """,
 )
 def agg_collect(spark, sf_dir):
-    # arrays sorted on both sides — collection order is nondeterministic.
+    # arrays sorted on both sides — collection order is nondeterministic —
+    # then string-joined (raw arrays are unhashable in the driver's pandas
+    # canonicalizer).
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
-        F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
-        F.sort_array(F.collect_list("c_nationkey")).alias("nations_all"),
+        F.array_join(F.sort_array(F.collect_set("c_nationkey")), ",").alias("nations"),
+        F.array_join(F.sort_array(F.collect_list("c_nationkey")), ",").alias("nations_all"),
     )
 
 

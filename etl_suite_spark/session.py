@@ -27,20 +27,36 @@ _RUNTIME_CONF = {
     # Keep ANSI off: SURVEY §1.2 oracle-parity note (legacy null-on-error
     # semantics; declared queries avoid relying on div-by-zero anyway).
     "spark.sql.ansi.enabled": "false",
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects; read the
-    # raw int64 and convert to µs ourselves (io.load_table) — floor division
-    # matches DuckDB's ns→µs truncation exactly.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+
+# Confs whose value changes query RESULTS (not just speed). A set that is
+# silently ignored here is a correctness bug, so configure() verifies the
+# effective value instead of trusting that conf.set "worked" (round-1
+# lesson: spark.sql.legacy.parquet.nanosAsLong accepted the set but did
+# nothing — we no longer depend on any legacy conf; io.load_table
+# dispatches on the actual read schema instead).
+_CORRECTNESS_CRITICAL = {"spark.sql.session.timeZone", "spark.sql.ansi.enabled"}
 
 
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs idempotently. Called by every registered query."""
+    """Apply runtime confs idempotently. Called by every registered query.
+
+    Correctness-critical confs are verified by read-back and raise loudly
+    if ineffective; performance confs are best-effort.
+    """
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # immutable in this deployment → builder already set it
+            if k in _CORRECTNESS_CRITICAL and spark.conf.get(k, None) != v:
+                raise
+            continue  # immutable but already at the right value / perf-only
+        if k in _CORRECTNESS_CRITICAL:
+            got = spark.conf.get(k, None)
+            if got != v:
+                raise RuntimeError(
+                    f"conf {k}={v!r} was accepted but is ineffective (effective={got!r})"
+                )
     return spark
 
 
