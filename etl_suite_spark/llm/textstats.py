@@ -294,7 +294,14 @@ def llm_fingerprint(spark, sf_dir):
     )
 
 
-@query("llm_lang_partition")  # rows-only: tmp sink path invisible to the oracle
+@query(
+    "llm_lang_partition",
+    oracle="""
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents WHERE lang IN ('en', 'de')
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+)
 def llm_lang_partition(spark, sf_dir):
     """Language-routed partitioned sink + pruned read-back: write
     partitionBy(lang), then read only two language directories back.

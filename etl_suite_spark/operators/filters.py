@@ -217,10 +217,29 @@ def dedup_by_key_latest(spark, sf_dir):
     )
 
 
-@query("sample_fraction")  # rows-only: sampling RNGs differ across engines
+@query(
+    "sample_fraction",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE substring(md5(concat(CAST(l_orderkey AS VARCHAR), '-',
+                               CAST(l_linenumber AS VARCHAR))), 1, 2) < '1a'
+    """,
+)
 def sample_fraction(spark, sf_dir):
+    """Deterministic ~10% sample via content hashing (md5-prefix bucket,
+    26/256 ≈ 10.2%): the reproducible-sampling discipline a training
+    pipeline needs — the same rows are sampled on every engine, every
+    rerun, every cluster size, and membership is decidable per-row with
+    no RNG state. ``df.sample(fraction, seed)`` remains the statistical
+    variant (Bernoulli per partition — seed-stable within Spark but not
+    portable across engines; pinned in tests/test_sources.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return li.filter(F.substring(F.md5(key), 1, 2) < "1a").select(
+        "l_orderkey", "l_linenumber"
+    )
 
 
 @query(

@@ -84,7 +84,14 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
-@query("sink_bucketed_colocated_join")  # rows-only: warehouse tables, tmp paths
+@query(
+    "sink_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1 LIMIT 100
+    """,
+)
 def sink_bucketed_colocated_join(spark, sf_dir):
     """Bucket orders and lineitem by orderkey, then join the two bucketed
     tables: the plan has no Exchange on either side (pinned in
@@ -116,7 +123,15 @@ def sink_bucketed_colocated_join(spark, sf_dir):
     )
 
 
-@query("sink_overwrite_partition")  # rows-only
+@query(
+    "sink_overwrite_partition",
+    # idempotence check: re-loading one day must leave per-day totals
+    # exactly equal to the source
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
 def sink_overwrite_partition(spark, sf_dir):
     """Idempotent window reload via dynamic partition overwrite: rewrite
     ONLY the partitions present in the incoming batch, leaving the rest of

@@ -47,7 +47,16 @@ _CSV_SCHEMA = T.StructType(
 )
 
 
-@query("scan_csv_roundtrip")  # rows-only: tmp path invisible to the oracle
+@query(
+    "scan_csv_roundtrip",
+    # the roundtrip must be lossless, so the oracle is the source table
+    # itself (o_orderdate is midnight-only → CSV ms precision suffices)
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
 def scan_csv_roundtrip(spark, sf_dir):
     """Write orders to CSV (header), read back with an explicit schema —
     schema-on-read discipline: inference is allowed only for ad-hoc ingest
@@ -59,7 +68,14 @@ def scan_csv_roundtrip(spark, sf_dir):
     return back.orderBy("o_orderkey")
 
 
-@query("scan_json_roundtrip")  # rows-only
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
 def scan_json_roundtrip(spark, sf_dir):
     # ref analog: Mongo-ish document ingest [K] — JSON lines with explicit
     # schema on read.
@@ -70,7 +86,14 @@ def scan_json_roundtrip(spark, sf_dir):
     return back.orderBy("o_orderkey")
 
 
-@query("sink_parquet_partitioned")  # rows-only (rowcount + re-read)
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS count
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
 def sink_parquet_partitioned(spark, sf_dir):
     """Partitioned warehouse load: one directory per l_returnflag. At 100 TB
     the partition column is the dominant filter (date/lang/tenant) so scans
@@ -100,7 +123,7 @@ def scan_avro_roundtrip(spark, sf_dir):
     raise NotImplementedError("spark-avro data source module not deployed here")
 
 
-@query("scan_orc_roundtrip")  # rows-only
+@query("scan_orc_roundtrip", oracle="SELECT * FROM orders")
 def scan_orc_roundtrip(spark, sf_dir):
     """ORC roundtrip — the other columnar warehouse format; same pushdown/
     pruning properties as parquet from Catalyst's perspective."""
@@ -162,7 +185,18 @@ def scan_jdbc(spark, sf_dir):
     )
 
 
-@query("scan_csv_badrecords")  # rows-only: crafted tmp input
+@query(
+    "scan_csv_badrecords",
+    # the PERMISSIVE contract, pinned as literals: a type-mismatch row
+    # keeps its parseable fields and is flagged corrupt; a row with
+    # missing TRAILING columns just null-fills (NOT corrupt)
+    oracle="""
+    SELECT CAST(k AS BIGINT) AS k, CAST(price AS DOUBLE) AS price, is_corrupt
+    FROM (VALUES (1, 10.5, false), (2, NULL, true),
+                 (3, 30.25, false), (4, 40.0, false)) t(k, price, is_corrupt)
+    ORDER BY k
+    """,
+)
 def scan_csv_badrecords(spark, sf_dir):
     """Malformed-record discipline for ad-hoc ingest: PERMISSIVE mode with
     a _corrupt_record column — bad rows survive the scan as raw text
@@ -199,7 +233,17 @@ def scan_csv_badrecords(spark, sf_dir):
     ).orderBy("k")
 
 
-@query("scan_parquet_schema_evolution")  # rows-only: crafted tmp input
+@query(
+    "scan_parquet_schema_evolution",
+    # old files (even keys) predate the column → NULL band
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN
+             (CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'normal' END)
+           END AS priority_band,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1 ORDER BY priority_band NULLS FIRST
+    """,
+)
 def scan_parquet_schema_evolution(spark, sf_dir):
     """Schema evolution on read: two parquet drops with different schemas
     (a column added later) merge under mergeSchema=true — old files yield
@@ -224,7 +268,13 @@ def scan_parquet_schema_evolution(spark, sf_dir):
     )
 
 
-@query("scan_text_roundtrip")  # rows-only (tmp path not visible to oracle)
+@query(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT length(text) AS n_chars, CAST(COUNT(*) AS BIGINT) AS count
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
 def scan_text_roundtrip(spark, sf_dir):
     """Raw text-lines interchange (`spark.read.text`) — the ingest format of
     web-crawl/corpus drops where each line is one record and parsing is the
@@ -236,14 +286,22 @@ def scan_text_roundtrip(spark, sf_dir):
     docs.select("text").write.mode("overwrite").text(out)
     back = spark.read.text(out)  # column: value
     return (
-        back.select(F.length("value").alias("n_chars"))
+        back.select(F.length("value").cast("long").alias("n_chars"))
         .groupBy("n_chars")
         .count()
         .orderBy("n_chars")
     )
 
 
-@query("sink_sorted_layout")  # rows-only
+@query(
+    "sink_sorted_layout",
+    oracle="""
+    SELECT CAST(l_shipdate AS DATE) AS ship_day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= '1998-03-01' AND l_shipdate < '1998-04-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
 def sink_sorted_layout(spark, sf_dir):
     """Sorted data layout for scan-time pruning: repartition by the dominant
     filter column's coarse bucket, then ``sortWithinPartitions`` so parquet
@@ -263,7 +321,7 @@ def sink_sorted_layout(spark, sf_dir):
     back = spark.read.parquet(out)
     return (
         back.filter(
-            (F.col("l_shipdate") >= "1994-03-01") & (F.col("l_shipdate") < "1994-04-01")
+            (F.col("l_shipdate") >= "1998-03-01") & (F.col("l_shipdate") < "1998-04-01")
         )
         .groupBy(F.to_date(F.date_trunc("day", "l_shipdate")).alias("ship_day"))
         .agg(F.count("*").alias("n"))
@@ -271,7 +329,19 @@ def sink_sorted_layout(spark, sf_dir):
     )
 
 
-@query("join_dpp_partition_pruned")  # rows-only (tmp-path warehouse layout)
+@query(
+    "join_dpp_partition_pruned",
+    oracle="""
+    WITH fs AS (
+      SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ), d AS (
+      SELECT l_returnflag FROM fs ORDER BY n ASC, l_returnflag ASC LIMIT 1
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_returnflag IN (SELECT l_returnflag FROM d)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
 def join_dpp_partition_pruned(spark, sf_dir):
     """Dynamic partition pruning demonstrator: fact table laid out
     partitioned by join key, dim side filtered at runtime. Catalyst

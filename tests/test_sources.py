@@ -75,3 +75,29 @@ def test_schema_evolution_nulls_old_files(spark):
     assert sum(bands.values()) == spark.read.parquet(
         os.path.join(SF_DIR, "orders.parquet")
     ).count()
+
+
+def test_statistical_sample_seed_stable(spark):
+    """df.sample(fraction, seed): Bernoulli sampling is seed-stable within
+    Spark (same seed → same rows) and lands near the requested fraction.
+    The registered sample_fraction query uses hash-sampling instead for
+    cross-engine reproducibility; this pins the statistical variant."""
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    a = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber").collect()
+    )
+    b = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber").collect()
+    )
+    assert a == b  # seed-stable
+    n = li.count()
+    assert 0.05 * n < len(a) < 0.15 * n  # near the requested fraction
+
+
+def test_hash_sample_matches_fraction(spark):
+    out = QUERIES["sample_fraction"](spark, SF_DIR)
+    n_all = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    n = out.count()
+    assert 0.06 * n_all < n < 0.15 * n_all  # 26/256 ≈ 10.2% expected
