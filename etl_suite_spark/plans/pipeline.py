@@ -229,7 +229,24 @@ _STREAM_SPEC = {
 }
 
 
-@query("pipeline_spec_stream")  # rows-only: watermark semantics aren't SQL
+@query(
+    "pipeline_spec_stream",
+    # NOTE the watermark CTE scans the FILTERED events: Catalyst pushes
+    # the spec's filter below EventTimeWatermark, so the stream's final
+    # watermark derives from click/purchase rows only (verified live —
+    # with the global max ts the last two windows over-emit)
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events
+               WHERE event_type IN ('click', 'purchase'))
+    SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events, m WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1, 2, wm
+    HAVING win_start + INTERVAL 15 MINUTE <= wm
+    ORDER BY 1, 2
+    """,
+)
 def pipeline_spec_stream(spark, sf_dir):
     """The spec compiler's continuous path: identical spec dialect compiled
     to readStream → watermark → stateless transforms → tumbling windowed

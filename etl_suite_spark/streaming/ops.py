@@ -10,8 +10,15 @@ sources on a cluster by swapping ``readStream.format``.
 Every operator runs ``Trigger.AvailableNow`` with ``maxFilesPerTrigger=1``
 over time-ordered drop files, so the watermark advances batch-by-batch the
 way it would on a live stream, and the emitted (finalized) windows are
-deterministic — the registry entries are rows-only (DuckDB has no
-watermark semantics) and pinned by pytest goldens instead.
+deterministic. Round 2 insight: for a TERMINATED AvailableNow run the
+emitted set IS batch-SQL-expressible — append mode emits exactly the
+windows whose end <= final watermark (max observed event time − delay,
+computed over the rows the watermark node actually sees — Catalyst
+pushes deterministic filters below EventTimeWatermark, so a filtered
+stream's watermark derives from the filtered rows). Every operator
+below therefore carries a DuckDB oracle that replicates the watermark
+contract with a `max(ts) - delay` CTE; pytest goldens additionally pin
+the batch-by-batch behavior.
 
 Scale notes: stateful aggregation state lives in the HDFS/RocksDB state
 store keyed by group — at 100 TB of events the state is bounded by the
@@ -104,7 +111,20 @@ def _run_to_memory(sdf: DataFrame, mode: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("stream_tumbling_agg")  # rows-only: watermark semantics aren't SQL
+@query(
+    "stream_tumbling_agg",
+    # emitted set = windows whose end <= final watermark (max ts − 10 min)
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events, m
+    GROUP BY 1, 2, wm
+    HAVING win_start + INTERVAL 5 MINUTE <= wm
+    ORDER BY 1, 2
+    """,
+)
 def stream_tumbling_agg(spark, sf_dir):
     """Per-5-minute tumbling counts/sums by event_type, 10-minute
     watermark, append mode — only *finalized* windows emit. The decimal
@@ -125,7 +145,27 @@ def stream_tumbling_agg(spark, sf_dir):
     return _run_to_memory(sdf, "append").orderBy("win_start", "event_type")
 
 
-@query("stream_sliding_agg")  # rows-only
+@query(
+    "stream_sliding_agg",
+    # each event lands in the two 10-min windows whose grids differ by 5
+    # minutes; union the two alignments, then apply the watermark gate
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+    x AS (
+      SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w0,
+             time_bucket(INTERVAL 10 MINUTE, ts - INTERVAL 5 MINUTE)
+               + INTERVAL 5 MINUTE AS w1,
+             event_type FROM events
+    ), u AS (
+      SELECT w0 AS win_start, event_type FROM x
+      UNION ALL SELECT w1, event_type FROM x
+    )
+    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM u, m GROUP BY 1, 2, wm
+    HAVING win_start + INTERVAL 10 MINUTE <= wm
+    ORDER BY 1, 2
+    """,
+)
 def stream_sliding_agg(spark, sf_dir):
     """10-minute windows sliding every 5 — each event lands in two windows;
     same watermark/append discipline as tumbling."""
@@ -140,7 +180,37 @@ def stream_sliding_agg(spark, sf_dir):
     return _run_to_memory(sdf, "append").orderBy("win_start", "event_type")
 
 
-@query("stream_session_window")  # rows-only
+@query(
+    "stream_session_window",
+    # classic gaps-and-islands twin: a >= 30-min gap breaks the session
+    # (session windows are half-open, so an event exactly at gap-end
+    # starts a NEW session); emitted sessions are those whose end
+    # (last ts + gap) cleared the final watermark
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+    o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id, MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g, m GROUP BY user_id, sid, wm
+    HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm
+    ORDER BY user_id, sess_start
+    """,
+)
 def stream_session_window(spark, sf_dir):
     """Session windows with a 30-minute gap per user: state merges as
     events extend a session; a session closes (and emits) once the
@@ -168,7 +238,15 @@ def _dup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter((F.col("ts") >= _CUTS[1]) & (F.col("event_id") % 10 == 0))
 
 
-@query("stream_dedup")  # rows-only
+@query(
+    "stream_dedup",
+    # the re-delivered copies must vanish: deduped per-type counts equal
+    # the source's (event_id is unique in the fixture)
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
 def stream_dedup(spark, sf_dir):
     """dropDuplicatesWithinWatermark on event_id: re-delivered events in
     the last drop file are suppressed because their ids were seen within
@@ -214,7 +292,17 @@ def _running_counters(
     )
 
 
-@query("stream_stateful_custom")  # rows-only
+@query(
+    "stream_stateful_custom",
+    # final per-user state = whole-table totals (2-dp cent values sum
+    # exactly in both engines)
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
 def stream_stateful_custom(spark, sf_dir):
     """applyInPandasWithState: arbitrary per-key state across micro-batches
     (update mode). The memory sink sees one update per (user, batch); the
@@ -242,7 +330,15 @@ def stream_stateful_custom(spark, sf_dir):
     )
 
 
-@query("stream_foreachbatch_upsert")  # rows-only
+@query(
+    "stream_foreachbatch_upsert",
+    # idempotence: after merging re-delivered duplicates, the warehouse
+    # equals the source exactly
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
 def stream_foreachbatch_upsert(spark, sf_dir):
     """foreachBatch merge-by-key sink: each micro-batch upserts into a
     parquet warehouse via the dedup-latest idiom (newest row per event_id
@@ -288,7 +384,17 @@ def stream_foreachbatch_upsert(spark, sf_dir):
     return final.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
 
 
-@query("stream_late_data")  # rows-only
+@query(
+    "stream_late_data",
+    # the late copies (re-delivered first-day events) must NOT be counted:
+    # early windows equal the original data's counts
+    oracle="""
+    SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
 def stream_late_data(spark, sf_dir):
     """The late-data contract, demonstrated: a crafted copy of the very
     first events (early January) arrives in the LAST drop file, long after
@@ -312,7 +418,25 @@ def stream_late_data(spark, sf_dir):
     return out.filter(F.col("win_start") < "2024-01-02 00:00:00").orderBy("win_start")
 
 
-@query("stream_static_join")  # rows-only
+@query(
+    "stream_static_join",
+    # stateless inner join: every event emits enriched, so the streaming
+    # result equals the batch join
+    oracle="""
+    WITH tv AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_value
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT user_id,
+             ntile(3) OVER (ORDER BY total_value DESC, user_id ASC) AS tier
+      FROM tv
+    )
+    SELECT tier, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN t USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
 def stream_static_join(spark, sf_dir):
     """Stream-static join: each streaming event is enriched with its
     user's value tier, computed once from the batch events table.
@@ -346,7 +470,19 @@ def stream_static_join(spark, sf_dir):
     )
 
 
-@query("stream_stream_join")  # rows-only
+@query(
+    "stream_stream_join",
+    # inner stream-stream matches emit on arrival; with in-order drops and
+    # a 1-hour horizon no valid pair is ever state-evicted before its
+    # partner arrives, so the result equals the batch interval join
+    oracle="""
+    SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_attributed
+    FROM events c JOIN events p ON c.user_id = p.user_id
+      AND c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY 1 ORDER BY 1
+    """,
+)
 def stream_stream_join(spark, sf_dir):
     """Stream-stream inner join: purchases attributed to a click by the
     same user within the previous 30 minutes.
