@@ -232,7 +232,20 @@ def _ensure_payload_dir(spark, sf_dir: str) -> str:
     return root
 
 
-@query("mm_binaryfile_scan")  # rows-only: tmp-path file scan
+@query(
+    "mm_binaryfile_scan",
+    # lossless transport: features over binaryFile-scanned payloads must
+    # equal features computed from the source text (same extractor as the
+    # oracle-checked mm_binary_features, restricted to the payload set)
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha,
+           octet_length(encode(text)) % 256 + 1 AS fake_width,
+           octet_length(encode(text)) % 128 + 1 AS fake_height
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+)
 def mm_binaryfile_scan(spark, sf_dir):
     """Real multimodal ingestion: one file per payload on disk, read with
     Spark's ``binaryFile`` source → (path, modificationTime, length,

@@ -256,15 +256,41 @@ def llm_token_count(spark, sf_dir):
     )
 
 
-@query("llm_fingerprint")  # rows-only: xxhash64 fingerprints are Spark-specific
+@query(
+    "llm_fingerprint",
+    # portable-hash twin: fixed-length lowercase hex sorts identically to
+    # its numeric value, so lexicographic MIN over md5-prefix strings is
+    # the same winnowing selection in both engines
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos,
+             substring(md5(array_to_string(w[i+1:i+5], ' ')), 1, 16) AS h
+      FROM t, unnest(range(0, len(w) - 4)) AS u(i)
+      WHERE len(w) >= 5
+    ), fp AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM sh
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM fp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def llm_fingerprint(spark, sf_dir):
-    """Winnowing document fingerprints (MOSS-style).
+    """Winnowing document fingerprints (MOSS-style; Schleimer et al. 2003).
 
     Rolling 5-gram shingle hashes per doc; a sliding window of 4 keeps
     each window's minimum; the distinct kept hashes are the fingerprint.
     Near-duplicate docs share most fingerprints, and the fingerprint set
     is ~1/4 the shingle count — the standard sketch for plagiarism/dedup
-    at corpus scale. Deterministic via fixed-seed xxhash64.
+    at corpus scale. The shingle hash is a 16-hex-char md5 prefix so the
+    selection is engine-portable and oracle-checkable (fixed-length hex
+    compares lexicographically == numerically); at 100 TB swap in
+    xxhash64 for JVM-side speed — the winnowing structure is unchanged.
     """
     k = 5
     d = load_table(spark, sf_dir, "documents")
@@ -276,7 +302,7 @@ def llm_fingerprint(spark, sf_dir):
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, size(w)-{k}),"
-                    f" i -> xxhash64(concat_ws(' ', slice(w, i+1, {k}))))"
+                    f" i -> substring(md5(concat_ws(' ', slice(w, i+1, {k}))), 1, 16))"
                 )
             ).alias("pos", "h"),
         )

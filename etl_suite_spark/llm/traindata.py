@@ -246,7 +246,35 @@ def _greedy_pack_pdf(pdf):
     )
 
 
-@query("llm_seq_packing_greedy")  # rows-only: sequential fold, not SQL
+@query(
+    "llm_seq_packing_greedy",
+    # the sequential fold IS SQL-expressible via a recursive CTE that
+    # advances every source group one document per iteration, carrying
+    # (bin, fill) as the recursion state — fine at oracle scale,
+    # deliberately not the distributed plan shape
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id, CAST({_TOK_SQL} AS INT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), walk AS (
+      SELECT source, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN w.bin_offset + w.n_tokens + d.n_tokens > {_PACK_BUDGET}
+                       AND w.bin_offset + w.n_tokens > 0
+                  THEN w.bin + 1 ELSE w.bin END,
+             CASE WHEN w.bin_offset + w.n_tokens + d.n_tokens > {_PACK_BUDGET}
+                       AND w.bin_offset + w.n_tokens > 0
+                  THEN CAST(0 AS BIGINT) ELSE w.bin_offset + w.n_tokens END
+      FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin, bin_offset FROM walk
+    ORDER BY source, doc_id
+    """,
+)
 def llm_seq_packing_greedy(spark, sf_dir):
     """Strict greedy packing — documents never straddle a bin boundary.
 
