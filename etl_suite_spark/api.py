@@ -57,6 +57,22 @@ class Engine:
     def incremental_tick(self, state_path: str, transform: Callable, **kw) -> DataFrame:
         return run_incremental_tick(self.spark, self.sf_dir, state_path, transform, **kw)
 
+    # -- load side: pluggable sinks ---------------------------------------
+    def load(self, df: DataFrame, sink_spec: dict) -> None:
+        """Write a frame through the pluggable sink registry
+        (sources/sinks.py): ``{"format": "jdbc"|"parquet"|..., ...}``."""
+        from .sources.sinks import write_sink
+
+        write_sink(df, sink_spec)
+
+    @staticmethod
+    def sinks() -> list[str]:
+        """Available sink formats (env-blocked ones raise on construction
+        with the production call shape in the error)."""
+        from .sources.sinks import SINKS
+
+        return sorted(SINKS)
+
     # -- registry ---------------------------------------------------------
     def run(self, query_id: str) -> DataFrame:
         """Run any registered operator by its SURVEY §2 id."""

@@ -100,10 +100,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str, spec: dict) -> DataFrame:
     df = compile_pipeline(spark, sf_dir, spec)
     sink = spec.get("sink")
     if sink:
-        writer = df.write.mode(sink.get("mode", "overwrite"))
-        if sink.get("partition_by"):
-            writer = writer.partitionBy(*sink["partition_by"])
-        getattr(writer, sink.get("format", "parquet"))(sink["path"])
+        # declarative sink dispatch through the pluggable registry
+        # (sources/sinks.py): parquet/orc/csv/json/jdbc run here;
+        # clickhouse/mongodb raise with the documented production shape.
+        from ..sources.sinks import write_sink
+
+        write_sink(df, sink)
     inc = spec.get("incremental")
     if inc:
         hi = (
@@ -162,6 +164,52 @@ def pipeline_spec_run(spark, sf_dir):
     though the spec declared it after — declarative specs get the whole
     optimizer for free."""
     return compile_pipeline(spark, sf_dir, _SPEC)
+
+
+@query(
+    "pipeline_sink_jdbc",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate < '1995-03-15' AND c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+)
+def pipeline_sink_jdbc(spark, sf_dir):
+    """Extract→transform→LOAD through the pluggable sink registry
+    (sources/sinks.py): the same spec as `pipeline_spec_run`, sunk into an
+    embedded-Derby JDBC table (the reference's warehouse-load analog [K] —
+    against ClickHouse-JDBC/MySQL only url+driver change), read back and
+    oracle-checked — the load path itself is correctness-gated, not just
+    the transform."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    db = _os.path.join(
+        _tempfile.gettempdir(),
+        "etl_sinkjdbc_" + _hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
+    url = f"jdbc:derby:{db};create=true"
+    spec = dict(_SPEC)
+    spec["sink"] = {
+        "format": "jdbc",
+        "url": url,
+        "table": "priority_revenue",
+        "num_partitions": 1,
+    }
+    run_pipeline(spark, sf_dir, spec)
+    from ..sources.sinks import JdbcSink
+
+    props = JdbcSink(url, "priority_revenue").properties
+    back = spark.read.jdbc(url, "priority_revenue", properties=props)
+    return back.select(
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
 
 
 # --- streaming compile -------------------------------------------------------

@@ -7,6 +7,8 @@ broadcast joins for dims, TakeOrderedAndProject for top-k (no global sort).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from etl_suite_spark.io import load_table
@@ -202,3 +204,47 @@ def test_dpp_injects_dynamic_pruning(spark):
     df = QUERIES["join_dpp_partition_pruned"](spark, SF_DIR)
     plan = plan_of(df)
     assert "dynamicpruning" in plan.lower(), "fact scan should carry a DPP filter"
+
+
+def test_sink_registry_file_roundtrips(spark, tmp_path):
+    """Every file sink in the pluggable registry writes + reads back losslessly."""
+    from etl_suite_spark.sources.sinks import make_sink, SINKS
+
+    src = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    want = sorted(map(tuple, src.select("n_nationkey", "n_name").collect()))
+    for fmt in ("parquet", "orc", "json", "csv"):
+        out = str(tmp_path / f"roundtrip_{fmt}")
+        make_sink({"format": fmt, "path": out}).write(
+            src.select("n_nationkey", "n_name")
+        )
+        reader = {
+            "parquet": lambda: spark.read.parquet(out),
+            "orc": lambda: spark.read.orc(out),
+            "json": lambda: spark.read.schema("n_nationkey long, n_name string").json(out),
+            "csv": lambda: spark.read.schema("n_nationkey long, n_name string")
+            .option("header", True)
+            .csv(out),
+        }[fmt]
+        got = sorted(map(tuple, reader().collect()))
+        assert got == want, fmt
+    assert "jdbc" in SINKS and "clickhouse" in SINKS and "mongodb" in SINKS
+
+
+def test_blocked_sinks_document_call_shape(spark):
+    import pytest as _pytest
+    from etl_suite_spark.sources.sinks import SINKS
+
+    for fmt in ("clickhouse", "mongodb"):
+        with _pytest.raises(NotImplementedError, match="production call shape"):
+            SINKS[fmt]()
+        assert "df.write" in SINKS[fmt].__doc__ or "writeTo" in SINKS[fmt].__doc__
+
+
+def test_partitioned_sink_layout(spark, tmp_path):
+    from etl_suite_spark.sources.sinks import write_sink
+
+    src = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    out = str(tmp_path / "by_segment")
+    write_sink(src, {"format": "parquet", "path": out, "partition_by": ["c_mktsegment"]})
+    dirs = [d for d in os.listdir(out) if d.startswith("c_mktsegment=")]
+    assert len(dirs) == src.select("c_mktsegment").distinct().count()
