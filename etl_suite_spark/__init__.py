@@ -23,6 +23,10 @@ from . import registry  # noqa: F401
 #   round 2 window: sorts(4) + setops(6) + joins(13) + windows(11) +
 #                   aggregates(first 16) = exactly 50 — the core
 #                   relational families with zero driver evidence so far.
+#   round 3 PLAN: rotate again — move scans + filters + tpch + analytics
+#                 + quality (= ~50, all still driver-unchecked) to the
+#                 front; round 4: plans/udf/scale/graph + remaining
+#                 aggregates + streaming + textstats/traindata tail.
 from .operators import sorts  # noqa: F401
 from .operators import setops  # noqa: F401
 from .operators import joins  # noqa: F401
