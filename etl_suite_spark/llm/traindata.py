@@ -57,7 +57,7 @@ def _n_tokens() -> F.Column:
     )
     SELECT source, doc_id, n_tokens,
            CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin,
-           (cum_tokens - n_tokens) % {_PACK_BUDGET} AS bin_offset
+           CAST((cum_tokens - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS bin_offset
     FROM c ORDER BY source, doc_id
     """,
 )
@@ -156,7 +156,7 @@ def llm_decontaminate(spark, sf_dir):
                  i -> w[i] || ' ' || w[i+1]))) AS d2
       FROM t WHERE len(w) >= 2
     )
-    SELECT tops.doc_id, n_words,
+    SELECT tops.doc_id, CAST(n_words AS BIGINT) AS n_words,
            round(top_c * 1.0 / n_words, 6) AS frac_top_word,
            round(1 - COALESCE(d2 * 1.0 / n2, 1.0), 6) AS frac_dup_2gram,
            (top_c * 1.0 / n_words <= 0.2
@@ -362,7 +362,7 @@ def sample_stratified(spark, sf_dir):
                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
       FROM t
     )
-    SELECT source, doc_id, n_tokens, cum_tokens
+    SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM c WHERE cum_tokens <= {_MIX_QUOTA}
     ORDER BY source, doc_id
     """,

@@ -20,9 +20,15 @@ ORACLES = entry_mod.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(name, spark, duck):
-    sc, sr = canon_spark(QUERIES[name](spark, SF_DIR))
-    oc, orr = canon_duck(duck, ORACLES[name])
+    sc, sr, st = canon_spark(QUERIES[name](spark, SF_DIR), with_types=True)
+    oc, orr, ot = canon_duck(duck, ORACLES[name], with_types=True)
     assert sc == oc, f"columns: spark={sc} oracle={oc}"
+    drift = {
+        c: (st.get(c), ot.get(c))
+        for c in sc
+        if st.get(c) != ot.get(c) and "all-null" not in (st.get(c), ot.get(c))
+    }
+    assert not drift, f"value-object type drift (spark vs oracle): {drift}"
     assert len(sr) == len(orr), f"rowcount: spark={len(sr)} oracle={len(orr)}"
     mismatches = [i for i, (a, b) in enumerate(zip(sr, orr)) if a != b]
     assert not mismatches, f"{len(mismatches)} rows differ; first: {sr[mismatches[0]]} vs {orr[mismatches[0]]}"

@@ -61,6 +61,58 @@ def canon_cell(v):
     return str(v)
 
 
+def _type_class(v):
+    """Equivalence class of a result cell's Python object type.
+
+    The driver hashes value objects, not strings — a DuckDB Decimal('5')
+    (HUGEINT via Arrow) vs Spark int 5 is a hash mismatch even though both
+    canonicalize to '5'.  Grouping into coarse classes (int-like, float-like,
+    ...) makes that drift visible locally.
+    """
+    import datetime
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return None if math.isnan(float(v)) else "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return "datetime"
+    if isinstance(v, datetime.date):
+        return "date"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "list"
+    if isinstance(v, dict):
+        return "dict"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    return type(v).__name__
+
+
+def type_sig(cols, raw_rows):
+    """Per-column type class from the first non-null cell (column order must
+    already be the sorted-cols order used by canon_*)."""
+    sig = {}
+    for i, c in enumerate(sorted(cols)):
+        for row in raw_rows:
+            tc = _type_class(row[i])
+            if tc is not None:
+                sig[c] = tc
+                break
+        else:
+            sig[c] = "all-null"
+    return sig
+
+
 def canon_frame(pdf):
     cols = sorted(pdf.columns)
     rows = [tuple(canon_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
@@ -68,20 +120,26 @@ def canon_frame(pdf):
     return cols, rows
 
 
-def canon_spark(df):
+def canon_spark(df, with_types=False):
     """Canonicalize straight from collect() — no pandas smoothing, so type
     asymmetries (DATE vs TIMESTAMP) surface exactly as the driver sees them."""
     cols = df.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = sorted(tuple(canon_cell(r[i]) for i in order) for r in df.collect())
+    raw = [tuple(r[i] for i in order) for r in df.collect()]
+    rows = sorted(tuple(canon_cell(v) for v in row) for row in raw)
+    if with_types:
+        return sorted(cols), rows, type_sig(cols, raw)
     return sorted(cols), rows
 
 
-def canon_duck(con, sql):
+def canon_duck(con, sql, with_types=False):
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = sorted(tuple(canon_cell(r[i]) for i in order) for r in cur.fetchall())
+    raw = [tuple(r[i] for i in order) for r in cur.fetchall()]
+    rows = sorted(tuple(canon_cell(v) for v in row) for row in raw)
+    if with_types:
+        return sorted(cols), rows, type_sig(cols, raw)
     return sorted(cols), rows
 
 
@@ -109,7 +167,7 @@ def main():
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
-            sc, sr = canon_spark(sdf)
+            sc, sr, st = canon_spark(sdf, with_types=True)
         except Exception as e:
             failed.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL {name}: spark error: {e}")
@@ -119,7 +177,7 @@ def main():
             print(f"rows-only {name}: {len(sr)} rows  ({time.time()-t0:.1f}s)")
             continue
         try:
-            oc, orr = canon_duck(con, oracles[name])
+            oc, orr, ot = canon_duck(con, oracles[name], with_types=True)
         except Exception as e:
             failed.append((name, f"DUCKDB ERROR: {type(e).__name__}: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
@@ -127,6 +185,16 @@ def main():
         if sc != oc:
             failed.append((name, f"columns differ: spark={sc} oracle={oc}"))
             print(f"FAIL {name}: columns spark={sc} vs oracle={oc}")
+            continue
+        type_drift = {
+            c: (st.get(c), ot.get(c))
+            for c in sc
+            if st.get(c) != ot.get(c)
+            and "all-null" not in (st.get(c), ot.get(c))
+        }
+        if type_drift:
+            failed.append((name, f"type drift (spark vs oracle): {type_drift}"))
+            print(f"FAIL {name}: value-object type drift: {type_drift}")
             continue
         if len(sr) != len(orr):
             failed.append((name, f"rowcount spark={len(sr)} oracle={len(orr)}"))
