@@ -71,7 +71,12 @@ def _oracle_pagerank() -> str:
 
 
 @query("graph_pagerank", oracle=_oracle_pagerank())
-def graph_pagerank(spark, sf_dir):
+def graph_pagerank(
+    spark,
+    sf_dir,
+    broadcast_threshold_rows=1_000_000,
+    edges_path=None,
+):
     """PageRank (damping 0.85, 3 iterations) over the customer↔supplier
     trade graph (who-bought-from-whom via orders⋈lineitem, symmetrized).
     Node ids namespace the bipartite sides (2k / 2k+1). Per iteration:
@@ -79,7 +84,19 @@ def graph_pagerank(spark, sf_dir):
     at 100 TB you'd bucket edges by src so every iteration reuses the
     layout) and one dst-keyed aggregation; the 15%/N teleport and the
     85% damping are floor-division fixed-point updates, so results are
-    bit-identical across engines, partitionings, and retries."""
+    bit-identical across engines, partitionings, and retries.
+
+    ``share``/``contrib`` are NODE-cardinality tables, so the broadcast
+    hint that wins at bench scale would OOM the driver on a billion-node
+    graph — it is therefore gated on the measured node count:
+    n < ``broadcast_threshold_rows`` → hint; otherwise no hint, and AQE
+    picks the join strategy from runtime sizes (shuffle-hash on the node
+    key once the rank side outgrows the broadcast budget).  Pass
+    ``broadcast_threshold_rows=None`` to never hint.  ``edges_path``
+    overrides where the symmetrized edge list is materialized (a warehouse
+    path at scale); default is a deterministic per-sf_dir temp dir that is
+    reused across invocations instead of leaking a fresh mkdtemp each run.
+    """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e0 = (
@@ -97,38 +114,49 @@ def graph_pagerank(spark, sf_dir):
     # write vs ~6.8 s recomputing the distinct edge build per iteration
     # and ~8-16 s with .persist() (cache materialization blocks, and its
     # InMemoryRelation boundary stops AQE re-optimization).
+    import hashlib
     import os
     import tempfile
 
     edges_lazy = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="etl_pr_edges_"), "edges")
-    edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(out)
-    edges = spark.read.parquet(out)
+    if edges_path is None:
+        edges_path = os.path.join(
+            tempfile.gettempdir(),
+            "etl_pr_edges_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+            "edges",
+        )
+    edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(edges_path)
+    edges = spark.read.parquet(edges_path)
 
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()  # one scalar job; every other step stays distributed
     base = (15 * _SCALE) // (100 * n)
 
+    hint = (
+        F.broadcast
+        if broadcast_threshold_rows is not None and n < broadcast_threshold_rows
+        else (lambda df: df)
+    )
+
     rank = nodes.select("node", F.lit(_SCALE // n).cast("long").alias("rank"))
     for _ in range(_ITERS):
         # outdeg folds into the RANK side (node-cardinality join), so each
-        # iteration touches edges exactly once: one broadcast probe — the
-        # share table is dimension-sized here; for billion-node graphs drop
-        # the hint and let AQE pick — plus one dst-keyed aggregation.
+        # iteration touches edges exactly once, followed by one dst-keyed
+        # aggregation.  `hint` broadcasts only under the node-count gate.
         share = rank.join(deg, rank["node"] == deg["src"]).select(
             F.col("node").alias("snode"),
             F.expr("rank div outdeg").alias("share"),
         )
         contrib = (
-            edges.join(F.broadcast(share), edges["src"] == F.col("snode"))
+            edges.join(hint(share), edges["src"] == F.col("snode"))
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
         rank = nodes.join(
-            F.broadcast(contrib), nodes["node"] == contrib["dst"], "left"
+            hint(contrib), nodes["node"] == contrib["dst"], "left"
         ).select(
             "node",
             F.expr(
