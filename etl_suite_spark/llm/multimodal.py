@@ -206,17 +206,32 @@ def _ensure_payload_dir(spark, sf_dir: str) -> str:
     (``foreachPartition``), never collected to the driver. In local mode
     executors share the driver's filesystem, so a tmp dir works; on a
     cluster this would be an object-store prefix and the same code holds.
+
+    Completeness is proven by a ``_MANIFEST`` written atomically AFTER the
+    distributed write finishes, listing every expected file — a dir left
+    half-written by a crashed/concurrent run has no (or a stale) manifest
+    and is rebuilt instead of silently reused as a subset fixture.
     """
     import os
     import tempfile
 
+    def _complete(root: str) -> bool:
+        manifest = os.path.join(root, "_MANIFEST")
+        if not os.path.isfile(manifest):
+            return False
+        with open(manifest, encoding="utf-8") as f:
+            expected = [line.strip() for line in f if line.strip()]
+        return bool(expected) and all(
+            os.path.isfile(os.path.join(root, name)) for name in expected
+        )
+
     cached = _PAYLOAD_DIRS.get(sf_dir)
-    if cached and os.path.isdir(cached) and os.listdir(cached):
+    if cached and os.path.isdir(cached) and _complete(cached):
         return cached
     digest = hashlib.sha1(sf_dir.encode("utf-8")).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"etl_mm_bin_{digest}")
     os.makedirs(root, exist_ok=True)
-    if not os.listdir(root):
+    if not _complete(root):
         docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
 
         def _write_partition(rows):
@@ -228,6 +243,14 @@ def _ensure_payload_dir(spark, sf_dir: str) -> str:
                 os.replace(tmp, path)  # atomic: no torn reads on rescan
 
         docs.select("doc_id", "text").foreachPartition(_write_partition)
+        # Expected set = the doc ids actually in the table (scalar id list,
+        # same legitimacy class as watermark reads); manifest lands last,
+        # atomically, so its presence implies every payload file landed.
+        ids = [r.doc_id for r in docs.select("doc_id").collect()]
+        tmp = os.path.join(root, "_MANIFEST.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("".join(f"doc_{i:05d}.bin\n" for i in sorted(ids)))
+        os.replace(tmp, os.path.join(root, "_MANIFEST"))
     _PAYLOAD_DIRS[sf_dir] = root
     return root
 

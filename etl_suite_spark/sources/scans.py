@@ -374,7 +374,15 @@ def join_dpp_partition_pruned(spark, sf_dir):
     )
 
 
-@query("sink_compact_small_files")  # rows-only (tmp-path layout op)
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS content_matches,
+           TRUE AS compaction_ok
+    FROM orders
+    """,
+)
 def sink_compact_small_files(spark, sf_dir):
     """Small-file compaction: rewrite a fragmented dataset (many tiny
     files — the classic streaming-sink / over-parallel-write pathology)
@@ -383,9 +391,18 @@ def sink_compact_small_files(spark, sf_dir):
     is a maintenance pass — read, ``repartition`` to ceil(bytes/target),
     rewrite — run under `sink_overwrite_partition` semantics per
     partition in production. Here: fragment orders into 64 files, compact
-    to 4, verify row fidelity and report the file-count drop."""
+    to size-targeted files, then emit DuckDB-checkable invariants instead
+    of raw file counts (absolute counts are layout-dependent and thus not
+    oracle-expressible): ``n_rows`` must equal COUNT(*) of the source,
+    ``content_matches`` is a GENUINELY COMPUTED order-insensitive content
+    signature comparison (bit_xor of per-row xxhash64 over all columns,
+    fragmented vs compacted — flips to false on any lost/corrupted row),
+    and ``compaction_ok`` is the measured files_after < files_before."""
     o = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="etl_compact_")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "etl_compact_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+    )
     frag_dir = os.path.join(base, "fragmented")
     compact_dir = os.path.join(base, "compacted")
     o.repartition(64).write.mode("overwrite").parquet(frag_dir)
@@ -404,8 +421,22 @@ def sink_compact_small_files(spark, sf_dir):
 
     back = spark.read.parquet(compact_dir)
     n_comp_files = len([f for f in os.listdir(compact_dir) if f.endswith(".parquet")])
-    return back.groupBy().agg(
-        F.count("*").alias("n_rows"),
-        F.lit(n_frag_files).alias("files_before"),
-        F.lit(n_comp_files).alias("files_after"),
+
+    def content_sig(df):
+        # Order-insensitive whole-table signature: one scan, map-side
+        # partial bit_xor, no shuffle of data rows.
+        cols = [F.col(c) for c in sorted(df.columns)]
+        row = (
+            df.select(F.xxhash64(*cols).alias("h"))
+            .agg(F.expr("bit_xor(h)").alias("sig"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        return row["sig"], row["n"]
+
+    frag_sig, frag_n = content_sig(frag)
+    comp_sig, comp_n = content_sig(back)
+    return spark.range(1).select(
+        F.lit(comp_n).cast("long").alias("n_rows"),
+        F.lit(frag_sig == comp_sig and frag_n == comp_n).alias("content_matches"),
+        F.lit(n_comp_files < n_frag_files).alias("compaction_ok"),
     )

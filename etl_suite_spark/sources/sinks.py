@@ -82,6 +82,12 @@ class JdbcSink:
     ``numPartitions`` bounds concurrent connections: size it to what the
     target database tolerates, never to cluster size."""
 
+    # File-sink spec keys that must fail loudly instead of silently
+    # becoming JDBC connection properties via **properties.
+    REJECTED_KEYS = frozenset(
+        {"path", "partition_by", "header", "compression", "sep", "delimiter"}
+    )
+
     def __init__(
         self,
         url: str,
@@ -150,13 +156,24 @@ class MongoSink:
 
 
 def make_sink(spec: dict):
-    """Build a sink from a declarative spec: {"format": name, ...params}."""
+    """Build a sink from a declarative spec: {"format": name, ...params}.
+
+    Specs are validated per sink family: keys a sink explicitly rejects
+    (e.g. file-sink options on a JDBC spec, which **properties would
+    otherwise swallow as bogus connection properties) raise TypeError."""
     spec = dict(spec)
     fmt = spec.pop("format", "parquet")
     spec.pop("mode", None)  # mode is a write() arg, not a constructor arg
     if fmt not in SINKS:
         raise KeyError(f"unknown sink format {fmt!r}; have {sorted(SINKS)}")
-    return SINKS[fmt](**spec)
+    cls = SINKS[fmt]
+    bad = set(spec) & getattr(cls, "REJECTED_KEYS", frozenset())
+    if bad:
+        raise TypeError(
+            f"{fmt!r} sink does not accept {sorted(bad)} "
+            f"(misplaced file-sink option?)"
+        )
+    return cls(**spec)
 
 
 def write_sink(df: DataFrame, spec: dict) -> None:

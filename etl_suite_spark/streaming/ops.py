@@ -232,10 +232,19 @@ def stream_session_window(spark, sf_dir):
 
 
 def _dup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A deterministic slice of early events re-delivered late (same
-    event_id, same payload) — the at-least-once delivery scenario."""
+    """A deterministic slice of SECOND-batch events re-delivered in the
+    FINAL drop file (same event_id, same payload) — genuinely cross-batch
+    at-least-once delivery. Their timestamps sit within 1 hour of the
+    second slice's end, so when the last batch processes them the 1-hour
+    watermark horizon still holds their dedup state (watermark after batch
+    2 ≈ _CUTS[1] − 1h), exercising cross-batch state suppression rather
+    than same-batch dedup."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.filter((F.col("ts") >= _CUTS[1]) & (F.col("event_id") % 10 == 0))
+    return ev.filter(
+        (F.col("ts") >= F.to_timestamp(F.lit(_CUTS[1])) - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") < _CUTS[1])
+        & (F.col("event_id") % 10 == 0)
+    )
 
 
 @query(
@@ -248,9 +257,11 @@ def _dup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_dedup(spark, sf_dir):
-    """dropDuplicatesWithinWatermark on event_id: re-delivered events in
-    the last drop file are suppressed because their ids were seen within
-    the watermark horizon. Output = deduped per-type counts."""
+    """dropDuplicatesWithinWatermark on event_id: second-batch events
+    re-delivered in the LAST drop file are suppressed because their ids
+    were seen within the 1-hour watermark horizon in a PRIOR batch —
+    cross-batch dedup state, not same-batch dedup. Output = deduped
+    per-type counts."""
     dups = _dup_sample(spark, sf_dir)
     drop, schema = _drop_dir(spark, sf_dir, extra=dups)
     deduped = (

@@ -248,3 +248,20 @@ def test_partitioned_sink_layout(spark, tmp_path):
     write_sink(src, {"format": "parquet", "path": out, "partition_by": ["c_mktsegment"]})
     dirs = [d for d in os.listdir(out) if d.startswith("c_mktsegment=")]
     assert len(dirs) == src.select("c_mktsegment").distinct().count()
+
+
+def test_jdbc_sink_rejects_file_sink_keys():
+    """A misplaced file-sink key on a jdbc spec must raise, not silently
+    become a JDBC connection property."""
+    import pytest as _pytest
+    from etl_suite_spark.sources.sinks import make_sink
+
+    with _pytest.raises(TypeError, match="partition_by"):
+        make_sink(
+            {
+                "format": "jdbc",
+                "url": "jdbc:derby:memory:x;create=true",
+                "table": "t",
+                "partition_by": ["day"],
+            }
+        )
