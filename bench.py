@@ -54,6 +54,9 @@ HEADLINE = [
     "llm_unigram_logprob",
     "llm_sim_ann_lsh",
     "graph_pagerank",
+    # appended in round 3 (VERDICT r2 #7): one stateful-streaming row so the
+    # applyInPandasWithState path has a tracked perf number before scaling.
+    "stream_stateful_custom",
 ]
 
 
