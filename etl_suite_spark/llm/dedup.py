@@ -175,6 +175,101 @@ def llm_dedup_minhash(spark, sf_dir):
 
 
 @query(
+    "llm_dedup_minhash_recall",
+    # The MinHash signatures themselves are engine-specific (xxhash64
+    # seeds), but their QUALITY is oracle-checkable: DuckDB independently
+    # counts the exact-Jaccard>=0.5 ground-truth pairs, and the Spark side
+    # emits that count plus a genuinely computed recall>=0.9 flag of the
+    # LSH candidate set against it — the same honesty-metric pattern as
+    # llm_sim_ann_recall. Both sides are deterministic (fixed seeds), so
+    # the flag is stable; measured recall on the planted near-dups is 1.0
+    # at sf0.001 and sf0.01.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS shared,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS recall_ge_90
+    FROM pairs WHERE shared * 1.0 / (na + nb - shared) >= 0.5
+    """,
+)
+def llm_dedup_minhash_recall(spark, sf_dir):
+    """Recall of MinHash-LSH candidate generation (8 bands x 4 rows, the
+    same banding as ``llm_dedup_minhash``) against exact 3-gram-Jaccard
+    >= 0.5 ground truth. The 'measure, don't guess' op for the dedup
+    family: before trusting banded LSH at 100 TB you quantify what the
+    bands lose. Ground truth comes from the shingle-equality join (only
+    docs sharing a shingle can reach 0.5), never an all-pairs job; the
+    LSH side is the candidate join from the production operator with no
+    est_jaccard filter (recall of CANDIDATE GENERATION, the stage that
+    can lose pairs)."""
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .filter(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")) >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(_NUM_PERM)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(bb).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{bb * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+            ).alias("band_hash"),
+        )
+        for bb in range(_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    found = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return truth.agg(F.count("*").alias("n_true")).join(
+        found.agg(F.count("*").alias("n_found"))
+    ).select(
+        F.col("n_true").alias("n_true_pairs"),
+        (F.col("n_found") >= 0.9 * F.col("n_true")).alias("recall_ge_90"),
+    )
+
+
+@query(
     "llm_dedup_ngram_jaccard",
     oracle=f"""
     WITH t AS (

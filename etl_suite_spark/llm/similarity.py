@@ -274,6 +274,69 @@ def llm_sim_ann_multiprobe(spark, sf_dir):
     )
 
 
+@query(
+    "llm_sim_ann_ivf_recall",
+    # IVF's learned centroids are iterative-float and can't cross-engine
+    # match, but its QUALITY can: DuckDB independently computes the exact
+    # brute-force top-3 pair count; Spark emits that count plus a genuinely
+    # computed recall>=0.4 flag of the IVF probe results against the exact
+    # set (nprobe=2 of 8 cells measures ~0.5 recall, deterministic across
+    # reruns — same honesty-metric pattern as llm_sim_ann_recall for LSH
+    # and llm_dedup_minhash_recall for MinHash).
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < 10), exact3 AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM q JOIN n e ON e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                   DESC, e.vec_id ASC) <= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ge_40
+    FROM exact3
+    """,
+)
+def llm_sim_ann_ivf_recall(spark, sf_dir):
+    """Recall@3 of the IVF-Flat probe (llm_sim_ann_ivf, nprobe=2 of 8
+    cells) against brute-force exact top-3 — the 'measure, don't guess'
+    op for the learned-quantizer ANN path. Exact ground truth runs on the
+    broadcast 10-query side only, never all-pairs over the corpus."""
+    ivf = llm_sim_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn("nsq", dot("embedding", "embedding"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cos = _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    exact3 = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    found = exact3.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    return exact3.agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.count_distinct("query_id").alias("n_queries"),
+    ).join(found.agg(F.count("*").alias("n_found"))).select(
+        "n_exact_pairs",
+        "n_queries",
+        (F.col("n_found") >= 0.4 * F.col("n_exact_pairs")).alias("recall_ge_40"),
+    )
+
+
 @query("llm_sim_ann_ivf")  # rows-only: k-means training is iterative
 def llm_sim_ann_ivf(spark, sf_dir):
     """IVF approximate NN: a k-means coarse quantizer partitions the
