@@ -327,6 +327,95 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "llm_dedup_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      FROM t, LATERAL unnest(range(1, len(w) - 1)) AS r(i)
+      WHERE len(w) >= 3
+    ), m AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT da, db, pa,
+             pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                                     ORDER BY pa) AS island,
+             pa - pb AS diag
+      FROM m
+    ), spans AS (
+      SELECT da AS doc_a, db AS doc_b,
+             CAST(MAX(run_len + 2) AS BIGINT) AS max_span_words
+      FROM (SELECT da, db, diag, island, COUNT(*) AS run_len
+            FROM runs GROUP BY 1, 2, 3, 4)
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, max_span_words FROM spans
+    WHERE max_span_words >= 10
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_dedup_substring(spark, sf_dir):
+    """Exact shared-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): document pairs sharing
+    an exact span of >= 10 consecutive words, with the longest shared
+    span length.
+
+    Spark-first formulation instead of suffix arrays: positional 3-gram
+    equality join -> matches land on diagonals (pa - pb constant for an
+    aligned span) -> gaps-and-islands (pa - row_number) turns each maximal
+    consecutive run into one group -> max run length + 2 = span words.
+    Every step is an equi-join / keyed aggregation / window on the pair
+    key — no cross join, no suffix-array build. At 100 TB the gram join
+    runs on MinHash-LSH candidate pairs only (llm_dedup_minhash feeds it),
+    exactly like the exact-Jaccard verify stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(_normalized_text(), " ").alias("w")
+    ).filter(F.size("w") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    a, b = grams.alias("a"), grams.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+        .distinct()
+    )
+    w_diag = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    runs = m.select(
+        "da",
+        "db",
+        "pa",
+        (F.col("pa") - F.row_number().over(w_diag)).alias("island"),
+        (F.col("pa") - F.col("pb")).alias("diag"),
+    )
+    return (
+        runs.groupBy("da", "db", "diag", "island")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+        .agg((F.max("run_len") + 2).cast("long").alias("max_span_words"))
+        .filter(F.col("max_span_words") >= 10)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query("llm_dedup_simhash")  # rows-only: xxhash64 fingerprints are Spark-specific
 def llm_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs: 64-bit weighted fingerprint, Hamming ≤ 3.
