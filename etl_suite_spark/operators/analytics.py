@@ -332,3 +332,40 @@ def win_interval_coalesce(spark, sf_dir):
         .cast("long")
         .alias("span_sec"),
     ).drop("grp")
+
+
+@query(
+    "ml_churn_label",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT user_id,
+           max(ts) AS last_seen,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (max(ts) < now_ts - INTERVAL 14 DAY) AS churned
+    FROM events, m
+    GROUP BY user_id, now_ts
+    ORDER BY user_id
+    """,
+)
+def ml_churn_label(spark, sf_dir):
+    """Churn-style labeling (the reference's account/miner activity labels,
+    SURVEY §0.1 [K]): a user is churned if their last event is more than 14
+    days before the corpus end. Plan: one keyed aggregation on user_id; the
+    global 'now' is a single-row broadcast joined back — at 100 TB the
+    label pass is one shuffle of (user, max_ts, count), nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts").alias("now_ts"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("last_seen"), F.count("*").alias("n_events"))
+        .join(F.broadcast(now))
+        .select(
+            "user_id",
+            "last_seen",
+            "n_events",
+            (F.col("last_seen") < F.col("now_ts") - F.expr("INTERVAL 14 DAY")).alias(
+                "churned"
+            ),
+        )
+        .orderBy("user_id")
+    )
