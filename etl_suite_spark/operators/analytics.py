@@ -369,3 +369,55 @@ def ml_churn_label(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+    ), days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ), per_day AS (
+      SELECT day, CAST(COUNT(user_id) AS BIGINT) AS new_users
+      FROM days LEFT JOIN firsts ON first_day = day
+      GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+    FROM per_day ORDER BY day
+    """,
+)
+def win_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users per day (uniques-to-date — the metric a
+    naive COUNT(DISTINCT) OVER cannot express in either engine). Rewritten
+    as first-occurrence counting: distinct-to-date == count of users whose
+    FIRST day is <= the day, so one per-user min, one per-day count, and a
+    tiny running sum over days. At 100 TB this is one shuffle on user_id
+    and one on day — the window runs over per-day rows (thousands), never
+    per-event rows."""
+    ev = load_table(spark, sf_dir, "events")
+    # user-cardinality state collapses to DAY cardinality before any join:
+    # new_per_day is tiny (one row per day), so the left join that fills
+    # zero-new-user days broadcasts day-sized tables only — never the
+    # per-user firsts (a user-cardinality broadcast is the pagerank-class
+    # OOM at 100 TB).
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    new_per_day = firsts.groupBy("first_day").agg(
+        F.count("*").alias("new_users_nz")
+    )
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    per_day = (
+        days.join(
+            F.broadcast(new_per_day), days["day"] == F.col("first_day"), "left"
+        )
+        .select("day", F.coalesce("new_users_nz", F.lit(0)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_day.withColumn("cum_distinct_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
