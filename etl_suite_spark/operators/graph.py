@@ -113,7 +113,12 @@ def graph_pagerank(
     # measured winner at bench scale (sf0.1, local[32]): ~4.5 s incl. the
     # write vs ~6.8 s recomputing the distinct edge build per iteration
     # and ~8-16 s with .persist() (cache materialization blocks, and its
-    # InMemoryRelation boundary stops AQE re-optimization).
+    # InMemoryRelation boundary stops AQE re-optimization). Also measured
+    # and REJECTED (round 3): per-iteration rank.localCheckpoint(eager)
+    # to truncate lineage — 11.3 s vs 8.3 s first-run in fresh sessions
+    # (each eager materialization pays its own codegen; the unrolled DAG
+    # compiles once). At 100 TB with many more iterations the tradeoff
+    # flips and checkpointing every ~5 iterations is the standard move.
     import hashlib
     import os
     import tempfile

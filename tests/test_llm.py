@@ -372,3 +372,27 @@ def test_dedup_clusters_match_transitive_closure(spark):
         for r in QUERIES["llm_dedup_clusters"](spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_payload_dir_partial_fixture_rebuilt(spark):
+    """A payload dir left half-written by a crashed run (files present but
+    no _MANIFEST) must be rebuilt, not silently reused as a subset."""
+    import os
+
+    from etl_suite_spark.llm import multimodal as mm
+
+    root = mm._ensure_payload_dir(spark, SF_DIR)
+    manifest = os.path.join(root, "_MANIFEST")
+    assert os.path.isfile(manifest)
+    expected = sorted(
+        line.strip() for line in open(manifest, encoding="utf-8") if line.strip()
+    )
+    # simulate the crash: drop a payload file and the manifest
+    os.remove(os.path.join(root, expected[0]))
+    os.remove(manifest)
+    mm._PAYLOAD_DIRS.pop(SF_DIR, None)
+    root2 = mm._ensure_payload_dir(spark, SF_DIR)
+    assert root2 == root
+    assert os.path.isfile(manifest)
+    got = sorted(f for f in os.listdir(root) if f.endswith(".bin"))
+    assert got == expected
