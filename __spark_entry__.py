@@ -32,75 +32,114 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness harness checks the FIRST 50 entries of queries()
 # each round; this explicit window rotates driver evidence across rounds
-# (r1: scalars+llm, r2: sorts/setops/joins/windows/aggregates — see
-# CORRECTNESS_r01/r02.json).  Round-3 window = the 4 oracles whose HUGEINT
-# type fix needs driver confirmation + every family the driver has never
-# seen: scans/sinks, filters/projections, streaming, UDF surface,
-# incremental, pipeline.  tests/test_entry_contract.py pins this list so an
-# accidental edit can't silently shift the window.
-R3_WINDOW = [
-    # re-checks of the round-2 oracle-type fix
-    "win_sessionize",
-    "llm_seq_packing",
-    "llm_quality_gopher",
-    "llm_data_mixture",
-    # sources/scans.py (13)
-    "scan_parquet",
-    "scan_projected",
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "sink_parquet_partitioned",
-    "scan_orc_roundtrip",
-    "scan_jdbc",
-    "scan_csv_badrecords",
-    "scan_parquet_schema_evolution",
-    "scan_text_roundtrip",
-    "sink_sorted_layout",
-    "join_dpp_partition_pruned",
-    "sink_compact_small_files",
-    # operators/filters.py (11)
-    "project_compute",
-    "project_alias_cast",
-    "project_case_when",
-    "filter_pred",
-    "filter_between_dates",
-    "filter_null_handling",
-    "filter_like_regex",
-    "dedup_distinct",
-    "dedup_by_key_latest",
-    "sample_fraction",
-    "filter_null_safe_eq",
-    # streaming/ops.py (9)
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_dedup",
-    "stream_stateful_custom",
-    "stream_foreachbatch_upsert",
-    "stream_late_data",
-    "stream_static_join",
-    "stream_stream_join",
-    # udf/surface.py (5)
-    "udf_python_scalar",
-    "udf_pandas_scalar",
-    "udaf_pandas_grouped_agg",
-    "udtf_grouped_map",
-    "udtf_python",
-    # plans/incremental.py (5)
-    "inc_batch_watermark",
-    "inc_cdc_apply",
-    "dim_scd2_build",
-    "inc_backfill_window",
-    "inc_state_merge_stats",
-    # plans/pipeline.py (3)
-    "pipeline_spec_run",
-    "pipeline_sink_jdbc",
-    "pipeline_spec_stream",
+# (r1: scalars+llm, r2: sorts/setops/joins/windows/aggregates, r3:
+# scans/filters/streaming/udf/incremental/pipeline — see
+# CORRECTNESS_r01/r02/r03.json).  Round-4 window, per VERDICT.md r3 §"Next
+# round" item 1: FIRST the 12 queries whose latest driver record is
+# ERR/no-oracle but which now pass the DuckDB oracle locally (7 broken by
+# the r1 events.ts loader bug and fixed in r2; 5 that ran before their
+# oracles were added), then llm_lang_partition (the only SURVEY §2 row with
+# zero driver evidence ever), then 37 never-driver-checked queries:
+# the full TPC-H tail q2..q22, graph_pagerank, the analytics family, the r3
+# recall/honesty ops, and the high-value llm text ops.
+# tests/test_entry_contract.py pins this list so an accidental edit can't
+# silently shift the window.
+R4_WINDOW = [
+    # stale-red re-checks: r1 events.ts loader ERRs, fixed in r2 (7)
+    "fn_string",
+    "fn_date",
+    "fn_map",
+    "fn_json",
+    "fn_datetime_tz",
+    "fn_variant",
+    "llm_emb_normalize",
+    # stale-red re-checks: ran as no-oracle, oracles added r2/r3 (5)
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "llm_dedup_clusters",
+    "llm_corpus_pipeline",
+    "mm_binaryfile_scan",
+    # only SURVEY §2 row never driver-windowed (1)
+    "llm_lang_partition",
+    # never-checked: TPC-H q2..q22 (21)
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # never-checked: graph + analytics (4)
+    "graph_pagerank",
+    "agg_funnel",
+    "agg_retention_cohort",
+    "agg_heavy_hitters",
+    # never-checked: r3 honesty/recall + new ops (5)
+    "llm_dedup_minhash_recall",
+    "llm_sim_ann_ivf_recall",
+    "llm_dedup_substring",
+    "ml_churn_label",
+    "win_cumulative_distinct",
+    # never-checked: llm text/training-data ops (7)
+    "llm_decontaminate",
+    "llm_token_count",
+    "llm_fingerprint",
+    "llm_pii_scrub",
+    "llm_bm25_search",
+    "llm_doc_chunking",
+    "llm_unigram_logprob",
+]
+
+# Round-5 rotation plan (VERDICT r3 item 4): after R4 executes, the
+# remaining never-driver-checked queries are exactly the 24 below; R5_WINDOW
+# = these 24 + re-checks of any query left red after CORRECTNESS_r04 + the
+# rows-only ops (recorded as weaker rows-only evidence) + newest r4 ops.
+# Keeping the list here (and pinned in tests) so no registered query ends
+# round 5 without driver evidence.
+R5_PLANNED = [
+    "agg_string_concat_group",
+    "agg_sketch_rollup",
+    "agg_multi_distinct",
+    "agg_quantile_sketch_rollup",
+    "agg_higher_moments",
+    "agg_conditional",
+    "agg_path_transitions",
+    "agg_time_to_convert",
+    "win_gaps_islands",
+    "win_pct_of_total",
+    "win_interval_coalesce",
+    "dq_checks",
+    "dq_key_skew_report",
+    "er_blocking_match",
+    "join_salted_skew",
+    "join_bloom_pruned",
+    "join_range_bucketed",
+    "join_null_skew_rewrite",
+    "sink_bucketed_colocated_join",
+    "sink_overwrite_partition",
+    "sink_merge_upsert",
+    "llm_seq_packing_greedy",
+    "sample_group_fixed",
+    "sample_stratified",
 ]
 
 
 def _windowed(mapping: dict) -> dict:
-    ordered = {k: mapping[k] for k in R3_WINDOW if k in mapping}
+    ordered = {k: mapping[k] for k in R4_WINDOW if k in mapping}
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
     return ordered
 
