@@ -5,12 +5,22 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line::
 
     {"metric": "headline_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1, "repeats": 3,
+     "runs": {"q1": [a, b, c], ...}}
 
 Headline set (SURVEY.md §6): the flagship group-agg, the 5-way join, the
 per-group top-k window, and the LLM-data ops (dedup + similarity) — the
 shapes that dominate a 100 TB run. Queries not yet registered are skipped so
 the bench degrades gracefully mid-build.
+
+Noise robustness (VERDICT r3 item 2): this host suffers bursty multi-minute
+hypervisor noise that can inflate a contiguous stretch of single-shot
+timings 3–7× (BASELINE.md "NOISE WARNING"; BENCH_r03 read as a 2× regression
+for code that idle-measured at its best-ever).  The harness therefore runs
+the whole query list k=3 times INTERLEAVED (A,B,C,…,A,B,C,…) and reports the
+per-query MEDIAN: a noise burst lands on at most one pass of any query, and
+the median rejects it.  ``value`` is the sum of per-query medians; ``runs``
+keeps the raw per-pass timings so a judge can see the spread.
 
 Each query is timed over a full action (count of the result), after a JVM/
 codegen warmup pass of the flagship query. Timings are end-to-end wall
@@ -22,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -57,13 +68,20 @@ HEADLINE = [
     # appended in round 3 (VERDICT r2 #7): one stateful-streaming row so the
     # applyInPandasWithState path has a tracked perf number before scaling.
     "stream_stateful_custom",
+    # appended in round 4 (VERDICT r3 #7): perf-track the newest nontrivial
+    # plans — exact shared-span dedup and a TPC-H heavy 6-way join.
+    "llm_dedup_substring",
+    "tpch_q9",
 ]
+
+REPEATS = 3
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", REPEATS))
 
     spark = get_spark("etl-suite-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,12 +91,14 @@ def main() -> None:
     # Warmup: JVM JIT + codegen + parquet footer caches.
     QUERIES[names[0]](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(repeats):
+        for name in names:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            runs[name].append(round(time.perf_counter() - t0, 3))
 
+    timings = {n: round(statistics.median(r), 3) for n, r in runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -88,6 +108,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": repeats,
+                "runs": runs,
             }
         )
     )
