@@ -80,6 +80,79 @@ PAIRS = [
     # + 0.0 folds DuckDB's -0.0 (Spark normalizes negative zero, DuckDB
     # keeps it — same class as the abs(-0.0) note above)
     ("atan2r", "round(atan2(x, 1.0d + abs(x)), 6) + 0.0d", "round(atan2(x, 1.0 + abs(x)), 6) + 0.0"),
+    # -- fn_string / fn_date / fn_map / fn_json bridge coverage (VERDICT r3
+    #    item 5: these four families reached an r1 driver window with an
+    #    untested loader+dialect surface; every bridge their declared
+    #    queries rely on is now property-tested here) --
+    ("ltrim_pad", "ltrim(concat('  ', s))", "ltrim(concat('  ', s))"),
+    ("rtrim_pad", "rtrim(concat(s, '  '))", "rtrim(concat(s, '  '))"),
+    # split bridge: Spark split() is regex, DuckDB string_split is literal —
+    # agreed only for a literal single space (what fn_string declares)
+    (
+        "split_join",
+        "array_join(split(sa, ' '), '|')",
+        "array_to_string(string_split(sa, ' '), '|')",
+    ),
+    ("instr_e", "cast(instr(sa, 'e') as long)", "cast(strpos(sa, 'e') as bigint)"),
+    ("left3", "left(sa, 3)", "left(sa, 3)"),
+    ("right3", "right(sa, 3)", "right(sa, 3)"),
+    ("repeat2", "repeat(sa, 2)", "repeat(sa, 2)"),
+    ("rpad", "rpad(s, 12, '_')", "rpad(s, 12, '_')"),
+    ("translate", "translate(sa, 'el', 'ip')", "translate(sa, 'el', 'ip')"),
+    (
+        "date_plus30",
+        "cast(date_add(to_date(ts), 30) as timestamp)",
+        "CAST(CAST(ts AS DATE) + 30 AS TIMESTAMP)",
+    ),
+    (
+        "days_to_jun",
+        "cast(datediff(date'2024-06-01', to_date(ts)) as long)",
+        "CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-01') AS BIGINT)",
+    ),
+    ("last_day", "cast(last_day(ts) as timestamp)", "CAST(last_day(ts) AS TIMESTAMP)"),
+    (
+        "week_trunc",
+        "cast(date_trunc('week', ts) as timestamp)",
+        "CAST(date_trunc('week', ts) AS TIMESTAMP)",
+    ),
+    ("week_no", "cast(weekofyear(ts) as long)", "CAST(weekofyear(ts) AS BIGINT)"),
+    # day capped at 28: both engines error (Spark ANSI, DuckDB) on invalid
+    # dates like Feb 29 of a non-leap target year — the bridge claim is
+    # only about valid date construction, same as fn_date's fixture use.
+    (
+        "make_date_2030",
+        "cast(make_date(2030, month(ts), least(day(ts), 28)) as timestamp)",
+        "CAST(make_date(2030, CAST(month(ts) AS INTEGER), CAST(least(day(ts), 28) AS INTEGER)) AS TIMESTAMP)",
+    ),
+    # fn_json bridges over j = '{"k": <int>}'
+    ("json_k_str", "get_json_object(j, '$.k')", "j->>'$.k'"),
+    (
+        "json_k_int",
+        "cast(from_json(j, 'struct<k:int>').k as int)",
+        "CAST(json_extract(j, '$.k') AS INTEGER)",
+    ),
+    (
+        "json_roundtrip",
+        "to_json(named_struct('k', from_json(j, 'struct<k:int>').k))",
+        "CAST(to_json(struct_pack(k := CAST(json_extract(j, '$.k') AS INTEGER))) AS VARCHAR)",
+    ),
+    # fn_map bridges: Spark parses the JSON into a real map; DuckDB builds
+    # the equivalent single-key map literal (exactly the fn_map oracle shape)
+    (
+        "map_nkeys",
+        "cast(size(from_json(j, 'map<string,int>')) as long)",
+        "CAST(cardinality(MAP {'k': CAST(j->>'$.k' AS INTEGER)}) AS BIGINT)",
+    ),
+    (
+        "map_keys_csv",
+        "array_join(map_keys(from_json(j, 'map<string,int>')), ',')",
+        "array_to_string(map_keys(MAP {'k': CAST(j->>'$.k' AS INTEGER)}), ',')",
+    ),
+    (
+        "map_kval",
+        "cast(element_at(from_json(j, 'map<string,int>'), 'k') as long)",
+        "CAST((MAP {'k': CAST(j->>'$.k' AS INTEGER)}['k'])[1] AS BIGINT)",
+    ),
 ]
 
 # Broad multi-script alphabet, minus the classes where Spark and DuckDB
@@ -116,6 +189,8 @@ _timestamps = st.datetimes(
     min_value=datetime.datetime(1990, 1, 5),
     max_value=datetime.datetime(2035, 12, 28),
 ).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000))
+# fn_map/fn_json inputs: the events.props shape ({"k": <int>}, FIXTURES.md)
+_json_ints = st.integers(min_value=-10_000, max_value=10_000)
 
 
 @settings(
@@ -125,14 +200,16 @@ _timestamps = st.datetimes(
 )
 @given(
     st.lists(
-        st.tuples(_strings, _ascii_strings, _doubles, _timestamps),
+        st.tuples(_strings, _ascii_strings, _doubles, _timestamps, _json_ints),
         min_size=1,
         max_size=40,
     )
 )
 def test_scalar_dialect_bridges_agree(spark, duck, rows):
-    pdf = pd.DataFrame(rows, columns=["s", "sa", "x", "ts"])
+    pdf = pd.DataFrame(rows, columns=["s", "sa", "x", "ts", "k"])
     pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["j"] = pdf["k"].map(lambda v: f'{{"k": {v}}}')
+    pdf = pdf.drop(columns=["k"])
     sdf = spark.createDataFrame(pdf)
     sdf.createOrReplaceTempView("_diff_t")
     duck.register("_diff_t_duck", pdf)
