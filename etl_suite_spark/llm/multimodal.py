@@ -202,10 +202,15 @@ _PAYLOAD_DIRS: dict[str, str] = {}
 
 
 def _ensure_payload_dir(spark, sf_dir: str) -> str:
-    """Materialize <=50 payload files once, written by EXECUTORS
-    (``foreachPartition``), never collected to the driver. In local mode
-    executors share the driver's filesystem, so a tmp dir works; on a
-    cluster this would be an object-store prefix and the same code holds.
+    """LOCAL-MODE-ONLY fixture machinery — never a production ingest path.
+
+    Materializes <=50 payload files once, written by EXECUTORS
+    (``foreachPartition``), never collected to the driver. The executor
+    writes land in a driver-local tempdir, which is only coherent because
+    local-mode executors share the driver's filesystem (asserted below);
+    a real cluster ingest would read payloads from an object store and
+    this helper would not exist — ``mm_binaryfile_scan`` itself (the
+    ``binaryFile`` source + pathGlobFilter) is the production shape.
 
     Completeness is proven by a ``_MANIFEST`` written atomically AFTER the
     distributed write finishes, listing every expected file — a dir left
@@ -214,6 +219,13 @@ def _ensure_payload_dir(spark, sf_dir: str) -> str:
     """
     import os
     import tempfile
+
+    master = spark.conf.get("spark.master", "")
+    assert master.startswith("local"), (
+        f"_ensure_payload_dir is local-mode fixture plumbing (executor writes "
+        f"to a driver-local tempdir); master={master!r}. On a cluster, stage "
+        f"payloads to an object store and point mm_binaryfile_scan at it."
+    )
 
     def _complete(root: str) -> bool:
         manifest = os.path.join(root, "_MANIFEST")

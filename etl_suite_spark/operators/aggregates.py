@@ -107,15 +107,20 @@ def agg_count_distinct(spark, sf_dir):
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           TRUE AS approx_within_5pct
+           TRUE AS approx_within_3sigma
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
 def agg_approx_count_distinct(spark, sf_dir):
     # 100 TB path: HLL sketch instead of exact distinct — no giant shuffle
-    # of distinct keys. approx_within_5pct is computed, not constant: it
-    # compares the sketch against the exact per-group count (rsd default
-    # 0.05, so 5% is the advertised bound being held to).
+    # of distinct keys. approx_within_3sigma is computed, not constant: it
+    # compares the sketch against the exact per-group count. Threshold
+    # discipline (ADVICE r3): rsd=0.05 is a STANDARD DEVIATION, not a
+    # bound — a 5% flag legitimately fails for ~1/3 of groups; measured
+    # max relative error is 0.0% at sf0.001, 0.67% at sf0.01 (the driver's
+    # correctness sf), 6.67% at sf0.1. The 3σ=15% threshold holds with
+    # 2.2× headroom at every fixture scale while still being a real claim
+    # (P(>3σ) ≈ 0.3% per group).
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -130,8 +135,8 @@ def agg_approx_count_distinct(spark, sf_dir):
             "n_events",
             (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= 0.05 * F.col("exact_users")
-            ).alias("approx_within_5pct"),
+                <= 0.15 * F.col("exact_users")
+            ).alias("approx_within_3sigma"),
         )
         .orderBy("event_type")
     )
@@ -305,7 +310,13 @@ def agg_percentile(spark, sf_dir):
 def agg_approx_percentile(spark, sf_dir):
     # 100 TB path: GK-style sketch, single pass, no global sort. The exact
     # discrete percentiles are emitted for the oracle; the flag holds the
-    # sketch (accuracy 10000 → tight) to within 1% of exact.
+    # sketch (accuracy 10000 → tight) to within 1% of exact. Margin
+    # (ADVICE r3): GK's guarantee is a deterministic RANK error of
+    # 1/accuracy=0.01%, which maps to value error through the local
+    # density; measured max relative VALUE error is 0.085% at sf0.01 and
+    # 0.088% at sf0.1 — the 1% threshold carries ~11× headroom and is
+    # deterministic (no per-run flapping), unlike the probabilistic HLL
+    # flag above.
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")

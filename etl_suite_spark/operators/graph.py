@@ -127,12 +127,32 @@ def graph_pagerank(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if edges_path is None:
-        edges_path = os.path.join(
+        # Shared deterministic dir, made concurrency-safe (ADVICE r3): each
+        # process writes to its own PID-suffixed temp dir, then atomically
+        # renames it into place.  The loser of a rename race discards its
+        # copy and reads the winner's (content is deterministic per sf_dir —
+        # the "v1" token versions the derivation so a future edge-logic
+        # change can't silently reuse stale data).  A complete dir carries
+        # Spark's _SUCCESS marker; rename makes it appear atomically, so a
+        # reader never sees a half-written edge list.
+        final = os.path.join(
             tempfile.gettempdir(),
-            "etl_pr_edges_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+            "etl_pr_edges_"
+            + hashlib.sha1(("v1:" + sf_dir).encode()).hexdigest()[:12],
             "edges",
         )
-    edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(edges_path)
+        if not os.path.isfile(os.path.join(final, "_SUCCESS")):
+            tmp = f"{final}.tmp.{os.getpid()}"
+            edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, final)
+            except OSError:  # concurrent builder won the rename; use theirs
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        edges_path = final
+    else:
+        edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(edges_path)
     edges = spark.read.parquet(edges_path)
 
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))

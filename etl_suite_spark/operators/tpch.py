@@ -820,7 +820,7 @@ def tpch_q21(spark, sf_dir):
            {sql_d2d("SUM(bal_dec)")} AS totacctbal
     FROM bal, avg_t
     WHERE bal_dec * bcnt > bsum
-      AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+      AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
@@ -830,8 +830,9 @@ def tpch_q22(spark, sf_dir):
     the phone-prefix country code, and 'no orders since 2000' for 'no
     orders ever' (every fixture customer has some order). The scalar AVG
     subquery becomes a 1-row (sum, count) broadcast with the threshold
-    cross-multiplied to exact decimals (bal·cnt > sum); the NOT IN becomes
-    a LEFT ANTI join against the recent-buyer keys."""
+    cross-multiplied to exact decimals (bal·cnt > sum); the exclusion is a
+    LEFT ANTI join against the recent-buyer keys, mirrored as NOT EXISTS
+    in the oracle for identical null semantics."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", dec("c_acctbal", 2).alias("bal_dec")
     )
@@ -994,7 +995,8 @@ def tpch_q11(spark, sf_dir):
     FROM ps JOIN part ON p_partkey = partkey
     WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
       AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
-      AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey = suppkey AND s_acctbal < 1000)
     GROUP BY 1, 2, 3
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
@@ -1004,8 +1006,10 @@ def tpch_q16(spark, sf_dir):
     (brand, type, size) over the derived supply pairs, excluding
     complaint-flagged suppliers (fixture has no s_comment; low account
     balance stands in). Plan: the distinct (part, supplier) projection is
-    one keyed dedup of the fact table; the exclusion NOT IN is a
-    broadcast anti-join (keys are non-null by schema); part attributes
+    one keyed dedup of the fact table; the exclusion is a broadcast
+    anti-join, mirrored as NOT EXISTS in the oracle so both sides keep
+    identical null semantics even if the fixture schema ever allows a
+    NULL s_suppkey (ADVICE r3); part attributes
     broadcast in; the count-distinct agg shuffles once on the 3 group
     keys."""
     li = load_table(spark, sf_dir, "lineitem")

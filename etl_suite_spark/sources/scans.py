@@ -399,9 +399,15 @@ def sink_compact_small_files(spark, sf_dir):
     fragmented vs compacted — flips to false on any lost/corrupted row),
     and ``compaction_ok`` is the measured files_after < files_before."""
     o = load_table(spark, sf_dir, "orders")
+    # PID token (ADVICE r3): this op rewrites its own scratch dataset, so
+    # two concurrent sessions must not share one dir — unlike the pagerank
+    # edge cache there is no reuse value, hence per-process isolation
+    # instead of atomic-rename sharing.
     base = os.path.join(
         tempfile.gettempdir(),
-        "etl_compact_" + hashlib.sha1(sf_dir.encode()).hexdigest()[:12],
+        "etl_compact_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}",
     )
     frag_dir = os.path.join(base, "fragmented")
     compact_dir = os.path.join(base, "compacted")
@@ -424,11 +430,16 @@ def sink_compact_small_files(spark, sf_dir):
 
     def content_sig(df):
         # Order-insensitive whole-table signature: one scan, map-side
-        # partial bit_xor, no shuffle of data rows.
+        # partial SUM, no shuffle of data rows.  SUM (not bit_xor — ADVICE
+        # r3): xor cancels pairwise, so dropping two copies of row X and
+        # adding two copies of row Y preserved both xor and count; additive
+        # sums shift by 2·(h(Y)−h(X)) instead.  decimal(38,0) keeps the sum
+        # exact without ANSI bigint overflow: |h| < 2^63 ≈ 9.2e18 leaves
+        # ~1e19 rows of headroom — comfortably past the 100 TB shape.
         cols = [F.col(c) for c in sorted(df.columns)]
         row = (
-            df.select(F.xxhash64(*cols).alias("h"))
-            .agg(F.expr("bit_xor(h)").alias("sig"), F.count("*").alias("n"))
+            df.select(F.xxhash64(*cols).cast("decimal(38,0)").alias("h"))
+            .agg(F.sum("h").alias("sig"), F.count("*").alias("n"))
             .collect()[0]
         )
         return row["sig"], row["n"]

@@ -453,3 +453,23 @@ def test_substring_cap_has_fixture_headroom(spark):
     max_word_freq = toks.groupBy("w").count().agg(F.max("count")).first()[0]
     # word frequency upper-bounds gram frequency; require 2x headroom
     assert max_word_freq * 2 < _GRAM_FREQ_CAP * 10
+
+
+def test_payload_dir_guards_against_cluster_mode(spark, monkeypatch):
+    """_ensure_payload_dir is local-mode fixture plumbing: executor writes
+    land in a driver-local tempdir, coherent only when executors share the
+    driver's filesystem. A non-local master must trip the assertion."""
+    import pytest as _pytest
+
+    from etl_suite_spark.llm import multimodal as mm
+
+    real_get = spark.conf.get
+
+    def fake_get(key, default=None):
+        if key == "spark.master":
+            return "spark://cluster:7077"
+        return real_get(key, default)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    with _pytest.raises(AssertionError, match="local-mode"):
+        mm._ensure_payload_dir(spark, "/root/testdata/sf0.001")

@@ -5,11 +5,12 @@ column that surfaces through Arrow as decimal128(38,0) (DuckDB HUGEINT —
 e.g. SUM over INTEGER) hashes differently from Spark's int64 even when the
 values are numerically identical. The string-canonicalizing local verifier
 cannot see that drift (round-2 `win_sessionize` driver-red was exactly this),
-so this audit runs every oracle through DuckDB -> Arrow and flags:
-
-  * decimal128 / decimal256 columns (HUGEINT / un-cast DECIMAL arithmetic),
-  * any column whose Arrow type class differs from what the matching Spark
-    result schema would produce (checked in verify_local --arrow mode).
+so this audit runs every oracle through DuckDB -> Arrow (LIMIT 0, schema
+only) and flags decimal128 / decimal256 columns (HUGEINT / un-cast DECIMAL
+arithmetic).  Value-object type-class drift between the two engines is
+caught separately by verify_local's always-on ``with_types`` comparison
+path — together the two checks cover both the schema- and value-level
+versions of the round-2 ``win_sessionize`` driver-red bug.
 
 Usage:
     python tools/oracle_type_audit.py [--sf /root/testdata/sf0.001]
