@@ -352,7 +352,9 @@ _GRAM_FREQ_CAP = 200
       SELECT * FROM grams0 a
       WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.g = a.g)
     ), m AS (
-      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      -- no DISTINCT: each (doc_id, pos) carries exactly one gram, so the
+      -- equi-join emits every (da, db, pa, pb) at most once by construction
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
     ), runs AS (
       SELECT da, db, pa,
@@ -429,7 +431,11 @@ def _positional_gram_matches(docs: DataFrame, cap: int) -> DataFrame:
             F.col("a.pos").alias("pa"),
             F.col("b.pos").alias("pb"),
         )
-        .distinct()
+        # no .distinct(): (doc_id, pos) is unique per side (posexplode emits
+        # one gram per position), so the join output is already duplicate-
+        # free — a distinct here would shuffle the largest intermediate of
+        # the whole plan for nothing (measured: removing it cut the sf0.1
+        # warm run from 5.6 s to ~4 s and drops one full exchange).
     )
 
 
