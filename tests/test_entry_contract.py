@@ -144,3 +144,15 @@ def test_r5_plan_covers_remaining_never_checked():
     covered = seen | set(EXPECTED_R4_WINDOW) | set(entry_mod.R5_PLANNED)
     uncovered = sorted(oracles - covered)
     assert not uncovered, f"oracled queries with no driver plan: {uncovered}"
+
+
+def test_bench_headline_queries_registered():
+    """Every bench row must resolve to a registered query — a rename that
+    silently drops a row from the bench (it degrades gracefully by design)
+    would otherwise go unnoticed until the driver's BENCH_r{N} shrinks."""
+    import bench
+
+    qs = entry_mod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench rows not registered: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
