@@ -135,6 +135,8 @@ R5_PLANNED = [
     "llm_seq_packing_greedy",
     "sample_group_fixed",
     "sample_stratified",
+    # added in round 4 (never driver-checked yet):
+    "inc_dedup_ingest",
 ]
 
 

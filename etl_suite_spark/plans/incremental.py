@@ -391,3 +391,90 @@ def inc_state_merge_stats(spark, sf_dir):
         F.round(s1 / n, 6).alias("mean_d"),
         F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_d"),
     )
+
+
+@query(
+    "inc_dedup_ingest",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, doc_id % 3 AS batch_id,
+             sha256(regexp_replace(lower(trim(text)),
+                                   '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g')) AS h
+      FROM documents
+    ), firsts AS (
+      SELECT batch_id,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY batch_id, doc_id) = 1 AS is_new
+      FROM hashed
+    )
+    SELECT batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+    FROM firsts GROUP BY batch_id ORDER BY batch_id
+    """,
+)
+def inc_dedup_ingest(spark, sf_dir):
+    """Incremental hash-dedup ingest: each arriving batch is anti-joined
+    against the accumulated content-hash state, new hashes fold into the
+    state, and only never-seen documents pass through — the idempotent
+    ingest front door of a 100 TB training-data pipeline (re-delivered or
+    re-crawled documents drop out before any expensive downstream work).
+
+    Plan shape per batch: one broadcast-able anti-join on the 64-hex
+    content hash (uniform key, no skew) + a distinct on the batch's own
+    hashes for the in-batch duplicate rule (first doc_id wins).  The state
+    union grows monotonically but is only ever joined on its hash key —
+    on a real cluster it lives as a bucketed table so every ingest
+    anti-join is shuffle-free on the state side.  The 3-batch loop here is
+    the unrolled equivalent of the foreachBatch upsert loop in
+    ``stream_foreachbatch_upsert`` (streaming/ops.py), expressed as pure
+    batch so DuckDB can replay it as a first-occurrence window.
+
+    The oracle states the same semantics declaratively: a document is new
+    iff its hash has no earlier (batch_id, doc_id) occurrence.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("batch_id"),
+        F.sha2(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), "[ \t\r\n\f\x0b]+", " "
+            ),
+            256,
+        ).alias("h"),
+    )
+    state = None  # accumulated hash set: (h, first boundary doc is irrelevant)
+    per_batch = []
+    for b in range(3):
+        batch = docs.filter(F.col("batch_id") == b)
+        # in-batch rule first: one winner per hash (min doc_id), the rest
+        # are duplicates of their own batch
+        in_batch_first = batch.groupBy("h").agg(
+            F.min("doc_id").alias("doc_id"), F.count("*").alias("n_with_hash")
+        )
+        if state is None:
+            new = in_batch_first
+        else:
+            new = in_batch_first.join(state, "h", "left_anti")
+        stats = batch.groupBy("batch_id").agg(F.count("*").alias("n_docs"))
+        new_count = new.agg(
+            F.coalesce(F.count("*"), F.lit(0)).alias("n_new")
+        ).withColumn("batch_id", F.lit(b))
+        per_batch.append(
+            stats.join(new_count, "batch_id").select(
+                "batch_id",
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_new").cast("long").alias("n_new"),
+                (F.col("n_docs") - F.col("n_new")).cast("long").alias("n_dup"),
+            )
+        )
+        # no distinct: in-batch hashes are unique (grouped) and the anti-
+        # join guarantees they're absent from the prior state, so the
+        # union stays duplicate-free by construction
+        seen = new.select("h")
+        state = seen if state is None else state.unionByName(seen)
+    out = per_batch[0]
+    for df in per_batch[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("batch_id")
