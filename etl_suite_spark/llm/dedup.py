@@ -607,6 +607,15 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     the growing lineage (same discipline as k-means); at 100 TB each
     round is two shuffles on uniformly-hashed node ids.
     """
+    # Materialize the edge list ONCE: it usually arrives as an expensive
+    # similarity join (e.g. the exact-Jaccard pair graph), and leaving it
+    # lazy re-runs that join 2× per round in via_src/via_dst plus once in
+    # the convergence count. Measured (llm_dedup_clusters, sf0.01,
+    # warm session): ~2-3 s with the checkpoint vs re-deriving the pair
+    # join every round without it; fresh-session time is codegen-bound
+    # (~13 s) either way, and the verify harness's wall time for this op
+    # is dominated by the DuckDB recursive-CTE oracle (~21 s), not Spark.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
