@@ -101,3 +101,85 @@ def test_hash_sample_matches_fraction(spark):
     n_all = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
     n = out.count()
     assert 0.06 * n_all < n < 0.15 * n_all  # 26/256 ≈ 10.2% expected
+
+
+EXPECTED_DTYPES = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),  # loader normalizes nanos/ntz to session-TZ ts
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+def test_loader_schema_pinned(spark):
+    """Pin every table's POST-LOAD dtypes: the round-1 driver ERRs all
+    traced to silent loader schema drift (events.ts surfacing as int64
+    nanos). The loader now normalizes and this test freezes the result —
+    any Spark-version or fixture change that shifts a dtype fails here
+    before it can reach a driver window."""
+    from etl_suite_spark.io import TABLES, load_table
+    from tests.conftest import SF_DIR
+
+    assert set(EXPECTED_DTYPES) == set(TABLES)
+    for t in TABLES:
+        assert load_table(spark, SF_DIR, t).dtypes == EXPECTED_DTYPES[t], t
