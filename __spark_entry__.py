@@ -137,6 +137,7 @@ R5_PLANNED = [
     "sample_stratified",
     # added in round 4 (never driver-checked yet):
     "inc_dedup_ingest",
+    "llm_dedup_embedding",
 ]
 
 

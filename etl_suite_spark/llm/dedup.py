@@ -793,3 +793,108 @@ def llm_dedup_url(spark, sf_dir):
             F.count("*").alias("n_variants"),
         )
     )
+
+
+# Feature-hashing near-dup (the "embedding-cosine near-dup" family): each
+# document becomes a sparse 2^16-dim hashed-TF vector (Weinberger et al.,
+# "Feature Hashing for Large Scale Multitask Learning") using a portable
+# positional-codepoint hash that Spark and DuckDB compute identically:
+#   dim(word) = ( sum_i i * codepoint(word[i]) ) % 65536
+# Cosine between two docs is then an exact integer sparse dot product over
+# SHARED dims only — computed relationally via an equi-join on dim, the same
+# scale shape as the shingle join in llm_dedup_ngram_jaccard: docs meet only
+# where they share a term bucket, never via a cross join.
+_HASH_DIMS = 65536
+_EMB_TAU = 0.95
+
+# Spark-side word → dim (codegen'd higher-order fns, no Python):
+_WORD_DIM_SPARK = (
+    "CAST(aggregate(transform(sequence(1, length(word)),"
+    " i -> CAST(i AS BIGINT) * ascii(substring(word, i, 1))),"
+    f" 0L, (a, x) -> a + x) % {_HASH_DIMS} AS BIGINT)"
+)
+
+# DuckDB twin (ord() == codepoint, same as Spark's ascii() on 1-char strings)
+_WORD_DIM_SQL = (
+    "CAST(list_sum(list_transform(range(1, len(word) + 1),"
+    f" i -> i * ord(word[i]))) % {_HASH_DIMS} AS BIGINT)"
+)
+
+
+@query(
+    "llm_dedup_embedding",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+      FROM documents
+    ), h AS (
+      SELECT doc_id, {_WORD_DIM_SQL} AS dim FROM w WHERE len(word) > 0
+    ), tf AS (
+      SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
+      FROM h GROUP BY doc_id, dim
+    ), nsq AS (
+      SELECT doc_id, CAST(sum(cnt * cnt) AS DOUBLE) AS nsq FROM tf GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.cnt * b.cnt) AS DOUBLE) AS dot
+      FROM tf a JOIN tf b ON a.dim = b.dim AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(dot / sqrt(na.nsq * nb.nsq), 6) AS cosine
+    FROM dots
+    JOIN nsq na ON na.doc_id = doc_a
+    JOIN nsq nb ON nb.doc_id = doc_b
+    WHERE dot / sqrt(na.nsq * nb.nsq) >= {_EMB_TAU}
+    """,
+)
+def llm_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over hashed-TF document vectors.
+
+    Pipeline: normalize → split → word→dim feature hash (2^16 buckets,
+    portable positional-codepoint hash) → per-doc TF counts → sparse
+    cosine ≥ 0.95 via an equi-join on dim. The dot product and squared
+    norms are exact BIGINT sums (order-independent, so partial-aggregate
+    merge order can't flap the driver hash); only the final
+    divide-by-sqrt runs in double, which is correctly rounded IEEE in
+    both engines.
+
+    Scale shape: candidate pairs form ONLY where two docs share a term
+    bucket — an equi-join on dim, never a cross join, exactly like the
+    shingle join in llm_dedup_ngram_jaccard. The join is quadratic in a
+    bucket's document frequency, so at 100 TB the same two guards as the
+    substring op apply: drop ubiquitous buckets (stopword-dominated dims
+    cannot push cosine past 0.95 on their own) or run this exact stage
+    on LSH candidate pairs from llm_dedup_minhash; at fixture scale the
+    uncapped join is exact and cheap, and exactness is what the DuckDB
+    brute-force oracle checks.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(_normalized_text(), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    tf = (
+        words.select("doc_id", F.expr(_WORD_DIM_SPARK).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count("*").alias("cnt"))
+    )
+    nsq = tf.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("nsq")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("double").alias("dot"))
+    )
+    cosine = F.col("dot") / F.sqrt(F.col("na.nsq") * F.col("nb.nsq"))
+    return (
+        dots.join(nsq.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(nsq.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(cosine >= _EMB_TAU)
+        .select("doc_a", "doc_b", F.round(cosine, 6).alias("cosine"))
+    )

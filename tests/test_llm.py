@@ -473,3 +473,15 @@ def test_payload_dir_guards_against_cluster_mode(spark, monkeypatch):
     monkeypatch.setattr(spark.conf, "get", fake_get)
     with _pytest.raises(AssertionError, match="local-mode"):
         mm._ensure_payload_dir(spark, "/root/testdata/sf0.001")
+
+
+def test_embedding_neardup_matches_planted_pairs(spark, exact_pairs):
+    """Hashed-TF cosine≥0.95 recovers exactly the planted near-dup pairs.
+
+    The fixture's near-dups are word-level edits of a shared base text, so
+    the orderless hashed-TF view (cosine) and the order-aware 3-gram view
+    (Jaccard) agree on the planted set; measured 28/28 at sf0.001."""
+    rows = QUERIES["llm_dedup_embedding"](spark, SF_DIR).collect()
+    assert all(r.doc_a < r.doc_b for r in rows)
+    assert all(0.95 <= r.cosine <= 1.0 for r in rows)
+    assert {(r.doc_a, r.doc_b) for r in rows} == exact_pairs
