@@ -84,3 +84,48 @@ def as_long(c: Column) -> Column:
     """Normalize integer-ish computed columns to BIGINT on both sides —
     Spark year()/count() etc. return int vs DuckDB's bigint."""
     return c.cast("long")
+
+
+def materialize_once(spark, df, token: str, partition_col: str | None = None,
+                     n_partitions: int = 32):
+    """Write ``df`` to a shared deterministic temp parquet dir ONCE and
+    return a clean scan of it — the materialize-then-reuse pattern for a
+    DataFrame consumed by several plan branches (Catalyst would otherwise
+    recompute the producing subtree per branch; .persist() blocks on cache
+    materialization and its InMemoryRelation boundary stops AQE, measured
+    slower in graph_pagerank).
+
+    Concurrency-safe (ADVICE r3): each process writes a PID-suffixed temp
+    dir then atomically renames it into place; the rename loser discards
+    its copy and reads the winner's, which is byte-equivalent because the
+    ``token`` must uniquely determine the derivation (version it when the
+    producing logic changes). A complete dir carries Spark's _SUCCESS
+    marker, so readers never see a half-written result.
+
+    At 100 TB this is the "write the shared intermediate to the object
+    store once, bucketed on its join key" move: pass ``partition_col`` so
+    downstream joins/groupings on that key start co-located.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    final = os.path.join(
+        tempfile.gettempdir(),
+        "etl_mat_" + hashlib.sha1(token.encode()).hexdigest()[:12],
+        "data",
+    )
+    if not os.path.isfile(os.path.join(final, "_SUCCESS")):
+        tmp = f"{final}.tmp.{os.getpid()}"
+        out = (
+            df.repartition(n_partitions, partition_col)
+            if partition_col is not None
+            else df.repartition(n_partitions)
+        )
+        out.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:  # concurrent builder won the rename; use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(final)

@@ -421,8 +421,10 @@ def inc_dedup_ingest(spark, sf_dir):
     ingest front door of a 100 TB training-data pipeline (re-delivered or
     re-crawled documents drop out before any expensive downstream work).
 
-    Plan shape per batch: one broadcast-able anti-join on the 64-hex
-    content hash (uniform key, no skew) + a distinct on the batch's own
+    Plan shape per batch: one broadcast-able left join on the 64-hex
+    content hash (uniform key, no skew) carrying a seen-flag — anti-join
+    semantics, but n_docs/n_new then fall out of a single aggregation
+    with no follow-up scalar join — plus a group on the batch's own
     hashes for the in-batch duplicate rule (first doc_id wins).  The state
     union grows monotonically but is only ever joined on its hash key —
     on a real cluster it lives as a bucketed table so every ingest
@@ -453,26 +455,40 @@ def inc_dedup_ingest(spark, sf_dir):
         in_batch_first = batch.groupBy("h").agg(
             F.min("doc_id").alias("doc_id"), F.count("*").alias("n_with_hash")
         )
+        # Left-join a seen-flag from the state instead of anti-joining and
+        # then re-joining two single-row aggregates: n_docs and n_new fall
+        # out of ONE aggregation over the hash-level frame, so the plan has
+        # no 1-row×1-row literal-keyed join (which Catalyst folds into a
+        # nested-loop join and the plan audit rightly flags).
         if state is None:
-            new = in_batch_first
+            flagged = in_batch_first.withColumn("seen", F.lit(False))
         else:
-            new = in_batch_first.join(state, "h", "left_anti")
-        stats = batch.groupBy("batch_id").agg(F.count("*").alias("n_docs"))
-        new_count = new.agg(
-            F.coalesce(F.count("*"), F.lit(0)).alias("n_new")
-        ).withColumn("batch_id", F.lit(b))
+            flagged = in_batch_first.join(
+                state.withColumn("seen", F.lit(True)), "h", "left"
+            ).withColumn("seen", F.coalesce(F.col("seen"), F.lit(False)))
         per_batch.append(
-            stats.join(new_count, "batch_id").select(
+            flagged.agg(
+                F.coalesce(F.sum("n_with_hash"), F.lit(0))
+                .cast("long")
+                .alias("n_docs"),
+                F.coalesce(
+                    F.sum(F.when(~F.col("seen"), 1).otherwise(0)), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_new"),
+            )
+            .withColumn("batch_id", F.lit(b))
+            .select(
                 "batch_id",
-                F.col("n_docs").cast("long").alias("n_docs"),
-                F.col("n_new").cast("long").alias("n_new"),
+                "n_docs",
+                "n_new",
                 (F.col("n_docs") - F.col("n_new")).cast("long").alias("n_dup"),
             )
         )
-        # no distinct: in-batch hashes are unique (grouped) and the anti-
-        # join guarantees they're absent from the prior state, so the
+        # no distinct: in-batch hashes are unique (grouped) and the seen
+        # filter guarantees they're absent from the prior state, so the
         # union stays duplicate-free by construction
-        seen = new.select("h")
+        seen = flagged.filter(~F.col("seen")).select("h")
         state = seen if state is None else state.unionByName(seen)
     out = per_batch[0]
     for df in per_batch[1:]:
