@@ -890,20 +890,29 @@ def llm_dedup_embedding(spark, sf_dir):
     documents.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return _hashed_tf_neardup_pairs(
+        spark, docs, tau=_EMB_TAU, token="v1:hashed_tf:" + sf_dir
+    )
+
+
+def _hashed_tf_neardup_pairs(spark, docs, tau, token=None):
+    """Prefix-filtered exact cosine ≥ ``tau`` pairs over hashed-TF vectors
+    of ``docs`` (needs doc_id + text). ``token`` enables the write-once
+    materialization of the postings table (skipped for in-memory test
+    corpora). See llm_dedup_embedding for the algorithm and measurements."""
     words = docs.select(
         "doc_id", F.explode(F.split(_normalized_text(), " ")).alias("word")
     ).filter(F.length("word") > 0)
     # tf feeds four plan branches (df, norms, index, vectors) — materialize
     # it once, doc-partitioned, instead of re-running the explode+groupBy
     # per branch (measured: the recomputation dominated the first cut).
-    tf = materialize_once(
-        spark,
+    tf = (
         words.select("doc_id", F.expr(_WORD_DIM_SPARK).alias("dim"))
         .groupBy("doc_id", "dim")
-        .agg(F.count("*").alias("cnt")),
-        token="v1:hashed_tf:" + sf_dir,
-        partition_col="doc_id",
+        .agg(F.count("*").alias("cnt"))
     )
+    if token is not None:
+        tf = materialize_once(spark, tf, token=token, partition_col="doc_id")
     nsq = tf.groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("nsq")
     )
@@ -1004,6 +1013,6 @@ def llm_dedup_embedding(spark, sf_dir):
             "doc_b",
         )
         .withColumn("dot", dot)
-        .filter(cosine >= _EMB_TAU)
+        .filter(cosine >= F.lit(tau))
         .select("doc_a", "doc_b", F.round(cosine, 6).alias("cosine"))
     )

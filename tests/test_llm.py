@@ -485,3 +485,29 @@ def test_embedding_neardup_matches_planted_pairs(spark, exact_pairs):
     assert all(r.doc_a < r.doc_b for r in rows)
     assert all(0.95 <= r.cosine <= 1.0 for r in rows)
     assert {(r.doc_a, r.doc_b) for r in rows} == exact_pairs
+
+
+def test_embedding_neardup_probe_index_asymmetry(spark):
+    """Regression: a qualifying pair whose only shared dim is EXCLUDED by
+    one doc's index prefix but indexed by the other must still be found.
+
+    Doc 1 = 10×'common' + 1 rare word → nsq 101, 'common' (mass 100) fails
+    the 94% exclusion test (50·100 > 47·101) so doc 1 INDEXES 'common'.
+    Doc 2 = 10×'common' + 7 distinct rares → nsq 107, 'common' is excluded
+    (50·100 ≤ 47·107) and only the rares are indexed. Their one shared dim
+    is 'common': a symmetric indexed⋈indexed candidate join misses the
+    pair (the bug this test pins), while the full-postings-probe⋈indexed
+    join finds it; cosine = 100/√(101·107) ≈ 0.962 ≥ 0.95."""
+    from etl_suite_spark.llm.dedup import _hashed_tf_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["common"] * 10) + " uniqueword"),
+            (2, " ".join(["common"] * 10) + " r1 r2 r3 r4 r5 r6 r7"),
+            (3, "totally unrelated text about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = _hashed_tf_neardup_pairs(spark, docs, tau=0.95).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    assert abs(rows[0].cosine - 100 / (101 * 107) ** 0.5) < 1e-6
