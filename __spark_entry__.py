@@ -138,6 +138,8 @@ R5_PLANNED = [
     # added in round 4 (never driver-checked yet):
     "inc_dedup_ingest",
     "llm_dedup_embedding",
+    "llm_dedup_paragraph",
+    "llm_quality_c4",
 ]
 
 

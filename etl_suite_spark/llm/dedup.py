@@ -1016,3 +1016,107 @@ def _hashed_tf_neardup_pairs(spark, docs, tau, token=None):
         .filter(cosine >= F.lit(tau))
         .select("doc_a", "doc_b", F.round(cosine, 6).alias("cosine"))
     )
+
+
+@query(
+    "llm_dedup_paragraph",
+    # Portable ordering key: doc_id*1000+pos fits BIGINT at fixture scale
+    # (pos < 1000 chunks/doc); both engines take MIN over the same integer.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), c AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[i*10+1:i*10+10], ' ') AS chunk
+      FROM t, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u(i)
+    ), keeper AS (
+      SELECT chunk, MIN(doc_id * 1000 + pos) AS k FROM c GROUP BY chunk
+    ), kept AS (
+      SELECT k // 1000 AS doc_id, k % 1000 AS pos, chunk FROM keeper
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS dedup_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(t.w) / 10.0) AS BIGINT) AS n_chunks,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.dedup_text, '') AS dedup_text
+    FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    """,
+)
+def llm_dedup_paragraph(spark, sf_dir):
+    """Corpus-wide segment-level dedup — the RefinedWeb / MassiveText
+    "remove text spans duplicated across documents" pass, at the
+    granularity every web pipeline actually uses (paragraph-sized chunks,
+    here fixed 10-word segments since the fixture text has no newlines).
+
+    Keep exactly the FIRST occurrence (smallest (doc_id, pos)) of every
+    distinct chunk corpus-wide, then reassemble each document from its
+    surviving chunks in original order.
+
+    Plan shape, chosen for 100 TB:
+    - chunking is map-only array ops (split → strided slice → posexplode);
+    - the global first-occurrence pass is ``groupBy(chunk).agg(min(key))``
+      — a hash aggregate with MAP-SIDE PARTIAL COMBINE, so a chunk that
+      appears a billion times (boilerplate headers, the classic skew case
+      in web corpora) collapses to one row per input partition *before*
+      the shuffle. A window (row_number over partition-by-chunk) would
+      ship every instance of the hot chunk to one reducer; the agg form
+      is the skew-safe formulation of the same semantics.
+    - reassembly is one groupBy(doc_id) over the *surviving* chunks only
+      (strictly smaller than the corpus), and the final doc join is a
+      plain equi-join on doc_id that AQE plans.
+
+    The doc_id*1000+pos ordering key keeps the oracle portable; production
+    would use ``min_by(struct(doc_id, pos))`` with no bound on chunks/doc.
+    """
+    return paragraph_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def paragraph_dedup(d: DataFrame) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, n_chunks, n_kept, dedup_text); see
+    :func:`llm_dedup_paragraph` for semantics and plan-shape notes."""
+    chunks = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, int(ceil(size(w) / 10.0)) - 1),"
+                    " i -> concat_ws(' ', slice(w, i * 10 + 1, 10)))"
+                )
+            ).alias("pos", "chunk"),
+        )
+    )
+    keeper = chunks.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * 1000 + F.col("pos")).alias("k")
+    )
+    agg = (
+        keeper.select(
+            (F.col("k") / 1000).cast("long").alias("doc_id"),
+            (F.col("k") % 1000).alias("pos"),
+            "chunk",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+    n = d.select(
+        "doc_id",
+        F.ceil(F.size(F.split("text", " ")) / 10.0).cast("long").alias("n_chunks"),
+    )
+    return n.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )

@@ -387,3 +387,77 @@ def llm_data_mixture(spark, sf_dir):
         .filter(F.col("cum_tokens") <= _MIX_QUOTA)
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "llm_quality_c4",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             list_aggregate(list_transform(w, x -> len(x)), 'sum') * 1.0
+               / len(w) AS mean_word_len,
+             list_has_any(w, ['the', 'a', 'and', 'of', 'to']) AS has_stopword,
+             len(list_distinct(w)) * 1.0 / len(w) AS distinct_frac,
+             list_aggregate(list_transform(w, x -> len(x)), 'max')
+               AS max_word_len
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           round(mean_word_len, 6) AS mean_word_len,
+           has_stopword,
+           round(distinct_frac, 6) AS distinct_frac,
+           CAST(max_word_len AS BIGINT) AS max_word_len,
+           (n_words >= 20 AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND has_stopword AND distinct_frac >= 0.2
+            AND max_word_len <= 30) AS keep
+    FROM m
+    """,
+)
+def llm_quality_c4(spark, sf_dir):
+    """C4-style rule-based quality gate (Raffel et al. 2020, adapted to a
+    punctuation-free fixture corpus): per-document word count bounds, mean
+    word length bounds, stopword presence, lexical-diversity floor, and a
+    max-token-length cap, combined into one keep/drop verdict.
+
+    The C4 paper's line-level rules (terminal punctuation, >=3 sentences)
+    have no signal in this fixture (zero newlines/periods), so the word-
+    level subset is what's implemented; each rule is emitted as its own
+    column so downstream can re-mix thresholds without re-scanning.
+
+    Plan shape: ENTIRELY map-only — one split plus array higher-order
+    functions (aggregate / arrays_overlap / array_distinct / array_max)
+    inside whole-stage codegen. Zero shuffles, zero Python: at 100 TB this
+    is a pure scan-speed pass, unlike the gopher/quality_score variants
+    that need per-word aggregation shuffles. This is the filter you run
+    FIRST in a corpus pipeline, precisely because it's free.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    lens = F.transform(w, F.length)
+    sum_len = F.aggregate(lens, F.lit(0), lambda acc, x: acc + x)
+    n_words = F.size(w)
+    mean_word_len = sum_len / n_words
+    has_stopword = F.arrays_overlap(
+        w, F.array(*[F.lit(s) for s in ["the", "a", "and", "of", "to"]])
+    )
+    distinct_frac = F.size(F.array_distinct(w)) / n_words
+    max_word_len = F.array_max(lens)
+    keep = (
+        (n_words >= 20)
+        & mean_word_len.between(2.0, 12.0)
+        & has_stopword
+        & (distinct_frac >= 0.2)
+        & (max_word_len <= 30)
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        has_stopword.alias("has_stopword"),
+        F.round(distinct_frac, 6).alias("distinct_frac"),
+        max_word_len.cast("long").alias("max_word_len"),
+        keep.alias("keep"),
+    )

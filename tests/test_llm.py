@@ -511,3 +511,59 @@ def test_embedding_neardup_probe_index_asymmetry(spark):
     rows = _hashed_tf_neardup_pairs(spark, docs, tau=0.95).collect()
     assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
     assert abs(rows[0].cosine - 100 / (101 * 107) ** 0.5) < 1e-6
+
+
+def test_paragraph_dedup_keeps_first_occurrence_only(spark):
+    """Planted corpus: doc 2 repeats doc 1's first 10-word chunk, doc 3 is
+    built ENTIRELY from chunks of docs 1 and 2 → doc 3 retains nothing."""
+    from etl_suite_spark.llm.dedup import paragraph_dedup
+
+    c1 = " ".join(f"a{i}" for i in range(10))  # doc1 chunk 0
+    c2 = " ".join(f"b{i}" for i in range(10))  # doc1 chunk 1
+    c3 = " ".join(f"c{i}" for i in range(10))  # doc2's own chunk
+    docs = spark.createDataFrame(
+        [(1, f"{c1} {c2}"), (2, f"{c1} {c3}"), (3, f"{c2} {c3}")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 2)
+    assert out[1].dedup_text == f"{c1} {c2}"
+    # doc2: chunk c1 already seen in doc1 → only c3 survives
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    assert out[2].dedup_text == c3
+    # doc3: both chunks seen earlier → empty survivor text, row still present
+    assert (out[3].n_chunks, out[3].n_kept) == (2, 0)
+    assert out[3].dedup_text == ""
+
+
+def test_paragraph_dedup_partial_tail_chunk(spark):
+    """A 15-word doc yields chunks of 10 and 5 words; the short tail is a
+    distinct chunk, not merged or dropped."""
+    from etl_suite_spark.llm.dedup import paragraph_dedup
+
+    words = [f"w{i}" for i in range(15)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    (row,) = paragraph_dedup(docs).collect()
+    assert (row.n_chunks, row.n_kept) == (2, 2)
+    assert row.dedup_text == " ".join(words)
+
+
+def test_quality_c4_flags_on_fixture(spark, duck):
+    """Every per-rule flag recomputes from the row's own stats, and keep is
+    exactly the conjunction of the five rules."""
+    rows = QUERIES["llm_quality_c4"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        expect = (
+            r.n_words >= 20
+            and 2.0 <= r.mean_word_len <= 12.0
+            and r.has_stopword
+            and r.distinct_frac >= 0.2
+            and r.max_word_len <= 30
+        )
+        assert r.keep == expect, r
+    # the gate must be meaningful on the fixture: both classes non-empty
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows) or kept == len(rows)
