@@ -140,6 +140,7 @@ R5_PLANNED = [
     "llm_dedup_embedding",
     "llm_dedup_paragraph",
     "llm_quality_c4",
+    "llm_sim_ann_pq_recall",
 ]
 
 

@@ -567,3 +567,19 @@ def test_quality_c4_flags_on_fixture(spark, duck):
     # the gate must be meaningful on the fixture: both classes non-empty
     kept = sum(r.keep for r in rows)
     assert 0 < kept < len(rows) or kept == len(rows)
+
+
+def test_pq_ann_topk_shape_and_measured_recall(spark):
+    """PQ/ADC emits exactly top-3 per query, and measured recall@3 clears
+    the 0.4 gate with headroom (0.60 at sf0.001 — the gate that catches a
+    misaligned ADC table, which scores at the random-chance rate ~0.06)."""
+    out = QUERIES["llm_sim_ann_pq"](spark, SF_DIR).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(10))
+    assert all(len(v) == 3 for v in per_q.values())
+    assert all(r.neighbor_id != r.query_id for r in out)
+    (rec,) = QUERIES["llm_sim_ann_pq_recall"](spark, SF_DIR).collect()
+    assert rec.n_exact_pairs == 30 and rec.n_queries == 10
+    assert rec.recall_ge_40
