@@ -141,6 +141,8 @@ R5_PLANNED = [
     "llm_dedup_paragraph",
     "llm_quality_c4",
     "llm_sim_ann_pq_recall",
+    "dim_scd2_lookup",
+    "agg_unpivot",
 ]
 
 

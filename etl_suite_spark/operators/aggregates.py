@@ -938,3 +938,60 @@ def agg_higher_moments(spark, sf_dir):
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(m2, 2) - 3, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle=f"""
+    WITH long AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value')} AS sum_value,
+           {sql_davg('value')} AS avg_value,
+           {sql_d2d('MIN(value)')} AS min_value,
+           {sql_d2d('MAX(value)')} AS max_value
+    FROM long
+    GROUP BY measure
+    ORDER BY measure
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """UNPIVOT / melt — the wide→long pivot inverse (reference's
+    stack-measures reshaping; the dual of agg_pivot). Four measure
+    columns of lineitem melt into (measure, value) rows, then one
+    hash aggregate profiles each measure.
+
+    Plan shape: Spark's native ``unpivot`` plans an Expand node — each
+    input row emits its 4 measure rows IN THE SCAN STAGE (map-side), so
+    the only shuffle is the final 4-group aggregate, which map-side
+    partial aggregation collapses to ~partitions×4 rows. No union of 4
+    separate scans (DuckDB's oracle formulation reads the table 4×; the
+    Spark plan reads it ONCE — at 100 TB that's the difference that
+    matters). Sums use the exact-decimal discipline so the hash can't
+    flap on merge order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
+            d2d(F.min("value")).alias("min_value"),
+            d2d(F.max("value")).alias("max_value"),
+        )
+        .orderBy("measure")
+    )

@@ -270,6 +270,94 @@ def dim_scd2_build(spark, sf_dir):
 
 
 @query(
+    "dim_scd2_lookup",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, ts, event_id, event_type AS attr,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_attr
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, attr
+      FROM hist
+      WHERE prev_attr IS NULL OR attr <> prev_attr
+    ),
+    scd2 AS (
+      SELECT user_id, attr,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           d.attr AS attr_at_ts,
+           d.valid_to IS NULL AS from_current_version
+    FROM events e
+    JOIN scd2 d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def dim_scd2_lookup(spark, sf_dir):
+    """Point-in-time dimension lookup — join each fact row to the SCD2
+    version that was valid AT ITS TIMESTAMP (here: each purchase event
+    against the event-history dimension built exactly as dim_scd2_build).
+    This is the other half of the SCD2 story: building intervals is
+    useless unless facts can join them as-of their own time.
+
+    Plan shape for 100 TB: the join is an EQUI-join on user_id with the
+    interval bounds as a post-join filter — Catalyst plans a plain
+    shuffled hash join keyed on the dimension's natural key, never a
+    range BNLJ, because versions-per-key is small (the SCD2 invariant)
+    and the interval predicate prunes to exactly one row per fact.
+    Intervals are half-open [valid_from, valid_to), so a fact on a
+    version boundary matches only the newer version, and a zero-width
+    version (two changes at one timestamp) matches nothing — exactly-one
+    match per fact is structural, not data-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("attr"),
+        F.lag("event_type").over(w).alias("prev_attr"),
+    )
+    changes = hist.filter(
+        F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
+    )
+    scd2 = changes.select(
+        "user_id",
+        "attr",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    d = scd2.select(
+        F.col("user_id").alias("d_user_id"), "attr", "valid_from", "valid_to"
+    )
+    return (
+        facts.join(d, F.col("user_id") == F.col("d_user_id"))
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("attr").alias("attr_at_ts"),
+            F.col("valid_to").isNull().alias("from_current_version"),
+        )
+    )
+
+
+@query(
     "inc_backfill_window",
     oracle=f"""
     WITH full_rollup AS (

