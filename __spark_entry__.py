@@ -143,6 +143,7 @@ R5_PLANNED = [
     "llm_sim_ann_pq_recall",
     "dim_scd2_lookup",
     "agg_unpivot",
+    "ts_gapfill_locf",
 ]
 
 

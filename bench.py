@@ -72,6 +72,11 @@ HEADLINE = [
     # plans — exact shared-span dedup and a TPC-H heavy 6-way join.
     "llm_dedup_substring",
     "tpch_q9",
+    # appended later in round 4: corpus-wide chunk dedup (skew-safe
+    # first-occurrence agg) and PQ/ADC ANN (iterative multi-subspace
+    # k-means + broadcast ADC scoring) — first-measurement baselines.
+    "llm_dedup_paragraph",
+    "llm_sim_ann_pq",
 ]
 
 REPEATS = 3

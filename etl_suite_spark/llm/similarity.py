@@ -705,6 +705,14 @@ def llm_sim_ann_pq(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     ).withColumn("nsq", dot("embedding", "embedding"))
+    # Normalized vectors MATERIALIZED once (localCheckpoint). Without the
+    # barrier, CollapseProject inlines the nsq column — itself a 64-term
+    # aggregate — into the normalize lambda, so nsq is recomputed PER
+    # ELEMENT of every `unit` use (64×64 interpreted ops + an array
+    # allocation each; higher-order functions don't codegen). Measured:
+    # this single inlining was ~80% of the operator's runtime (6.3 s of
+    # 7.9 s at sf0.1). At 100 TB you'd persist the normalized corpus once
+    # anyway — it's the PQ encode input.
     en = e.select(
         "vec_id",
         "embedding",
@@ -712,7 +720,7 @@ def llm_sim_ann_pq(spark, sf_dir):
         F.expr(
             "transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(nsq) AS FLOAT))"
         ).alias("unit"),
-    )
+    ).localCheckpoint(eager=True)
 
     # (vec_id, subspace, sv): every vector's m sub-vectors in one relation
     sub = en.select(
@@ -726,16 +734,25 @@ def llm_sim_ann_pq(spark, sf_dir):
     )
 
     def assign(cent):
+        # argmin as a hash aggregate — min over struct(dsq, cluster, sv)
+        # compares (dsq, cluster) lexicographically (cluster is unique per
+        # group, so sv never participates in the comparison) and carries
+        # the winning sub-vector out. Map-side partial combine, no sort:
+        # the skew-safe argmin, vs a row_number window that must shuffle
+        # AND sort every scored candidate.
         scored = sub.join(F.broadcast(cent), "subspace").withColumn(
             "dsq", F.expr(_DIST_SQ.format(a="sv", b="centroid"))
         )
-        w = Window.partitionBy("vec_id", "subspace").orderBy(
-            F.col("dsq").asc(), F.col("cluster").asc()
-        )
         return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            scored.groupBy("vec_id", "subspace")
+            .agg(F.min(F.struct("dsq", "cluster", "sv")).alias("am"))
+            .select(
+                "vec_id",
+                "subspace",
+                F.col("am.dsq").alias("dsq"),
+                F.col("am.cluster").alias("cluster"),
+                F.col("am.sv").alias("sv"),
+            )
         )
 
     # init: the first k vectors' sub-slices seed every subspace's codebook

@@ -421,3 +421,77 @@ def win_cumulative_distinct(spark, sf_dir):
         per_day.withColumn("cum_distinct_users", F.sum("new_users").over(w))
         .orderBy("day")
     )
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             {sql_dsum("value")} AS day_value
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      GROUP BY user_id
+    ),
+    calendar AS (
+      SELECT s.user_id, CAST(u.g AS DATE) AS day
+      FROM spans s, unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS u(g)
+    )
+    SELECT c.user_id, c.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           d.day_value IS NOT NULL AS observed,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY c.user_id ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM calendar c
+    LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+    """,
+)
+def ts_gapfill_locf(spark, sf_dir):
+    """Time-series gap filling — resample each user's event stream onto a
+    dense daily calendar and carry the last observation forward (LOCF)
+    across the gaps. The hypertable/metrics-rollup primitive: downstream
+    joins and window math need a dense grid, raw events are sparse.
+
+    Plan shape for 100 TB:
+    - the daily pre-aggregate comes FIRST (one hash agg with map-side
+      combine), so the calendar explode runs over per-(user, day) rows,
+      never raw events;
+    - each user's calendar is generated with ``sequence()`` from its own
+      [min, max] span — row growth is bounded by span length, and the
+      explode is map-only on the already-aggregated span table;
+    - the LOCF is one ``last(value, ignoreNulls)`` window over the SAME
+      user partitioning the join just shuffled on, so the sort reuses the
+      exchange. Nothing in the plan touches the raw fact table twice."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("day_value"),
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        calendar.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.col("day_value").isNotNull().alias("observed"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value_locf"),
+        )
+    )

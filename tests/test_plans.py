@@ -281,3 +281,23 @@ def test_scd2_lookup_exactly_one_version_per_fact(spark):
     )
     assert out.count() == n_facts
     assert out.select("event_id").distinct().count() == n_facts
+
+
+def test_gapfill_grid_dense_and_locf_total(spark):
+    """Every user's resampled series is a dense daily grid over [min, max]
+    and value_locf is non-null from the first observed day onward (the
+    first grid day is always observed by construction)."""
+    from etl_suite_spark.registry import QUERIES
+
+    rows = QUERIES["ts_gapfill_locf"](spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for u, rs in list(by_user.items())[:20]:
+        rs.sort(key=lambda r: r.day)
+        span = (rs[-1].day - rs[0].day).days + 1
+        assert len(rs) == span, f"user {u}: {len(rs)} rows != {span} days"
+        assert rs[0].observed
+        assert all(r.value_locf is not None for r in rs)
+        assert all(r.n_events == 0 or r.observed for r in rs)
