@@ -144,6 +144,8 @@ R5_PLANNED = [
     "dim_scd2_lookup",
     "agg_unpivot",
     "ts_gapfill_locf",
+    "llm_dedup_keeplist",
+    "llm_bigram_logprob",
 ]
 
 

@@ -720,6 +720,81 @@ def llm_dedup_clusters(spark, sf_dir):
     )
 
 
+@query(
+    "llm_dedup_keeplist",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS shared,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ), sel AS (
+      SELECT doc_a, doc_b FROM p
+      WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM sel
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM sel
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ), labels AS (
+      SELECT node, MIN(lab) AS label FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY label
+    )
+    SELECT d.doc_id,
+           COALESCE(l.label, d.doc_id) AS canonical_doc,
+           COALESCE(s.cluster_size, 1) AS cluster_size,
+           (l.node IS NULL OR l.label = d.doc_id) AS keep
+    FROM documents d
+    LEFT JOIN labels l ON l.node = d.doc_id
+    LEFT JOIN sizes s ON s.label = l.label
+    """,
+)
+def llm_dedup_keeplist(spark, sf_dir):
+    """The user-facing artifact of near-dup dedup: a per-document
+    keep/drop verdict. Each transitive duplicate cluster (same edge set
+    and components as llm_dedup_clusters) keeps exactly its min-id
+    canonical member; documents in no cluster keep trivially.
+
+    This is the table a corpus build actually joins against (``WHERE
+    keep``) — clusters alone aren't actionable. Plan: the cluster labels
+    are a vertex-table-sized relation (only clustered docs appear), so
+    the final step is one LEFT equi-join from documents onto labels plus
+    a broadcast-sized per-label count; the corpus is scanned once and
+    never shuffled except by the label join key."""
+    pairs = llm_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.join(labels, d.doc_id == labels.node, "left")
+        .join(sizes, "label", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("canonical_doc"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            (F.col("node").isNull() | (F.col("label") == F.col("doc_id"))).alias(
+                "keep"
+            ),
+        )
+    )
+
+
 # --- URL canonicalization dedup --------------------------------------------
 # Web-crawl corpora carry the same page under many URL spellings (mirror
 # hosts, tracking params, fragments, case). Canonicalize-then-group is the

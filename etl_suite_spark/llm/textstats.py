@@ -579,3 +579,90 @@ def llm_unigram_logprob(spark, sf_dir):
         F.count("*").alias("n_tokens"),
         F.round(d2d(F.sum("lp")) / F.count("*"), 6).alias("avg_logprob"),
     )
+
+
+@query(
+    "llm_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM t, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(ln((c12.c2 + 1.0) / (c1.c1 + (SELECT vocab FROM v))), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM bg b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1 ON b.w1 = c1.w1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           round(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def llm_bigram_logprob(spark, sf_dir):
+    """Bigram language-model scoring with add-1 (Laplace) smoothing —
+    the next step up from llm_unigram_logprob toward KenLM-style
+    perplexity filtering: p(w2|w1) = (c(w1,w2)+1) / (c(w1)+|V|), scored
+    as each document's mean bigram log-probability. A doc of locally
+    incoherent token order scores low even when its unigrams are common —
+    the signal unigram scoring cannot see.
+
+    Same determinism discipline as the unigram op: ln() rounded to 6 dp
+    THEN cast to exact decimal before the per-doc sum. Plan shape at
+    100 TB: bigram extraction is map-only array ops; the two count
+    tables aggregate with map-side combine (bigram keys are zipfian but
+    partials absorb the head); both count tables post-aggregation are
+    vocab-sized → broadcast back onto the bigram stream, so the only
+    corpus-sized shuffle is the per-doc final aggregate. |V| is a scalar
+    count, not a driver-side dataset."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    " element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.count_distinct("tok"))
+        .collect()[0][0]
+    )  # scalar vocab size, not a dataset
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(vocab)))), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(d2d(F.sum("lp")) / F.count("*"), 6).alias("avg_logprob"),
+    )

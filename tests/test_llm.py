@@ -583,3 +583,27 @@ def test_pq_ann_topk_shape_and_measured_recall(spark):
     (rec,) = QUERIES["llm_sim_ann_pq_recall"](spark, SF_DIR).collect()
     assert rec.n_exact_pairs == 30 and rec.n_queries == 10
     assert rec.recall_ge_40
+
+
+def test_keeplist_consistent_with_clusters(spark):
+    """keep-verdicts must agree with the transitive clusters: exactly one
+    keeper per cluster (its canonical min id), all other members dropped,
+    and every unclustered doc kept."""
+    from etl_suite_spark.io import load_table
+
+    kl = {r.doc_id: r for r in QUERIES["llm_dedup_keeplist"](spark, SF_DIR).collect()}
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(kl) == n_docs
+    clusters = QUERIES["llm_dedup_clusters"](spark, SF_DIR).collect()
+    clustered = set()
+    for c in clusters:
+        members = [int(x) for x in c.member_ids.split(",")]
+        clustered.update(members)
+        assert kl[c.canonical_doc].keep
+        for mid in members:
+            assert kl[mid].canonical_doc == c.canonical_doc
+            assert kl[mid].keep == (mid == c.canonical_doc)
+            assert kl[mid].cluster_size == c.cluster_size
+    for did, r in kl.items():
+        if did not in clustered:
+            assert r.keep and r.cluster_size == 1 and r.canonical_doc == did
