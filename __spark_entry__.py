@@ -146,6 +146,7 @@ R5_PLANNED = [
     "ts_gapfill_locf",
     "llm_dedup_keeplist",
     "llm_bigram_logprob",
+    "llm_sim_ann_ivfpq_recall",
 ]
 
 

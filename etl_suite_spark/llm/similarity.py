@@ -659,49 +659,13 @@ def llm_sim_ann_recall(spark, sf_dir):
     )
 
 
-@query("llm_sim_ann_pq")  # rows-only: per-subspace k-means training is iterative
-def llm_sim_ann_pq(spark, sf_dir):
-    """Product-quantization ANN (Jégou, Douze & Schmid, PAMI 2011): the
-    memory-compressed billion-scale path. The 64-dim space splits into
-    m=8 subspaces of 8 dims; each subspace trains its own k=16-centroid
-    codebook, and every vector is stored as 8 sub-byte codes — a 32×
-    compression of the float corpus (256 B → 8 B/vector), which is what
-    lets a 100 TB embedding table fit a serving tier at all.
-
-    Search is ADC (asymmetric distance computation): each query
-    precomputes its m×16 table of squared sub-distances to every
-    sub-centroid; a candidate's approximate distance is then m table
-    LOOKUPS instead of d multiplies. Plan shape mirrors
-    llm_sim_cosine_topk — the tiny query side (10 tables, m·16 doubles
-    each) is BROADCAST against the code table and scored map-only inside
-    codegen (aggregate over the code array); no shuffle touches the
-    corpus until the per-query top-32 window, whose input at scale is cut
-    by routing through an IVF cell equi-join first (IVF-PQ — the cell id
-    stays the partition key exactly as in llm_sim_ann_ivf). The top-32
-    ADC candidates are then re-ranked with the EXACT cosine (the standard
-    re-rank stage) and the top-3 emitted.
-
-    PQ quantizes L2 distance, but the ground truth here is COSINE — so
-    vectors are L2-NORMALIZED before training/encoding (on the unit
-    sphere ‖a−b‖² = 2−2·cos(a,b), making ADC's L2 ranking the cosine
-    ranking; without this the raw-norm spread dominates and recall@3
-    measures ~0.03). The exact re-rank still scores original vectors.
-
-    Training is ONE multi-key k-means, not m separate fits: sub-vectors
-    carry their subspace id, centroids key on (subspace, cluster), and a
-    Lloyd iteration is a single broadcast-join + argmin + groupBy over ALL
-    subspaces at once — one pass over the data per iteration instead of m
-    (the difference between 2 and 16 corpus scans at 100 TB). A cluster
-    that empties during Lloyd's simply disappears from the codebook, so
-    the ADC table is a MAP keyed by (subspace·k + cluster), never a
-    positional array (a positional table silently misaligns every lookup
-    after a gap — measured recall fell to the random-chance rate).
-
-    Runs 2 Lloyd iterations on the full fixture (a sample at 100 TB —
-    codebooks are m·16 points)."""
+def _pq_parts(spark, sf_dir, m=8, ksub=16, subdim=8):
+    """Shared PQ machinery: normalize, train codebooks, encode, and build
+    per-query ADC tables. Returns (e, en, codes, q, qtab); see
+    :func:`llm_sim_ann_pq` for the full design rationale. Reused by the
+    flat-PQ scan and the IVF-PQ composite."""
     from .clustering import _DIST_SQ
 
-    m, ksub, subdim, pool = 8, 16, 8, 32
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     ).withColumn("nsq", dot("embedding", "embedding"))
@@ -761,7 +725,9 @@ def llm_sim_ann_pq(spark, sf_dir):
         F.col("sv").alias("centroid"),
     )
     for _ in range(2):
-        upd = assign(cent).select("subspace", "cluster", F.posexplode("sv").alias("pos", "x"))
+        upd = assign(cent).select(
+            "subspace", "cluster", F.posexplode("sv").alias("pos", "x")
+        )
         cent = (
             upd.groupBy("subspace", "cluster", "pos")
             .agg(F.avg(F.col("x").cast("double")).alias("mu"))
@@ -813,24 +779,20 @@ def llm_sim_ann_pq(spark, sf_dir):
             ).alias("tab")
         )
     )
+    return e, en, codes, q, qtab
 
-    # ADC scoring: broadcast the 10 query tables; per (vector, query) cost
-    # is m map lookups — aggregate over the code array, all inside codegen
-    adc = codes.crossJoin(F.broadcast(qtab)).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(
-            f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
-            f" (acc, s) -> acc + element_at(tab,"
-            f" s * {ksub} + element_at(codes, s + 1)))"
-        ).alias("approx_dsq"),
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dsq").asc(), F.col("neighbor_id").asc()
+
+def _adc_expr(m: int, ksub: int) -> F.Column:
+    """Approximate squared distance: m map lookups over the code array."""
+    return F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
+        f" (acc, s) -> acc + element_at(tab,"
+        f" s * {ksub} + element_at(codes, s + 1)))"
     )
-    cand = adc.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") <= pool)
 
-    # exact re-rank of the ADC survivors per query
+
+def _rerank_top3(cand, e, q):
+    """Exact-cosine re-rank of ADC survivors; emits top-3 per query."""
     rer = (
         cand.select("query_id", "neighbor_id")
         .join(
@@ -841,7 +803,7 @@ def llm_sim_ann_pq(spark, sf_dir):
             ),
             "neighbor_id",
         )
-        .join(F.broadcast(q), "query_id")
+        .join(F.broadcast(q.select("query_id", "q_emb", "q_nsq")), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -857,6 +819,128 @@ def llm_sim_ann_pq(spark, sf_dir):
         .select("query_id", "neighbor_id", "cosine")
         .orderBy("query_id", F.col("cosine").desc(), "neighbor_id")
     )
+
+
+@query("llm_sim_ann_pq")  # rows-only: per-subspace k-means training is iterative
+def llm_sim_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou, Douze & Schmid, PAMI 2011): the
+    memory-compressed billion-scale path. The 64-dim space splits into
+    m=8 subspaces of 8 dims; each subspace trains its own k=16-centroid
+    codebook, and every vector is stored as 8 sub-byte codes — a 32×
+    compression of the float corpus (256 B → 8 B/vector), which is what
+    lets a 100 TB embedding table fit a serving tier at all.
+
+    Search is ADC (asymmetric distance computation): each query
+    precomputes its m×16 table of squared sub-distances to every
+    sub-centroid; a candidate's approximate distance is then m table
+    LOOKUPS instead of d multiplies. Plan shape mirrors
+    llm_sim_cosine_topk — the tiny query side (10 tables, m·16 doubles
+    each) is BROADCAST against the code table and scored map-only inside
+    codegen (aggregate over the code array); no shuffle touches the
+    corpus until the per-query top-32 window, whose input at scale is cut
+    by routing through an IVF cell equi-join first (see
+    llm_sim_ann_ivfpq). The top-32 ADC candidates are then re-ranked with
+    the EXACT cosine (the standard re-rank stage) and the top-3 emitted.
+
+    PQ quantizes L2 distance, but the ground truth here is COSINE — so
+    vectors are L2-NORMALIZED before training/encoding (on the unit
+    sphere ‖a−b‖² = 2−2·cos(a,b), making ADC's L2 ranking the cosine
+    ranking; without this the raw-norm spread dominates and recall@3
+    measures ~0.03). The exact re-rank still scores original vectors.
+
+    Training is ONE multi-key k-means, not m separate fits: sub-vectors
+    carry their subspace id, centroids key on (subspace, cluster), and a
+    Lloyd iteration is a single broadcast-join + argmin + groupBy over ALL
+    subspaces at once — one pass over the data per iteration instead of m
+    (the difference between 2 and 16 corpus scans at 100 TB). A cluster
+    that empties during Lloyd's simply disappears from the codebook, so
+    the ADC table is a MAP keyed by (subspace·k + cluster), never a
+    positional array (a positional table silently misaligns every lookup
+    after a gap — measured recall fell to the random-chance rate).
+
+    Runs 2 Lloyd iterations on the full fixture (a sample at 100 TB —
+    codebooks are m·16 points)."""
+    m, ksub, pool = 8, 16, 32
+    e, en, codes, q, qtab = _pq_parts(spark, sf_dir, m=m, ksub=ksub)
+
+    # ADC scoring: broadcast the 10 query tables; per (vector, query) cost
+    # is m map lookups — aggregate over the code array, all inside codegen
+    adc = codes.crossJoin(F.broadcast(qtab)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_expr(m, ksub).alias("approx_dsq"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dsq").asc(), F.col("neighbor_id").asc()
+    )
+    cand = adc.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") <= pool)
+    return _rerank_top3(cand, e, q)
+
+
+@query("llm_sim_ann_ivfpq")  # rows-only: both quantizers train iteratively
+def llm_sim_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composite — the canonical billion-scale serving layout
+    (FAISS's IndexIVFPQ): an IVF coarse quantizer routes each query to
+    its nprobe=2 nearest cells (of 8), and within the probed cells
+    candidates are scored by PQ/ADC table lookups instead of full-dim
+    math. Cells bound the candidate count (~nprobe/n_cells of the
+    corpus), PQ bounds bytes-per-candidate (8 B here, 32× compressed):
+    together a probe touches a constant fraction of a compressed index —
+    that, not flat scans, is how 100 TB of embeddings serves queries.
+
+    Plan shape: cell assignment and PQ encode are ONE materialization of
+    the normalized corpus (shared with llm_sim_ann_pq); the search is an
+    EQUI-JOIN of the code table on cell id against the broadcast
+    (probe-cell × query-ADC-table) side — at scale the cell id is the
+    storage partition key, so a probe becomes partition pruning at the
+    scan and the ADC arithmetic runs map-only on the pruned partitions.
+    Variant note: codes here quantize the vectors themselves, not the
+    cell residuals (FAISS's default encodes residuals for tighter error;
+    same plan shape, one extra subtraction at encode time — documented
+    rather than implemented to keep the codebook shared with the flat-PQ
+    op)."""
+    from .clustering import _DIST_SQ, kmeans_fit
+
+    m, ksub, pool, nprobe = 8, 16, 32, 2
+    e, en, codes, q, qtab = _pq_parts(spark, sf_dir, m=m, ksub=ksub)
+
+    # coarse quantizer over the same normalized vectors (8 cells)
+    assigned, coarse = kmeans_fit(
+        spark, en.select("vec_id", F.col("unit").alias("embedding")),
+        k=8, iters=3, init="pp",
+    )
+    cells = codes.join(
+        assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
+    )
+
+    # each query keeps its nprobe nearest cells, and carries its ADC table
+    qc = q.crossJoin(F.broadcast(coarse)).withColumn(
+        "cdist", F.expr(_DIST_SQ.format(a="q_unit", b="centroid"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cluster").alias("p_cell"))
+        .join(qtab, "query_id")
+    )
+
+    # probe: equi-join on cell id; ADC-score only in-cell candidates
+    adc = cells.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_expr(m, ksub).alias("approx_dsq"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dsq").asc(), F.col("neighbor_id").asc()
+    )
+    cand = adc.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") <= pool)
+    return _rerank_top3(cand, e, q)
 
 
 @query(
@@ -920,4 +1004,64 @@ def llm_sim_ann_pq_recall(spark, sf_dir):
         "n_exact_pairs",
         "n_queries",
         (F.col("n_found") >= 0.4 * F.col("n_exact_pairs")).alias("recall_ge_40"),
+    )
+
+
+@query(
+    "llm_sim_ann_ivfpq_recall",
+    # Honesty metric for the IVF-PQ composite. Measured margin: recall@3
+    # = 0.433 at BOTH sf0.001 and sf0.01 vs the 0.30 threshold (1.4×
+    # headroom) — lower than flat PQ (0.60/0.70) exactly as theory
+    # predicts: the probe can only find neighbors whose cell it visits
+    # (IVF nprobe=2/8 measures ~0.5 alone), and ADC ranking loses a
+    # little more. The gate catches either quantizer silently breaking.
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < 10), exact3 AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM q JOIN n e ON e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                   DESC, e.vec_id ASC) <= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ge_30
+    FROM exact3
+    """,
+)
+def llm_sim_ann_ivfpq_recall(spark, sf_dir):
+    """Recall@3 of the IVF-PQ composite against brute-force exact top-3 —
+    the measured honesty metric for the cell-routed compressed index."""
+    ann = llm_sim_ann_ivfpq(spark, sf_dir).select("query_id", "neighbor_id")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn("nsq", dot("embedding", "embedding"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cos = _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    exact3 = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return exact3.agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.count_distinct("query_id").alias("n_queries"),
+    ).join(found.agg(F.count("*").alias("n_found"))).select(
+        "n_exact_pairs",
+        "n_queries",
+        (F.col("n_found") >= 0.3 * F.col("n_exact_pairs")).alias("recall_ge_30"),
     )

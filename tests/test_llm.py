@@ -607,3 +607,16 @@ def test_keeplist_consistent_with_clusters(spark):
     for did, r in kl.items():
         if did not in clustered:
             assert r.keep and r.cluster_size == 1 and r.canonical_doc == did
+
+
+def test_ivfpq_shape_and_measured_recall(spark):
+    """IVF-PQ emits top-3 per query from probed cells only, and measured
+    recall@3 clears the 0.3 gate (0.433 measured at both fixtures)."""
+    out = QUERIES["llm_sim_ann_ivfpq"](spark, SF_DIR).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(10))
+    assert all(len(v) <= 3 for v in per_q.values())
+    (rec,) = QUERIES["llm_sim_ann_ivfpq_recall"](spark, SF_DIR).collect()
+    assert rec.n_exact_pairs == 30 and rec.recall_ge_30
