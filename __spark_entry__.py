@@ -147,6 +147,7 @@ R5_PLANNED = [
     "llm_dedup_keeplist",
     "llm_bigram_logprob",
     "llm_sim_ann_ivfpq_recall",
+    "ts_ewma",
 ]
 
 

@@ -495,3 +495,73 @@ def ts_gapfill_locf(spark, sf_dir):
             F.last("day_value", ignorenulls=True).over(w).alias("value_locf"),
         )
     )
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             {sql_dsum("value")} AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             MAX(day) AS last_day,
+             list(CAST(v AS DECIMAL(18,6)) ORDER BY day) AS vs
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n_days, last_day,
+           CAST(CAST(list_reduce(vs,
+                 (acc, x) -> CAST(round(0.3 * x + 0.7 * acc, 6)
+                                  AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS ewma
+    FROM s
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Exponentially weighted moving average of each user's daily value
+    series (α=0.3, y₁=x₁, yₙ=α·xₙ+(1−α)·yₙ₋₁) — the smoothing
+    primitive behind anomaly baselines and trend dashboards. EWMA is a
+    RECURSION, not a window sum: no frame-based window function can
+    express it, so both engines run the same left fold over each user's
+    day-ordered series (Spark ``aggregate``, DuckDB ``list_reduce``),
+    with every step rounded to 6 dp so the two engines' double
+    arithmetic cannot drift — and the fold itself runs in EXACT DECIMAL
+    (α·x is 3 dp, (1−α)·acc is 7 dp, both exact), because a double fold
+    measurably diverged: each rounded step lands on a 7-dp value whose
+    7th digit is often exactly 5, and binary doubles break that tie
+    differently per engine (3 of ~500 users off by 1e-6).
+
+    Plan shape: the daily pre-aggregate (map-side combine) collapses the
+    event stream first; the fold then runs over per-user arrays whose
+    length is bounded by the DATE SPAN, not the event count — a year of
+    data folds ≤365 elements per user regardless of corpus size, all
+    inside one groupBy. The closed-form window alternative
+    (Σ(1−α)^(n−i)xᵢ via cumulative sums of (1−α)^(−i)xᵢ) was REJECTED:
+    (1−α)^(−i) overflows double precision past ~90 elements."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("v")
+    )
+    s = daily.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, v))),"
+            " p -> CAST(p.v AS DECIMAL(18,6)))"
+        ).alias("vs"),
+    )
+    return s.select(
+        "user_id",
+        "n_days",
+        "last_day",
+        d2d(
+            F.expr(
+                "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1),"
+                " (acc, x) -> CAST(round(0.3 * x + 0.7 * acc, 6)"
+                " AS DECIMAL(18,6)))"
+            )
+        ).alias("ewma"),
+    )

@@ -301,3 +301,33 @@ def test_gapfill_grid_dense_and_locf_total(spark):
         assert rs[0].observed
         assert all(r.value_locf is not None for r in rs)
         assert all(r.n_events == 0 or r.observed for r in rs)
+
+
+def test_ewma_matches_python_reference(spark):
+    """The decimal fold equals a straightforward Python EWMA recursion on
+    the same day-ordered series for a sample of users."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    out = {r.user_id: r for r in QUERIES["ts_ewma"](spark, SF_DIR).collect()}
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.user_id, []).append((r.day, r.v))
+    for uid in list(series)[:25]:
+        vs = [Decimal(str(round(v, 2))) for _, v in sorted(series[uid])]
+        acc = vs[0]
+        for x in vs[1:]:
+            acc = (Decimal("0.3") * x + Decimal("0.7") * acc).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        assert abs(float(acc) - out[uid].ewma) < 1e-9, uid
+        assert out[uid].n_days == len(vs)
