@@ -153,6 +153,50 @@ PAIRS = [
         "cast(element_at(from_json(j, 'map<string,int>'), 'k') as long)",
         "CAST((MAP {'k': CAST(j->>'$.k' AS INTEGER)}['k'])[1] AS BIGINT)",
     ),
+    # -- round-4 surfaces: chunk-grid slicing (llm_dedup_paragraph /
+    #    llm_doc_chunking), list predicates (llm_quality_c4), and the
+    #    left-fold bridge (ts_ewma: Spark aggregate with first-element
+    #    init == DuckDB list_reduce) --
+    (
+        "chunk_grid_n",
+        "cast(ceil(size(split(sa, ' ')) / 10.0) as long)",
+        "CAST(ceil(len(string_split(sa, ' ')) / 10.0) AS BIGINT)",
+    ),
+    (
+        "chunk_head",
+        "concat_ws(' ', slice(split(sa, ' '), 1, 3))",
+        "array_to_string(string_split(sa, ' ')[1:3], ' ')",
+    ),
+    # the full chunk grid exactly as llm_dedup_paragraph computes it —
+    # every slice start is in-bounds by construction (a bare out-of-bounds
+    # slice is NOT a bridge: Spark gives [], DuckDB gives NULL)
+    (
+        "chunk_grid",
+        "array_join(transform(sequence(0,"
+        " int(ceil(size(split(sa, ' ')) / 2.0)) - 1),"
+        " i -> concat_ws(' ', slice(split(sa, ' '), i * 2 + 1, 2))), '|')",
+        "array_to_string(list_transform(range(0,"
+        " CAST(ceil(len(string_split(sa, ' ')) / 2.0) AS BIGINT)),"
+        " i -> array_to_string(string_split(sa, ' ')[(i*2+1):(i*2+2)], ' ')),"
+        " '|')",
+    ),
+    (
+        "fold_ints",
+        "aggregate(slice(array(length(s), length(sa), 7), 2, 2),"
+        " element_at(array(length(s), length(sa), 7), 1),"
+        " (acc, v) -> acc * 2 + v)",
+        "list_reduce([length(s), length(sa), 7], (acc, v) -> acc * 2 + v)",
+    ),
+    (
+        "has_any_stopword",
+        "arrays_overlap(split(sa, ' '), array('the', 'a'))",
+        "list_has_any(string_split(sa, ' '), ['the', 'a'])",
+    ),
+    (
+        "n_distinct_words",
+        "cast(size(array_distinct(split(sa, ' '))) as long)",
+        "CAST(len(list_distinct(string_split(sa, ' '))) AS BIGINT)",
+    ),
 ]
 
 # Broad multi-script alphabet, minus the classes where Spark and DuckDB
