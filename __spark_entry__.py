@@ -148,6 +148,7 @@ R5_PLANNED = [
     "llm_bigram_logprob",
     "llm_sim_ann_ivfpq_recall",
     "ts_ewma",
+    "dq_profile",
 ]
 
 

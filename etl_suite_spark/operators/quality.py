@@ -250,3 +250,100 @@ def dq_key_skew_report(spark, sf_dir):
         F.round(F.col("max_key_rows") / F.col("avg_key_rows"), 6).alias("skew_factor"),
         "n_hot_keys",
     )
+
+
+@query(
+    "dq_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def dq_profile(spark, sf_dir):
+    """One-pass column profiler — null counts, distinct cardinality, and
+    min/max per column, emitted in long form. The first thing an ETL
+    suite runs against an unknown feed (and the stats a cost-based
+    optimizer or partition planner feeds on).
+
+    Plan shape: ONE aggregate over ONE scan computes every column's
+    stats simultaneously (count/min/max fold map-side; the multi-column
+    COUNT(DISTINCT ...) set plans as Spark's Expand strategy — one extra
+    pass over in-memory rows, not extra scans), then a tiny literal-array
+    explode reshapes 1×N scalars into N rows. The DuckDB oracle's 5-way
+    UNION ALL re-reads the view per column; the Spark plan deliberately
+    does not. At 100 TB swap the exact COUNT(DISTINCT) for
+    approx_count_distinct — same plan minus the Expand (documented, not
+    silently substituted: the oracle pins exact semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count("*").alias("n"),
+        *[
+            x
+            for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+            for x in (
+                F.count(c).alias(f"nn_{c}"),
+                F.count_distinct(c).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+    )
+
+    def col_struct(c, mn=None, mx=None):
+        return F.struct(
+            F.lit(c).alias("column_name"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            (mn if mn is not None else F.col(f"mn_{c}")).alias("min_value"),
+            (mx if mx is not None else F.col(f"mx_{c}")).alias("max_value"),
+        )
+
+    price_mn = F.col("mn_o_totalprice").cast("decimal(18,2)").cast("string")
+    price_mx = F.col("mx_o_totalprice").cast("decimal(18,2)").cast("string")
+    # the loader reads o_orderdate as timestamp; profile it as the DATE it
+    # semantically is (oracle casts likewise)
+    date_mn = F.col("mn_o_orderdate").cast("timestamp").cast("date").cast("string")
+    date_mx = F.col("mx_o_orderdate").cast("timestamp").cast("date").cast("string")
+    return (
+        stats.select(
+            F.explode(
+                F.array(
+                    col_struct("o_orderkey"),
+                    col_struct("o_custkey"),
+                    col_struct("o_orderstatus"),
+                    col_struct("o_totalprice", price_mn, price_mx),
+                    col_struct("o_orderdate", date_mn, date_mx),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .orderBy("column_name")
+    )
