@@ -677,14 +677,24 @@ def _pq_parts(spark, sf_dir, m=8, ksub=16, subdim=8):
     # this single inlining was ~80% of the operator's runtime (6.3 s of
     # 7.9 s at sf0.1). At 100 TB you'd persist the normalized corpus once
     # anyway — it's the PQ encode input.
-    en = e.select(
-        "vec_id",
-        "embedding",
-        "nsq",
-        F.expr(
-            "transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(nsq) AS FLOAT))"
-        ).alias("unit"),
-    ).localCheckpoint(eager=True)
+    # The repartition matters independently of the checkpoint: the fixture
+    # is one parquet file → 1-2 scan partitions, and the checkpoint would
+    # FREEZE that width for every downstream stage (measured at 10×
+    # fixture scale: the whole index build ran on 2 of 32 cores).
+    # Hash-partitioning on vec_id spreads the fold across the cluster the
+    # way a multi-file 100 TB table would arrive naturally.
+    en = (
+        e.select(
+            "vec_id",
+            "embedding",
+            "nsq",
+            F.expr(
+                "transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(nsq) AS FLOAT))"
+            ).alias("unit"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .localCheckpoint(eager=True)
+    )
 
     # (vec_id, subspace, sv): every vector's m sub-vectors in one relation
     sub = en.select(
