@@ -149,6 +149,8 @@ R5_PLANNED = [
     "llm_sim_ann_ivfpq_recall",
     "ts_ewma",
     "dq_profile",
+    "sink_zorder_layout",
+    "agg_aqp_estimate",
 ]
 
 

@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..core import d2d, dec
 from ..io import load_table, table_path
 from ..registry import query
 
@@ -450,4 +451,79 @@ def sink_compact_small_files(spark, sf_dir):
         F.lit(comp_n).cast("long").alias("n_rows"),
         F.lit(frag_sig == comp_sig and frag_n == comp_n).alias("content_matches"),
         F.lit(n_comp_files < n_frag_files).alias("compaction_ok"),
+    )
+
+
+# Bit-interleave of two 16-bit keys into a 32-bit Morton (Z-order) value.
+# Disjoint bit positions mean SUM == OR, which keeps the expression a plain
+# arithmetic fold on both engines.
+_Z_SPARK = (
+    "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+    " + shiftleft((CAST({a} AS BIGINT) >> i) & 1, 2 * i)"
+    " + shiftleft((CAST({b} AS BIGINT) >> i) & 1, 2 * i + 1))"
+)
+_Z_DUCK = (
+    "list_sum(list_transform(range(0, 16), i ->"
+    " (((CAST({a} AS BIGINT) >> i) & 1) << (2 * i))"
+    " + (((CAST({b} AS BIGINT) >> i) & 1) << (2 * i + 1))))"
+)
+
+
+@query(
+    "sink_zorder_layout",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 299
+      AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+                                        AND DATE '1996-12-31'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sink_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) data layout — multi-dimensional clustering
+    for scan pruning, the lakehouse feature behind Delta's OPTIMIZE
+    ZORDER BY: interleave the bits of the two dominant filter columns
+    (customer key, order day) into one Morton value, range-partition and
+    sort the write by it, and BOTH single-column and box filters skip
+    most row groups via parquet min/max stats — where a plain sort only
+    prunes its leading column. The z fold is pure integer arithmetic
+    inside codegen (disjoint bits ⇒ sum == or).
+
+    Registered check re-reads the z-laid-out table with a 2-dim box
+    filter (custkey × year) and aggregates — correctness of the full
+    write→read→filter path; the clustering property itself (per-file
+    z-ranges are DISJOINT under range partitioning) is asserted in
+    tests/test_sources.py. At 100 TB the same two lines
+    (repartitionByRange + sortWithinPartitions on z) are the entire
+    maintenance job."""
+    o = load_table(spark, sf_dir, "orders")
+    day = "datediff(o_orderdate, DATE '1970-01-01')"
+    z = F.expr(
+        _Z_SPARK.format(a="o_custkey % 65536", b=f"({day}) % 65536")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_zorder_"), "orders_z")
+    (
+        o.withColumn("z", z)
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("o_custkey").between(100, 299)
+            & F.col("o_orderdate")
+            .cast("date")
+            .between("1996-01-01", "1996-12-31")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            d2d(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )

@@ -183,3 +183,45 @@ def test_loader_schema_pinned(spark):
     assert set(EXPECTED_DTYPES) == set(TABLES)
     for t in TABLES:
         assert load_table(spark, SF_DIR, t).dtypes == EXPECTED_DTYPES[t], t
+
+
+def test_zorder_files_disjoint_in_z(spark, tmp_path):
+    """Range partitioning on the Morton value must produce files whose
+    z-ranges are pairwise disjoint — the property parquet min/max pruning
+    exploits — and the interleave must be invertible on its 16-bit halves."""
+    from pyspark.sql import functions as F
+
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.sources.scans import _Z_SPARK
+
+    o = load_table(spark, SF_DIR, "orders")
+    day = "datediff(o_orderdate, DATE '1970-01-01')"
+    z = F.expr(_Z_SPARK.format(a="o_custkey % 65536", b=f"({day}) % 65536"))
+    out = str(tmp_path / "orders_z")
+    (
+        o.withColumn("z", z)
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "z", F.input_file_name().alias("f"), "o_custkey", "o_orderdate"
+    )
+    ranges = (
+        back.groupBy("f").agg(F.min("z").alias("lo"), F.max("z").alias("hi")).collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert len(spans) >= 2
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping z-ranges: ({lo1},{hi1}) vs ({lo2},..)"
+    # invertibility: de-interleaving even bits returns o_custkey % 65536
+    sample = back.limit(200).withColumn(
+        "a_back",
+        F.expr(
+            "aggregate(sequence(0, 15), 0L,"
+            " (acc, i) -> acc + shiftleft((z >> (2 * i)) & 1, i))"
+        ),
+    ).collect()
+    for r in sample:
+        assert r.a_back == r.o_custkey % 65536
