@@ -151,6 +151,7 @@ R5_PLANNED = [
     "dq_profile",
     "sink_zorder_layout",
     "agg_aqp_estimate",
+    "graph_triangle_count",
 ]
 
 

@@ -199,3 +199,113 @@ def graph_pagerank(
         .orderBy(F.col("rank").desc(), "kind", "entity_key")
         .limit(20)
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), deg_p AS (
+      SELECT p, COUNT(*) AS nsupp FROM ps GROUP BY p
+    ), ok AS (
+      SELECT ps.p, ps.s FROM ps JOIN deg_p USING (p) WHERE nsupp <= 10
+    ), e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ok a JOIN ok b ON a.p = b.p AND a.s < b.s
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ), oe AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM oe e1
+      JOIN oe e2 ON e2.src = e1.src AND e1.dst < e2.dst
+      JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ), wed AS (
+      SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           round(3.0 * n_triangles / n_wedges, 6) AS clustering_coeff
+    FROM tri, wed
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting + global clustering coefficient over the
+    supplier co-supply graph (edge = two suppliers share a part), via the
+    DEGREE-ORDERED edge orientation (the classic MapReduce-era trick:
+    Suri & Vassilvitskii 2011; Cohen 2009): direct every edge from its
+    lower-(degree, id) endpoint to the higher one, enumerate wedges only
+    FROM each source's out-neighbors, and close them with one more
+    equi-join. Each triangle is counted exactly once, and — the scale
+    property — out-degrees are bounded by O(√m) under this orientation,
+    so the wedge join cannot blow up on hub nodes the way a naive
+    neighbors-of-neighbors join does. Everything is distinct/groupBy/
+    equi-join; no cross join.
+
+    Same hot-key discipline as the dedup family: parts supplied by > 10
+    suppliers are excluded from edge generation (a ubiquitous part is a
+    clique factory — quadratic pairs, zero signal), mirrored exactly in
+    the oracle's HAVING-style cap."""
+    ps = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg_p = ps.groupBy("p").agg(F.count("*").alias("nsupp"))
+    ok = ps.join(deg_p.filter(F.col("nsupp") <= 10), "p")
+    a, b = ok.alias("a"), ok.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oe = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.src") == F.col("e1.src")) & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    wedges = deg.agg((F.sum(F.col("d") * (F.col("d") - 1) / 2)).alias("n_wedges"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    ne = e.agg(F.count("*").alias("n_edges"))
+    return (
+        nn.join(ne)
+        .join(tri)
+        .join(wedges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )

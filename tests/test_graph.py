@@ -21,3 +21,43 @@ def test_pagerank_deterministic_and_mass_conserving(spark):
     assert "supplier" in kinds  # suppliers aggregate many customers' mass
     # top-20 can't exceed total mass (floor division only ever loses mass)
     assert sum(r.rank for r in a) <= _SCALE
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Recount triangles in Python from the same capped edge set — the
+    degree-ordered join must agree with the naive closed-triple count."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.registry import QUERIES
+
+    ps = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg_p = ps.groupBy("p").agg(F.count("*").alias("n"))
+    ok = ps.join(deg_p.filter(F.col("n") <= 10), "p").collect()
+    by_part = {}
+    for r in ok:
+        by_part.setdefault(r.p, []).append(r.s)
+    edges = set()
+    for supps in by_part.values():
+        for x, y in combinations(sorted(supps), 2):
+            edges.add((x, y))
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expected = sum(
+        1
+        for u, v in edges
+        for w in adj[u] & adj[v]
+        if w > v  # count each triangle once (u < v < w)
+    )
+    (row,) = QUERIES["graph_triangle_count"](spark, SF_DIR).collect()
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == expected
+    assert row.n_nodes == len(adj)
