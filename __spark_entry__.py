@@ -152,6 +152,7 @@ R5_PLANNED = [
     "sink_zorder_layout",
     "agg_aqp_estimate",
     "graph_triangle_count",
+    "win_running_median",
 ]
 
 

@@ -335,3 +335,40 @@ def win_pattern_adjacent(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "win_running_median",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS running_median_7
+    FROM events
+    """,
+)
+def win_running_median(spark, sf_dir):
+    """Trailing 7-event median per user — the robust-statistics window
+    (median absorbs the outliers a moving average is dragged by; the
+    baseline behind spike detectors). Spark's exact ``percentile``
+    aggregate runs AS a window function over the bounded ROWS frame, so
+    the plan is the standard single exchange-and-sort on the user
+    partitioning — no self-join, no collect_list gymnastics. Both
+    engines interpolate the even-count midpoint identically; the frame
+    is bounded (7 rows), so per-row state is O(frame), not O(history).
+    ORDER BY carries event_id as the unique tiebreaker — without it two
+    same-timestamp events make the frame contents engine-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias(
+            "running_median_7"
+        ),
+    )
