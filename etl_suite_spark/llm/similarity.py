@@ -666,30 +666,22 @@ def llm_sim_ann_recall(spark, sf_dir):
     )
 
 
-def _pq_parts(spark, sf_dir, m=8, ksub=16, subdim=8):
-    """Shared PQ machinery: normalize, train codebooks, encode, and build
-    per-query ADC tables. Returns (e, en, codes, q, qtab); see
-    :func:`llm_sim_ann_pq` for the full design rationale. Reused by the
-    flat-PQ scan and the IVF-PQ composite."""
-    from .clustering import _DIST_SQ
-
+def _pq_normalize(spark, sf_dir):
+    """(e, en): raw embeddings with norms, and the L2-normalized corpus
+    MATERIALIZED once (localCheckpoint). Without the barrier,
+    CollapseProject inlines the nsq column — itself a 64-term aggregate —
+    into the normalize lambda, so nsq is recomputed PER ELEMENT of every
+    `unit` use (64×64 interpreted ops + an array allocation each;
+    higher-order functions don't codegen). Measured: that single inlining
+    was ~80% of the PQ operator's runtime (6.3 s of 7.9 s at sf0.1). The
+    repartition matters independently: the fixture is one parquet file →
+    1-2 scan partitions, and the checkpoint would FREEZE that width for
+    every downstream stage (measured at 10× fixture scale: the whole
+    index build ran on 2 of 32 cores). At 100 TB you'd persist the
+    normalized corpus once anyway — it's the PQ encode input."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     ).withColumn("nsq", dot("embedding", "embedding"))
-    # Normalized vectors MATERIALIZED once (localCheckpoint). Without the
-    # barrier, CollapseProject inlines the nsq column — itself a 64-term
-    # aggregate — into the normalize lambda, so nsq is recomputed PER
-    # ELEMENT of every `unit` use (64×64 interpreted ops + an array
-    # allocation each; higher-order functions don't codegen). Measured:
-    # this single inlining was ~80% of the operator's runtime (6.3 s of
-    # 7.9 s at sf0.1). At 100 TB you'd persist the normalized corpus once
-    # anyway — it's the PQ encode input.
-    # The repartition matters independently of the checkpoint: the fixture
-    # is one parquet file → 1-2 scan partitions, and the checkpoint would
-    # FREEZE that width for every downstream stage (measured at 10×
-    # fixture scale: the whole index build ran on 2 of 32 cores).
-    # Hash-partitioning on vec_id spreads the fold across the cluster the
-    # way a multi-file 100 TB table would arrive naturally.
     en = (
         e.select(
             "vec_id",
@@ -702,17 +694,32 @@ def _pq_parts(spark, sf_dir, m=8, ksub=16, subdim=8):
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .localCheckpoint(eager=True)
     )
+    return e, en
 
-    # (vec_id, subspace, sv): every vector's m sub-vectors in one relation
-    sub = en.select(
+
+def _subvectors(vec_df, vec_col, m, subdim):
+    """(vec_id, subspace, sv): every vector's m sub-vectors in one relation."""
+    return vec_df.select(
         "vec_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {m - 1}),"
-                f" s -> slice(unit, s * {subdim} + 1, {subdim}))"
+                f" s -> slice({vec_col}, s * {subdim} + 1, {subdim}))"
             )
         ).alias("subspace", "sv"),
     )
+
+
+def _pq_train_encode(vec_df, m=8, ksub=16, subdim=8, vec_col="unit"):
+    """Train per-subspace codebooks (one multi-key k-means over ALL
+    subspaces at once, 2 Lloyd iterations) and encode every vector.
+    Returns (cent, codes): cent = (subspace, cluster, centroid), codes =
+    (vec_id, codes array ordered by subspace). ``vec_df`` needs
+    (vec_id, <vec_col>) — raw unit vectors for flat PQ, cell residuals
+    for IVF-PQ."""
+    from .clustering import _DIST_SQ
+
+    sub = _subvectors(vec_df, vec_col, m, subdim)
 
     def assign(cent):
         # argmin as a hash aggregate — min over struct(dsq, cluster, sv)
@@ -765,26 +772,30 @@ def _pq_parts(spark, sf_dir, m=8, ksub=16, subdim=8):
             " s -> s.cluster)"
         ).alias("codes")
     )
+    return cent, codes
 
-    # per-query ADC tables: a MAP from subspace*k+cluster → squared
-    # sub-distance (gap-proof under empty clusters)
-    q = en.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
-        F.col("nsq").alias("q_nsq"), F.col("unit").alias("q_unit"),
-    )
-    qsub = q.select(
-        "query_id",
+
+def _adc_table(qdf, cent, key_cols, vec_col, m=8, ksub=16, subdim=8):
+    """Per-key ADC lookup tables: a MAP from subspace*k+cluster → squared
+    sub-distance of the key's vector to that sub-centroid (a MAP, not a
+    positional array — gap-proof when a cluster empties during Lloyd's).
+    ``key_cols`` is ["query_id"] for flat PQ, ["query_id", "p_cell"] for
+    the per-probed-cell residual tables of IVF-PQ."""
+    from .clustering import _DIST_SQ
+
+    qsub = qdf.select(
+        *key_cols,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {m - 1}),"
-                f" s -> slice(q_unit, s * {subdim} + 1, {subdim}))"
+                f" s -> slice({vec_col}, s * {subdim} + 1, {subdim}))"
             )
         ).alias("subspace", "q_sub"),
     )
-    qtab = (
+    return (
         qsub.join(F.broadcast(cent), "subspace")
         .withColumn("dsq", F.expr(_DIST_SQ.format(a="q_sub", b="centroid")))
-        .groupBy("query_id")
+        .groupBy(*key_cols)
         .agg(
             F.map_from_entries(
                 F.collect_list(
@@ -796,6 +807,19 @@ def _pq_parts(spark, sf_dir, m=8, ksub=16, subdim=8):
             ).alias("tab")
         )
     )
+
+
+def _pq_parts(spark, sf_dir, m=8, ksub=16, subdim=8):
+    """Shared flat-PQ machinery: normalize, train codebooks, encode, and
+    build per-query ADC tables. Returns (e, en, codes, q, qtab); see
+    :func:`llm_sim_ann_pq` for the full design rationale."""
+    e, en = _pq_normalize(spark, sf_dir)
+    cent, codes = _pq_train_encode(en, m=m, ksub=ksub, subdim=subdim)
+    q = en.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"), F.col("unit").alias("q_unit"),
+    )
+    qtab = _adc_table(q, cent, ["query_id"], "q_unit", m=m, ksub=ksub, subdim=subdim)
     return e, en, codes, q, qtab
 
 
@@ -896,57 +920,96 @@ def llm_sim_ann_pq(spark, sf_dir):
 
 @query("llm_sim_ann_ivfpq")  # rows-only: both quantizers train iteratively
 def llm_sim_ann_ivfpq(spark, sf_dir):
-    """IVF-PQ composite — the canonical billion-scale serving layout
-    (FAISS's IndexIVFPQ): an IVF coarse quantizer routes each query to
-    its nprobe=2 nearest cells (of 8), and within the probed cells
-    candidates are scored by PQ/ADC table lookups instead of full-dim
-    math. Cells bound the candidate count (~nprobe/n_cells of the
-    corpus), PQ bounds bytes-per-candidate (8 B here, 32× compressed):
+    """IVF-PQ composite with RESIDUAL encoding — the canonical
+    billion-scale serving layout (FAISS's IndexIVFPQ): an IVF coarse
+    quantizer routes each query to its nprobe=2 nearest cells (of 8),
+    and within the probed cells candidates are scored by PQ/ADC table
+    lookups instead of full-dim math. The PQ codebooks quantize each
+    vector's RESIDUAL from its cell centroid, not the vector itself —
+    residuals are smaller and re-centered, so the same 8-byte code
+    carries less quantization error (FAISS's default for exactly this
+    reason); measured recall@3 moved 0.433 → 0.467 at sf0.01 (unchanged
+    0.433 at sf0.001) with no change in index size or plan shape — the
+    gain is bounded here because recall is ROUTING-limited (IVF alone
+    with nprobe=2 of 8 measures ~0.5: a neighbor in an unprobed cell is
+    lost before codes matter); at higher nprobe the residual advantage
+    widens, which is why FAISS defaults to it.
+
+    The asymmetric-distance bookkeeping follows: a query needs ONE ADC
+    table PER PROBED CELL (its residual differs per cell), so the probe
+    side is (query_id, p_cell, tab) — still tiny (nprobe tables per
+    query) and still broadcast. Cells bound the candidate count
+    (~nprobe/n_cells of the corpus), PQ bounds bytes-per-candidate:
     together a probe touches a constant fraction of a compressed index —
     that, not flat scans, is how 100 TB of embeddings serves queries.
 
-    Plan shape: cell assignment and PQ encode are ONE materialization of
-    the normalized corpus (shared with llm_sim_ann_pq); the search is an
-    EQUI-JOIN of the code table on cell id against the broadcast
-    (probe-cell × query-ADC-table) side — at scale the cell id is the
-    storage partition key, so a probe becomes partition pruning at the
-    scan and the ADC arithmetic runs map-only on the pruned partitions.
-    Variant note: codes here quantize the vectors themselves, not the
-    cell residuals (FAISS's default encodes residuals for tighter error;
-    same plan shape, one extra subtraction at encode time — documented
-    rather than implemented to keep the codebook shared with the flat-PQ
-    op)."""
+    Plan shape: cell assignment, residual computation, and PQ encode are
+    ONE materialization of the normalized corpus (shared machinery with
+    llm_sim_ann_pq); the search is an EQUI-JOIN of the code table on
+    cell id against the broadcast probe tables — at scale the cell id is
+    the storage partition key, so a probe becomes partition pruning at
+    the scan and the ADC arithmetic runs map-only on the pruned
+    partitions."""
     from .clustering import _DIST_SQ, kmeans_fit
 
-    m, ksub, pool, nprobe = 8, 16, 32, 2
-    e, en, codes, q, qtab = _pq_parts(spark, sf_dir, m=m, ksub=ksub)
+    m, ksub, subdim, pool, nprobe = 8, 16, 8, 32, 2
+    e, en = _pq_normalize(spark, sf_dir)
 
-    # coarse quantizer over the same normalized vectors (8 cells)
+    # coarse quantizer over the normalized vectors (8 cells)
     assigned, coarse = kmeans_fit(
         spark, en.select("vec_id", F.col("unit").alias("embedding")),
         k=8, iters=3, init="pp",
     )
-    cells = codes.join(
+    cells = en.join(
         assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
+    ).join(
+        F.broadcast(coarse.select(F.col("cluster").alias("cell"), "centroid")),
+        "cell",
     )
+    # residual = unit − cell centroid; PQ trains and encodes on these
+    resid = cells.select(
+        "vec_id",
+        "cell",
+        F.expr(
+            "zip_with(unit, centroid, (x, c) -> CAST(x - c AS FLOAT))"
+        ).alias("runit"),
+    ).localCheckpoint(eager=True)  # reused by 3 assign passes + encode
+    cent, codes = _pq_train_encode(
+        resid, m=m, ksub=ksub, subdim=subdim, vec_col="runit"
+    )
+    coded = codes.join(resid.select("vec_id", "cell"), "vec_id")
 
-    # each query keeps its nprobe nearest cells, and carries its ADC table
-    qc = q.crossJoin(F.broadcast(coarse)).withColumn(
-        "cdist", F.expr(_DIST_SQ.format(a="q_unit", b="centroid"))
+    # each query keeps its nprobe nearest cells; its ADC table is built
+    # from its PER-CELL residual (query − that cell's centroid)
+    q = en.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"), F.col("unit").alias("q_unit"),
     )
+    qc = q.crossJoin(
+        F.broadcast(coarse.select(F.col("cluster").alias("p_cell"), "centroid"))
+    ).withColumn("cdist", F.expr(_DIST_SQ.format(a="q_unit", b="centroid")))
     wp = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").asc(), F.col("cluster").asc()
+        F.col("cdist").asc(), F.col("p_cell").asc()
     )
     probes = (
         qc.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", F.col("cluster").alias("p_cell"))
-        .join(qtab, "query_id")
+        .select(
+            "query_id",
+            "p_cell",
+            F.expr(
+                "zip_with(q_unit, centroid, (x, c) -> CAST(x - c AS FLOAT))"
+            ).alias("q_res"),
+        )
+    )
+    ptab = _adc_table(
+        probes, cent, ["query_id", "p_cell"], "q_res",
+        m=m, ksub=ksub, subdim=subdim,
     )
 
     # probe: equi-join on cell id; ADC-score only in-cell candidates
-    adc = cells.join(
-        F.broadcast(probes),
+    adc = coded.join(
+        F.broadcast(ptab),
         (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -1026,12 +1089,13 @@ def llm_sim_ann_pq_recall(spark, sf_dir):
 
 @query(
     "llm_sim_ann_ivfpq_recall",
-    # Honesty metric for the IVF-PQ composite. Measured margin: recall@3
-    # = 0.433 at BOTH sf0.001 and sf0.01 vs the 0.30 threshold (1.4×
-    # headroom) — lower than flat PQ (0.60/0.70) exactly as theory
-    # predicts: the probe can only find neighbors whose cell it visits
-    # (IVF nprobe=2/8 measures ~0.5 alone), and ADC ranking loses a
-    # little more. The gate catches either quantizer silently breaking.
+    # Honesty metric for the IVF-PQ composite. Measured margin (residual
+    # encoding): recall@3 = 0.433 at sf0.001 / 0.467 at sf0.01 vs the
+    # 0.30 threshold (≥1.4× headroom) — lower than flat PQ (0.60/0.70)
+    # exactly as theory predicts: the probe can only find neighbors
+    # whose cell it visits (IVF nprobe=2/8 measures ~0.5 alone), and ADC
+    # ranking loses a little more. The gate catches either quantizer
+    # silently breaking.
     oracle=f"""
     WITH n AS (
       SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
