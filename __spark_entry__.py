@@ -153,6 +153,7 @@ R5_PLANNED = [
     "agg_aqp_estimate",
     "graph_triangle_count",
     "win_running_median",
+    "inc_scd2_apply",
 ]
 
 

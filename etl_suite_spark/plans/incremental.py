@@ -248,7 +248,13 @@ def dim_scd2_build(spark, sf_dir):
     exchange reused by both sorts. This is the standard warehouse
     dimension-maintenance op (ref analog: account state tracking [K]).
     """
-    ev = load_table(spark, sf_dir, "events")
+    return scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
+def scd2_intervals(ev):
+    """(user_id, ts, event_id, event_type) → SCD2 interval rows; the
+    full-rebuild core shared by dim_scd2_build, dim_scd2_lookup's twin,
+    and the inc_scd2_apply equivalence oracle."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     hist = ev.select(
         "user_id",
@@ -582,3 +588,98 @@ def inc_dedup_ingest(spark, sf_dir):
     for df in per_batch[1:]:
         out = out.unionByName(df)
     return out.orderBy("batch_id")
+
+
+@query(
+    "inc_scd2_apply",
+    # Oracle = the FULL REBUILD. The whole claim of incremental SCD2
+    # maintenance is that close-and-append over a batch equals rebuilding
+    # from all of history — so the rebuild SQL (same as dim_scd2_build's
+    # oracle) IS the correctness statement, not a weaker shadow of it.
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, ts, event_id, event_type AS attr,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_attr
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, attr
+      FROM hist
+      WHERE prev_attr IS NULL OR attr <> prev_attr
+    )
+    SELECT user_id, attr,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def inc_scd2_apply(spark, sf_dir):
+    """Incremental SCD2 maintenance: apply one day's change batch to an
+    existing dimension by CLOSE-AND-APPEND — never rebuilding history.
+    The prior state is the SCD2 table over events before the cutoff; the
+    batch is the tail. Per user: detect batch-internal change points with
+    the boundary initialized from the PRIOR CURRENT attr (the subtle
+    part — a batch whose first event repeats the current value is NOT a
+    change), close the prior open interval at the first real change, and
+    append the new intervals.
+
+    The registered result is prior-closed ∪ adjusted-current ∪ appended,
+    and the oracle is the FULL REBUILD over all events — their equality
+    is the idempotence/equivalence guarantee that makes incremental
+    dimension maintenance trustworthy at all (same contract shape as
+    inc_backfill_window). Plan: the batch work is two window passes and
+    a couple of keyed joins over ONE day of events plus the
+    current-rows-only slice of the dimension — history is never
+    touched, which is the 100 TB point."""
+    cutoff = "2024-01-24"
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("ts") < cutoff)
+    batch = ev.filter(F.col("ts") >= cutoff)
+
+    prior = scd2_intervals(old)
+    cur = prior.filter(F.col("is_current")).select(
+        "user_id",
+        F.col("attr").alias("cur_attr"),
+        F.col("valid_from").alias("cur_from"),
+    )
+    closed = prior.filter(~F.col("is_current"))
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = (
+        batch.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("attr")
+        )
+        .withColumn("prev_in_batch", F.lag("attr").over(w))
+        .join(cur.select("user_id", "cur_attr"), "user_id", "left")
+        .withColumn(
+            "prev_eff", F.coalesce("prev_in_batch", "cur_attr")
+        )
+    )
+    changes = b.filter(
+        F.col("prev_eff").isNull() | (F.col("attr") != F.col("prev_eff"))
+    )
+    appended = changes.select(
+        "user_id",
+        "attr",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+    first_change = changes.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts")
+    )
+    cur_adjusted = (
+        cur.join(first_change, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("cur_attr").alias("attr"),
+            F.col("cur_from").alias("valid_from"),
+            F.col("first_ts").alias("valid_to"),
+            F.col("first_ts").isNull().alias("is_current"),
+        )
+    )
+    return closed.unionByName(cur_adjusted).unionByName(appended)

@@ -331,3 +331,51 @@ def test_ewma_matches_python_reference(spark):
             )
         assert abs(float(acc) - out[uid].ewma) < 1e-9, uid
         assert out[uid].n_days == len(vs)
+
+
+def test_scd2_apply_boundary_no_change_not_closed(spark):
+    """A batch whose first event repeats the user's current attr must NOT
+    close the open interval — the boundary-initialized lag is the point."""
+    import datetime
+
+    from etl_suite_spark.plans.incremental import scd2_intervals
+    from pyspark.sql import functions as F, Window
+
+    def ts(d, h=0):
+        return datetime.datetime(2024, 1, d, h)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: current attr 'a' before cutoff; batch repeats 'a' → no close
+            (1, ts(20), 1, "a"),
+            (1, ts(25), 2, "a"),
+            # user 2: current 'a'; batch flips to 'b' → close at the flip
+            (2, ts(20), 3, "a"),
+            (2, ts(26), 4, "b"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    # replicate inc_scd2_apply's core on a crafted frame (cutoff Jan 24)
+    old, batch = ev.filter("ts < '2024-01-24'"), ev.filter("ts >= '2024-01-24'")
+    prior = scd2_intervals(old)
+    cur = prior.filter("is_current").select(
+        "user_id", F.col("attr").alias("cur_attr"), F.col("valid_from").alias("cur_from")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = (
+        batch.select("user_id", "ts", "event_id", F.col("event_type").alias("attr"))
+        .withColumn("prev_in_batch", F.lag("attr").over(w))
+        .join(cur.select("user_id", "cur_attr"), "user_id", "left")
+        .withColumn("prev_eff", F.coalesce("prev_in_batch", "cur_attr"))
+    )
+    changes = b.filter(F.col("prev_eff").isNull() | (F.col("attr") != F.col("prev_eff")))
+    got = {(r.user_id, r.attr) for r in changes.collect()}
+    assert got == {(2, "b")}  # user 1's repeat is not a change
+    # and the registered op's full-equivalence holds on the fixture via
+    # its oracle (verify_local); assert the keyed row counts match rebuild
+    from etl_suite_spark.registry import QUERIES
+
+    inc = QUERIES["inc_scd2_apply"](spark, SF_DIR)
+    full = QUERIES["dim_scd2_build"](spark, SF_DIR)
+    assert inc.count() == full.count()
+    assert inc.filter("is_current").count() == full.filter("is_current").count()
