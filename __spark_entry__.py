@@ -154,6 +154,7 @@ R5_PLANNED = [
     "graph_triangle_count",
     "win_running_median",
     "inc_scd2_apply",
+    "agg_market_basket",
 ]
 
 

@@ -565,3 +565,73 @@ def ts_ewma(spark, sf_dir):
             )
         ).alias("ewma"),
     )
+
+
+@query(
+    "agg_market_basket",
+    oracle="""
+    WITH bp AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM bp),
+    deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM bp GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, c_ab,
+           round(c_ab * 1.0 / n_orders, 6) AS support,
+           round(c_ab * 1.0 / da.c, 6) AS confidence,
+           round(c_ab * 1.0 * n_orders / (da.c * db.c), 6) AS lift
+    FROM pairs
+    JOIN deg da ON da.p = part_a
+    JOIN deg db ON db.p = part_b
+    CROSS JOIN n
+    ORDER BY c_ab DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def agg_market_basket(spark, sf_dir):
+    """Market-basket association mining: pairwise item co-occurrence with
+    support / confidence / lift (the Apriori first rung, as one
+    declarative plan). The pair join is keyed on the BASKET id, so pair
+    generation is Σ k_b·(k_b−1)/2 over baskets — bounded by basket
+    width, never corpus-quadratic (the same bounded-fanout argument as
+    the gram and co-supply joins; a pathological mega-basket would get
+    the standard hot-key cap). Metrics are exact integer ratios rounded
+    at 6 dp, so the hash is stable; ORDER BY carries (count, a, b) as a
+    total tiebreak under LIMIT."""
+    bp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = bp.select("o").distinct().count()  # scalar
+    deg = bp.groupBy("p").agg(F.count("*").alias("c"))
+    a, b = bp.alias("a"), bp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    da = deg.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))
+    db = deg.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(F.col("c_ab") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("c_ab") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("c_ab") * F.lit(float(n_orders)) / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("c_ab").desc(), "part_a", "part_b")
+        .limit(50)
+    )
