@@ -259,10 +259,16 @@ def graph_triangle_count(spark, sf_dir):
     deg_p = ps.groupBy("p").agg(F.count("*").alias("nsupp"))
     ok = ps.join(deg_p.filter(F.col("nsupp") <= 10), "p")
     a, b = ok.alias("a"), ok.alias("b")
+    # Materialize the (small, degree-capped) edge list once: three aliases
+    # of it join below, and without the barrier each alias re-expands the
+    # whole lineitem→pairs lineage into the plan (measured 158 exchanges
+    # in the single-plan audit). Same materialize-once pattern as the
+    # pagerank edge list — at 100 TB this is a persisted edge table.
     e = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -281,6 +287,7 @@ def graph_triangle_count(spark, sf_dir):
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
+    oe = oe.localCheckpoint(eager=True)  # oriented edges: reused 3×
     e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     tri = (
         e1.join(
