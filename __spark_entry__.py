@@ -155,6 +155,8 @@ R5_PLANNED = [
     "win_running_median",
     "inc_scd2_apply",
     "agg_market_basket",
+    "agg_gini",
+    "win_ohlc",
 ]
 
 

@@ -635,3 +635,92 @@ def agg_market_basket(spark, sf_dir):
         .orderBy(F.col("c_ab").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@query(
+    "agg_gini",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, {sql_dsum("o_totalprice")} AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             CAST(CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER () AS VARCHAR)
+                  AS DOUBLE) AS total
+      FROM per_cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           round(MAX(total), 2) AS total_revenue,
+           round(2.0 * SUM(i * rev) / (MAX(n) * MAX(total))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini(spark, sf_dir):
+    """Gini coefficient of per-customer revenue — the standard
+    concentration/inequality metric (whale-dependence in revenue terms),
+    via the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the sorted
+    series. One keyed aggregate collapses the fact table to per-customer
+    rows FIRST; the global sort that the rank needs then runs over the
+    customer-cardinality relation, not the fact table — a global
+    row_number is exactly the thing you never do on raw 100 TB facts and
+    exactly fine on the aggregated key domain. Ties are broken by
+    customer id so ranks (and hence the sum) are total-order stable."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        d2d(F.sum(dec("rev", 2)).over(Window.partitionBy())).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(F.max("total"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (F.max("n") * F.max("total"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "win_ohlc",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           round(arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                                 + event_id), 6) AS open,
+           round(MAX(value), 6) AS high,
+           round(MIN(value), 6) AS low,
+           round(arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                                 + event_id), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def win_ohlc(spark, sf_dir):
+    """Per-day OHLC (open/high/low/close) bars over the event stream —
+    the canonical financial/metrics downsample. Open and close are
+    argmin/argmax over the (ts, event_id) total order, expressed as MIN/
+    MAX over a struct whose leading fields are the order key (DuckDB's
+    arg_min can't key on a struct, so its twin uses the equivalent
+    HUGEINT composite key epoch_us·10⁹ + event_id) — a single
+    hash aggregate with map-side partial combine (min of struct merges
+    associatively), NOT a window: no per-day sort, no row_number, one
+    shuffle on the day key. The event_id tiebreaker makes same-timestamp
+    opens/closes deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value"))["value"]
+    last = F.max(F.struct("ts", "event_id", "value"))["value"]
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(first, 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(last, 6).alias("close"),
+        F.count("*").alias("n_events"),
+    )
