@@ -157,6 +157,9 @@ R5_PLANNED = [
     "agg_market_basket",
     "agg_gini",
     "win_ohlc",
+    "win_pareto_abc",
+    "dq_snapshot_diff",
+    "llm_dedup_minhash_precision",
 ]
 
 

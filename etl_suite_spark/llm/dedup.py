@@ -1195,3 +1195,68 @@ def paragraph_dedup(d: DataFrame) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
+
+
+@query(
+    "llm_dedup_minhash_precision",
+    # Precision twin of llm_dedup_minhash_recall: DuckDB independently
+    # counts the exact-Jaccard>=0.5 truth pairs; Spark reports that count
+    # plus a genuinely measured precision flag of the PRODUCTION MinHash
+    # output (est_jaccard>=0.5 filtered) against it. Together the two ops
+    # bound the sketch from both sides — recall says what the bands lose,
+    # precision says what the estimate lets through. Measured margin:
+    # precision = 1.0 at sf0.001 and sf0.01 vs the 0.8 gate.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS shared,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS precision_ge_80
+    FROM pairs WHERE shared * 1.0 / (na + nb - shared) >= 0.5
+    """,
+)
+def llm_dedup_minhash_precision(spark, sf_dir):
+    """Precision of the production MinHash output (band candidates
+    filtered at est_jaccard >= 0.5) against exact 3-gram-Jaccard >= 0.5
+    truth — the other half of the sketch's honesty bound (see
+    llm_dedup_minhash_recall for the recall half). A broken estimator
+    that floods candidates would pass a recall gate trivially; only a
+    precision gate catches it."""
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .filter(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")) >= 0.5
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    good = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    return truth.agg(F.count("*").alias("n_true_pairs")).join(
+        cand.agg(F.count("*").alias("n_cand")).join(
+            good.agg(F.count("*").alias("n_good"))
+        )
+    ).select(
+        "n_true_pairs",
+        (F.col("n_good") >= 0.8 * F.col("n_cand")).alias("precision_ge_80"),
+    )

@@ -724,3 +724,65 @@ def win_ohlc(spark, sf_dir):
         F.round(last, 6).alias("close"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "win_pareto_abc",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey, {sql_dsum("o_totalprice")} AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, rev,
+             CAST(CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (
+               ORDER BY rev DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS VARCHAR) AS DOUBLE) AS cum_rev,
+             CAST(CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER ()
+               AS VARCHAR) AS DOUBLE) AS total
+      FROM per_cust
+    )
+    SELECT CASE WHEN cum_rev / total <= 0.8 THEN 'A'
+                WHEN cum_rev / total <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(SUM(rev), 2) AS class_revenue,
+           round(SUM(rev) / MAX(total), 6) AS revenue_share
+    FROM ranked
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def win_pareto_abc(spark, sf_dir):
+    """ABC / Pareto classification — bucket customers by cumulative
+    revenue share (A: first 80%, B: next 15%, C: tail), the standard
+    80/20 concentration cut. Like agg_gini, the global cumulative window
+    runs over the ALREADY-AGGREGATED customer relation, never raw facts;
+    the running sum uses exact decimals so the class boundary (a
+    comparison on the cumulative value) cannot flap with merge order —
+    a float running sum here would make boundary customers flip class
+    between runs. Ties broken by customer id: total order, stable cut."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("rev"))
+    w = (
+        Window.orderBy(F.col("rev").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy()
+    ranked = per_cust.select(
+        "rev",
+        d2d(F.sum(dec("rev", 2)).over(w)).alias("cum_rev"),
+        d2d(F.sum(dec("rev", 2)).over(wt)).alias("total"),
+    )
+    share = F.col("cum_rev") / F.col("total")
+    abc = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        ranked.groupBy(abc.alias("abc_class"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("rev"), 2).alias("class_revenue"),
+            F.round(F.sum("rev") / F.max("total"), 6).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

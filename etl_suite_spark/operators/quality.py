@@ -347,3 +347,95 @@ def dq_profile(spark, sf_dir):
         .select("p.*")
         .orderBy("column_name")
     )
+
+
+# Two deterministic "snapshots" of orders derived from the fixture: the new
+# snapshot drops keys ≡0 (mod 101), adds shifted keys, and reprices keys
+# ≡0 (mod 97). Same expressions on both engines — the diff logic below is
+# the production path, the snapshot synthesis is fixture plumbing.
+_SNAP_PRED_DROP = "o_orderkey % 101 = 0"
+_SNAP_PRED_REPRICE = "o_orderkey % 97 = 0"
+
+
+@query(
+    "dq_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status
+      FROM orders
+    ), new AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN {_SNAP_PRED_REPRICE}
+                  THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE NOT ({_SNAP_PRED_DROP})
+      UNION ALL
+      SELECT o_orderkey + 20000000, o_totalprice, 'O'
+      FROM orders WHERE o_orderkey % 103 = 0
+    )
+    SELECT CASE WHEN o.key IS NULL THEN 'added'
+                WHEN n.key IS NULL THEN 'removed'
+                WHEN o.price <> n.price OR o.status <> n.status THEN 'changed'
+                ELSE 'unchanged' END AS change_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(COALESCE(o.key, n.key)) AS BIGINT) AS min_key,
+           CAST(MAX(COALESCE(o.key, n.key)) AS BIGINT) AS max_key
+    FROM old o FULL OUTER JOIN new n ON o.key = n.key
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dq_snapshot_diff(spark, sf_dir):
+    """Snapshot diff — classify every key as added / removed / changed /
+    unchanged between two table versions (the data-diff every warehouse
+    migration, backfill audit, and CDC validation runs). ONE full outer
+    equi-join on the key plus a column comparison; at 100 TB both sides
+    shuffle once on the key (or zero times if both snapshots are
+    bucketed by it), and the comparison can restrict to a hash of the
+    compared columns to cut shuffle width. The report aggregates to one
+    row per change kind; the keyed row-level diff is the same plan minus
+    the final groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = (
+        o.filter(f"NOT ({_SNAP_PRED_DROP})")
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.expr(
+                f"CASE WHEN {_SNAP_PRED_REPRICE}"
+                " THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END"
+            ).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .unionByName(
+            o.filter("o_orderkey % 103 = 0").select(
+                (F.col("o_orderkey") + 20000000).alias("key"),
+                F.col("o_totalprice").alias("price"),
+                F.lit("O").alias("status"),
+            )
+        )
+    )
+    on, nn = old.alias("o"), new.alias("n")
+    j = on.join(nn, F.col("o.key") == F.col("n.key"), "full_outer")
+    kind = (
+        F.when(F.col("o.key").isNull(), "added")
+        .when(F.col("n.key").isNull(), "removed")
+        .when(
+            (F.col("o.price") != F.col("n.price"))
+            | (F.col("o.status") != F.col("n.status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.groupBy(kind.alias("change_kind"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(F.coalesce("o.key", "n.key")).alias("min_key"),
+            F.max(F.coalesce("o.key", "n.key")).alias("max_key"),
+        )
+        .orderBy("change_kind")
+    )
