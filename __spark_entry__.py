@@ -105,11 +105,12 @@ R4_WINDOW = [
 ]
 
 # Round-5 rotation plan (VERDICT r3 item 4): after R4 executes, the
-# remaining never-driver-checked queries are exactly the 24 below; R5_WINDOW
-# = these 24 + re-checks of any query left red after CORRECTNESS_r04 + the
-# rows-only ops (recorded as weaker rows-only evidence) + newest r4 ops.
-# Keeping the list here (and pinned in tests) so no registered query ends
-# round 5 without driver evidence.
+# remaining never-driver-checked queries are the list below (24 from the
+# r3 era + every op added during round 4). The list has outgrown one
+# 50-slot window, so R5_WINDOW = the FIRST 50 of this list (+ re-checks of
+# anything left red after CORRECTNESS_r04), and the remainder plus the 8
+# rows-only ops rotate into R6. Keeping the list here (and pinned in
+# tests) so no registered query is left without a driver-evidence plan.
 R5_PLANNED = [
     "agg_string_concat_group",
     "agg_sketch_rollup",
@@ -160,6 +161,7 @@ R5_PLANNED = [
     "win_pareto_abc",
     "dq_snapshot_diff",
     "llm_dedup_minhash_precision",
+    "stream_ohlc",
 ]
 
 

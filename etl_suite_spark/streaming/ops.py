@@ -595,3 +595,61 @@ def stream_kafka_source(spark: SparkSession, bootstrap: str, topic: str):
     past the first select, which is the point of documenting the stub.
     """
     raise NotImplementedError("spark-sql-kafka connector not deployed here")
+
+
+@query(
+    "stream_ohlc",
+    # emitted set = hourly windows finalized by the watermark (max ts − 10
+    # min); open/close keyed by the same HUGEINT (epoch_us, event_id)
+    # composite as the batch twin win_ohlc
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+           round(arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                                + event_id), 6) AS open,
+           round(MAX(value), 6) AS high,
+           round(MIN(value), 6) AS low,
+           round(arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                                + event_id), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events, m
+    GROUP BY 1, wm
+    HAVING win_start + INTERVAL 1 HOUR <= wm
+    ORDER BY 1
+    """,
+)
+def stream_ohlc(spark, sf_dir):
+    """Streaming OHLC bars — the batch win_ohlc downsample running as an
+    hourly tumbling windowed aggregate with a 10-minute watermark in
+    append mode: each bar emits exactly once, when its window finalizes.
+    Open/close are min/max over a (ts, event_id, value) struct, which is
+    an ASSOCIATIVE aggregate — so it runs as ordinary streaming partial
+    aggregation state (one struct per open window per key), not
+    arbitrary stateful processing; that is what makes OHLC cheap at
+    100 TB/day ingest. Batch/stream parity on the same input is the
+    oracle: append-mode emission == watermark-gated batch SQL (same
+    contract as every op in this module)."""
+    drop, schema = _drop_dir(spark, sf_dir)
+    first = F.min(F.struct("ts", "event_id", "value"))["value"]
+    last = F.max(F.struct("ts", "event_id", "value"))["value"]
+    sdf = (
+        _read_stream(spark, drop, schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.round(first, 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(last, 6).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return _run_to_memory(sdf, "append").orderBy("win_start")
