@@ -162,6 +162,7 @@ R5_PLANNED = [
     "dq_snapshot_diff",
     "llm_dedup_minhash_precision",
     "stream_ohlc",
+    "sample_weighted",
 ]
 
 

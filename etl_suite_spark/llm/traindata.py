@@ -461,3 +461,57 @@ def llm_quality_c4(spark, sf_dir):
         max_word_len.cast("long").alias("max_word_len"),
         keep.alias("keep"),
     )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(round(ln(((doc_id * 2654435761) % 1000000 + 0.5)
+                           / 1000000.0), 6) / n_chars, 9) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    WHERE rnk <= 5
+    ORDER BY lang, rank
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, 5 docs per language,
+    inclusion probability ∝ document length — the Efraimidis–Spirakis
+    exponential-race (A-ES, 2006): each item draws key u^(1/w) (here the
+    order-equivalent ln(u)/w) and the top-k keys per group ARE a weighted
+    sample. The uniform u is a Knuth-hash of doc_id, NOT an RNG — the
+    sample is a pure function of the data, identical across engines,
+    runs, and partitionings (the property that makes a training-data
+    mixture reproducible, and this oracle checkable; same discipline as
+    sample_stratified). Cross-engine float safety: ln() is rounded to
+    6 dp BEFORE the weight division and the key to 9 dp before ranking,
+    with doc_id as the total tiebreak — libm's last-ulp freedom cannot
+    reorder ranks. Plan: map-only key computation + one per-group top-k
+    window; at 100 TB the window input can be pre-pruned with a per-
+    partition top-k (the standard TakeOrderedAndProject refinement)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(2654435761)) % 1000000 + 0.5) / 1000000.0
+    es_key = F.round(F.round(F.log(u), 6) / F.col("n_chars"), 9)
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", es_key.alias("es_key"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("lang", "rank")
+    )
