@@ -163,6 +163,7 @@ R5_PLANNED = [
     "llm_dedup_minhash_precision",
     "stream_ohlc",
     "sample_weighted",
+    "win_anomaly_mad",
 ]
 
 
