@@ -118,3 +118,42 @@ def test_unpivot_conserves_rows_and_reads_once(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
     assert "Union" not in plan  # one Expand over one scan, not 4 scans
+
+
+def test_snapshot_diff_reconciles_with_predicates(spark):
+    """The diff report's counts must equal direct counts of the synthesis
+    predicates: added = keys%103, removed = keys%101, changed ⊇ repriced
+    keys that survived the drop."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.registry import QUERIES
+
+    o = load_table(spark, SF_DIR, "orders")
+    n_added = o.filter("o_orderkey % 103 = 0").count()
+    n_removed = o.filter("o_orderkey % 101 = 0").count()
+    n_changed = o.filter(
+        "o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0"
+        # a repriced row only counts as changed if the price actually moves
+        " AND round(o_totalprice * 1.1, 2) <> o_totalprice"
+    ).count()
+    rows = {r.change_kind: r.n_rows for r in QUERIES["dq_snapshot_diff"](spark, SF_DIR).collect()}
+    assert rows.get("added", 0) == n_added
+    assert rows.get("removed", 0) == n_removed
+    assert rows.get("changed", 0) == n_changed
+    assert rows.get("unchanged", 0) == o.count() - n_removed - n_changed
+
+
+def test_pareto_classes_partition_and_order(spark):
+    """A/B/C partition all customers; A holds ≤80%+one-customer of
+    revenue and more revenue-per-customer than C (the Pareto property)."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.registry import QUERIES
+
+    rows = {r.abc_class: r for r in QUERIES["win_pareto_abc"](spark, SF_DIR).collect()}
+    n_cust = (
+        load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows.values()) == n_cust
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-5
+    if "A" in rows and "C" in rows:
+        a, c = rows["A"], rows["C"]
+        assert a.class_revenue / a.n_customers > c.class_revenue / c.n_customers

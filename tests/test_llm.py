@@ -620,3 +620,30 @@ def test_ivfpq_shape_and_measured_recall(spark):
     assert all(len(v) <= 3 for v in per_q.values())
     (rec,) = QUERIES["llm_sim_ann_ivfpq_recall"](spark, SF_DIR).collect()
     assert rec.n_exact_pairs == 30 and rec.recall_ge_30
+
+
+def test_weighted_sample_biased_toward_long_docs(spark):
+    """Inclusion ∝ length: the sampled docs' mean weight must exceed the
+    corpus mean weight in every language group (A-ES bias property), and
+    the sample must be exactly 5 per language, deterministic."""
+    from etl_suite_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    out = QUERIES["sample_weighted"](spark, SF_DIR).collect()
+    again = QUERIES["sample_weighted"](spark, SF_DIR).collect()
+    assert out == again
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.weight)
+    corpus = {
+        r.lang: r.avg_w
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.avg("n_chars").alias("avg_w"))
+        .collect()
+    }
+    assert all(len(ws) == 5 for ws in by_lang.values())
+    biased = sum(
+        1 for lang, ws in by_lang.items() if sum(ws) / len(ws) > corpus[lang]
+    )
+    assert biased >= len(by_lang) - 1  # allow one small-group fluctuation
