@@ -164,6 +164,7 @@ R5_PLANNED = [
     "stream_ohlc",
     "sample_weighted",
     "win_anomaly_mad",
+    "join_asof_nearest",
 ]
 
 

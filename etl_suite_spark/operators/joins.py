@@ -339,3 +339,85 @@ def join_exists_correlated(spark, sf_dir):
         )
         """
     )
+
+
+@query(
+    "join_asof_nearest",
+    # tiebreaks, mirrored exactly by the Spark windows: smaller |Δt|
+    # first; on equal |Δt| the BACKWARD match (earlier c.ts) wins; among
+    # same-timestamp clicks backward resolves to the max event_id (it is
+    # the last row in the window order) and forward to the min.
+    oracle="""
+    SELECT purchase_id, user_id, purchase_ts, click_id, delta_us
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             c.event_id AS click_id,
+             CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS delta_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts,
+                        CASE WHEN c.ts <= p.ts THEN -c.event_id
+                             ELSE c.event_id END
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-event as-of join: for each purchase, the click closest in
+    time in EITHER direction (the sensor-alignment/nearest-tick variant;
+    plain as-of only looks backward). Still the linear union+window
+    formulation — one sort per user carries the last click forward AND
+    the first click backward (two frames over the same exchange), then a
+    map-only pick of the nearer side. No pair join anywhere; the oracle's
+    per-user pair join is DuckDB-scale only. Ties: equal |Δt| resolves to
+    the backward match, same-timestamp clicks resolve by event_id — the
+    window order and the oracle's ORDER BY encode the identical rule, so
+    the result is a pure function of the data."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.struct(
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        ).alias("click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("struct<c_ts:timestamp,click_id:bigint>").alias("click"),
+    )
+    base = Window.partitionBy("user_id").orderBy(
+        "ts", "side", F.col("click.click_id").asc_nulls_first()
+    )
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    filled = (
+        clicks.unionByName(purchases)
+        .withColumn("back", F.last("click", ignorenulls=True).over(wb))
+        .withColumn("fwd", F.first("click", ignorenulls=True).over(wf))
+    )
+    d_back = F.unix_micros("ts") - F.unix_micros("back.c_ts")
+    d_fwd = F.unix_micros("fwd.c_ts") - F.unix_micros("ts")
+    pick_back = F.col("fwd").isNull() | (
+        F.col("back").isNotNull() & (d_back <= d_fwd)
+    )
+    chosen = F.when(pick_back, F.col("back")).otherwise(F.col("fwd"))
+    return (
+        filled.filter(F.col("side") == 1)
+        .filter(F.col("back").isNotNull() | F.col("fwd").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            chosen["click_id"].alias("click_id"),
+            (F.unix_micros(chosen["c_ts"]) - F.unix_micros("ts")).alias("delta_us"),
+        )
+    )
