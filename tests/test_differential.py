@@ -197,6 +197,16 @@ PAIRS = [
         "cast(size(array_distinct(split(sa, ' '))) as long)",
         "CAST(len(list_distinct(string_split(sa, ' '))) AS BIGINT)",
     ),
+    # sample_weighted's key discipline: round(ln(u), 6) over hash-uniform
+    # u ∈ (0,1) must agree cell-for-cell (libm ln differs ≤1 ulp between
+    # JVM and DuckDB; 6-dp rounding is the bridge the A-ES keys rely on)
+    (
+        "ln_round6",
+        "round(ln(((cast(get_json_object(j, '$.k') as long) % 1000000"
+        " + 1000000) % 1000000 + 0.5) / 1000000.0), 6)",
+        "round(ln(((CAST(j->>'$.k' AS BIGINT) % 1000000"
+        " + 1000000) % 1000000 + 0.5) / 1000000.0), 6)",
+    ),
 ]
 
 # Broad multi-script alphabet, minus the classes where Spark and DuckDB

@@ -647,3 +647,50 @@ def test_weighted_sample_biased_toward_long_docs(spark):
         1 for lang, ws in by_lang.items() if sum(ws) / len(ws) > corpus[lang]
     )
     assert biased >= len(by_lang) - 1  # allow one small-group fluctuation
+
+
+def test_asof_nearest_tie_rules(spark):
+    """Crafted frame pinning the tie discipline: equal |Δt| resolves to
+    the BACKWARD click; same-timestamp backward clicks resolve to the max
+    event_id; a purchase with only future clicks picks the earliest."""
+    import datetime
+
+    from etl_suite_spark.operators.joins import join_asof_nearest
+    from unittest.mock import patch
+
+    def t(sec):
+        return datetime.datetime(2024, 1, 1, 0, 0, sec)
+
+    rows = [
+        # user 1: clicks at t10 (ids 1,2 same ts) and t30; purchase at t20
+        #   → both sides |Δt|=10 → backward wins → click_id 2 (max id at t10)
+        (1, t(10), 1, "click", 1.0),
+        (1, t(10), 2, "click", 1.0),
+        (1, t(30), 3, "click", 1.0),
+        (1, t(20), 4, "purchase", 5.0),
+        # user 2: only future clicks at t40 (ids 6,7) ; purchase at t5
+        #   → forward pick, min id at t40 → click_id 6
+        (2, t(40), 6, "click", 1.0),
+        (2, t(40), 7, "click", 1.0),
+        (2, t(5), 8, "purchase", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    with patch("etl_suite_spark.operators.joins.load_table", return_value=ev):
+        out = {r.purchase_id: r for r in join_asof_nearest(spark, "ignored").collect()}
+    assert out[4].click_id == 2 and out[4].delta_us == -10_000_000
+    assert out[8].click_id == 6 and out[8].delta_us == 35_000_000
+
+
+def test_stream_ohlc_bar_invariants(spark):
+    """Every emitted bar satisfies low <= open/close <= high and counts
+    at least one event; bars are strictly increasing in window start."""
+    rows = QUERIES["stream_ohlc"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_events >= 1
+    starts = [r.win_start for r in rows]
+    assert starts == sorted(starts) and len(set(starts)) == len(starts)
