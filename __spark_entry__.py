@@ -165,6 +165,7 @@ R5_PLANNED = [
     "sample_weighted",
     "win_anomaly_mad",
     "join_asof_nearest",
+    "agg_trend_corr",
 ]
 
 

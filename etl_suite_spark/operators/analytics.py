@@ -839,3 +839,65 @@ def win_anomaly_mad(spark, sf_dir):
             "is_anomaly"
         ),
     )
+
+
+@query(
+    "agg_trend_corr",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS sx,
+             SUM(CAST(round(value * 10000) AS BIGINT)) AS sy,
+             SUM((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)
+                 * CAST(round(value * 10000) AS BIGINT)) AS sxy,
+             SUM((CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)
+                 * (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200)) AS sxx,
+             SUM(CAST(round(value * 10000) AS BIGINT)
+                 * CAST(round(value * 10000) AS BIGINT)) AS syy
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round((n * sxy - sx * sy) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS trend_corr,
+           round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+                 / 10000 * 86400, 6) AS slope_per_day
+    FROM s
+    WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def agg_trend_corr(spark, sf_dir):
+    """Per-user activity trend: Pearson correlation of (time, value) and
+    the least-squares slope (value units per day) — the 'is this account
+    trending up' metric. All five power sums accumulate as EXACT 64-bit
+    integers (x = epoch seconds re-based to 2024-01-01 so x·y products
+    stay ≤ ~2⁵⁰ · count; y = value at 4 dp fixed point), so the per-user
+    sums are merge-order-independent and the final corr/slope — computed
+    in double FROM exact integers — is bit-identical on both engines.
+    A naive float corr aggregate would drift in the last ulp with
+    partitioning (same rationale as agg_higher_moments). One hash
+    aggregate with map-side combine; nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.floor(F.unix_timestamp("ts"))).cast("long") - 1704067200
+    y = F.round(F.col("value") * 10000, 0).cast("long")
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        s.filter((F.col("n") >= 3) & (var_x > 0) & (var_y > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("trend_corr"),
+            F.round(cov_n / var_x / 10000 * 86400, 6).alias("slope_per_day"),
+        )
+    )
