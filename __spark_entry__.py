@@ -166,6 +166,8 @@ R5_PLANNED = [
     "win_anomaly_mad",
     "join_asof_nearest",
     "agg_trend_corr",
+    "llm_curriculum_order",
+    "inc_late_dim_resolve",
 ]
 
 

@@ -515,3 +515,64 @@ def sample_weighted(spark, sf_dir):
         )
         .orderBy("lang", "rank")
     )
+
+
+@query(
+    "llm_curriculum_order",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             ntile(3) OVER (ORDER BY ttr, doc_id) AS difficulty,
+             row_number() OVER (
+               PARTITION BY ntile_b ORDER BY ttr, doc_id) AS pos_in_bucket
+      FROM (SELECT *, ntile(3) OVER (ORDER BY ttr, doc_id) AS ntile_b FROM m)
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(difficulty AS BIGINT) AS difficulty,
+           CAST(row_number() OVER (ORDER BY pos_in_bucket, difficulty, doc_id)
+                AS BIGINT) AS curriculum_pos
+    FROM b
+    """,
+)
+def llm_curriculum_order(spark, sf_dir):
+    """Curriculum ordering for training data (Bengio et al. 2009 applied
+    the way data teams actually do it): rank documents by a difficulty
+    proxy (type-token ratio — low-diversity repetitive text is 'easy'),
+    split into 3 difficulty terciles with ntile, then INTERLEAVE the
+    terciles round-robin so every training window sees a stable easy/
+    medium/hard mixture instead of a sorted difficulty ramp collapsing
+    batch diversity. The interleave is pure window arithmetic (position
+    within tercile, then (position, tercile) lexicographic) — a global
+    total order, but over per-doc scalars, and at 100 TB the global sort
+    becomes the final write's range partitioner (sortWithinPartitions by
+    the curriculum key), not a single-reducer sort. Deterministic: every
+    ORDER BY carries doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("ttr"),
+    )
+    wd = Window.orderBy("ttr", "doc_id")
+    b = m.withColumn("difficulty", F.ntile(3).over(wd)).withColumn(
+        "pos_in_bucket",
+        F.row_number().over(
+            Window.partitionBy("difficulty").orderBy("ttr", "doc_id")
+        ),
+    )
+    return b.select(
+        "doc_id",
+        "n_tokens",
+        F.col("difficulty").cast("long").alias("difficulty"),
+        F.row_number()
+        .over(Window.orderBy("pos_in_bucket", "difficulty", "doc_id"))
+        .cast("long")
+        .alias("curriculum_pos"),
+    )

@@ -683,3 +683,63 @@ def inc_scd2_apply(spark, sf_dir):
         )
     )
     return closed.unionByName(cur_adjusted).unionByName(appended)
+
+
+@query(
+    "inc_late_dim_resolve",
+    # Derived two-phase scenario: dimension v1 = customers with c_custkey
+    # % 7 != 0 (the rest "arrive late"); v2 = all customers. Facts =
+    # orders. Phase 1 resolves against v1 with an UNKNOWN fallback;
+    # phase 2 re-resolves ONLY the unknowns against the late arrivals.
+    # The oracle is the direct one-shot join against v2 — the equivalence
+    # IS the correctness statement (same contract as inc_scd2_apply).
+    oracle="""
+    SELECT o.o_orderkey AS order_key,
+           o.o_custkey AS cust_key,
+           c.c_mktsegment AS segment,
+           (c.c_custkey % 7 = 0) AS resolved_late
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def inc_late_dim_resolve(spark, sf_dir):
+    """Late-arriving dimension resolution — the warehouse pattern for
+    facts that land before their dimension row exists: phase 1 joins
+    facts against the available dimension and parks misses under an
+    UNKNOWN member (never dropping or blocking the fact load); phase 2
+    re-resolves ONLY the parked facts when the late dimension rows
+    arrive. The registered result is phase-1 hits ∪ phase-2 fixes, and
+    the oracle is the one-shot join against the complete dimension —
+    equality proves the two-phase protocol loses and invents nothing.
+
+    Scale shape: phase 2's input is the UNKNOWN slice only (an anti-join
+    result, typically a tiny fraction of facts), so the catch-up join is
+    proportional to what was actually late — history is never rejoined.
+    Both joins broadcast the dimension when it fits; AQE picks."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dim_v1 = c.filter(F.col("cust_key") % 7 != 0)
+    late = c.filter(F.col("cust_key") % 7 == 0)
+
+    phase1 = o.join(dim_v1, "cust_key", "left").select(
+        "order_key",
+        "cust_key",
+        F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
+    )
+    resolved = phase1.filter(F.col("segment") != "UNKNOWN").withColumn(
+        "resolved_late", F.lit(False)
+    )
+    parked = phase1.filter(F.col("segment") == "UNKNOWN").select(
+        "order_key", "cust_key"
+    )
+    fixed = parked.join(late, "cust_key").select(
+        "order_key", "cust_key", "segment", F.lit(True).alias("resolved_late")
+    )
+    return resolved.unionByName(fixed).select(
+        "order_key", "cust_key", "segment", "resolved_late"
+    )
