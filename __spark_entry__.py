@@ -168,6 +168,7 @@ R5_PLANNED = [
     "agg_trend_corr",
     "llm_curriculum_order",
     "inc_late_dim_resolve",
+    "ts_gapfill_interpolate",
 ]
 
 

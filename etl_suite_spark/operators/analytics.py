@@ -901,3 +901,96 @@ def agg_trend_corr(spark, sf_dir):
             F.round(cov_n / var_x / 10000 * 86400, 6).alias("slope_per_day"),
         )
     )
+
+
+@query(
+    "ts_gapfill_interpolate",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             {sql_dsum("value")} AS day_value
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+      GROUP BY user_id
+    ),
+    calendar AS (
+      SELECT s.user_id, CAST(u.g AS DATE) AS day
+      FROM spans s, unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS u(g)
+    ),
+    g AS (
+      SELECT c.user_id, c.day, d.day_value,
+             last_value(d.day IGNORE NULLS) OVER wb AS prev_day,
+             last_value(d.day_value IGNORE NULLS) OVER wb AS prev_val,
+             first_value(d.day IGNORE NULLS) OVER wf AS next_day,
+             first_value(d.day_value IGNORE NULLS) OVER wf AS next_val
+      FROM calendar c
+      LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+      WINDOW wb AS (PARTITION BY c.user_id ORDER BY c.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY c.user_id ORDER BY c.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           day_value IS NOT NULL AS observed,
+           round(CASE
+             WHEN day_value IS NOT NULL THEN CAST(day_value AS DOUBLE)
+             ELSE CAST(prev_val AS DOUBLE)
+                  + (CAST(next_val AS DOUBLE) - CAST(prev_val AS DOUBLE))
+                    * date_diff('day', prev_day, day)
+                    / date_diff('day', prev_day, next_day)
+           END, 6) AS value_interp
+    FROM g
+    """,
+)
+def ts_gapfill_interpolate(spark, sf_dir):
+    """Linear-interpolation gap fill — the other resample policy next to
+    LOCF (ts_gapfill_locf): a missing day takes the value on the straight
+    line between its nearest observed neighbors, prev + (next−prev)·
+    (d−prev_day)/(next_day−prev_day). The first/last grid days are
+    observed by construction (the calendar spans [min, max]), so every
+    gap is interior and both neighbors exist — no extrapolation branch.
+
+    Plan: identical skeleton to LOCF (pre-aggregate → bounded calendar
+    explode → one left join), plus ONE extra window direction: the
+    backward fill and forward fill are two frames over the SAME user
+    partitioning and sort, so Catalyst plans one exchange + one sort for
+    both. The interpolation weights are exact integer day differences;
+    arithmetic is double over exact-decimal endpoints, rounded at 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(dsum("value").alias("day_value"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    base = Window.partitionBy("user_id").orderBy("day")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    g = (
+        calendar.join(daily, ["user_id", "day"], "left")
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(wb))
+        .withColumn("prev_val", F.last("day_value", ignorenulls=True).over(wb))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(wf))
+        .withColumn("next_val", F.first("day_value", ignorenulls=True).over(wf))
+    )
+    interp = F.col("prev_val").cast("double") + (
+        F.col("next_val").cast("double") - F.col("prev_val").cast("double")
+    ) * F.datediff("day", "prev_day") / F.datediff("next_day", "prev_day")
+    return g.select(
+        "user_id",
+        "day",
+        F.col("day_value").isNotNull().alias("observed"),
+        F.round(
+            F.when(
+                F.col("day_value").isNotNull(), F.col("day_value").cast("double")
+            ).otherwise(interp),
+            6,
+        ).alias("value_interp"),
+    )
