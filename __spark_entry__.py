@@ -169,6 +169,8 @@ R5_PLANNED = [
     "llm_curriculum_order",
     "inc_late_dim_resolve",
     "ts_gapfill_interpolate",
+    # rows-only (greedy MMR is sequential; pytest reference-checked):
+    "llm_sim_mmr_rerank",
 ]
 
 

@@ -1146,3 +1146,91 @@ def llm_sim_ann_ivfpq_recall(spark, sf_dir):
         "n_queries",
         (F.col("n_found") >= 0.3 * F.col("n_exact_pairs")).alias("recall_ge_30"),
     )
+
+
+@query("llm_sim_mmr_rerank")  # rows-only: greedy MMR selection is sequential
+def llm_sim_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): from each query's top-16 cosine candidates, greedily
+    select 5 maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    selected (λ=0.7) — the diversity pass every retrieval stack runs so
+    near-duplicate neighbors don't crowd the result list.
+
+    Greedy MMR is inherently SEQUENTIAL in the selection order, so this
+    is a textbook applyInPandas case (SURVEY §4.3): the distributed plan
+    computes the candidate pool per query (broadcast query set, map-only
+    scoring — same retrieval layer as llm_sim_cosine_topk), and the
+    Python fold runs per query group over ≤16 rows with Arrow transfer —
+    never over the corpus. Selection ties break by candidate id;
+    pairwise sims recompute inside the group from the carried unit
+    vectors (16×16 floats, negligible)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nsq", dot("embedding", "embedding")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cand = e.repartition(spark.sparkContext.defaultParallelism)
+    scored = cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("relevance"),
+        "embedding",
+        "nsq",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("relevance").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .drop("rn")
+    )
+
+    out_schema = (
+        "query_id long, neighbor_id long, mmr_rank long, relevance double"
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        lam, k = 0.7, 5
+        pdf = pdf.sort_values(["relevance", "neighbor_id"], ascending=[False, True])
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        norms = np.sqrt(np.asarray(pdf["nsq"], dtype=np.float64))
+        unit = vecs / norms[:, None]
+        rel = np.asarray(pdf["relevance"], dtype=np.float64)
+        ids = np.asarray(pdf["neighbor_id"])
+        selected: list[int] = []
+        remaining = list(range(len(pdf)))
+        while remaining and len(selected) < k:
+            if not selected:
+                best = remaining[0]  # highest relevance (sorted; id tiebreak)
+            else:
+                sims = unit[remaining] @ unit[selected].T
+                score = lam * rel[remaining] - (1 - lam) * sims.max(axis=1)
+                # argmax with (score desc, neighbor_id asc) tiebreak
+                order = sorted(
+                    range(len(remaining)),
+                    key=lambda j: (-round(score[j], 9), ids[remaining[j]]),
+                )
+                best = remaining[order[0]]
+            selected.append(best)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[selected],
+                "mmr_rank": np.arange(1, len(selected) + 1),
+                "relevance": rel[selected],
+            }
+        )
+
+    return (
+        pool.groupBy("query_id")
+        .applyInPandas(mmr, out_schema)
+        .orderBy("query_id", "mmr_rank")
+    )

@@ -694,3 +694,56 @@ def test_stream_ohlc_bar_invariants(spark):
         assert r.n_events >= 1
     starts = [r.win_start for r in rows]
     assert starts == sorted(starts) and len(set(starts)) == len(starts)
+
+
+def test_mmr_rerank_matches_python_reference(spark):
+    """The distributed MMR must equal a straightforward NumPy reference
+    run on the same top-16 pools, and rank 1 must be the plain top-1."""
+    import numpy as np
+
+    from etl_suite_spark.io import load_table
+
+    out = QUERIES["llm_sim_mmr_rerank"](spark, SF_DIR).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(10))
+    assert all(len(v) == 5 for v in per_q.values())
+
+    embs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos6(a, b):
+        # mirror the engine's quantized-long dot (similarity._DOT) exactly
+        d = sum(
+            int(round(x * 1e6)) * int(round(y * 1e6))
+            for x, y in zip(embs[a], embs[b])
+        ) / 1e12
+        na = sum(int(round(x * 1e6)) ** 2 for x in embs[a]) / 1e12
+        nb = sum(int(round(x * 1e6)) ** 2 for x in embs[b]) / 1e12
+        return round(d / (na * nb) ** 0.5, 6)
+
+    lam, k = 0.7, 5
+    for qid, rows in per_q.items():
+        cands = sorted(
+            ((cos6(qid, v), v) for v in embs if v != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:16]
+        rel = {v: r for r, v in cands}
+        unit = {v: embs[v] / np.linalg.norm(embs[v]) for _, v in cands}
+        sel = []
+        rem = [v for _, v in cands]
+        while rem and len(sel) < k:
+            if not sel:
+                best = rem[0]
+            else:
+                def score(v):
+                    s = max(float(unit[v] @ unit[u]) for u in sel)
+                    return lam * rel[v] - (1 - lam) * s
+                best = min(rem, key=lambda v: (-round(score(v), 9), v))
+            sel.append(best)
+            rem.remove(best)
+        got = [r.neighbor_id for r in sorted(rows, key=lambda r: r.mmr_rank)]
+        assert got == sel, f"query {qid}: {got} != {sel}"
