@@ -171,6 +171,8 @@ R5_PLANNED = [
     "ts_gapfill_interpolate",
     # rows-only (greedy MMR is sequential; pytest reference-checked):
     "llm_sim_mmr_rerank",
+    "agg_cohort_ltv",
+    "win_zscore_rolling",
 ]
 
 

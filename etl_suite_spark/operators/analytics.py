@@ -994,3 +994,136 @@ def ts_gapfill_interpolate(spark, sf_dir):
             6,
         ).alias("value_interp"),
     )
+
+
+@query(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ), wk AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort,
+                  CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT) AS wk,
+             SUM(CAST(round(e.value, 2) AS DECIMAL(18,2))) AS rev
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT cohort, wk,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS week_revenue,
+           CAST(CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY wk)
+                AS VARCHAR) AS DOUBLE) AS cumulative_ltv
+    FROM wk
+    """,
+)
+def agg_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves — the revenue sibling of the
+    retention matrix: purchase revenue per (first-seen-week cohort, week
+    offset), plus the running cumulative LTV along each cohort's row.
+    The week offset divides an exact day difference of Monday-truncated
+    dates (engine-proof, same bridge as agg_retention_cohort); revenue
+    accumulates as exact decimals end-to-end INCLUDING the cumulative
+    window, so the curve is merge-order-independent. Plan: one user_id
+    co-partitioned join (first-seen ⋈ purchases), a tiny (cohort, wk)
+    aggregate, and the cumulative window over that already-small grid."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    wk = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("wk"),
+        )
+        .agg(F.sum(dec("value", 2)).alias("rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("wk")
+    return wk.select(
+        "cohort",
+        "wk",
+        d2d(F.col("rev")).alias("week_revenue"),
+        d2d(F.sum("rev").over(w)).alias("cumulative_ltv"),
+    )
+
+
+@query(
+    "win_zscore_rolling",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 10000) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_id, user_id, ts, y,
+             COUNT(*) OVER w AS n,
+             SUM(y) OVER w AS sy,
+             SUM(y * y) OVER w AS syy
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(n AS BIGINT) AS n_window,
+           round(CASE WHEN n >= 5 AND n * syy - sy * sy > 0
+                 THEN (n * y - sy)
+                      / sqrt(CAST(n AS DOUBLE) * (n * syy - sy * sy) / (n - 1))
+                 END, 6) AS zscore,
+           CASE WHEN n >= 5 AND n * syy - sy * sy > 0
+                THEN abs((n * y - sy)
+                     / sqrt(CAST(n AS DOUBLE) * (n * syy - sy * sy) / (n - 1)))
+                     > 2 END AS is_outlier
+    FROM s
+    """,
+)
+def win_zscore_rolling(spark, sf_dir):
+    """Rolling z-score over each user's trailing 30 events — the
+    streaming-friendly outlier detector (MAD's cheap cousin: one pass,
+    associative state). The frame statistics are EXACT integer power
+    sums (value at 4 dp fixed point; Σy and Σy² as BIGINT window sums),
+    and z = (n·y − Σy)/√(n·(nΣy²−(Σy)²)/(n−1)) is computed in double
+    FROM those exact integers — so, like agg_trend_corr and
+    agg_higher_moments, the result cannot drift with partitioning or
+    engine. Windows shorter than 5 or with zero variance emit NULL
+    rather than a garbage z. One exchange + sort on user_id; the frame
+    is ROWS-bounded so state is O(30) per partition cursor."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 10000, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    q = ev.select("event_id", "user_id", "ts", y.alias("y"))
+    s = q.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    var_num = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    ok = (F.col("n") >= 5) & (var_num > 0)
+    z = (F.col("n") * F.col("y") - F.col("sy")) / F.sqrt(
+        F.col("n").cast("double") * var_num / (F.col("n") - 1)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("n").alias("n_window"),
+        F.round(F.when(ok, z), 6).alias("zscore"),
+        F.when(ok, F.abs(z) > 2).alias("is_outlier"),
+    )
