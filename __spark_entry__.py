@@ -173,6 +173,7 @@ R5_PLANNED = [
     "llm_sim_mmr_rerank",
     "agg_cohort_ltv",
     "win_zscore_rolling",
+    "scan_rowgroup_stats",
 ]
 
 

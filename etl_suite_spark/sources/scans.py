@@ -527,3 +527,58 @@ def sink_zorder_layout(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "scan_rowgroup_stats",
+    # The oracle reads the DATA through the registered view; the Spark
+    # side reads ONLY parquet footers. Equality proves the row-group
+    # statistics every pruning claim rests on are truthful — at any sf.
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', COUNT(*),
+           CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def scan_rowgroup_stats(spark, sf_dir):
+    """Parquet footer statistics audit — the metadata every pruning claim
+    in this repo rests on (sorted/Z-order layouts only pay off because
+    row-group min/max footers let scans skip groups). The Spark side
+    reads ONLY FOOTERS (pyarrow metadata; O(KB) per file — the same
+    bytes the scan planner reads, not a data collect) and folds the
+    per-row-group stats to per-column totals; the oracle computes the
+    same numbers FROM THE DATA. Equality = the footers tell the truth,
+    which is precisely what min/max pruning assumes.
+
+    At fleet scale the footer sweep parallelizes (one task per file
+    listing its groups); per-row-group detail — which this folds away
+    for oracle portability — is one fewer aggregation step."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, "orders")
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    total = 0
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        total += rg.num_rows
+        for col in ("o_custkey", "o_orderkey"):
+            st = rg.column(names[col]).statistics
+            cur = stats.setdefault(col, [st.min, st.max])
+            cur[0] = min(cur[0], st.min)
+            cur[1] = max(cur[1], st.max)
+    rows = [
+        (col, total, str(mn), str(mx)) for col, (mn, mx) in sorted(stats.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, total_rows long, min_value string, max_value string",
+    )
