@@ -174,6 +174,7 @@ R5_PLANNED = [
     "agg_cohort_ltv",
     "win_zscore_rolling",
     "scan_rowgroup_stats",
+    "llm_corpus_stats",
 ]
 
 

@@ -666,3 +666,61 @@ def llm_bigram_logprob(spark, sf_dir):
         F.count("*").alias("n_bigrams"),
         F.round(d2d(F.sum("lp")) / F.count("*"), 6).alias("avg_logprob"),
     )
+
+
+@query(
+    "llm_corpus_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w,
+             sha256(regexp_replace(lower(trim(text)),
+                    '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g')) AS h
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS tok FROM t
+    )
+    SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(DISTINCT lang) FROM t) AS BIGINT) AS n_langs,
+           CAST((SELECT COUNT(*) FROM tok) AS BIGINT) AS n_tokens,
+           CAST((SELECT COUNT(DISTINCT tok) FROM tok) AS BIGINT) AS vocab,
+           round((SELECT COUNT(*) FROM tok) * 1.0
+                 / (SELECT COUNT(*) FROM t), 6) AS mean_doc_tokens,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT h) FROM t) AS BIGINT)
+             AS n_exact_dups
+    """,
+)
+def llm_corpus_stats(spark, sf_dir):
+    """The corpus dashboard — the one-row report every training-data team
+    checks before and after each pipeline stage: document and language
+    counts, total tokens, vocabulary size, mean document length, and the
+    exact-duplicate count (docs minus distinct normalized content
+    hashes). Three aggregates over two scans (docs; exploded tokens),
+    every one with map-side partial combine; the whole report is a
+    constant-size row regardless of corpus size, which is what makes it
+    cheap enough to emit per pipeline stage at 100 TB (the stage-
+    accounting discipline llm_corpus_pipeline applies)."""
+    from ..llm.dedup import _normalized_text
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.split("text", " ").alias("w"),
+        F.sha2(_normalized_text(), 256).alias("h"),
+    )
+    tok = t.select(F.explode("w").alias("tok"))
+    doc_stats = t.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        (F.count("*") - F.count_distinct("h")).alias("n_exact_dups"),
+    )
+    tok_stats = tok.agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("vocab"),
+    )
+    return doc_stats.join(tok_stats).select(
+        "n_docs",
+        "n_langs",
+        "n_tokens",
+        "vocab",
+        F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("mean_doc_tokens"),
+        "n_exact_dups",
+    )
