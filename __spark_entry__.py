@@ -175,6 +175,8 @@ R5_PLANNED = [
     "win_zscore_rolling",
     "scan_rowgroup_stats",
     "llm_corpus_stats",
+    "agg_autocorr_lag1",
+    "llm_ngram_novelty",
 ]
 
 

@@ -724,3 +724,65 @@ def llm_corpus_stats(spark, sf_dir):
         F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias("mean_doc_tokens"),
         "n_exact_dups",
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)),
+                          '[ \t\r\n\f\x0B]+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+      FROM t WHERE len(w) >= 3
+    ), first_seen AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT)
+             AS n_novel,
+           round(COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) * 1.0
+                 / COUNT(*), 6) AS novelty
+    FROM g JOIN first_seen f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def llm_ngram_novelty(spark, sf_dir):
+    """N-gram novelty score — what fraction of a document's distinct
+    3-grams appear for the FIRST time (by doc_id order) in this document.
+    The dedup-aware curation signal: a scrape full of boilerplate scores
+    near 0 and adds nothing to a corpus that already contains its
+    sources; high-novelty docs are where new text actually lives
+    (the per-document view of what llm_dedup_paragraph removes).
+
+    Plan shape = the skew-safe first-occurrence idiom again:
+    ``groupBy(gram).min(doc_id)`` collapses every gram with map-side
+    partial combine (a billion-occurrence boilerplate gram becomes one
+    row per partition before the shuffle), then one equi-join back on
+    the gram and a per-doc aggregate. No windows over the corpus, no
+    pairwise anything."""
+    from .dedup import _shingles
+
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+    )

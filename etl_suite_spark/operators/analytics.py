@@ -1127,3 +1127,70 @@ def win_zscore_rolling(spark, sf_dir):
         F.round(F.when(ok, z), 6).alias("zscore"),
         F.when(ok, F.abs(z) > 2).alias("is_outlier"),
     )
+
+
+@query(
+    "agg_autocorr_lag1",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS y,
+             lead(CAST(round(value * 10000) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS y1
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             CAST(COUNT(y1) AS BIGINT) AS n,
+             SUM(y) FILTER (WHERE y1 IS NOT NULL) AS sx,
+             SUM(y1) AS sy,
+             SUM(y * y1) AS sxy,
+             SUM(y * y) FILTER (WHERE y1 IS NOT NULL) AS sxx,
+             SUM(y1 * y1) AS syy
+      FROM q GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round((n * sxy - sx * sy) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS autocorr_lag1
+    FROM s
+    WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def agg_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of each user's value sequence — the
+    stickiness/seasonality signal (near 0 ⇒ independent draws, positive
+    ⇒ momentum, negative ⇒ alternation). Pearson over the (yᵢ, yᵢ₊₁)
+    pairs built with one lead() window, then the SAME exact-integer
+    power-sum discipline as agg_trend_corr: all six sums accumulate as
+    BIGINT over 4-dp fixed-point values, correlation finishes in double
+    from exact integers — merge-order-proof on both engines. One window
+    pass + one hash aggregate, both keyed on user_id, one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 10000, 0).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = ev.select(
+        "user_id", "ts", "event_id", y.alias("y")
+    ).withColumn("y1", F.lead("y").over(w))
+    has = F.col("y1").isNotNull()
+    s = q.groupBy("user_id").agg(
+        F.count("y1").alias("n"),
+        F.sum(F.when(has, F.col("y"))).alias("sx"),
+        F.sum("y1").alias("sy"),
+        F.sum(F.col("y") * F.col("y1")).alias("sxy"),
+        F.sum(F.when(has, F.col("y") * F.col("y"))).alias("sxx"),
+        F.sum(F.col("y1") * F.col("y1")).alias("syy"),
+    )
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter((F.col("n") >= 3) & (var_x > 0) & (var_y > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias(
+                "autocorr_lag1"
+            ),
+        )
+    )
