@@ -177,6 +177,7 @@ R5_PLANNED = [
     "llm_corpus_stats",
     "agg_autocorr_lag1",
     "llm_ngram_novelty",
+    "win_rank_change",
 ]
 
 

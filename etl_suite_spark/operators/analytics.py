@@ -1194,3 +1194,56 @@ def agg_autocorr_lag1(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "win_rank_change",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             o_orderpriority AS item,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT week, item,
+             CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+             CAST(rank() OVER (PARTITION BY week
+                               ORDER BY rev DESC, item) AS BIGINT) AS rnk
+      FROM wk
+    )
+    SELECT week, item, revenue, rnk,
+           CAST(lag(rnk) OVER (PARTITION BY item ORDER BY week) - rnk
+                AS BIGINT) AS rank_change
+    FROM r
+    """,
+)
+def win_rank_change(spark, sf_dir):
+    """Week-over-week leaderboard movement: rank items (order priority
+    classes) by weekly revenue, then each item's rank delta vs its
+    previous week (positive = climbed). Two window families over two
+    DIFFERENT partitionings — rank within week, lag within item — which
+    is the canonical two-exchange window chain: Catalyst sorts once per
+    partitioning and the tiny (week × item) grid between them makes both
+    exchanges negligible next to the one real aggregation over orders.
+    Revenue ranks on the exact decimal (a float rank can swap adjacent
+    items between engines); ties break by item for a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = o.groupBy(
+        F.to_date(F.date_trunc("week", "o_orderdate")).alias("week"),
+        F.col("o_orderpriority").alias("item"),
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    wr = Window.partitionBy("week").orderBy(F.col("rev").desc(), "item")
+    r = wk.select(
+        "week",
+        "item",
+        d2d(F.col("rev")).alias("revenue"),
+        F.rank().over(wr).cast("long").alias("rnk"),
+    )
+    wl = Window.partitionBy("item").orderBy("week")
+    return r.select(
+        "week",
+        "item",
+        "revenue",
+        "rnk",
+        (F.lag("rnk").over(wl) - F.col("rnk")).cast("long").alias("rank_change"),
+    )
