@@ -175,6 +175,30 @@ def llm_dedup_minhash(spark, sf_dir):
     )
 
 
+def _exact_jaccard_truth(sh, threshold=0.5):
+    """(doc_a, doc_b) pairs with exact shingle Jaccard >= threshold, from
+    the shingle-equality join (never all-pairs) — the shared ground truth
+    of the MinHash recall and precision gates."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .filter(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= threshold
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
 @query(
     "llm_dedup_minhash_recall",
     # The MinHash signatures themselves are engine-specific (xxhash64
@@ -215,23 +239,7 @@ def llm_dedup_minhash_recall(spark, sf_dir):
     est_jaccard filter (recall of CANDIDATE GENERATION, the stage that
     can lose pairs)."""
     sh = _shingles(load_table(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    truth = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
-        .filter(
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")) >= 0.5
-        )
-        .select("doc_a", "doc_b")
-    )
+    truth = _exact_jaccard_truth(sh)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -1233,23 +1241,7 @@ def llm_dedup_minhash_precision(spark, sf_dir):
     that floods candidates would pass a recall gate trivially; only a
     precision gate catches it."""
     sh = _shingles(load_table(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    truth = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
-        .filter(
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")) >= 0.5
-        )
-        .select("doc_a", "doc_b")
-    )
+    truth = _exact_jaccard_truth(sh)
     cand = llm_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     good = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
     return truth.agg(F.count("*").alias("n_true_pairs")).join(

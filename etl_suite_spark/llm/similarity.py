@@ -1023,6 +1023,37 @@ def llm_sim_ann_ivfpq(spark, sf_dir):
     return _rerank_top3(cand, e, q)
 
 
+def _exact_top3(e, q):
+    """Brute-force exact top-3 cosine pairs for the broadcast query set —
+    the shared ground truth of every ANN recall gate."""
+    cos = _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _recall_metric(ann, e, q, threshold, flag_name):
+    """(n_exact_pairs, n_queries, <flag>): measured recall of ``ann``
+    pairs against the exact top-3, flagged at ``threshold``."""
+    exact3 = _exact_top3(e, q)
+    found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return exact3.agg(
+        F.count("*").alias("n_exact_pairs"),
+        F.count_distinct("query_id").alias("n_queries"),
+    ).join(found.agg(F.count("*").alias("n_found"))).select(
+        "n_exact_pairs",
+        "n_queries",
+        (F.col("n_found") >= threshold * F.col("n_exact_pairs")).alias(flag_name),
+    )
+
+
 @query(
     "llm_sim_ann_pq_recall",
     # Same honesty-metric pattern as llm_sim_ann_ivf_recall: the learned
@@ -1065,26 +1096,7 @@ def llm_sim_ann_pq_recall(spark, sf_dir):
         F.col("embedding").alias("q_emb"),
         F.col("nsq").alias("q_nsq"),
     )
-    cos = _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    exact3 = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id")
-    )
-    found = exact3.join(pq, ["query_id", "neighbor_id"], "left_semi")
-    return exact3.agg(
-        F.count("*").alias("n_exact_pairs"),
-        F.count_distinct("query_id").alias("n_queries"),
-    ).join(found.agg(F.count("*").alias("n_found"))).select(
-        "n_exact_pairs",
-        "n_queries",
-        (F.col("n_found") >= 0.4 * F.col("n_exact_pairs")).alias("recall_ge_40"),
-    )
+    return _recall_metric(pq, e, q, 0.4, "recall_ge_40")
 
 
 @query(
@@ -1126,26 +1138,7 @@ def llm_sim_ann_ivfpq_recall(spark, sf_dir):
         F.col("embedding").alias("q_emb"),
         F.col("nsq").alias("q_nsq"),
     )
-    cos = _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    exact3 = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id")
-    )
-    found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
-    return exact3.agg(
-        F.count("*").alias("n_exact_pairs"),
-        F.count_distinct("query_id").alias("n_queries"),
-    ).join(found.agg(F.count("*").alias("n_found"))).select(
-        "n_exact_pairs",
-        "n_queries",
-        (F.col("n_found") >= 0.3 * F.col("n_exact_pairs")).alias("recall_ge_30"),
-    )
+    return _recall_metric(ann, e, q, 0.3, "recall_ge_30")
 
 
 @query("llm_sim_mmr_rerank")  # rows-only: greedy MMR selection is sequential
