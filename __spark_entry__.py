@@ -178,6 +178,8 @@ R5_PLANNED = [
     "agg_autocorr_lag1",
     "llm_ngram_novelty",
     "win_rank_change",
+    "agg_new_vs_returning",
+    "agg_interevent_gaps",
 ]
 
 

@@ -1247,3 +1247,101 @@ def win_rank_change(spark, sf_dir):
         "rnk",
         (F.lag("rnk").over(wl) - F.col("rnk")).cast("long").alias("rank_change"),
     )
+
+
+@query(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS first_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', e.ts) AS DATE) AS week, f.first_week
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT week,
+           CAST(COUNT(*) FILTER (WHERE week = first_week) AS BIGINT) AS new_users,
+           CAST(COUNT(*) FILTER (WHERE week > first_week) AS BIGINT)
+             AS returning_users,
+           round(COUNT(*) FILTER (WHERE week > first_week) * 1.0
+                 / COUNT(*), 6) AS returning_share
+    FROM act GROUP BY week
+    """,
+)
+def agg_new_vs_returning(spark, sf_dir):
+    """Weekly new-vs-returning actives — the growth-accounting split on
+    every product dashboard (and the aggregate view of the retention
+    matrix: a week's returning count is its column sum). One first-seen
+    aggregate, one user_id co-partitioned join, one distinct per
+    (user, week), and conditional counts on a week-sized grid. The week
+    comparison is between two Monday-truncated dates — no datediff
+    boundary rules to bridge."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("first_week")
+    )
+    act = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("week", "ts")).alias("week"),
+            "first_week",
+        )
+        .distinct()
+    )
+    new_c = F.count(F.when(F.col("week") == F.col("first_week"), 1))
+    ret_c = F.count(F.when(F.col("week") > F.col("first_week"), 1))
+    return act.groupBy("week").agg(
+        new_c.cast("long").alias("new_users"),
+        ret_c.cast("long").alias("returning_users"),
+        F.round(ret_c / F.count("*"), 6).alias("returning_share"),
+    )
+
+
+@query(
+    "agg_interevent_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS BIGINT) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_gap_us,
+           CAST(median(gap_us) AS BIGINT) AS median_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_interevent_gaps(spark, sf_dir):
+    """Inter-event time distribution per event type — the cadence profile
+    behind session-timeout tuning (win_sessionize's 30-minute gap) and
+    watermark sizing (the streaming ops' 10-minute bound): you pick those
+    constants FROM this distribution. Gaps are exact integer microsecond
+    differences via one lag() per (user, type) partition; mean is exact
+    integer division, median is the exact interpolated percentile floored
+    to a BIGINT — every output is an integer, so nothing can drift. One
+    window exchange + one small hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.expr("sum(gap_us) div count(gap_us)").alias("mean_gap_us"),
+            F.expr("percentile(gap_us, 0.5)").cast("long").alias("median_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
