@@ -33,17 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness checks the FIRST 50 entries of queries()
 # each round; this explicit window rotates driver evidence across rounds
 # (r1: scalars+llm, r2: sorts/setops/joins/windows/aggregates, r3:
-# scans/filters/streaming/udf/incremental/pipeline — see
-# CORRECTNESS_r01/r02/r03.json).  Round-4 window, per VERDICT.md r3 §"Next
-# round" item 1: FIRST the 12 queries whose latest driver record is
-# ERR/no-oracle but which now pass the DuckDB oracle locally (7 broken by
-# the r1 events.ts loader bug and fixed in r2; 5 that ran before their
-# oracles were added), then llm_lang_partition (the only SURVEY §2 row with
-# zero driver evidence ever), then 37 never-driver-checked queries:
-# the full TPC-H tail q2..q22, graph_pagerank, the analytics family, the r3
-# recall/honesty ops, and the high-value llm text ops.
-# tests/test_entry_contract.py pins this list so an accidental edit can't
-# silently shift the window.
+# scans/filters/streaming/udf/incremental/pipeline, r4: stale-red re-checks
+# + TPC-H q2..q22 + graph/analytics/llm-text — see CORRECTNESS_r0{1..4}.json;
+# r4 came back 50/50 green, so round 5 carries no re-checks).
+# tests/test_entry_contract.py pins the active window so an accidental edit
+# can't silently shift it.
 R4_WINDOW = [
     # stale-red re-checks: r1 events.ts loader ERRs, fixed in r2 (7)
     "fn_string",
@@ -104,16 +98,16 @@ R4_WINDOW = [
     "llm_unigram_logprob",
 ]
 
-# Round-5 rotation plan (VERDICT r3 item 4): after R4 executes, the
-# remaining never-driver-checked queries are the list below (24 from the
-# r3 era + every op added during round 4). The list has outgrown one
-# 50-slot window, so R5_WINDOW = the FIRST 50 of this list (+ re-checks of
-# anything left red after CORRECTNESS_r04), and the remainder plus the 8
-# rows-only ops rotate into R6. Keeping the list here (and pinned in
-# tests) so no registered query is left without a driver-evidence plan.
-R5_PLANNED = [
+# Round-5 ACTIVE window (VERDICT r4 "Next round" item 1): the first 50
+# oracle-checkable entries of the round-4 R5_PLANNED rotation list.
+# CORRECTNESS_r04 came back 50/50 green so there are no red re-checks;
+# the only two R5_PLANNED entries skipped here are the rows-only
+# agg_sketch_rollup (sketch state is engine-specific; its oracle-checked
+# quantile twin agg_quantile_sketch_rollup IS in this window) and
+# llm_sim_mmr_rerank (sequential greedy selection, pytest-checked vs a
+# NumPy reference) — both get rows-only driver slots in R6_PLANNED below.
+R5_WINDOW = [
     "agg_string_concat_group",
-    "agg_sketch_rollup",
     "agg_multi_distinct",
     "agg_quantile_sketch_rollup",
     "agg_higher_moments",
@@ -164,13 +158,25 @@ R5_PLANNED = [
     "stream_ohlc",
     "sample_weighted",
     "win_anomaly_mad",
+]
+
+# Round-6 closeout plan (VERDICT r4 item 7): every registered query with no
+# driver record after R5 executes.  18 entries — 14 oracle-checkable plus 4
+# rows-only ops that get (weaker) rows-only driver records so even they have
+# driver evidence: agg_sketch_rollup (engine-specific sketch state;
+# quantile twin oracle-checked in R5), llm_sim_mmr_rerank (sequential greedy
+# rerank, pytest-checked vs NumPy), and llm_sim_ann_pq / llm_sim_ann_ivfpq
+# (approximate by construction; their `_recall` honesty twins are
+# oracle-checked in the R5 window above).  New queries added in round 5+
+# must be appended here — tests/test_entry_contract.py recomputes coverage
+# from the committed CORRECTNESS files and fails if any oracled query is
+# left without a driver-evidence plan.
+R6_PLANNED = [
     "join_asof_nearest",
     "agg_trend_corr",
     "llm_curriculum_order",
     "inc_late_dim_resolve",
     "ts_gapfill_interpolate",
-    # rows-only (greedy MMR is sequential; pytest reference-checked):
-    "llm_sim_mmr_rerank",
     "agg_cohort_ltv",
     "win_zscore_rolling",
     "scan_rowgroup_stats",
@@ -180,11 +186,16 @@ R5_PLANNED = [
     "win_rank_change",
     "agg_new_vs_returning",
     "agg_interevent_gaps",
+    # rows-only driver slots (no oracle by design; see note above):
+    "agg_sketch_rollup",
+    "llm_sim_mmr_rerank",
+    "llm_sim_ann_pq",
+    "llm_sim_ann_ivfpq",
 ]
 
 
 def _windowed(mapping: dict) -> dict:
-    ordered = {k: mapping[k] for k in R4_WINDOW if k in mapping}
+    ordered = {k: mapping[k] for k in R5_WINDOW if k in mapping}
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
     return ordered
 

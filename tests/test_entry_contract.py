@@ -6,11 +6,12 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-4 window composition (VERDICT r3 "Next round" item 1): the 12
-stale-red driver records first, then llm_lang_partition, then 37
-never-driver-checked queries (TPC-H q2..q22, graph/analytics, r3 recall
-ops, llm text ops).  R5_PLANNED pins the rotation plan for the remaining
-never-checked queries so none ends round 5 without driver evidence.
+Round-5 window composition (VERDICT r4 "Next round" item 1): the first 50
+oracle-checkable entries of the round-4 R5_PLANNED rotation list — the
+r3-era scale/analytics/dq ops plus everything added in round 4.
+CORRECTNESS_r04 was 50/50 green so there are no red re-checks.
+R6_PLANNED pins the closeout: the 14 remaining oracled queries plus 4
+rows-only ops taking (weaker) rows-only driver slots.
 """
 
 from __future__ import annotations
@@ -20,74 +21,86 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R4_WINDOW = [
-    "fn_string",
-    "fn_date",
-    "fn_map",
-    "fn_json",
-    "fn_datetime_tz",
-    "fn_variant",
-    "llm_emb_normalize",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "llm_dedup_clusters",
-    "llm_corpus_pipeline",
-    "mm_binaryfile_scan",
-    "llm_lang_partition",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "graph_pagerank",
-    "agg_funnel",
-    "agg_retention_cohort",
-    "agg_heavy_hitters",
-    "llm_dedup_minhash_recall",
-    "llm_sim_ann_ivf_recall",
-    "llm_dedup_substring",
-    "ml_churn_label",
-    "win_cumulative_distinct",
-    "llm_decontaminate",
-    "llm_token_count",
-    "llm_fingerprint",
-    "llm_pii_scrub",
-    "llm_bm25_search",
-    "llm_doc_chunking",
-    "llm_unigram_logprob",
+EXPECTED_R5_WINDOW = [
+    "agg_string_concat_group",
+    "agg_multi_distinct",
+    "agg_quantile_sketch_rollup",
+    "agg_higher_moments",
+    "agg_conditional",
+    "agg_path_transitions",
+    "agg_time_to_convert",
+    "win_gaps_islands",
+    "win_pct_of_total",
+    "win_interval_coalesce",
+    "dq_checks",
+    "dq_key_skew_report",
+    "er_blocking_match",
+    "join_salted_skew",
+    "join_bloom_pruned",
+    "join_range_bucketed",
+    "join_null_skew_rewrite",
+    "sink_bucketed_colocated_join",
+    "sink_overwrite_partition",
+    "sink_merge_upsert",
+    "llm_seq_packing_greedy",
+    "sample_group_fixed",
+    "sample_stratified",
+    "inc_dedup_ingest",
+    "llm_dedup_embedding",
+    "llm_dedup_paragraph",
+    "llm_quality_c4",
+    "llm_sim_ann_pq_recall",
+    "dim_scd2_lookup",
+    "agg_unpivot",
+    "ts_gapfill_locf",
+    "llm_dedup_keeplist",
+    "llm_bigram_logprob",
+    "llm_sim_ann_ivfpq_recall",
+    "ts_ewma",
+    "dq_profile",
+    "sink_zorder_layout",
+    "agg_aqp_estimate",
+    "graph_triangle_count",
+    "win_running_median",
+    "inc_scd2_apply",
+    "agg_market_basket",
+    "agg_gini",
+    "win_ohlc",
+    "win_pareto_abc",
+    "dq_snapshot_diff",
+    "llm_dedup_minhash_precision",
+    "stream_ohlc",
+    "sample_weighted",
+    "win_anomaly_mad",
 ]
+
+_DRIVER_ROUNDS = (1, 2, 3, 4)
+
+
+def _driver_history() -> dict[str, dict]:
+    root = pathlib.Path(__file__).resolve().parent.parent
+    latest: dict[str, dict] = {}
+    for n in _DRIVER_ROUNDS:
+        path = root / f"CORRECTNESS_r0{n}.json"
+        if path.exists():
+            latest.update(json.loads(path.read_text()))
+    return latest
 
 
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R4_WINDOW) == 50
-    assert len(set(EXPECTED_R4_WINDOW)) == 50
+    assert len(EXPECTED_R5_WINDOW) == 50
+    assert len(set(EXPECTED_R5_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R4_WINDOW
-    assert entry_mod.R4_WINDOW == EXPECTED_R4_WINDOW
+    assert qs[:50] == EXPECTED_R5_WINDOW
+    assert entry_mod.R5_WINDOW == EXPECTED_R5_WINDOW
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R4_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R5_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
@@ -95,7 +108,7 @@ def test_every_window_query_has_an_oracle():
     # A windowed query without an oracle burns a driver slot on a
     # rows-only record; the window must be 50 oracle-checkable queries.
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in EXPECTED_R4_WINDOW if n not in oracles]
+    missing = [n for n in EXPECTED_R5_WINDOW if n not in oracles]
     assert not missing, f"window names without oracles: {missing}"
 
 
@@ -105,20 +118,16 @@ def test_oracle_keys_subset_of_queries():
     assert not extra, f"oracles without queries: {extra}"
 
 
-def test_r4_targets_stale_red_and_never_checked():
+def test_r5_targets_stale_red_and_never_checked():
     """The window must clear every stale-red oracle-able driver record.
 
     Recomputes "latest driver record is red" from the committed
-    CORRECTNESS_r0{1,2,3}.json files; every such query with an oracle must
-    be inside R4_WINDOW (this is the exact planning bug VERDICT r3 called
-    out: the saved round-4 plan omitted the seven r1-ERR entries).
+    CORRECTNESS_r0{1..4}.json files; every such query with an oracle must
+    be inside R5_WINDOW.  (CORRECTNESS_r04 was 50/50 green, so this is
+    expected to be vacuous — the test exists to catch a regression being
+    planned around rather than re-checked.)
     """
-    root = pathlib.Path(__file__).resolve().parent.parent
-    latest: dict[str, dict] = {}
-    for n in (1, 2, 3):
-        path = root / f"CORRECTNESS_r0{n}.json"
-        if path.exists():
-            latest.update(json.loads(path.read_text()))
+    latest = _driver_history()
     oracles = entry_mod.oracle_sql()
     red = [
         name
@@ -128,22 +137,27 @@ def test_r4_targets_stale_red_and_never_checked():
             rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
         )
     ]
-    outside = sorted(set(red) - set(EXPECTED_R4_WINDOW))
+    outside = sorted(set(red) - set(EXPECTED_R5_WINDOW))
     assert not outside, f"stale-red oracle-able queries not in window: {outside}"
 
 
-def test_r5_plan_covers_remaining_never_checked():
-    """R4_WINDOW ∪ R5_PLANNED ∪ driver history must cover every oracled query."""
-    root = pathlib.Path(__file__).resolve().parent.parent
-    seen: set[str] = set()
-    for n in (1, 2, 3):
-        path = root / f"CORRECTNESS_r0{n}.json"
-        if path.exists():
-            seen.update(json.loads(path.read_text()))
-    oracles = set(entry_mod.oracle_sql())
-    covered = seen | set(EXPECTED_R4_WINDOW) | set(entry_mod.R5_PLANNED)
-    uncovered = sorted(oracles - covered)
-    assert not uncovered, f"oracled queries with no driver plan: {uncovered}"
+def test_r6_plan_covers_every_remaining_query():
+    """R5_WINDOW ∪ R6_PLANNED ∪ driver history must cover EVERY registered
+    query — including rows-only ops, which take weaker rows-only driver
+    slots in R6.  A query added in round 5+ without an R6_PLANNED entry
+    fails here."""
+    seen = set(_driver_history())
+    qs = set(entry_mod.queries())
+    covered = seen | set(EXPECTED_R5_WINDOW) | set(entry_mod.R6_PLANNED)
+    uncovered = sorted(qs - covered)
+    assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
+
+
+def test_r6_plan_fits_one_window():
+    assert len(entry_mod.R6_PLANNED) <= 50
+    assert len(set(entry_mod.R6_PLANNED)) == len(entry_mod.R6_PLANNED)
+    overlap = set(entry_mod.R6_PLANNED) & set(EXPECTED_R5_WINDOW)
+    assert not overlap, f"R6 entries already in R5 window: {overlap}"
 
 
 def test_bench_headline_queries_registered():
