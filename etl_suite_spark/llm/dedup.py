@@ -1103,8 +1103,11 @@ def _hashed_tf_neardup_pairs(spark, docs, tau, token=None):
 
 @query(
     "llm_dedup_paragraph",
-    # Portable ordering key: doc_id*1000+pos fits BIGINT at fixture scale
-    # (pos < 1000 chunks/doc); both engines take MIN over the same integer.
+    # Ordering key: lexicographic MIN over struct(doc_id, pos) — both
+    # engines define struct comparison field-by-field, so the keeper is
+    # the true first occurrence with NO bound on chunks per document
+    # (the earlier doc_id*1000+pos integer key silently mis-keyed any
+    # document with >1000 chunks; see tests/test_llm.py planted case).
     oracle="""
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1113,9 +1116,10 @@ def _hashed_tf_neardup_pairs(spark, docs, tau, token=None):
              array_to_string(w[i*10+1:i*10+10], ' ') AS chunk
       FROM t, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u(i)
     ), keeper AS (
-      SELECT chunk, MIN(doc_id * 1000 + pos) AS k FROM c GROUP BY chunk
+      SELECT chunk, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS k
+      FROM c GROUP BY chunk
     ), kept AS (
-      SELECT k // 1000 AS doc_id, k % 1000 AS pos, chunk FROM keeper
+      SELECT k.doc_id AS doc_id, k.pos AS pos, chunk FROM keeper
     ), agg AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
              string_agg(chunk, ' ' ORDER BY pos) AS dedup_text
@@ -1151,8 +1155,9 @@ def llm_dedup_paragraph(spark, sf_dir):
       (strictly smaller than the corpus), and the final doc join is a
       plain equi-join on doc_id that AQE plans.
 
-    The doc_id*1000+pos ordering key keeps the oracle portable; production
-    would use ``min_by(struct(doc_id, pos))`` with no bound on chunks/doc.
+    The first-occurrence key is ``min(struct(doc_id, pos))`` — lexicographic
+    struct comparison on both engines, valid for any number of chunks per
+    document (no packed-integer overflow trap).
     """
     return paragraph_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -1173,12 +1178,12 @@ def paragraph_dedup(d: DataFrame) -> DataFrame:
         )
     )
     keeper = chunks.groupBy("chunk").agg(
-        F.min(F.col("doc_id") * 1000 + F.col("pos")).alias("k")
+        F.min(F.struct("doc_id", "pos")).alias("k")
     )
     agg = (
         keeper.select(
-            (F.col("k") / 1000).cast("long").alias("doc_id"),
-            (F.col("k") % 1000).alias("pos"),
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.pos").alias("pos"),
             "chunk",
         )
         .groupBy("doc_id")

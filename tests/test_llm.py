@@ -550,6 +550,31 @@ def test_paragraph_dedup_partial_tail_chunk(spark):
     assert row.dedup_text == " ".join(words)
 
 
+def test_paragraph_dedup_survives_1000_plus_chunks(spark):
+    """Planted >1000-chunk document: the old doc_id*1000+pos packed-integer
+    ordering key collided chunk positions >=1000 into the wrong doc_id
+    (doc 1 pos 1001 decoded as doc 2 pos 1); the struct(doc_id, pos) key
+    must keep every chunk attributed to the right document."""
+    from etl_suite_spark.llm.dedup import paragraph_dedup
+
+    # doc 1: 1002 distinct chunks (10_020 words) — positions 0..1001.
+    big = " ".join(f"d1c{i}w{j}" for i in range(1002) for j in range(10))
+    # doc 2: one chunk of its own plus a copy of doc 1's LAST chunk
+    # (position 1001 — past the old key's capacity).
+    dup = " ".join(f"d1c1001w{j}" for j in range(10))
+    own = " ".join(f"d2own{j}" for j in range(10))
+    docs = spark.createDataFrame(
+        [(1, big), (2, f"{own} {dup}")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    # doc 1 keeps ALL 1002 chunks, reassembled in original order.
+    assert (out[1].n_chunks, out[1].n_kept) == (1002, 1002)
+    assert out[1].dedup_text == big
+    # doc 2 keeps only its own chunk; the copy of doc 1 pos 1001 is dropped.
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    assert out[2].dedup_text == own
+
+
 def test_quality_c4_flags_on_fixture(spark, duck):
     """Every per-rule flag recomputes from the row's own stats, and keep is
     exactly the conjunction of the five rules."""
