@@ -186,6 +186,8 @@ R6_PLANNED = [
     "win_rank_change",
     "agg_new_vs_returning",
     "agg_interevent_gaps",
+    # added in round 5 (never driver-checked yet):
+    "llm_dedup_embedding_recall",
     # rows-only driver slots (no oracle by design; see note above):
     "agg_sketch_rollup",
     "llm_sim_mmr_rerank",

