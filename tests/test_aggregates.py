@@ -157,3 +157,26 @@ def test_pareto_classes_partition_and_order(spark):
     if "A" in rows and "C" in rows:
         a, c = rows["A"], rows["C"]
         assert a.class_revenue / a.n_customers > c.class_revenue / c.n_customers
+
+
+def test_market_basket_mega_basket_cap(spark):
+    """Planted mega-basket (250 distinct items > the 200 cap): its rows
+    must not enter pair generation — a pair that only reaches the
+    c_ab >= 2 bar via the mega-basket disappears, while pairs supported
+    by normal baskets alone survive. This bounds the basket self-join at
+    ~19.9k pairs per basket on adversarial input (the gram-cap pattern)."""
+    from etl_suite_spark.operators.analytics import basket_pair_metrics
+
+    rows = [(1, 10), (1, 20), (1, 30), (1, 40), (2, 30), (2, 40)]
+    # mega-basket 99: items 10, 20 plus 248 fillers -> 250 distinct items
+    rows += [(99, 10), (99, 20)] + [(99, 1000 + i) for i in range(248)]
+    bp = spark.createDataFrame(rows, "o long, p long")
+    out = {(r.part_a, r.part_b): r for r in basket_pair_metrics(bp, 3).collect()}
+    # (30, 40) co-occurs in baskets 1 and 2 -> kept, c_ab = 2
+    assert out[(30, 40)].c_ab == 2
+    # (10, 20) co-occurs in basket 1 and the MEGA-basket only -> capped
+    # pair generation sees just basket 1, so c_ab = 1 < 2 -> dropped.
+    assert (10, 20) not in out
+    # degrees/denominators still count the mega-basket: confidence of
+    # (30, 40) is c_ab / deg(30) = 2 / 2 = 1.0 (mega-basket lacks 30).
+    assert out[(30, 40)].confidence == 1.0
