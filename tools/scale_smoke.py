@@ -9,11 +9,27 @@ the bench fixture is too small to surface them, so this harness exists to
 keep them surfaced.
 
 Usage: python tools/scale_smoke.py [--base /root/testdata/sf0.1] [--copies 10]
+       python tools/scale_smoke.py --skew   # Zipf-skewed tier (see below)
 
 Note: llm_dedup_substring is EXCLUDED by default — 10 near-identical
 copies of every document is its adversarial input (every pair shares every
 span; legitimately ~100× the work, measured 189 s) and the op's documented
 100 TB route is via LSH candidate pairs. Include it with --all.
+
+Skewed tier (``--skew``, VERDICT r4 item 8): the uniform 10× corpus has
+headroom comments but no actual skew; this tier plants every hot-key shape
+the repo's caps and skew-safe formulations claim to handle, and runs the
+ops that must stay bounded under them:
+
+- a 30-word boilerplate prefix on 30 % of documents → hot chunks (the
+  paragraph-dedup groupBy(chunk) map-side combine) and hot grams (the
+  substring op's frequency cap);
+- 50 near-copies of one viral document → a hot MinHash band bucket
+  (minhash / embedding-routing candidate volume stays ~50²/2, not corpus²);
+- a mega-basket lineitem order with 300 distinct parts → the market-basket
+  > 200-item cap must drop it from pair generation;
+- one customer holding ~15 % of all orders → the salted join must spread
+  the hot custkey over its 16 salt reducers.
 """
 
 from __future__ import annotations
@@ -43,6 +59,74 @@ OPS = [
     "win_topk_per_group",
     "llm_decontaminate",
 ]
+
+
+SKEW_OPS = [
+    "llm_dedup_exact",
+    "llm_dedup_paragraph",
+    "llm_dedup_minhash",
+    "llm_dedup_embedding",
+    "llm_dedup_substring",
+    "agg_market_basket",
+    "join_salted_skew",
+    "win_topk_per_group",
+]
+
+
+def build_skewed(base: str, out: str) -> None:
+    """Plant the four hot-key shapes documented in the module docstring."""
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    for t in ["region", "nation", "customer", "supplier", "part", "events"]:
+        shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    shutil.copy(f"{base}/embeddings.parquet", f"{out}/embeddings.parquet")
+    con = duckdb.connect()
+    boiler = " ".join(f"boiler{i % 7}w{i}" for i in range(30))
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 < 3
+                      THEN '{boiler} ' || text ELSE text END AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{base}/documents.parquet')
+          UNION ALL
+          SELECT 10000000 + c AS doc_id,
+                 (SELECT text FROM read_parquet('{base}/documents.parquet')
+                  ORDER BY doc_id LIMIT 1) || ' viral' || c AS text,
+                 'en' AS lang, 'viral' AS source, 0 AS n_chars
+          FROM unnest(range(0, 50)) AS u(c)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{base}/lineitem.parquet')
+          UNION ALL
+          SELECT * EXCLUDE (rn) REPLACE (1 AS l_orderkey, 9000000 + rn AS l_partkey)
+          FROM (
+            SELECT *, row_number() OVER () AS rn
+            FROM read_parquet('{base}/lineitem.parquet') LIMIT 300
+          )
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{base}/orders.parquet')
+          UNION ALL
+          SELECT * EXCLUDE (rn) REPLACE (20000000 + rn AS o_orderkey, 1 AS o_custkey)
+          FROM (
+            SELECT *, row_number() OVER () AS rn
+            FROM read_parquet('{base}/orders.parquet')
+            USING SAMPLE 15 PERCENT (reservoir, 42)
+          )
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
 
 
 def build(base: str, copies: int, out: str) -> None:
@@ -85,6 +169,11 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--all", action="store_true", help="include llm_dedup_substring")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="run the Zipf-skewed tier (planted hot keys) instead of the 10x uniform tier",
+    )
     args = ap.parse_args()
 
     import etl_suite_spark  # noqa: F401
@@ -92,11 +181,17 @@ def main() -> None:
     from etl_suite_spark.session import get_spark
 
     out = os.path.join(tempfile.mkdtemp(prefix="etl_scale_"), "sfx")
-    build(args.base, args.copies, out)
+    if args.skew:
+        build_skewed(args.base, out)
+    else:
+        build(args.base, args.copies, out)
 
     spark = get_spark("etl-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
-    ops = OPS + (["llm_dedup_substring"] if args.all else [])
+    if args.skew:
+        ops = SKEW_OPS
+    else:
+        ops = OPS + (["llm_dedup_substring"] if args.all else [])
     QUERIES[ops[0]](spark, out).count()  # warmup
 
     timings = {}
@@ -108,7 +203,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "scale_smoke_wall_sec",
-                "copies": args.copies,
+                "tier": "skew" if args.skew else "uniform",
+                "copies": None if args.skew else args.copies,
                 "base": args.base,
                 "value": round(sum(v["sec"] for v in timings.values()), 3),
                 "queries": timings,
