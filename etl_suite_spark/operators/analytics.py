@@ -622,13 +622,17 @@ def agg_market_basket(spark, sf_dir):
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    n_orders = bp.select("o").distinct().count()  # scalar
-    return basket_pair_metrics(bp, n_orders)
+    return basket_pair_metrics(bp)
 
 
-def basket_pair_metrics(bp: DataFrame, n_orders: int) -> DataFrame:
+def basket_pair_metrics(bp: DataFrame) -> DataFrame:
     """support/confidence/lift over (o, p) basket rows; see
-    :func:`agg_market_basket` for semantics and the mega-basket cap."""
+    :func:`agg_market_basket` for semantics and the mega-basket cap.
+
+    The order-count denominator rides along as a broadcast single-row
+    join (the agg_gini pattern) so query construction stays lazy — no
+    eager .count() at plan-build time."""
+    n1 = F.broadcast(bp.agg(F.countDistinct("o").alias("n_orders")))
     deg = bp.groupBy("p").agg(F.count("*").alias("c"))
     capped = (
         bp.groupBy("o")
@@ -648,14 +652,15 @@ def basket_pair_metrics(bp: DataFrame, n_orders: int) -> DataFrame:
     return (
         pairs.join(da, "part_a")
         .join(db, "part_b")
+        .crossJoin(n1)
         .select(
             "part_a",
             "part_b",
             "c_ab",
-            F.round(F.col("c_ab") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("c_ab") / F.col("n_orders"), 6).alias("support"),
             F.round(F.col("c_ab") / F.col("ca"), 6).alias("confidence"),
             F.round(
-                F.col("c_ab") * F.lit(float(n_orders)) / (F.col("ca") * F.col("cb")),
+                F.col("c_ab") * F.col("n_orders") / (F.col("ca") * F.col("cb")),
                 6,
             ).alias("lift"),
         )

@@ -171,7 +171,7 @@ def test_market_basket_mega_basket_cap(spark):
     # mega-basket 99: items 10, 20 plus 248 fillers -> 250 distinct items
     rows += [(99, 10), (99, 20)] + [(99, 1000 + i) for i in range(248)]
     bp = spark.createDataFrame(rows, "o long, p long")
-    out = {(r.part_a, r.part_b): r for r in basket_pair_metrics(bp, 3).collect()}
+    out = {(r.part_a, r.part_b): r for r in basket_pair_metrics(bp).collect()}
     # (30, 40) co-occurs in baskets 1 and 2 -> kept, c_ab = 2
     assert out[(30, 40)].c_ab == 2
     # (10, 20) co-occurs in basket 1 and the MEGA-basket only -> capped
