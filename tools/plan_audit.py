@@ -53,6 +53,8 @@ EXPECTED_NLJ = {
     "llm_sim_ann_ivfpq_recall",  # same + one-row metric join
     "agg_aqp_estimate",  # two one-row aggregates joined (estimate vs exact)
     "graph_triangle_count",  # four one-row metric aggregates joined
+    "agg_market_basket",  # one-row n_orders broadcast crossJoin (lazy denominator, r5)
+    "llm_dedup_embedding_recall",  # two one-row count aggregates joined (scalar metrics)
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
