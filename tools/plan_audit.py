@@ -28,6 +28,7 @@ EXPECTED_NLJ = {
     "join_cross",  # declared cartesian (capped region×nation)
     "join_theta_range",  # non-equi range predicate (BNLJ by definition)
     "llm_sim_cosine_topk",  # broadcast query set vs candidates (by design)
+    "llm_sim_range_search",  # same broadcast retrieval layer, filter not rank
     "llm_sim_knn_classify",  # same broadcast retrieval layer as cosine_topk
     "llm_sim_mmr_rerank",  # same broadcast retrieval layer feeding the pools
     "llm_sim_ann_recall",  # same broadcast retrieval layer (ground-truth side)
