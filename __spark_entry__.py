@@ -189,6 +189,7 @@ R6_PLANNED = [
     # added in round 5 (never driver-checked yet):
     "llm_dedup_embedding_recall",
     "llm_sim_range_search",
+    "llm_dedup_crossset",
     # rows-only driver slots (no oracle by design; see note above):
     "agg_sketch_rollup",
     "llm_sim_mmr_rerank",

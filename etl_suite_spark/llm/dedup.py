@@ -328,6 +328,81 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query(
+    "llm_dedup_crossset",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
+             len(list_intersect(a.s, b.s)) AS shared,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b
+        ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    )
+    SELECT new_doc_id, corpus_doc_id,
+           round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+    FROM pairs
+    WHERE shared * 1.0 / (na + nb - shared) >= 0.5
+    """,
+)
+def llm_dedup_crossset(spark, sf_dir):
+    """Incremental (cross-set) near-dup: dedup a NEW ingest batch against
+    the EXISTING corpus — the form every production dedup pipeline
+    actually runs day-to-day (the batch is small; the corpus is the
+    100 TB side). Fixture split: doc_id % 10 == 0 is the incoming batch,
+    the rest is the standing corpus; output is every (new, corpus) pair
+    with exact 3-gram Jaccard ≥ 0.5.
+
+    Scale shape: candidates come from a shingle-equality join of the
+    BATCH's shingles against the corpus postings — the corpus is only
+    ever touched by the equi-join (shuffle keyed on shingle, prunable to
+    a pre-bucketed shingle index at scale); nothing is quadratic in
+    corpus size, and batch×corpus all-pairs never materializes. At
+    100 TB the standing corpus keeps a persisted MinHash band index and
+    the batch probes it (same composition as llm_dedup_minhash), with
+    this exact-Jaccard join as the verify stage on band candidates.
+    Complements inc_dedup_ingest (exact-hash incremental dedup) with the
+    near-dup tier of the same ingest story."""
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    new_sh = sh.filter(F.col("doc_id") % 10 == 0)
+    corpus_sh = sh.filter(F.col("doc_id") % 10 != 0)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    a, b = new_sh.alias("a"), corpus_sh.alias("b")
+    shared = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("corpus_doc_id"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnsRenamed({"doc_id": "new_doc_id", "n": "na"}),
+            "new_doc_id",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "corpus_doc_id", "n": "nb"}),
+            "corpus_doc_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            "new_doc_id", "corpus_doc_id", F.round("jaccard", 6).alias("jaccard")
+        )
+    )
+
+
 # Corpus-frequency cap for the positional-gram join: a gram occurring f
 # times contributes O(f²) candidate rows, so one corpus-hot gram ("in the
 # of"-class boilerplate) makes the self-join quadratic in f (VERDICT r3
