@@ -190,6 +190,7 @@ R6_PLANNED = [
     "llm_dedup_embedding_recall",
     "llm_sim_range_search",
     "llm_dedup_crossset",
+    "agg_dau_wau_stickiness",
     # rows-only driver slots (no oracle by design; see note above):
     "agg_sketch_rollup",
     "llm_sim_mmr_rerank",

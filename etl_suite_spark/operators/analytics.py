@@ -1377,3 +1377,58 @@ def agg_interevent_gaps(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days d JOIN du u
+        ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def agg_dau_wau_stickiness(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    ratio on every product dashboard, and the canonical "distinct count
+    over a sliding window" problem (a plain window function can't do
+    COUNT(DISTINCT) over a frame).
+
+    Scale shape: one distinct on (day, user) collapses the fact table
+    first; the trailing window is then a θ-join of that slim relation
+    against the BROADCAST day grid (days are bounded — a year is 365
+    rows), fanning each (day, user) row out at most 7× — bounded fanout,
+    never row×row. The per-day COUNT(DISTINCT user) shuffles on day with
+    Spark's two-phase distinct aggregation (partial dedup map-side), so
+    a hot day never ships duplicate users. At 100 TB this exact plan
+    holds: the only growing side stays keyed and the grid stays
+    broadcast-tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    wau = (
+        du.alias("u")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )

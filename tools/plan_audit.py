@@ -55,6 +55,7 @@ EXPECTED_NLJ = {
     "agg_aqp_estimate",  # two one-row aggregates joined (estimate vs exact)
     "graph_triangle_count",  # four one-row metric aggregates joined
     "agg_market_basket",  # one-row n_orders broadcast crossJoin (lazy denominator, r5)
+    "agg_dau_wau_stickiness",  # broadcast day-grid theta-join (<=7x bounded fanout)
     "llm_dedup_embedding_recall",  # two one-row count aggregates joined (scalar metrics)
 }
 
