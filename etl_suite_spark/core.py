@@ -86,6 +86,27 @@ def as_long(c: Column) -> Column:
     return c.cast("long")
 
 
+def mat_path(token: str) -> str:
+    """Deterministic shared cache dir for :func:`materialize_once`."""
+    import hashlib
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "etl_mat_" + hashlib.sha1(token.encode()).hexdigest()[:12],
+        "data",
+    )
+
+
+def mat_exists(token: str) -> bool:
+    """True when a COMPLETE materialize_once result exists for ``token``
+    (Spark's _SUCCESS marker — readers never see a half-written dir)."""
+    import os
+
+    return os.path.isfile(os.path.join(mat_path(token), "_SUCCESS"))
+
+
 def materialize_once(spark, df, token: str, partition_col: str | None = None,
                      n_partitions: int = 32):
     """Write ``df`` to a shared deterministic temp parquet dir ONCE and
@@ -106,17 +127,11 @@ def materialize_once(spark, df, token: str, partition_col: str | None = None,
     store once, bucketed on its join key" move: pass ``partition_col`` so
     downstream joins/groupings on that key start co-located.
     """
-    import hashlib
     import os
     import shutil
-    import tempfile
 
-    final = os.path.join(
-        tempfile.gettempdir(),
-        "etl_mat_" + hashlib.sha1(token.encode()).hexdigest()[:12],
-        "data",
-    )
-    if not os.path.isfile(os.path.join(final, "_SUCCESS")):
+    final = mat_path(token)
+    if not mat_exists(token):
         tmp = f"{final}.tmp.{os.getpid()}"
         out = (
             df.repartition(n_partitions, partition_col)
