@@ -191,6 +191,8 @@ R6_PLANNED = [
     "llm_sim_range_search",
     "llm_dedup_crossset",
     "agg_dau_wau_stickiness",
+    "dq_benford",
+    "llm_vocab_growth",
     # rows-only driver slots (no oracle by design; see note above):
     "agg_sketch_rollup",
     "llm_sim_mmr_rerank",

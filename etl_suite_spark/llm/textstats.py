@@ -786,3 +786,86 @@ def llm_ngram_novelty(spark, sf_dir):
             F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "llm_vocab_growth",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ), t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      FROM t WHERE len(w) >= 3
+    ), first_seen AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+    ), bucketed AS (
+      SELECT LEAST(CAST(floor(rk.r * 10.0 / rk.n) AS BIGINT), 9) AS decile
+      FROM first_seen f JOIN ranked rk ON f.first_doc = rk.doc_id
+    ), per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_words
+      FROM bucketed GROUP BY decile
+    )
+    SELECT decile, new_words,
+           CAST(SUM(new_words) OVER (ORDER BY decile) AS BIGINT) AS vocab_size
+    FROM per
+    """,
+)
+def llm_vocab_growth(spark, sf_dir):
+    """Type growth curve (Heaps' law) over 3-GRAM types: distinct-type
+    count after each decile of the corpus in doc_id order — the
+    corpus-analysis dashboard row that distinguishes natural text
+    (sub-linear type growth) from templated or synthetic feeds, and
+    sizes n-gram models before training one. 3-gram types rather than
+    unigrams because the fixture's word vocabulary saturates in the
+    first decile (every word seen by decile 0 — a measured degenerate
+    curve), while the gram space keeps growing: measured per-decile new
+    types at sf0.01 fall 2413 → 886, the textbook sub-linear shape.
+
+    Plan: each word reduces to its FIRST document (min doc_id — one
+    hash aggregate with map-side combine, the skew-safe first-occurrence
+    formulation shared with llm_dedup_paragraph); deciles come from a
+    global row_number over the DOC-ID domain — the agg_gini precedent:
+    a global sort is exactly what you never do on raw 100 TB rows and
+    exactly fine on the aggregated key domain (one slim column). The
+    10-row cumulative sum at the end is constant-size."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select("doc_id").withColumn(
+        "r", F.row_number().over(Window.orderBy("doc_id")) - 1
+    )
+    n = F.broadcast(d.agg(F.count("*").alias("n")))
+    first_seen = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-3),"
+                    " i -> concat_ws(' ', slice(w, i+1, 3)))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bucketed = (
+        first_seen.join(ranked, first_seen.first_doc == ranked.doc_id)
+        .crossJoin(n)
+        .select(
+            F.least(F.floor(F.col("r") * 10.0 / F.col("n")), F.lit(9))
+            .cast("long")
+            .alias("decile")
+        )
+    )
+    per = bucketed.groupBy("decile").agg(F.count("*").alias("new_words"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "new_words",
+        F.sum("new_words").over(wc).cast("long").alias("vocab_size"),
+    )

@@ -439,3 +439,55 @@ def dq_snapshot_diff(spark, sf_dir):
         )
         .orderBy("change_kind")
     )
+
+
+@query(
+    "dq_benford",
+    oracle="""
+    WITH pos AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_totalprice > 0
+    ), d AS (
+      SELECT CAST(floor(v / power(10, floor(log10(v)))) AS BIGINT) AS digit
+      FROM pos
+    ), obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+    SELECT digit, n,
+           round(n * 1.0 / total, 6) AS observed_share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+           round(abs(n * 1.0 / total - log10(1.0 + 1.0 / digit)), 6)
+             AS abs_deviation
+    FROM obs CROSS JOIN tot
+    """,
+)
+def dq_benford(spark, sf_dir):
+    """Benford's-law first-digit profile of a monetary column — the
+    classic data-quality / fraud screen: naturally occurring amounts
+    follow P(d) = log10(1 + 1/d), and a synthetic or tampered feed
+    deviates. Emits per-digit observed vs expected share and the
+    absolute deviation (the fixture's uniform synthetic prices SHOULD
+    deviate — the op measures, thresholds are the consumer's policy).
+
+    Plan: leading digit via floor(v / 10^floor(log10 v)) — pure codegen
+    math, no string casts; one 9-key groupBy with map-side combine; the
+    total rides along as a broadcast single-row join. Scale-trivial."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = F.broadcast(obs.agg(F.sum("n").alias("total")))
+    share = F.col("n") / F.col("total")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return obs.crossJoin(tot).select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("observed_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.abs(share - benford), 6).alias("abs_deviation"),
+    )

@@ -56,6 +56,8 @@ EXPECTED_NLJ = {
     "graph_triangle_count",  # four one-row metric aggregates joined
     "agg_market_basket",  # one-row n_orders broadcast crossJoin (lazy denominator, r5)
     "agg_dau_wau_stickiness",  # broadcast day-grid theta-join (<=7x bounded fanout)
+    "dq_benford",  # one-row total broadcast crossJoin (digit-share denominator)
+    "llm_vocab_growth",  # one-row corpus-count broadcast crossJoin (decile bound)
     "llm_dedup_embedding_recall",  # two one-row count aggregates joined (scalar metrics)
 }
 
