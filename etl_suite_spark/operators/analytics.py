@@ -1414,6 +1414,12 @@ def agg_dau_wau_stickiness(spark, sf_dir):
     broadcast-tiny."""
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    return dau_wau_stickiness(du)
+
+
+def dau_wau_stickiness(du: DataFrame) -> DataFrame:
+    """(day, user_id) distinct-active rows → per-day DAU/WAU/stickiness;
+    see :func:`agg_dau_wau_stickiness` for the plan-shape notes."""
     days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
     wau = (

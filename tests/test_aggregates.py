@@ -180,3 +180,33 @@ def test_market_basket_mega_basket_cap(spark):
     # degrees/denominators still count the mega-basket: confidence of
     # (30, 40) is c_ab / deg(30) = 2 / 2 = 1.0 (mega-basket lacks 30).
     assert out[(30, 40)].confidence == 1.0
+
+
+def test_dau_wau_trailing_window_edges(spark):
+    """Planted actives: the WAU window is exactly [day-6, day] — a user
+    active 6 days before counts, 7 days before does not; WAU dedups a
+    user active on multiple days of the window."""
+    import datetime as dt
+
+    from etl_suite_spark.operators.analytics import dau_wau_stickiness
+
+    d = dt.date(2024, 3, 1)
+
+    def day(offset):
+        return d + dt.timedelta(days=offset)
+
+    rows = [
+        (day(0), 1),          # u1 active day 0
+        (day(6), 2),          # u2 active 6 days later -> inside day(6) window
+        (day(6), 1),          # u1 again on day 6 (was also day 0: dedup to 1)
+        (day(7), 3),          # u3 on day 7 -> day(0) user now OUTSIDE
+    ]
+    du = spark.createDataFrame(rows, "day date, user_id long").distinct()
+    out = {r.day: r for r in dau_wau_stickiness(du).collect()}
+    assert (out[day(0)].dau, out[day(0)].wau) == (1, 1)
+    # day 6 window covers day 0..6: users {1, 2}; u1's two active days dedup
+    assert (out[day(6)].dau, out[day(6)].wau) == (2, 2)
+    # day 7 window covers day 1..7: day-0 activity of u1 aged out, but u1
+    # was also active day 6 -> still in; users {1, 2, 3}
+    assert (out[day(7)].dau, out[day(7)].wau) == (1, 3)
+    assert out[day(7)].stickiness == round(1 / 3, 6)
