@@ -398,6 +398,36 @@ def llm_sim_ann_ivf_recall(spark, sf_dir):
     )
 
 
+def _ivf_index(spark, sf_dir, k=8, iters=3):
+    """(assignment, centroids) of the IVF-Flat coarse quantizer,
+    PERSISTED once per corpus — same write-once serving-layout rationale
+    (and eager-training caveat) as :func:`_pq_index`. ``assignment`` is
+    (vec_id, cell)."""
+    from ..core import mat_exists, mat_path, materialize_once
+    from .clustering import kmeans_fit
+
+    tok = f"v1:ivf_index:{sf_dir}:k{k}"
+    if not (mat_exists(tok + ":cells") and mat_exists(tok + ":centroids")):
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        # train the coarse quantizer: 8 cells, 3 Lloyd iterations, pp init
+        assigned, centroids = kmeans_fit(spark, e, k=k, iters=iters, init="pp")
+        assigned = materialize_once(
+            spark,
+            assigned.select("vec_id", F.col("cluster").alias("cell")),
+            tok + ":cells",
+            partition_col="vec_id",
+            n_partitions=8,
+        )
+        centroids = materialize_once(
+            spark, centroids, tok + ":centroids", n_partitions=1
+        )
+        return assigned, centroids
+    return (
+        spark.read.parquet(mat_path(tok + ":cells")),
+        spark.read.parquet(mat_path(tok + ":centroids")),
+    )
+
+
 @query("llm_sim_ann_ivf")  # rows-only: k-means training is iterative
 def llm_sim_ann_ivf(spark, sf_dir):
     """IVF approximate NN: a k-means coarse quantizer partitions the
@@ -413,16 +443,13 @@ def llm_sim_ann_ivf(spark, sf_dir):
     (partition pruning at the scan). Learned centroids adapt to the data
     distribution, unlike the fixed hyperplanes of llm_sim_ann_lsh.
     """
-    from .clustering import _DIST_SQ, kmeans_fit
+    from .clustering import _DIST_SQ
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     ).withColumn("nsq", dot("embedding", "embedding"))
-    # train the coarse quantizer: 8 cells, 3 Lloyd iterations, spread init
-    assigned, centroids = kmeans_fit(
-        spark, e.select("vec_id", "embedding"), k=8, iters=3, init="pp"
-    )
-    cells = e.join(assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id")
+    assigned, centroids = _ivf_index(spark, sf_dir)
+    cells = e.join(assigned, "vec_id")
 
     # each query scores the 8 centroids map-side (broadcast) and keeps its
     # nprobe=2 nearest cells
