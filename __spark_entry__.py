@@ -193,6 +193,7 @@ R6_PLANNED = [
     "agg_dau_wau_stickiness",
     "dq_benford",
     "llm_vocab_growth",
+    "agg_activity_heatmap",
     # rows-only driver slots (no oracle by design; see note above):
     "agg_sketch_rollup",
     "llm_sim_mmr_rerank",

@@ -1438,3 +1438,43 @@ def dau_wau_stickiness(du: DataFrame) -> DataFrame:
         "wau",
         F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+@query(
+    "agg_activity_heatmap",
+    oracle="""
+    SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             / COUNT(value) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_activity_heatmap(spark, sf_dir):
+    """Day-of-week × hour activity heatmap — the traffic-shape dashboard
+    every events pipeline renders (capacity planning, anomaly context,
+    send-time optimization). ISO day numbering (1 = Monday) on BOTH
+    engines, made explicit because the default dayofweek() conventions
+    differ (Spark 1 = Sunday, DuckDB 0 = Sunday — exactly the silent
+    cross-engine drift the oracle discipline exists to catch). The mean
+    uses the exact-decimal discipline (decimal sum → string → double ÷
+    count) so partial-aggregate merge order can't flap the hash. One
+    168-key groupBy with map-side combine: scale-trivial, skew-free."""
+    from ..core import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+            "user_id",
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            davg("value", scale=6).alias("avg_value"),
+        )
+    )
