@@ -194,6 +194,7 @@ R6_PLANNED = [
     "dq_benford",
     "llm_vocab_growth",
     "agg_activity_heatmap",
+    "mm_byte_framing",
     # rows-only driver slots (no oracle by design; see note above):
     "agg_sketch_rollup",
     "llm_sim_mmr_rerank",

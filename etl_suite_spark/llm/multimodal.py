@@ -373,3 +373,69 @@ def mm_frame_sample(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.col("text").alias("payload"))
     return payloads.mapInPandas(_sample_frames_fake, schema=_FRAME_SCHEMA)
+
+
+@query(
+    "mm_byte_framing",
+    # DuckDB has no BLOB substring, so the oracle frames the VARCHAR and
+    # md5's it — equivalent to the Spark side's BINARY slicing only for
+    # rows whose byte length equals their char length, which the guard
+    # enforces SYMMETRICALLY on both engines (strlen = bytes vs length =
+    # chars in DuckDB; octet_length vs length in Spark). The fixture is
+    # pure ASCII (measured: 0 rows differ), so no rows are dropped.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text AS payload, CAST(strlen(text) AS BIGINT) AS blen
+      FROM documents WHERE strlen(text) = length(text)
+    ), f AS (
+      SELECT doc_id, blen,
+             CAST(i AS BIGINT) AS frame_idx,
+             CAST(i * 16 AS BIGINT) AS frame_offset,
+             CASE WHEN blen <= 64 THEN blen
+                  ELSE LEAST(CAST(64 AS BIGINT), blen - i * 16) END AS frame_len,
+             md5(substring(payload, i * 16 + 1, 64)) AS frame_md5
+      FROM b, LATERAL unnest(range(0,
+        CASE WHEN blen <= 64 THEN 1
+             ELSE CAST(floor((blen - 64.0) / 16) + 1 AS BIGINT) END)) AS r(i)
+    )
+    SELECT doc_id, frame_idx, frame_offset, frame_len, frame_md5 FROM f
+    """,
+)
+def mm_byte_framing(spark, sf_dir):
+    """Fixed-size byte framing of an opaque binary payload — the audio/
+    video pre-processing primitive (64-byte frames, 16-byte hop; think
+    25 ms windows at 10 ms hop), done ENTIRELY relationally on a
+    BinaryType column: cast → sequence of offsets → byte-indexed
+    substring → per-frame digest. No Python in the loop — unlike the
+    mapInPandas decode stubs, windowing needs no codec, so it belongs in
+    codegen. Frames shorter than 64 bytes only occur when the whole
+    payload is (single tail-truncated frame); every full frame's offset
+    grid is hop-aligned. At 100 TB the explode fans each payload out
+    ~len/hop×, all map-side — no shuffle until whatever aggregates the
+    frames downstream."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
+    b = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.octet_length("text").cast("long").alias("blen"),
+    )
+    n_frames = F.when(F.col("blen") <= 64, F.lit(1)).otherwise(
+        F.floor((F.col("blen") - 64.0) / 16) + 1
+    )
+    return (
+        b.withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            (F.col("frame_idx") * 16).cast("long").alias("frame_offset"),
+            F.when(F.col("blen") <= 64, F.col("blen"))
+            .otherwise(F.least(F.lit(64).cast("long"), F.col("blen") - F.col("frame_idx") * 16))
+            .cast("long")
+            .alias("frame_len"),
+            F.md5(F.expr("substring(payload, frame_idx * 16 + 1, 64)")).alias(
+                "frame_md5"
+            ),
+        )
+    )
