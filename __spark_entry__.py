@@ -196,6 +196,7 @@ R6_PLANNED = [
     "llm_vocab_growth",
     "agg_activity_heatmap",
     "mm_byte_framing",
+    "agg_rfm_segmentation",
     # rows-only driver slots (no oracle by design; see note above):
     "agg_sketch_rollup",
     "llm_sim_mmr_rerank",

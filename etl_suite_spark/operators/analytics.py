@@ -1478,3 +1478,78 @@ def agg_activity_heatmap(spark, sf_dir):
             davg("value", scale=6).alias("avg_value"),
         )
     )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS corpus_max FROM orders),
+    per AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                            CAST(corpus_max AS DATE)) AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS monetary
+      FROM orders CROSS JOIN mx GROUP BY o_custkey, corpus_max
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                  AS BIGINT) AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+                  AS BIGINT) AS f_score,
+             CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
+                  AS BIGINT) AS m_score
+      FROM per
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           r_score || '-' || f_score || '-' || m_score AS segment
+    FROM scored
+    """,
+)
+def agg_rfm_segmentation(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    marketing-analytics staple: per customer, days since last order
+    (vs the corpus max date so the result is data-determined, not
+    wall-clock), order count, and exact-decimal total spend, each scored
+    into quintiles (ntile(5) with an explicit custkey tiebreak so equal
+    values can't flap across engines; score 1 = best by convention:
+    most recent / most frequent / highest spend first).
+
+    Scale shape: one groupBy(custkey) collapses the fact table; the
+    three ntiles are global sorts over the CUSTOMER domain — the
+    agg_gini precedent (never sort raw facts; sorting the aggregated
+    key domain is exactly fine). The corpus max date rides along as a
+    broadcast single-row join."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = F.broadcast(o.agg(F.max("o_orderdate").alias("corpus_max")))
+    per = (
+        o.crossJoin(mx)
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.to_date(F.max("corpus_max")), F.to_date(F.max("o_orderdate"))
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            d2d(F.sum(dec("o_totalprice", 2))).alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    scored = per.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", "r_score", "f_score", "m_score"),
+    )

@@ -57,6 +57,7 @@ EXPECTED_NLJ = {
     "agg_market_basket",  # one-row n_orders broadcast crossJoin (lazy denominator, r5)
     "agg_dau_wau_stickiness",  # broadcast day-grid theta-join (<=7x bounded fanout)
     "dq_benford",  # one-row total broadcast crossJoin (digit-share denominator)
+    "agg_rfm_segmentation",  # one-row corpus-max-date broadcast crossJoin
     "llm_vocab_growth",  # one-row corpus-count broadcast crossJoin (decile bound)
     "llm_dedup_embedding_recall",  # two one-row count aggregates joined (scalar metrics)
 }
