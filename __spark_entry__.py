@@ -197,6 +197,10 @@ R6_PLANNED = [
     "agg_activity_heatmap",
     "mm_byte_framing",
     "agg_rfm_segmentation",
+    "agg_ab_test",
+    "agg_survival_km",
+    "agg_attribution_last_touch",
+    "win_drawdown",
     # rows-only driver slots (no oracle by design; see note above):
     "agg_sketch_rollup",
     "llm_sim_mmr_rerank",

@@ -1553,3 +1553,358 @@ def agg_rfm_segmentation(spark, sf_dir):
         "segment",
         F.concat_ws("-", "r_score", "f_score", "m_score"),
     )
+
+
+@query(
+    "agg_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN (user_id * 2654435761) % 1000000 < 500000
+                  THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ), per AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS users_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS users_b,
+        CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      FROM u
+    )
+    SELECT users_a, users_b, conv_a, conv_b,
+           round(CAST(conv_a AS DOUBLE) / users_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / users_b, 6) AS rate_b,
+           round(CAST(conv_a AS DOUBLE) / users_a
+                 - CAST(conv_b AS DOUBLE) / users_b, 6) AS abs_lift,
+           round((CAST(conv_a AS DOUBLE) / users_a
+                  - CAST(conv_b AS DOUBLE) / users_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (users_a + users_b))
+                        * (1.0 / users_a + 1.0 / users_b)), 6) AS z_score
+    FROM per
+    """,
+)
+def agg_ab_test(spark, sf_dir):
+    """Two-variant experiment readout — the product-analytics staple:
+    deterministic 50/50 user split (Knuth multiplicative hash on user_id,
+    the repo's standard reproducible-uniform: a rerun or a backfill
+    re-derives the SAME assignment, which a random() split cannot),
+    conversion = user ever fired a purchase event, and the two-proportion
+    pooled z-score for significance.
+
+    Scale shape: one groupBy(user_id) collapses the fact table (map-side
+    partial MAX), then a single conditional aggregate over the user table
+    folds both variants in ONE pass — no per-variant rescans, no join.
+    The z-score is scalar double math over four exact integers, rounded
+    to 6 dp on both engines. At 100 TB nothing here exceeds one shuffle
+    on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    )
+    u = u.withColumn(
+        "variant",
+        F.when((F.col("user_id") * 2654435761) % 1000000 < 500000, "A").otherwise(
+            "B"
+        ),
+    )
+    per = u.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("users_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("users_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("users_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("users_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("users_a") + F.col("users_b")
+    )
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (1.0 / F.col("users_a") + 1.0 / F.col("users_b"))
+    )
+    return per.select(
+        "users_a",
+        "users_b",
+        "conv_a",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(rate_a - rate_b, 6).alias("abs_lift"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@query(
+    "agg_survival_km",
+    oracle="""
+    WITH per0 AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_day,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS purchase_day,
+             MAX(CAST(ts AS DATE)) AS last_day
+      FROM events GROUP BY user_id
+    ), per AS (
+      SELECT CASE WHEN purchase_day IS NOT NULL
+                  THEN date_diff('day', first_day, purchase_day)
+                  ELSE date_diff('day', first_day, last_day)
+             END AS duration_days,
+             CASE WHEN purchase_day IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM per0
+    ), grp AS (
+      SELECT duration_days,
+             COUNT(*) AS n_all,
+             SUM(observed) AS d
+      FROM per GROUP BY duration_days
+    ), risk AS (
+      SELECT duration_days, n_all, d,
+             (SELECT COUNT(*) FROM per)
+               - COALESCE(SUM(n_all) OVER (ORDER BY duration_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM grp
+    ), curve AS (
+      SELECT duration_days, n_risk, d,
+             CASE WHEN d = n_risk THEN 0.0
+                  ELSE exp(SUM(CASE WHEN d < n_risk
+                               THEN ln(1 - CAST(d AS DOUBLE) / n_risk)
+                               ELSE 0.0 END)
+                           OVER (ORDER BY duration_days
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))
+             END AS surv
+      FROM risk
+    )
+    SELECT CAST(duration_days AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           round(surv, 6) AS survival
+    FROM curve WHERE d > 0
+    """,
+)
+def agg_survival_km(spark, sf_dir):
+    """Kaplan–Meier time-to-event curve (Kaplan & Meier 1958) for
+    time-to-first-purchase: duration = a user's first event day → first
+    purchase day (observed event); users who never purchase are
+    right-censored at their last activity day — the standard KM setup
+    where the observation window truncates outcomes. (On these fixtures
+    every user eventually purchases, so the censor branch contributes 0
+    rows — the estimator still applies it, and a corpus slice where it
+    bites hash-checks identically because the oracle carries the same
+    branch.)
+
+    Determinism: at each event time the hazard (1 − d/n) divides two
+    exact integers (correctly-rounded IEEE division), and the survival
+    product is exp(Σ ln ·) over a SORTED running frame — sequential
+    identical order on both engines, then round 6 (ulp-level libm drift
+    over tens of terms is ~1e-15, far inside the rounding guard).
+
+    Scale shape: one groupBy(user_id) collapses the fact table, then the
+    whole curve lives on the DURATION domain (≤ observation-window days —
+    hundreds of rows at any corpus size): the cumulative windows run on a
+    broadcast-scale relation. The corpus max date and the user total ride
+    along as broadcast single-row joins; nothing re-scans facts."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.to_date("ts")
+                )
+            ).alias("purchase_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+        .select(
+            F.when(
+                F.col("purchase_day").isNotNull(),
+                F.datediff("purchase_day", "first_day"),
+            )
+            .otherwise(F.datediff("last_day", "first_day"))
+            .alias("duration_days"),
+            F.when(F.col("purchase_day").isNotNull(), 1)
+            .otherwise(0)
+            .alias("observed"),
+        )
+    )
+    grp = per.groupBy("duration_days").agg(
+        F.count("*").alias("n_all"), F.sum("observed").alias("d")
+    )
+    total = F.broadcast(per.agg(F.count("*").alias("n_users")))
+    before = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    upto = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grp.crossJoin(total).withColumn(
+        "n_risk",
+        F.col("n_users") - F.coalesce(F.sum("n_all").over(before), F.lit(0)),
+    )
+    # A step where every remaining at-risk user converts (d == n_risk —
+    # necessarily the last event time) sends survival to exactly 0; it is
+    # branch-guarded because ln(0) errors in DuckDB and nulls in Spark.
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    curve = risk.withColumn(
+        "surv",
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+            F.exp(F.sum(term).over(upto))
+        ),
+    )
+    return curve.filter(F.col("d") > 0).select(
+        F.col("duration_days").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round("surv", 6).alias("survival"),
+    )
+
+
+@query(
+    "agg_attribution_last_touch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS channel0
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ), conv AS (
+      SELECT COALESCE(channel0, 'direct') AS channel, value
+      FROM t WHERE event_type = 'purchase'
+    ), agg AS (
+      SELECT channel,
+             CAST(COUNT(*) AS BIGINT) AS n_conversions,
+             SUM(CAST(value AS DECIMAL(18,6))) AS rev
+      FROM conv GROUP BY channel
+    )
+    SELECT channel, n_conversions,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+           round(CAST(CAST(rev AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(rev) OVER () AS VARCHAR) AS DOUBLE), 6)
+             AS revenue_share
+    FROM agg
+    """,
+)
+def agg_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent preceding touch (click or view); purchases with no
+    prior touch are 'direct'. The canonical sessionless attribution model
+    every growth team starts from.
+
+    The carry-forward is ``last(touch, ignorenulls=True)`` over a
+    (user, ts, event_id)-ordered running frame — the LOCF idiom
+    (ts_gapfill_locf precedent) with the event_id tiebreak pinning
+    equal-timestamp order on both engines. Purchase rows contribute NULL
+    to the carried column, so a purchase can never attribute to itself
+    or to a later touch.
+
+    Scale shape: one filter prunes to 3 of 5 event types at the scan
+    (pushed predicate), one user-keyed window pass (single exchange),
+    then a hash agg onto the tiny channel domain; the share divides
+    exact decimal sums inside a window over the ≤3-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("event_type")
+            ),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("channel0"),
+    )
+    conv = t.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("channel0", F.lit("direct")).alias("channel"), "value"
+    )
+    agg = conv.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.sum(dec("value", 6)).alias("rev"),
+    )
+    return agg.select(
+        "channel",
+        "n_conversions",
+        d2d(F.col("rev")).alias("revenue"),
+        F.round(
+            d2d(F.col("rev")) / d2d(F.sum("rev").over(Window.partitionBy())),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    ), dd AS (
+      SELECT day, revenue,
+             MAX(revenue) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM daily
+    )
+    SELECT day,
+           CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(CAST(peak AS VARCHAR) AS DOUBLE) AS peak,
+           round(CAST(CAST(peak - revenue AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(peak AS VARCHAR) AS DOUBLE), 6) AS drawdown_pct
+    FROM dd
+    """,
+)
+def win_drawdown(spark, sf_dir):
+    """Decline-from-peak (drawdown) over the daily revenue series — the
+    monitoring view behind "revenue is X% off its all-time high" alerts,
+    and the financial max-drawdown idiom applied to an operational KPI.
+    Running peak via MAX over an ordered running frame; drawdown is the
+    exact-decimal gap to that peak as a fraction of it.
+
+    Scale shape: the fact table collapses to the DAY domain first (one
+    hash agg with map-side combine over exact decimals); the running-max
+    window then runs over hundreds-to-thousands of rows regardless of
+    corpus size — the agg_gini/agg_rfm precedent (window the aggregated
+    key domain, never raw facts)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(dec("o_totalprice", 2)).alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.withColumn("peak", F.max("revenue").over(w))
+    return dd.select(
+        "day",
+        d2d(F.col("revenue")).alias("revenue"),
+        d2d(F.col("peak")).alias("peak"),
+        F.round(
+            d2d(F.col("peak") - F.col("revenue")) / d2d(F.col("peak")), 6
+        ).alias("drawdown_pct"),
+    )

@@ -210,3 +210,65 @@ def test_dau_wau_trailing_window_edges(spark):
     # was also active day 6 -> still in; users {1, 2, 3}
     assert (out[day(7)].dau, out[day(7)].wau) == (1, 3)
     assert out[day(7)].stickiness == round(1 / 3, 6)
+
+
+def test_survival_km_curve_invariants(spark):
+    """KM invariants the oracle can't certify (both engines share the
+    formula): survival is in (0, 1], non-increasing in duration, and
+    n_risk strictly decreases across successive event times."""
+    from etl_suite_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = (
+        QUERIES["agg_survival_km"](spark, SF_DIR)
+        .orderBy("duration_days")
+        .collect()
+    )
+    assert rows, "fixture must produce at least one churn event"
+    prev_s, prev_r = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r.survival <= prev_s + 1e-9
+        assert r.n_events >= 1
+        if prev_r is not None:
+            assert r.n_risk < prev_r
+        prev_s, prev_r = r.survival, r.n_risk
+
+
+def test_ab_test_split_covers_all_users(spark):
+    """Variant user counts must partition the distinct-user universe, and
+    the deterministic hash split must be re-derivable (rerun-stable)."""
+    from etl_suite_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    row = QUERIES["agg_ab_test"](spark, SF_DIR).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row.users_a + row.users_b == n_users
+    assert row.conv_a <= row.users_a and row.conv_b <= row.users_b
+    again = QUERIES["agg_ab_test"](spark, SF_DIR).collect()[0]
+    assert row == again
+
+
+def test_attribution_conserves_purchases(spark):
+    """Attributed conversions across channels (incl. 'direct') must equal
+    the total purchase count — attribution reassigns credit, never drops
+    or double-counts a conversion."""
+    from pyspark.sql import functions as F
+
+    from etl_suite_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["agg_attribution_last_touch"](spark, SF_DIR)
+    attributed = out.agg(F.sum("n_conversions")).collect()[0][0]
+    purchases = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert attributed == purchases
+    shares = [r.revenue_share for r in out.collect()]
+    assert abs(sum(shares) - 1.0) < 1e-4
