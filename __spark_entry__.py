@@ -197,6 +197,9 @@ R6_PLANNED = [
     "agg_activity_heatmap",
     "mm_byte_framing",
     "agg_rfm_segmentation",
+    "graph_connected_components",
+    "graph_degree_histogram",
+    "graph_jaccard_neighbors",
     "agg_ab_test",
     "agg_survival_km",
     "agg_attribution_last_touch",

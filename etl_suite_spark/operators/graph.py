@@ -209,7 +209,7 @@ def graph_pagerank(
     ), deg_p AS (
       SELECT p, COUNT(*) AS nsupp FROM ps GROUP BY p
     ), ok AS (
-      SELECT ps.p, ps.s FROM ps JOIN deg_p USING (p) WHERE nsupp <= 10
+      SELECT ps.p, ps.s FROM ps JOIN deg_p USING (p) WHERE nsupp <= 50
     ), e AS (
       SELECT DISTINCT a.s AS u, b.s AS v
       FROM ok a JOIN ok b ON a.p = b.p AND a.s < b.s
@@ -249,15 +249,21 @@ def graph_triangle_count(spark, sf_dir):
     neighbors-of-neighbors join does. Everything is distinct/groupBy/
     equi-join; no cross join.
 
-    Same hot-key discipline as the dedup family: parts supplied by > 10
+    Same hot-key discipline as the dedup family: parts supplied by > 50
     suppliers are excluded from edge generation (a ubiquitous part is a
     clique factory — quadratic pairs, zero signal), mirrored exactly in
-    the oracle's HAVING-style cap."""
+    the oracle's HAVING-style cap. Cap headroom is measured, not guessed:
+    the fixture's per-part supplier fanout is bounded ~30 by its
+    lineitem/part row ratio at EVERY sf (max 10 at sf0.001, 41 at
+    sf0.01, 52 at sf0.1 — the round-5 raise from 10 to 50 exists because
+    the old cap sat BELOW the sf0.01 minimum fanout and silently emptied
+    the graph at exactly the scale the driver checks), and C(50,2)=1225
+    pairs bounds the per-part work regardless of corpus size."""
     ps = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
     deg_p = ps.groupBy("p").agg(F.count("*").alias("nsupp"))
-    ok = ps.join(deg_p.filter(F.col("nsupp") <= 10), "p")
+    ok = ps.join(deg_p.filter(F.col("nsupp") <= 50), "p")
     a, b = ok.alias("a"), ok.alias("b")
     # Materialize the (small, degree-capped) edge list once: three aliases
     # of it join below, and without the barrier each alias re-expands the
@@ -315,4 +321,207 @@ def graph_triangle_count(spark, sf_dir):
                 "clustering_coeff"
             ),
         )
+    )
+
+
+# --- part co-purchase graph ops ---------------------------------------------
+#
+# Node set: PARTS (the largest key domain the fixtures offer — 2k at
+# sf0.01, 20k at sf0.1); edge: two parts bought together in the SAME order
+# in >= 2 distinct orders (the market-basket support threshold, which is
+# what keeps the graph sparse and the edge semantics meaningful — a single
+# co-occurrence in a big basket is noise). The supplier co-supply graph
+# used by graph_triangle_count is near-COMPLETE on these fixtures (every
+# pair of its ~10-1000 suppliers shares some part), so component /
+# degree-distribution queries over it would be degenerate; the co-purchase
+# graph has real structure at every sf (measured sf0.01: 1,880 nodes,
+# 3,445 support-2 edges, avg degree 3.7).
+#
+# Hot-key discipline: baskets with > 50 distinct parts are excluded from
+# pair generation (same cap + rationale as agg_market_basket — a
+# pathological mega-basket is a quadratic clique factory; fixture max
+# basket is 13, measured ~4x headroom), mirrored in every oracle below.
+
+_COPURCHASE_EDGE_SQL = """
+    li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), bsz AS (
+      SELECT o, COUNT(*) AS nitems FROM li GROUP BY o
+    ), okli AS (
+      SELECT li.o, li.p FROM li JOIN bsz USING (o) WHERE nitems <= 50
+    ), e AS (
+      SELECT a.p AS u, b.p AS v, COUNT(*) AS support
+      FROM okli a JOIN okli b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    )"""
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Support->=2 part co-purchase edge list: distinct (u, v, support)
+    with u < v; see the module comment above for the graph's rationale
+    and the mega-basket cap."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    bsz = li.groupBy("o").agg(F.count("*").alias("nitems"))
+    okli = li.join(bsz.filter(F.col("nitems") <= 50), "o")
+    a, b = okli.alias("a"), okli.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_COPURCHASE_EDGE_SQL}, edges AS (
+      SELECT u AS src, v AS dst FROM e
+      UNION ALL SELECT v, u FROM e
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT ed.dst, r.lab FROM reach r JOIN edges ed ON ed.src = r.node
+    ), labels AS (
+      SELECT node, MIN(lab) AS label FROM reach GROUP BY node
+    )
+    SELECT CAST(label AS BIGINT) AS component_id,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM labels GROUP BY label ORDER BY n_parts DESC, component_id
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components of the part co-purchase graph — product
+    neighborhoods: parts that transitively sell together (the graph
+    generalization of agg_market_basket's pairwise lift, and the
+    graph-native sibling of llm_dedup_clusters' duplicate grouping; both
+    share :func:`etl_suite_spark.llm.dedup.connected_components`,
+    iterative min-label propagation — O(diameter) rounds of join+min-agg,
+    one shuffle each on uniformly hashed node ids, lineage truncated per
+    round). Component id = smallest part key in the component:
+    deterministic, rerun-stable labels. The DuckDB twin is a recursive
+    reachability CTE — fine at oracle scale, deliberately not the
+    distributed plan shape."""
+    from ..llm.dedup import connected_components
+
+    e = _copurchase_edges(spark, sf_dir).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    labels = connected_components(e)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .select(F.col("label").cast("long").alias("component_id"), "n_parts")
+        .orderBy(F.col("n_parts").desc(), "component_id")
+    )
+
+
+@query(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGE_SQL}, deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_histogram(spark, sf_dir):
+    """Degree distribution of the part co-purchase graph — the first
+    diagnostic anyone runs on a graph (is it heavy-tailed? where must
+    hub caps bite?), and the measured input behind every skew decision
+    the graph family documents. Two hash aggs over the edge list; the
+    output domain is at most the max degree — broadcast-tiny at any
+    corpus size."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_nodes")
+        .orderBy("degree")
+    )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), bsz AS (
+      SELECT o, COUNT(*) AS nitems FROM li GROUP BY o
+    ), okli AS (
+      SELECT li.o, li.p FROM li JOIN bsz USING (o) WHERE nitems <= 50
+    ), sizes AS (
+      SELECT p, COUNT(*) AS n FROM li GROUP BY p
+    ), shared AS (
+      SELECT a.p AS u, b.p AS v, COUNT(*) AS shared
+      FROM okli a JOIN okli b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= 2
+    )
+    SELECT u, v, CAST(shared AS BIGINT) AS shared_orders,
+           CAST(su.n AS BIGINT) AS nu, CAST(sv.n AS BIGINT) AS nv,
+           round(CAST(shared AS DOUBLE) / (su.n + sv.n - shared), 6)
+             AS jaccard
+    FROM shared JOIN sizes su ON su.p = u JOIN sizes sv ON sv.p = v
+    ORDER BY jaccard DESC, u, v LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Node similarity by neighborhood Jaccard over the co-purchase
+    graph: two parts are similar when the ORDER sets they appear in
+    overlap — "customers who bought X also bought Y" as structural
+    equivalence, the graph cousin of the document n-gram Jaccard in
+    llm/dedup.py.
+
+    Scale shape: candidate pairs come only from the order-keyed
+    equi-join (parts sharing >= 1 order — never part x part), with the
+    mega-basket cap bounding per-order fanout and the support >= 2 gate
+    pruning noise pairs before the size join. Intersection sizes fall
+    out of the join's groupBy; neighborhood sizes join on from the
+    per-part aggregate over the UNCAPPED order sets (true denominator —
+    the cap only limits candidate generation). Global top-20 via
+    TakeOrderedAndProject."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sizes = li.groupBy("p").agg(F.count("*").alias("n"))
+    shared = _copurchase_edges(spark, sf_dir)
+    su = sizes.select(F.col("p").alias("u"), F.col("n").alias("nu"))
+    sv = sizes.select(F.col("p").alias("v"), F.col("n").alias("nv"))
+    return (
+        shared.join(su, "u")
+        .join(sv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("support").cast("long").alias("shared_orders"),
+            F.col("nu").cast("long").alias("nu"),
+            F.col("nv").cast("long").alias("nv"),
+            F.round(
+                F.col("support").cast("double")
+                / (F.col("nu") + F.col("nv") - F.col("support")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(20)
     )

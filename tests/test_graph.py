@@ -39,7 +39,7 @@ def test_triangle_count_matches_bruteforce(spark):
         .distinct()
     )
     deg_p = ps.groupBy("p").agg(F.count("*").alias("n"))
-    ok = ps.join(deg_p.filter(F.col("n") <= 10), "p").collect()
+    ok = ps.join(deg_p.filter(F.col("n") <= 50), "p").collect()
     by_part = {}
     for r in ok:
         by_part.setdefault(r.p, []).append(r.s)
