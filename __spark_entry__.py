@@ -197,6 +197,9 @@ R6_PLANNED = [
     "agg_activity_heatmap",
     "mm_byte_framing",
     "agg_rfm_segmentation",
+    "llm_dedup_containment",
+    "llm_span_corruption",
+    "llm_readability",
     "graph_connected_components",
     "graph_degree_histogram",
     "graph_jaccard_neighbors",

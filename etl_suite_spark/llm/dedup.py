@@ -1414,3 +1414,79 @@ def llm_dedup_minhash_precision(spark, sf_dir):
         "n_true_pairs",
         (F.col("n_good") >= 0.8 * F.col("n_cand")).alias("precision_ge_80"),
     )
+
+
+@query(
+    "llm_dedup_containment",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS shared,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc,
+           round(shared * 1.0 / least(na, nb), 6) AS containment
+    FROM pairs
+    WHERE shared * 1.0 / least(na, nb) >= 0.9
+    """,
+)
+def llm_dedup_containment(spark, sf_dir):
+    """Shingle CONTAINMENT pairs (Broder 1997, "On the resemblance and
+    containment of documents"): containment(A in B) = |S(A) ∩ S(B)| /
+    |S(A)| over 3-gram shingle sets, reported as shared/min(|A|,|B|)
+    with the contained (smaller) side named. This is the subset-duplicate
+    detector Jaccard structurally misses: a short doc fully embedded in
+    a 10× longer one has Jaccard ≈ 0.1 (far below any dedup threshold)
+    but containment 1.0 — the quote-expansion / boilerplate-wrapper case
+    every web corpus is full of.
+
+    Same scale shape as llm_dedup_ngram_jaccard: candidate pairs ONLY
+    from the shingle-equality self-join (docs must share ≥1 shingle to
+    meet — never doc × doc); shared counts fall out of that join's
+    groupBy; sizes join on from the per-doc aggregate. At 100 TB the
+    exact stage runs on MinHash band candidates exactly like the
+    routed llm_dedup_embedding."""
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .withColumn(
+            "containment", F.col("shared") / F.least("na", "nb")
+        )
+        .filter(F.col("containment") >= 0.9)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            F.round("containment", 6).alias("containment"),
+        )
+    )

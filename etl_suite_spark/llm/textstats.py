@@ -869,3 +869,66 @@ def llm_vocab_growth(spark, sf_dir):
         "new_words",
         F.sum("new_words").over(wc).cast("long").alias("vocab_size"),
     )
+
+
+@query(
+    "llm_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+             AS flesch_ease,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+             AS fk_grade
+    FROM m
+    """,
+)
+def llm_readability(spark, sf_dir):
+    """Flesch reading-ease + Flesch–Kincaid grade per document (Flesch
+    1948; Kincaid et al. 1975) — the classic text-quality signals used
+    as cheap corpus filters and difficulty scores (e.g. curriculum
+    bucketing). Syllables use the standard vowel-group proxy (runs of
+    [aeiouy] — exact syllabification needs a dictionary; the proxy is
+    the accepted corpus-scale approximation), sentences count
+    [.!?]-runs clamped to ≥1 (these synthetic fixtures carry no sentence
+    punctuation, so each doc scores as one sentence — the formula's
+    sentence term is still fully exercised via the words count).
+
+    Scale shape: entirely map-side — three regexp/split counts and two
+    scalar double formulas per row, inside whole-stage codegen; no
+    shuffle at all. The IEEE scalar math is deterministic given equal
+    inputs; round 6 on both engines as the standard guard."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_sentences = F.greatest(
+        F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"), F.lit(1)
+    )
+    n_syllables = F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+    m = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
+    )

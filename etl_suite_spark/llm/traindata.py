@@ -576,3 +576,118 @@ def llm_curriculum_order(spark, sf_dir):
         .cast("long")
         .alias("curriculum_pos"),
     )
+
+
+@query(
+    "llm_span_corruption",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), tok AS (
+      SELECT doc_id, u.pos, w[u.pos + 1] AS word,
+             ((doc_id * 1000003 + u.pos) % 1000000) * 2654435761 % 1000000
+               < 150000 AS masked
+      FROM t, unnest(range(0, len(w))) AS u(pos)
+    ), flagged AS (
+      SELECT doc_id, pos, word, masked,
+             masked AND NOT COALESCE(
+               lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+               AS head
+      FROM tok
+    ), numbered AS (
+      SELECT doc_id, pos, word, masked, head,
+             SUM(CASE WHEN head THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+               AS k
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN head THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+           COALESCE(string_agg(
+             CASE WHEN NOT masked THEN word
+                  WHEN head THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+             END, ' ' ORDER BY pos), '') AS corrupted,
+           COALESCE(string_agg(
+             CASE WHEN masked AND head
+                  THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || word
+                  WHEN masked THEN word
+             END, ' ' ORDER BY pos), '') AS target
+    FROM numbered GROUP BY doc_id
+    """,
+)
+def llm_span_corruption(spark, sf_dir):
+    """T5-style span corruption (Raffel et al. 2020): deterministically
+    mask ~15% of token positions, collapse each consecutive masked run
+    into one ``<extra_id_k>`` sentinel in the corrupted input, and emit
+    the target sequence (sentinel followed by the original span tokens)
+    — the denoising-objective example builder, as a relational query.
+    The mask is the repo's standard reproducible uniform (Knuth
+    multiplicative hash of (doc_id, pos), inner mod keeping the product
+    inside BIGINT on both engines): a backfill regenerates byte-identical
+    examples, which RNG masking cannot.
+
+    Scale shape: posexplode fans each doc into positions; every window
+    (lag for span heads, running sum for sentinel numbering) shares ONE
+    (doc_id, pos) partitioning — a single exchange + sort serves all
+    three — and the rebuild is one groupBy(doc_id) whose concat_ws skips
+    the non-emitting positions (nulls) on both engines. Everything is
+    JVM-side built-ins; at 100 TB this is one shuffle of the exploded
+    corpus, embarrassingly parallel across documents."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).withColumn(
+        "masked",
+        ((F.col("doc_id") * 1000003 + F.col("pos")) % 1000000)
+        * 2654435761
+        % 1000000
+        < 150000,
+    )
+    bypos = Window.partitionBy("doc_id").orderBy("pos")
+    upto = bypos.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = tok.withColumn(
+        "head",
+        F.col("masked")
+        & ~F.coalesce(F.lag("masked").over(bypos), F.lit(False)),
+    )
+    numbered = flagged.withColumn(
+        "k",
+        F.sum(F.when(F.col("head"), 1).otherwise(0)).over(upto) - 1,
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">"))
+    ct = (
+        F.when(~F.col("masked"), F.col("word"))
+        .when(F.col("head"), sentinel)
+    )
+    tt = (
+        F.when(
+            F.col("masked") & F.col("head"),
+            F.concat(sentinel, F.lit(" "), F.col("word")),
+        )
+        .when(F.col("masked"), F.col("word"))
+    )
+    return (
+        numbered.select("doc_id", "pos", "masked", "head", ct.alias("ct"), tt.alias("tt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("masked"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_masked"),
+            F.sum(F.when(F.col("head"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, ct))), x -> x.ct)"),
+            ).alias("corrupted"),
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, tt))), x -> x.tt)"),
+            ).alias("target"),
+        )
+    )

@@ -772,3 +772,43 @@ def test_mmr_rerank_matches_python_reference(spark):
             rem.remove(best)
         got = [r.neighbor_id for r in sorted(rows, key=lambda r: r.mmr_rank)]
         assert got == sel, f"query {qid}: {got} != {sel}"
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """Splicing each target span back over its sentinel in the corrupted
+    sequence must reproduce the original document exactly — the
+    round-trip property that makes the (corrupted, target) pair a valid
+    denoising example. Also: ~15% mask rate within loose bounds."""
+    import re
+
+    from etl_suite_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = {r.doc_id: r for r in QUERIES["llm_span_corruption"](spark, SF_DIR).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    total, masked = 0, 0
+    for doc_id, r in out.items():
+        spans = {}
+        for part in re.split(r"(<extra_id_\d+>)", " " + r.target + " "):
+            m = re.fullmatch(r"<extra_id_(\d+)>", part)
+            if m:
+                k = int(m.group(1))
+                spans[k] = None
+                last = k
+            elif part.strip():
+                spans[last] = part.strip()
+        rebuilt = []
+        for tok in r.corrupted.split(" ") if r.corrupted else []:
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                rebuilt.append(spans[int(m.group(1))])
+            else:
+                rebuilt.append(tok)
+        assert " ".join(rebuilt) == docs[doc_id], f"doc {doc_id} round-trip failed"
+        total += r.n_tokens
+        masked += r.n_masked
+        assert r.n_spans <= r.n_masked
+    assert 0.10 < masked / total < 0.20  # 15% target rate, loose bounds
