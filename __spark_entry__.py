@@ -197,6 +197,8 @@ R6_PLANNED = [
     "agg_activity_heatmap",
     "mm_byte_framing",
     "agg_rfm_segmentation",
+    "dq_outlier_iqr",
+    "join_interval_overlap",
     "llm_dedup_containment",
     "llm_span_corruption",
     "llm_readability",

@@ -421,3 +421,80 @@ def join_asof_nearest(spark, sf_dir):
             (F.unix_micros(chosen["c_ts"]) - F.unix_micros("ts")).alias("delta_us"),
         )
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH act AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS a_start, MAX(epoch_us(ts)) AS a_end
+      FROM events WHERE event_type <> 'error'
+      GROUP BY user_id, CAST(ts AS DATE)
+    ), inc AS (
+      SELECT CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS i_start, MAX(epoch_us(ts)) AS i_end,
+             CAST(COUNT(*) AS BIGINT) AS n_errors
+      FROM events WHERE event_type = 'error'
+      GROUP BY CAST(ts AS DATE)
+    )
+    SELECT act.day, act.user_id, inc.n_errors,
+           CAST(least(a_end, i_end) - greatest(a_start, i_start) AS BIGINT)
+             AS overlap_us
+    FROM act JOIN inc ON act.day = inc.day
+     AND a_start <= i_end AND i_start <= a_end
+     AND least(a_end, i_end) > greatest(a_start, i_start)
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """General interval-OVERLAP join between two derived interval sets:
+    each user's daily activity span [first event, last event] against
+    each day's error-incident window [first error, last error] — "which
+    users were active during the incident", the temporal-join shape
+    behind blast-radius and exposure analysis. Overlap length comes out
+    in exact integer microseconds (epoch_us both engines — no float
+    time arithmetic).
+
+    Scale shape: the day equi-key carries the join — Spark executes a
+    hash join on `day` with the range predicates applied as residual
+    filters, NEVER a BNLJ over raw intervals (this is the
+    bucketed-interval-join move of join_range_bucketed, with the bucket
+    = calendar day the intervals are already derived per). Both interval
+    relations are aggregates that collapse the fact table first (map-side
+    combine onto (user, day) / day); at 100 TB intervals spanning
+    multiple buckets would be exploded per overlapped day first —
+    bounded fanout, identical downstream plan."""
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("a_start"),
+            F.max(F.unix_micros("ts")).alias("a_end"),
+        )
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("i_start"),
+            F.max(F.unix_micros("ts")).alias("i_end"),
+            F.count("*").cast("long").alias("n_errors"),
+        )
+    )
+    ovl = F.least("a_end", "i_end") - F.greatest("a_start", "i_start")
+    return (
+        act.join(
+            inc,
+            (act["day"] == inc["day"])
+            & (F.col("a_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("a_end"))
+            & (ovl > 0),
+        )
+        .select(
+            act["day"].alias("day"),
+            "user_id",
+            "n_errors",
+            ovl.cast("long").alias("overlap_us"),
+        )
+    )

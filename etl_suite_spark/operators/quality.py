@@ -491,3 +491,91 @@ def dq_benford(spark, sf_dir):
         F.round(benford, 6).alias("benford_share"),
         F.round(F.abs(share - benford), 6).alias("abs_deviation"),
     )
+
+
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderpriority,
+             round(CAST(percentile_cont(0.25)
+                   WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 6) AS q1,
+             round(CAST(percentile_cont(0.75)
+                   WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE), 6) AS q3
+      FROM orders GROUP BY o_orderpriority
+    ), fenced AS (
+      SELECT o_orderpriority, q1, q3,
+             round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+             round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+      FROM stats
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           f.q1, f.q3, f.lo_fence, f.hi_fence,
+           CAST(SUM(CASE WHEN o.o_totalprice < f.lo_fence
+                         OR o.o_totalprice > f.hi_fence
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(SUM(CASE WHEN o.o_totalprice < f.lo_fence
+                          OR o.o_totalprice > f.hi_fence
+                     THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS outlier_frac
+    FROM orders o JOIN fenced f USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, f.q1, f.q3, f.lo_fence, f.hi_fence
+    """,
+)
+def dq_outlier_iqr(spark, sf_dir):
+    """Tukey-fence (1.5 × IQR) outlier screen per group — the standard
+    box-plot outlier rule, complementing win_anomaly_mad (MAD flags
+    point anomalies on time-ordered data; IQR profiles a static column's
+    tail mass per segment). Exact interpolated quartiles on both engines
+    (the agg_percentile discipline); the fences are ROUNDED TO 6 DP
+    BEFORE comparison on both sides so an ulp-level interpolation
+    difference cannot flip a data point sitting exactly on a fence —
+    the values compared against them are exact 2-dp money.
+
+    Scale shape: two passes over orders — one percentile aggregation
+    onto the tiny priority domain, then the 5-row fence table joins back
+    BROADCAST for the outlier count (never a shuffle of the fact side);
+    both aggregations combine map-side. The exact percentile is sort-
+    based per group; at 100 TB swap stage one to approx_percentile
+    (GK sketch — agg_approx_percentile documents the measured error) and
+    keep stage two unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("q3"),
+    )
+    fenced = stats.select(
+        "o_orderpriority",
+        "q1",
+        "q3",
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6).alias(
+            "lo_fence"
+        ),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6).alias(
+            "hi_fence"
+        ),
+    )
+    out = F.when(
+        (F.col("o_totalprice") < F.col("lo_fence"))
+        | (F.col("o_totalprice") > F.col("hi_fence")),
+        1,
+    ).otherwise(0)
+    return (
+        o.join(F.broadcast(fenced), "o_orderpriority")
+        .groupBy("o_orderpriority", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(out).cast("long").alias("n_outliers"),
+            F.round(F.sum(out) / F.count("*"), 6).alias("outlier_frac"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "q1",
+            "q3",
+            "lo_fence",
+            "hi_fence",
+            "n_outliers",
+            "outlier_frac",
+        )
+    )
