@@ -197,6 +197,10 @@ R6_PLANNED = [
     "agg_activity_heatmap",
     "mm_byte_framing",
     "agg_rfm_segmentation",
+    "stream_topk_per_window",
+    "agg_bitmap_distinct",
+    "win_cusum_changepoint",
+    "ts_seasonal_index_dow",
     "dq_outlier_iqr",
     "join_interval_overlap",
     "llm_dedup_containment",

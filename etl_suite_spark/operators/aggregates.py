@@ -1059,3 +1059,51 @@ def agg_aqp_estimate(spark, sf_dir):
         F.round(rel, 6).alias("rel_error"),
         (rel < 0.05).alias("within_5pct"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counts via Spark 4's bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count) — the mergeable-but-exact middle ground between
+    COUNT(DISTINCT) (exact, but its final merge must see every value)
+    and HLL sketches (mergeable, approximate — agg_sketch_rollup). Each
+    (group, bucket-of-32768-ids) gets a fixed 4 KB bitmap built
+    map-side; bitmaps OR together associatively, so partial aggregation
+    does real work and the final shuffle carries O(groups × id-range /
+    32768) bounded state instead of raw values. This is the layout a
+    100 TB daily→weekly distinct rollup persists when the count must be
+    EXACT (billing, dedup audits) — the bitmap tables union and re-OR
+    without rescanning facts; the oracle is plain COUNT(DISTINCT),
+    because the bitmap path must reproduce it bit-for-bit.
+
+    Two-level plan: groupBy(flag, bucket) builds bitmaps (map-side
+    combine), groupBy(flag) sums their popcounts — both shuffles carry
+    only compact bitmap bytes."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def bitmap_distinct(key: str, out: str):
+        # one bitmap per (group, 32768-id bucket), then sum of popcounts;
+        # each key gets its OWN bucket grouping — bucketing two keys
+        # jointly would split one key's bucket across the other's buckets
+        # and double-count bits on the popcount sum.
+        per_bucket = li.groupBy(
+            "l_returnflag",
+            F.expr(f"bitmap_bucket_number({key})").alias("bkt"),
+        ).agg(F.expr(f"bitmap_construct_agg(bitmap_bit_position({key}))").alias("bm"))
+        return (
+            per_bucket.groupBy("l_returnflag")
+            .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias(out))
+        )
+
+    return bitmap_distinct("l_partkey", "n_parts").join(
+        bitmap_distinct("l_suppkey", "n_suppliers"), "l_returnflag"
+    )

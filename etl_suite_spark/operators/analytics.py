@@ -1908,3 +1908,129 @@ def win_drawdown(spark, sf_dir):
             d2d(F.col("peak") - F.col("revenue")) / d2d(F.col("peak")), 6
         ).alias("drawdown_pct"),
     )
+
+
+@query(
+    "win_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT SUM(revenue) AS total, COUNT(*) AS n FROM daily
+    ), cur AS (
+      SELECT day, revenue, total, n,
+             SUM(revenue) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+             row_number() OVER (ORDER BY day) AS t
+      FROM daily, tot
+    ), cusum AS (
+      SELECT day, revenue,
+             CAST(CAST(n * run - t * total AS VARCHAR) AS DOUBLE) / n
+               AS cusum
+      FROM cur
+    )
+    SELECT day,
+           CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+           round(cusum, 6) AS cusum,
+           row_number() OVER (ORDER BY abs(cusum) DESC, day) = 1
+             AS is_changepoint
+    FROM cusum ORDER BY day
+    """,
+)
+def win_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection over the daily revenue series (Page
+    1954): cusum_t = Σ_{i≤t} (x_i − x̄); the day of maximum |cusum| is
+    the single most likely mean-shift changepoint (the statistic behind
+    binary-segmentation changepoint search). Exactness: the mean is
+    never materialized as a float — cusum_t = (n·run_t − t·total)/n is
+    computed from EXACT decimal running sums and integer t/n, with one
+    correctly-rounded division at the end (the agg_trend_corr
+    exact-power-sum discipline applied to a window statistic).
+
+    Scale shape: facts collapse to the day domain first; the running
+    sum, the rank and the argmax all window the tiny aggregated series.
+    The grand total rides along as a broadcast single-row join."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice", 2)).alias("revenue")
+    )
+    tot = F.broadcast(
+        daily.agg(F.sum("revenue").alias("total"), F.count("*").alias("n"))
+    )
+    upto = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cur = (
+        daily.crossJoin(tot)
+        .withColumn("run", F.sum("revenue").over(upto))
+        .withColumn("t", F.row_number().over(Window.orderBy("day")))
+    )
+    cusum = cur.select(
+        "day",
+        "revenue",
+        (d2d(F.col("n") * F.col("run") - F.col("t") * F.col("total")) / F.col("n")).alias(
+            "cusum"
+        ),
+    )
+    pick = Window.orderBy(F.abs("cusum").desc(), F.col("day"))
+    return cusum.select(
+        "day",
+        d2d(F.col("revenue")).alias("revenue"),
+        F.round("cusum", 6).alias("cusum"),
+        (F.row_number().over(pick) == 1).alias("is_changepoint"),
+    ).orderBy("day")
+
+
+@query(
+    "ts_seasonal_index_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT SUM(revenue) AS total, COUNT(*) AS n_days FROM daily
+    )
+    SELECT isodow(day) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(CAST(SUM(revenue) AS VARCHAR) AS DOUBLE) / COUNT(*)
+             AS avg_revenue,
+           round((CAST(CAST(SUM(revenue) AS VARCHAR) AS DOUBLE) / COUNT(*))
+                 / (CAST(CAST(MAX(total) AS VARCHAR) AS DOUBLE) / MAX(n_days)),
+                 6) AS seasonal_index
+    FROM daily, tot
+    GROUP BY isodow(day)
+    """,
+)
+def ts_seasonal_index_dow(spark, sf_dir):
+    """Day-of-week seasonal index of daily revenue — the
+    ratio-to-overall-average decomposition step (index > 1 ⇒ that
+    weekday runs hot; the multiplicative-seasonality primitive that
+    deseasonalizes a series before trend/anomaly analysis pairs with
+    win_anomaly_mad/win_cusum_changepoint). ISO day numbering pinned on
+    both engines (the agg_activity_heatmap lesson). Both numerator and
+    denominator averages divide EXACT decimal sums by exact counts;
+    round 6 guards the final ratio.
+
+    Scale shape: facts → day domain (one map-combined agg), then a
+    7-row aggregation with the grand total broadcast alongside."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice", 2)).alias("revenue")
+    )
+    tot = F.broadcast(
+        daily.agg(F.sum("revenue").alias("total"), F.count("*").alias("n_days_all"))
+    )
+    avg_rev = d2d(F.sum("revenue")) / F.count("*")
+    overall = d2d(F.max("total")) / F.max("n_days_all")
+    return (
+        daily.crossJoin(tot)
+        .groupBy(
+            F.expr("extract(DAYOFWEEK_ISO FROM day)").cast("long").alias("dow")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            avg_rev.cast("double").alias("avg_revenue"),
+            F.round(avg_rev / overall, 6).alias("seasonal_index"),
+        )
+    )

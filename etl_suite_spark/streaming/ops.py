@@ -653,3 +653,63 @@ def stream_ohlc(spark, sf_dir):
         )
     )
     return _run_to_memory(sdf, "append").orderBy("win_start")
+
+
+@query(
+    "stream_topk_per_window",
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+    g AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS win_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), gate AS (
+      SELECT win_start, event_type, n FROM g, m
+      WHERE win_start + INTERVAL 15 MINUTE <= wm
+    )
+    SELECT win_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY win_start
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM gate
+    ) WHERE rnk <= 3
+    ORDER BY win_start, rank
+    """,
+)
+def stream_topk_per_window(spark, sf_dir):
+    """Windowed top-k over a stream: per finalized 15-minute tumbling
+    window, the 3 busiest event types — the trending-items shape.
+    Structured Streaming cannot chain a rank over a streaming aggregate
+    (two stateful stages), so the production decomposition is: the
+    STREAM maintains the per-(window, type) counts and emits each window
+    once, when the 10-minute watermark finalizes it (append mode); the
+    RANK is a trivial batch window over the emitted rows — at most
+    |event_type| rows per window, downstream of the stream (here over
+    the memory sink; in production over the emitted table / in
+    foreachBatch). Counts are integers, the tiebreak (n DESC,
+    event_type) is total, so emission and ranking are deterministic.
+
+    The oracle is the same watermark-gated batch composition — the
+    append-mode == gated-batch equivalence every op in §2.9 is checked
+    by."""
+    from pyspark.sql import Window
+
+    drop, schema = _drop_dir(spark, sf_dir)
+    sdf = (
+        _read_stream(spark, drop, schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    emitted = _run_to_memory(sdf, "append")
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        emitted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("win_start", "event_type", F.col("n").cast("long").alias("n"), "rank")
+        .orderBy("win_start", "rank")
+    )
