@@ -197,6 +197,10 @@ R6_PLANNED = [
     "agg_activity_heatmap",
     "mm_byte_framing",
     "agg_rfm_segmentation",
+    "win_rolling_corr7",
+    "dq_cross_table_rule",
+    "llm_bpe_merge_candidates",
+    "llm_perplexity_bucket",
     "stream_topk_per_window",
     "agg_bitmap_distinct",
     "win_cusum_changepoint",

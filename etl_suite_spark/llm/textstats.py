@@ -932,3 +932,122 @@ def llm_readability(spark, sf_dir):
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias("flesch_ease"),
         F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
     )
+
+
+@query(
+    "llm_bpe_merge_candidates",
+    oracle="""
+    WITH wc AS (
+      SELECT tok, COUNT(*) AS wcount FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, len(tok)),
+                    i -> substring(tok, CAST(i AS INTEGER), 2))) AS pair,
+             wcount
+      FROM wc WHERE len(tok) >= 2
+    )
+    SELECT pair, CAST(SUM(wcount) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 20
+    """,
+)
+def llm_bpe_merge_candidates(spark, sf_dir):
+    """First BPE merge iteration (Sennrich et al. 2016): the 20 most
+    frequent adjacent character pairs across the corpus, weighted by
+    word occurrence — the statistic a byte-pair-encoding tokenizer
+    trainer computes each round to pick its next merge. Full BPE
+    training iterates this with re-segmentation (a driver loop of
+    exactly this query over an evolving symbol table); one iteration is
+    the honest relational core, and the expensive part: at 100 TB the
+    pair count is the whole cost, and it is two hash aggs — word counts
+    first (the heavy-hitter shuffle collapses ~Zipf-many duplicate
+    words into one row each — at fixture scale 500 docs reduce to ~60
+    distinct words), then per-DISTINCT-WORD pair explosion weighted by
+    the count (bounded fanout: word length), then the pair agg.
+    Everything stays in whole-stage codegen; top-20 via
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("wcount"))
+    )
+    pairs = wc.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "wcount",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wcount").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "llm_perplexity_bucket",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln(CAST(c.c AS DOUBLE) / (SELECT n FROM tot)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM tok t JOIN cnt c USING (tok)
+    ), per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             round(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+               AS avg_logprob
+      FROM scored GROUP BY doc_id
+    ), bucketed AS (
+      SELECT doc_id, n_tokens, avg_logprob,
+             CAST(ntile(5) OVER (ORDER BY avg_logprob DESC, doc_id)
+                  AS BIGINT) AS bucket
+      FROM per_doc
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           round(MIN(avg_logprob), 6) AS min_logprob,
+           round(MAX(avg_logprob), 6) AS max_logprob
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def llm_perplexity_bucket(spark, sf_dir):
+    """Perplexity-quantile bucketing of the corpus (quality tiers for
+    data mixing — the CCNet/DoReMi-style move of partitioning training
+    data by LM score and sampling buckets at different rates, rather
+    than hard-filtering at one threshold). Docs are scored by the
+    unigram LM of llm_unigram_logprob (same fixed-rounding exact-decimal
+    sum, so scores are merge-order-proof), then quintiled by
+    (avg_logprob DESC, doc_id) — bucket 1 = most fluent fifth, the
+    explicit tiebreak pinning equal scores across engines.
+
+    Scale shape: scoring is the documented two-hash-agg plan; the ntile
+    is a global sort over the DOC domain (the agg_rfm precedent: rank
+    aggregated keys, never raw facts), and the final rollup is a 5-row
+    aggregate carrying token totals for mixture planning."""
+    from pyspark.sql import Window
+
+    per_doc = llm_unigram_logprob(spark, sf_dir)
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    bucketed = per_doc.withColumn("bucket", F.ntile(5).over(w).cast("long"))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.min("avg_logprob"), 6).alias("min_logprob"),
+            F.round(F.max("avg_logprob"), 6).alias("max_logprob"),
+        )
+        .orderBy("bucket")
+    )

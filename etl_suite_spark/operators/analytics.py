@@ -2034,3 +2034,87 @@ def ts_seasonal_index_dow(spark, sf_dir):
             F.round(avg_rev / overall, 6).alias("seasonal_index"),
         )
     )
+
+
+@query(
+    "win_rolling_corr7",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT day, rev, n_orders,
+             COUNT(*) OVER w AS k,
+             SUM(rev) OVER w AS sx,
+             SUM(n_orders) OVER w AS sy,
+             SUM(rev * rev) OVER w AS sxx,
+             SUM(n_orders * n_orders) OVER w AS syy,
+             SUM(rev * n_orders) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+           n_orders,
+           CAST(k AS BIGINT) AS k,
+           CASE WHEN k >= 2
+                 AND (k * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(sx AS VARCHAR) AS DOUBLE) ^ 2) > 0
+                 AND (k * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(sy AS VARCHAR) AS DOUBLE) ^ 2) > 0
+                THEN round(
+                  (k * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                  / sqrt((k * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                          - CAST(CAST(sx AS VARCHAR) AS DOUBLE) ^ 2)
+                         * (k * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                            - CAST(CAST(sy AS VARCHAR) AS DOUBLE) ^ 2)), 6)
+           END AS corr7
+    FROM s ORDER BY day
+    """,
+)
+def win_rolling_corr7(spark, sf_dir):
+    """Trailing-7-day rolling Pearson correlation between daily revenue
+    and daily order count — the co-movement monitor ("is average order
+    value shifting?") and the rolling sibling agg_trend_corr's docstring
+    promises: every moment (Σx, Σy, Σx², Σy², Σxy, k) is an EXACT
+    decimal/integer window sum over the bounded frame, so partial-
+    aggregation merge order cannot flap the hash; the correlation
+    formula is one scalar double expression over those exact sums
+    (round 6), NULL-guarded for short frames and zero variance.
+
+    Scale shape: facts collapse to the day domain; six same-frame window
+    aggregates share ONE sort/exchange over the tiny daily series."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice", 2)).alias("rev"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    s = daily.select(
+        "day",
+        "rev",
+        "n_orders",
+        F.count("*").over(w).alias("k"),
+        F.sum("rev").over(w).alias("sx"),
+        F.sum("n_orders").over(w).alias("sy"),
+        F.sum(F.col("rev") * F.col("rev")).over(w).alias("sxx"),
+        F.sum(F.col("n_orders") * F.col("n_orders")).over(w).alias("syy"),
+        F.sum(F.col("rev") * F.col("n_orders")).over(w).alias("sxy"),
+    )
+    vx = F.col("k") * d2d(F.col("sxx")) - d2d(F.col("sx")) ** 2
+    vy = F.col("k") * d2d(F.col("syy")) - d2d(F.col("sy")) ** 2
+    cov = F.col("k") * d2d(F.col("sxy")) - d2d(F.col("sx")) * d2d(F.col("sy"))
+    return s.select(
+        "day",
+        d2d(F.col("rev")).alias("revenue"),
+        "n_orders",
+        F.col("k").cast("long").alias("k"),
+        F.when(
+            (F.col("k") >= 2) & (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx * vy), 6),
+        ).alias("corr7"),
+    ).orderBy("day")

@@ -579,3 +579,50 @@ def dq_outlier_iqr(spark, sf_dir):
             "outlier_frac",
         )
     )
+
+
+@query(
+    "dq_cross_table_rule",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           round(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS violation_frac,
+           MIN(CASE WHEN l_shipdate < o_orderdate THEN l_orderkey END)
+             AS first_bad_orderkey
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def dq_cross_table_rule(spark, sf_dir):
+    """Cross-table consistency rule — "a line item cannot ship before
+    its order was placed" — the referential TEMPORAL check that
+    single-table dq_checks rules cannot express (dq_checks validates
+    columns in isolation; real DQ suites pair those with cross-table
+    invariants exactly like this). Reports per-segment violation counts,
+    rate, and the smallest offending order key as the debugging anchor.
+
+    Scale shape: one equi-join on the orderkey (the tables' natural
+    co-partition key — at 100 TB both sides are bucketed on it and the
+    join is shuffle-free), then a conditional aggregate onto the tiny
+    returnflag domain with map-side combine. The violation rows
+    themselves are never materialized — only counted — so a
+    99%-violating table costs the same as a clean one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    bad = F.col("l_shipdate") < F.col("o_orderdate")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_violations"),
+            F.round(
+                F.sum(F.when(bad, 1.0).otherwise(0.0)) / F.count("*"), 6
+            ).alias("violation_frac"),
+            F.min(F.when(bad, F.col("l_orderkey"))).alias("first_bad_orderkey"),
+        )
+        .orderBy("l_returnflag")
+    )
