@@ -60,6 +60,9 @@ EXPECTED_NLJ = {
     "agg_rfm_segmentation",  # one-row corpus-max-date broadcast crossJoin
     "llm_vocab_growth",  # one-row corpus-count broadcast crossJoin (decile bound)
     "llm_dedup_embedding_recall",  # two one-row count aggregates joined (scalar metrics)
+    "agg_survival_km",  # one-row user-total broadcast crossJoin (n_risk base)
+    "ts_seasonal_index_dow",  # one-row (total, n_days) broadcast crossJoin
+    "win_cusum_changepoint",  # one-row (total, n) broadcast crossJoin (exact mean)
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
