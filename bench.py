@@ -92,6 +92,14 @@ HEADLINE = [
     "llm_sim_ann_ivfpq",
     "llm_dedup_embedding",
     "win_running_median",
+    # appended later in round 5: the two heaviest new families — T5 span
+    # corruption (full-corpus explode + three shared-sort windows +
+    # null-skipping rebuild) and co-purchase connected components (the
+    # convergence-looped min-label propagation; pagerank covers the
+    # fixed-iteration graph shape, this covers the iterate-until-fixpoint
+    # one) — first-measurement baselines under the checksum action.
+    "llm_span_corruption",
+    "graph_connected_components",
 ]
 
 REPEATS = 3
