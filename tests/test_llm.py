@@ -812,3 +812,34 @@ def test_span_corruption_reconstructs_original(spark):
         masked += r.n_masked
         assert r.n_spans <= r.n_masked
     assert 0.10 < masked / total < 0.20  # 15% target rate, loose bounds
+
+
+def test_containment_catches_subset_doc_jaccard_misses(spark, tmp_path):
+    """Planted subset: doc 2's text is fully embedded in the 10x longer
+    doc 1. Containment must flag the pair at 1.0 while the Jaccard-0.8
+    near-dup op must NOT (the structural blind spot containment exists
+    for). Unrelated doc 3 must pair with neither."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [
+        (1, base + " " + filler, "en", "s", 0),
+        (2, base, "en", "s", 0),
+        (3, "completely different words entirely other tokens here now", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "fixture")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    from etl_suite_spark.registry import QUERIES
+
+    cont = {
+        (r.doc_a, r.doc_b): r
+        for r in QUERIES["llm_dedup_containment"](spark, d).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)].containment == 1.0
+    assert cont[(1, 2)].contained_doc == 2
+    assert not any(3 in pair for pair in cont)
+    jac = QUERIES["llm_dedup_ngram_jaccard"](spark, d).collect()
+    assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)
