@@ -53,6 +53,7 @@ OPS = [
     "llm_sim_ann_pq",
     "llm_sim_ann_ivfpq",
     "llm_bigram_logprob",
+    "llm_span_corruption",
     "ts_gapfill_locf",
     "dim_scd2_lookup",
     "graph_pagerank",
