@@ -843,3 +843,39 @@ def test_containment_catches_subset_doc_jaccard_misses(spark, tmp_path):
     assert not any(3 in pair for pair in cont)
     jac = QUERIES["llm_dedup_ngram_jaccard"](spark, d).collect()
     assert not any({r.doc_a, r.doc_b} == {1, 2} for r in jac)
+
+
+def test_connected_components_adversarial_chain(spark):
+    """200-node path with ids DESCENDING along the chain — the worst
+    case for neighbor-only min-label diffusion (the min is at one end
+    and moves one hop per round, needing ~200 rounds; the old 15-round
+    budget would have returned silently split components). Pointer
+    jumping must converge well inside the budget and label every node
+    with the true minimum (0)."""
+    from pyspark.sql import functions as F
+
+    from etl_suite_spark.llm.dedup import connected_components
+
+    n = 200
+    # path 199-198-...-1-0: edge (i, i-1); min id 0 sits at the far end
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(n - 1, 0, -1)], "src long, dst long"
+    )
+    labels = connected_components(edges, max_iter=20)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.label == 0 for r in rows)
+
+
+def test_connected_components_raises_when_budget_exhausted(spark):
+    """An exhausted round budget must raise, never return unconverged
+    (= wrong) labels."""
+    import pytest as _pytest
+
+    from etl_suite_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(30, 0, -1)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
