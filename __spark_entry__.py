@@ -197,6 +197,8 @@ R6_PLANNED = [
     "agg_activity_heatmap",
     "mm_byte_framing",
     "agg_rfm_segmentation",
+    "agg_forecast_snaive",
+    "agg_entropy_mix",
     "win_rolling_corr7",
     "dq_cross_table_rule",
     "llm_bpe_merge_candidates",

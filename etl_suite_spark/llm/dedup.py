@@ -810,7 +810,8 @@ def llm_dedup_clusters(spark, sf_dir):
     representative — the correct survivor rule for corpus dedup at any
     scale. At 100 TB the edge set comes from MinHash-LSH candidates
     verified by this exact-Jaccard stage; the component algorithm
-    (min-label propagation, O(diameter) rounds) is unchanged. The DuckDB
+    (min-label propagation with pointer jumping, O(log n) rounds) is
+    unchanged. The DuckDB
     twin computes components via a recursive reachability CTE — fine at
     oracle scale, deliberately not our distributed plan shape."""
     pairs = llm_dedup_ngram_jaccard(spark, sf_dir).select(

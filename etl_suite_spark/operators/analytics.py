@@ -2118,3 +2118,118 @@ def win_rolling_corr7(spark, sf_dir):
             F.round(cov / F.sqrt(vx * vy), 6),
         ).alias("corr7"),
     ).orderBy("day")
+
+
+@query(
+    "agg_forecast_snaive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    ), f AS (
+      SELECT day, revenue,
+             lag(revenue, 7) OVER (ORDER BY day) AS forecast
+      FROM daily
+    )
+    SELECT day,
+           CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS actual,
+           CAST(CAST(forecast AS VARCHAR) AS DOUBLE) AS forecast,
+           CAST(CAST(abs(revenue - forecast) AS VARCHAR) AS DOUBLE)
+             AS abs_err,
+           round(CAST(CAST(abs(revenue - forecast) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(revenue AS VARCHAR) AS DOUBLE), 6) AS ape
+    FROM f WHERE forecast IS NOT NULL ORDER BY day
+    """,
+)
+def agg_forecast_snaive(spark, sf_dir):
+    """Seasonal-naive forecast backtest: forecast(day) = revenue(day−7),
+    the standard baseline every forecasting system must beat (and the
+    shape of a rolling backtest harness — per-day actual vs forecast,
+    absolute error, and absolute percentage error). All levels and
+    errors are exact decimals; only the final APE ratio is a rounded
+    double. Position-based lag(7) is the calendar assumption made
+    EXPLICIT: the fixture's daily series is gap-free (2,399 consecutive
+    days at sf0.01); on gappy data compose with ts_gapfill_locf first —
+    which is why gap-fill is a separate operator.
+
+    Scale shape: facts collapse to the day domain; one lag window over
+    the tiny daily series. A 100 TB deployment backtests thousands of
+    (store, sku) series — same plan with the window partitioned by
+    series key, embarrassingly parallel."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice", 2)).alias("revenue")
+    )
+    f = daily.withColumn(
+        "forecast", F.lag("revenue", 7).over(Window.orderBy("day"))
+    ).filter(F.col("forecast").isNotNull())
+    return f.select(
+        "day",
+        d2d(F.col("revenue")).alias("actual"),
+        d2d(F.col("forecast")).alias("forecast"),
+        d2d(F.abs(F.col("revenue") - F.col("forecast"))).alias("abs_err"),
+        F.round(
+            d2d(F.abs(F.col("revenue") - F.col("forecast")))
+            / d2d(F.col("revenue")),
+            6,
+        ).alias("ape"),
+    ).orderBy("day")
+
+
+@query(
+    "agg_entropy_mix",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c FROM events
+      GROUP BY user_id, event_type
+    ), n AS (
+      SELECT user_id, SUM(c) AS n FROM c GROUP BY user_id
+    ), terms AS (
+      SELECT c.user_id,
+             CAST(round(-(CAST(c.c AS DOUBLE) / n.n)
+                        * log2(CAST(c.c AS DOUBLE) / n.n), 9)
+                  AS DECIMAL(18,9)) AS term
+      FROM c JOIN n USING (user_id)
+    ), ent AS (
+      SELECT user_id,
+             round(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE), 6) AS entropy
+      FROM terms GROUP BY user_id
+    )
+    SELECT ent.user_id, CAST(n.n AS BIGINT) AS n_events, entropy,
+           CAST(floor(entropy * 4) / 4 AS DOUBLE) AS entropy_bin
+    FROM ent JOIN n ON ent.user_id = n.user_id
+    """,
+)
+def agg_entropy_mix(spark, sf_dir):
+    """Behavioral-diversity profile: Shannon entropy (bits) of each
+    user's event-type mix, with a quarter-bit bin label for fleet-level
+    histogramming — H ≈ 0 flags single-action accounts (bots,
+    scrapers), H ≈ log2(5) flags uniformly-mixed ones. Float
+    discipline: each −p·log2(p) term is rounded to
+    9 dp THEN cast to exact decimal so the per-user sum is
+    merge-order-independent (the llm_unigram_logprob discipline —
+    entropy is a float sum over an unordered group, exactly the class
+    the core.py rules exist for); the binning floor runs on the rounded
+    double identically on both engines.
+
+    Scale shape: one (user, type) hash agg with map-side combine, a
+    user-keyed rollup, and a ≤9-bin histogram. Nothing exceeds one
+    shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    n = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = c.join(n, "user_id").select(
+        "user_id",
+        F.round(-p * F.log2(p), 9).cast("decimal(18,9)").alias("term"),
+    )
+    ent = terms.groupBy("user_id").agg(
+        F.round(d2d(F.sum("term")), 6).alias("entropy")
+    )
+    return ent.join(n, "user_id").select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        "entropy",
+        (F.floor(F.col("entropy") * 4) / 4).cast("double").alias("entropy_bin"),
+    )

@@ -403,7 +403,7 @@ def graph_connected_components(spark, sf_dir):
     generalization of agg_market_basket's pairwise lift, and the
     graph-native sibling of llm_dedup_clusters' duplicate grouping; both
     share :func:`etl_suite_spark.llm.dedup.connected_components`,
-    iterative min-label propagation — O(diameter) rounds of join+min-agg,
+    min-label propagation with pointer jumping — O(log n) rounds of join+min-agg,
     one shuffle each on uniformly hashed node ids, lineage truncated per
     round). Component id = smallest part key in the component:
     deterministic, rerun-stable labels. The DuckDB twin is a recursive
