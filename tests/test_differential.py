@@ -207,6 +207,27 @@ PAIRS = [
         "round(ln(((CAST(j->>'$.k' AS BIGINT) % 1000000"
         " + 1000000) % 1000000 + 0.5) / 1000000.0), 6)",
     ),
+    # -- round-5 surfaces: exact-microsecond epochs (join_interval_overlap),
+    #    adjacent char pairs (llm_bpe_merge_candidates), vowel-group counts
+    #    (llm_readability), and the round-6 log2 guard (agg_entropy_mix) --
+    ("epoch_us", "unix_micros(ts)", "epoch_us(ts)"),
+    (
+        "char_pairs",
+        "array_join(transform(sequence(1, greatest(length(sa) - 1, 1)),"
+        " i -> substring(sa, i, 2)), '|')",
+        "array_to_string(list_transform(range(1, greatest(length(sa), 2)),"
+        " i -> substring(sa, CAST(i AS INTEGER), 2)), '|')",
+    ),
+    (
+        "vowel_groups",
+        "cast(size(regexp_extract_all(lower(sa), '[aeiouy]+', 0)) as long)",
+        "CAST(len(regexp_extract_all(lower(sa), '[aeiouy]+')) AS BIGINT)",
+    ),
+    (
+        "log2_round6",
+        "round(log2(length(sa) + 1), 6)",
+        "round(log2(length(sa) + 1), 6)",
+    ),
 ]
 
 # Broad multi-script alphabet, minus the classes where Spark and DuckDB
@@ -291,3 +312,44 @@ def test_engine_facade(spark):
     assert eng.run("agg_group_basic").count() > 0
     ops = Engine.operators()
     assert len(ops) >= 100 and ops["agg_group_basic"] is True
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group
+            st.integers(min_value=0, max_value=50),  # order tiebreak
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # carried
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_locf_ignore_nulls_window_bridge(spark, duck, rows):
+    """The LOCF carry-forward bridge agg_attribution_last_touch (and
+    ts_gapfill_locf) relies on: Spark ``last(v, ignorenulls=True)`` over
+    a running frame must agree with DuckDB ``last_value(v IGNORE
+    NULLS)`` for every (group, order) layout, including all-null
+    prefixes and whole-null groups."""
+    pdf = pd.DataFrame(rows, columns=["g", "o", "v"])
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("_locf_t")
+    duck.register("_locf_t_duck", pdf)
+    s_rows = spark.sql(
+        "SELECT g, o, last(v, true) OVER (PARTITION BY g ORDER BY o"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried"
+        " FROM _locf_t ORDER BY g, o"
+    ).collect()
+    d_rows = duck.execute(
+        "SELECT g, o, last_value(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY o"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried"
+        " FROM _locf_t_duck ORDER BY g, o"
+    ).fetchall()
+    assert [tuple(r) for r in s_rows] == [tuple(r) for r in d_rows]
+    duck.unregister("_locf_t_duck")
