@@ -162,8 +162,10 @@ R5_WINDOW = [
 
 # Round-6 closeout plan (VERDICT r4 item 7): every registered query with no
 # driver record after R5 executes — 14 r3/r4-era oracle-checkable queries,
-# the 8 added during round 5 (each oracle-checked locally on introduction),
-# plus 4 rows-only ops that get (weaker) rows-only driver records so even
+# the 31 added during round 5 (each oracle-checked locally on introduction
+# AND re-checked in the round-close full sweep at sf0.01; the 20 later ones
+# also pass a fresh-process non-UTC-session-TZ driver simulation), plus 4
+# rows-only ops that get (weaker) rows-only driver records so even
 # they have driver evidence: agg_sketch_rollup (engine-specific sketch state;
 # quantile twin oracle-checked in R5), llm_sim_mmr_rerank (sequential greedy
 # rerank, pytest-checked vs NumPy), and llm_sim_ann_pq / llm_sim_ann_ivfpq

@@ -10,8 +10,9 @@ Round-5 window composition (VERDICT r4 "Next round" item 1): the first 50
 oracle-checkable entries of the round-4 R5_PLANNED rotation list — the
 r3-era scale/analytics/dq ops plus everything added in round 4.
 CORRECTNESS_r04 was 50/50 green so there are no red re-checks.
-R6_PLANNED pins the closeout: the 14 remaining oracled queries plus 4
-rows-only ops taking (weaker) rows-only driver slots.
+R6_PLANNED pins the closeout: the 14 remaining r3/r4-era oracled
+queries, every query added during round 5 (31), and 4 rows-only ops
+taking (weaker) rows-only driver slots — 49 of the 50-slot window.
 """
 
 from __future__ import annotations
