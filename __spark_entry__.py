@@ -199,6 +199,7 @@ R6_PLANNED = [
     "agg_activity_heatmap",
     "mm_byte_framing",
     "agg_rfm_segmentation",
+    "agg_bitmap_rollup",
     "agg_forecast_snaive",
     "agg_entropy_mix",
     "win_rolling_corr7",

@@ -1107,3 +1107,54 @@ def agg_bitmap_distinct(spark, sf_dir):
     return bitmap_distinct("l_partkey", "n_parts").join(
         bitmap_distinct("l_suppkey", "n_suppliers"), "l_returnflag"
     )
+
+
+@query(
+    "agg_bitmap_rollup",
+    oracle="""
+    SELECT date_trunc('week', CAST(ts AS DATE)) AS week_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_bitmap_rollup(spark, sf_dir):
+    """Daily→weekly EXACT distinct-user rollup via mergeable bitmaps —
+    the exact counterpart of agg_sketch_rollup's HLL pipeline: persist
+    per-(day, bucket) bitmaps once, then ANY coarser period (week here,
+    month, all-time) is bitmap_or_agg + popcount over the daily state,
+    never a rescan of facts, and the answer is exact, not ±2%. This is
+    the 100 TB pattern for billing-grade distinct counts: the daily
+    bitmap table is O(days × id-range/32768) fixed-size rows, each
+    merge is an associative OR, and late-arriving data only rewrites
+    its own day. The oracle is the direct COUNT(DISTINCT) over facts —
+    the rollup must reproduce it bit-for-bit (the inc_scd2_apply
+    "incremental == rebuild" equivalence discipline).
+
+    Plan: one groupBy(day, bucket) builds daily bitmaps map-side; one
+    groupBy(week, bucket) ORs them; one groupBy(week) sums popcounts.
+    Event counts ride the same daily state (exact longs). Three
+    shuffles carrying only bitmap bytes + counters."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"),
+        F.count("*").alias("n_events"),
+    )
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week_start"),
+        "bkt",
+    ).agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return (
+        weekly.groupBy("week_start")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("week_start")
+    )
