@@ -229,6 +229,16 @@ R6_PLANNED = [
     "llm_sim_ann_ivfpq",
 ]
 
+# Round-7 overflow plan: R6_PLANNED filled its 50-slot window, so queries
+# added past that point queue here (same contract: each is oracle-checked
+# locally on introduction; tests/test_entry_contract.py counts R7 toward
+# the every-query-has-a-driver-evidence-plan invariant and caps it at one
+# window).
+R7_PLANNED = [
+    "ts_holt_linear",
+    "agg_welch_ttest",
+]
+
 
 def _windowed(mapping: dict) -> dict:
     ordered = {k: mapping[k] for k in R5_WINDOW if k in mapping}

@@ -2233,3 +2233,185 @@ def agg_entropy_mix(spark, sf_dir):
         "entropy",
         (F.floor(F.col("entropy") * 4) / 4).cast("double").alias("entropy_bin"),
     )
+
+
+@query(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             {sql_dsum("value")} AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             list([CAST(v AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))]
+                  ORDER BY day) AS vs
+      FROM daily GROUP BY user_id
+    ), folded AS (
+      SELECT user_id, n_days,
+             list_reduce(vs, (acc, p) ->
+               [CAST(round(0.5 * p[1] + 0.5 * (acc[1] + acc[2]), 6)
+                     AS DECIMAL(18,6)),
+                CAST(round(0.3 * (round(0.5 * p[1] + 0.5 * (acc[1] + acc[2]), 6)
+                           - acc[1]) + 0.7 * acc[2], 6)
+                     AS DECIMAL(18,6))]) AS st
+      FROM s
+    )
+    SELECT user_id, n_days,
+           CAST(CAST(st[1] AS VARCHAR) AS DOUBLE) AS level,
+           CAST(CAST(st[2] AS VARCHAR) AS DOUBLE) AS trend,
+           round(CAST(CAST(st[1] AS VARCHAR) AS DOUBLE)
+                 + 7 * CAST(CAST(st[2] AS VARCHAR) AS DOUBLE), 6)
+             AS forecast_7d
+    FROM folded
+    """,
+)
+def ts_holt_linear(spark, sf_dir):
+    """Holt's linear (double-exponential) smoothing per user series
+    (Holt 1957): level ℓₜ = α·xₜ + (1−α)(ℓ+b), trend bₜ = β(ℓₜ−ℓ) +
+    (1−β)b, α=0.5, β=0.3, init ℓ₁=x₁, b₁=0 — the trend-aware step up
+    from ts_ewma, closing the forecasting family (agg_forecast_snaive
+    is the baseline to beat, this is the first model that can beat it);
+    forecast_7d = ℓ + 7b. Like EWMA it is a RECURSION no frame window
+    expresses, so both engines run the same left fold — here with a
+    TWO-variable state threaded as a [level, trend] decimal pair
+    (elements enter as [x, 0] so the accumulator and element types
+    match, which is what DuckDB's list_reduce requires), every step
+    rounded to 6 dp in exact decimal (the ts_ewma divergence lesson;
+    ℓₜ is inlined twice in the bₜ expression because the lambda can't
+    bind intermediates).
+
+    Plan shape: identical to ts_ewma — daily pre-aggregate collapses
+    the stream, then one fold per user over a date-span-bounded array,
+    all inside a single groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("v")
+    )
+    s = daily.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, v))),"
+            " p -> array(CAST(p.v AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))))"
+        ).alias("vs"),
+    )
+    # NB: Spark SQL array subscripts are 0-based; DuckDB lists are 1-based
+    # (the oracle's p[1]/acc[1]/acc[2] are this x[0]/acc[0]/acc[1]).
+    lnew = "round(0.5 * x[0] + 0.5 * (acc[0] + acc[1]), 6)"
+    folded = s.select(
+        "user_id",
+        "n_days",
+        F.expr(
+            "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1),"
+            f" (acc, x) -> array(CAST({lnew} AS DECIMAL(18,6)),"
+            f" CAST(round(0.3 * ({lnew} - acc[0]) + 0.7 * acc[1], 6)"
+            " AS DECIMAL(18,6))))"
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_days",
+        d2d(F.expr("st[0]")).alias("level"),
+        d2d(F.expr("st[1]")).alias("trend"),
+        F.round(d2d(F.expr("st[0]")) + 7 * d2d(F.expr("st[1]")), 6).alias(
+            "forecast_7d"
+        ),
+    )
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY o_orderpriority
+    ), m AS (
+      SELECT grp, n,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n AS mean,
+             (CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sx AS VARCHAR) AS DOUBLE) ^ 2 / n) / (n - 1)
+               AS var
+      FROM s
+    ), w AS (
+      SELECT a.n AS n1, b.n AS n2,
+             round(a.mean, 6) AS mean_urgent, round(b.mean, 6) AS mean_low,
+             a.var / a.n + b.var / b.n AS se2,
+             a.var AS v1, b.var AS v2
+      FROM m a, m b WHERE a.grp = '1-URGENT' AND b.grp = '5-LOW'
+    )
+    SELECT n1, n2, mean_urgent, mean_low,
+           round((mean_urgent - mean_low) / sqrt(se2), 6) AS t_stat,
+           round(se2 ^ 2 / ((v1 / n1) ^ 2 / (n1 - 1)
+                            + (v2 / n2) ^ 2 / (n2 - 1)), 6) AS welch_df
+    FROM w
+    """,
+)
+def agg_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test (Welch 1947) — does
+    urgent-priority spending differ from low-priority? — the
+    continuous-outcome hypothesis test beside agg_ab_test's two-
+    proportion z. Means and variances come from EXACT decimal power
+    sums (Σx, Σx² — the agg_higher_moments discipline), so the only
+    float work is the final scalar t and Welch–Satterthwaite df
+    formulas, rounded to 6 dp on both engines. NOTE the rounding
+    discipline: the means are rounded BEFORE the t numerator on both
+    sides so the reported statistic is a pure function of the reported
+    means.
+
+    Scale shape: one conditional-filtered scan → two-group power-sum
+    aggregate (map-side combine) → a 2×2 scalar join. Nothing scales
+    with data size past the first aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    x = dec("o_totalprice", 2)
+    s = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    m = s.select(
+        "grp",
+        "n",
+        (d2d(F.col("sx")) / F.col("n")).alias("mean"),
+        (
+            (d2d(F.col("sxx")) - d2d(F.col("sx")) ** 2 / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.filter(F.col("grp") == "1-URGENT").alias("a")
+    b = m.filter(F.col("grp") == "5-LOW").alias("b")
+    w = a.crossJoin(b).select(
+        F.col("a.n").alias("n1"),
+        F.col("b.n").alias("n2"),
+        F.round("a.mean", 6).alias("mean_urgent"),
+        F.round("b.mean", 6).alias("mean_low"),
+        (F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")).alias(
+            "se2"
+        ),
+        F.col("a.var").alias("v1"),
+        F.col("b.var").alias("v2"),
+    )
+    return w.select(
+        "n1",
+        "n2",
+        "mean_urgent",
+        "mean_low",
+        F.round(
+            (F.col("mean_urgent") - F.col("mean_low")) / F.sqrt("se2"), 6
+        ).alias("t_stat"),
+        F.round(
+            F.col("se2") ** 2
+            / (
+                (F.col("v1") / F.col("n1")) ** 2 / (F.col("n1") - 1)
+                + (F.col("v2") / F.col("n2")) ** 2 / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )

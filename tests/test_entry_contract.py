@@ -149,7 +149,12 @@ def test_r6_plan_covers_every_remaining_query():
     fails here."""
     seen = set(_driver_history())
     qs = set(entry_mod.queries())
-    covered = seen | set(EXPECTED_R5_WINDOW) | set(entry_mod.R6_PLANNED)
+    covered = (
+        seen
+        | set(EXPECTED_R5_WINDOW)
+        | set(entry_mod.R6_PLANNED)
+        | set(entry_mod.R7_PLANNED)
+    )
     uncovered = sorted(qs - covered)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
@@ -159,6 +164,15 @@ def test_r6_plan_fits_one_window():
     assert len(set(entry_mod.R6_PLANNED)) == len(entry_mod.R6_PLANNED)
     overlap = set(entry_mod.R6_PLANNED) & set(EXPECTED_R5_WINDOW)
     assert not overlap, f"R6 entries already in R5 window: {overlap}"
+
+
+def test_r7_overflow_plan_is_well_formed():
+    assert len(entry_mod.R7_PLANNED) <= 50
+    assert len(set(entry_mod.R7_PLANNED)) == len(entry_mod.R7_PLANNED)
+    overlap = set(entry_mod.R7_PLANNED) & (
+        set(entry_mod.R6_PLANNED) | set(EXPECTED_R5_WINDOW)
+    )
+    assert not overlap, f"R7 entries already planned earlier: {overlap}"
 
 
 def test_bench_headline_queries_registered():

@@ -63,6 +63,7 @@ EXPECTED_NLJ = {
     "agg_survival_km",  # one-row user-total broadcast crossJoin (n_risk base)
     "ts_seasonal_index_dow",  # one-row (total, n_days) broadcast crossJoin
     "win_cusum_changepoint",  # one-row (total, n) broadcast crossJoin (exact mean)
+    "agg_welch_ttest",  # 1x1 scalar crossJoin of the two group stat rows
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
