@@ -237,6 +237,8 @@ R6_PLANNED = [
 R7_PLANNED = [
     "ts_holt_linear",
     "agg_welch_ttest",
+    "agg_theil_sen",
+    "dq_freshness",
 ]
 
 

@@ -2415,3 +2415,63 @@ def agg_welch_ttest(spark, sf_dir):
             6,
         ).alias("welch_df"),
     )
+
+
+@query(
+    "agg_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS t,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS y
+      FROM orders GROUP BY 1
+    ), mx AS (SELECT MAX(t) AS tmax FROM daily),
+    win AS (
+      SELECT t, y FROM daily, mx WHERE t > tmax - 90
+    ), slopes AS (
+      SELECT (b.y - a.y) / (b.t - a.t) AS slope
+      FROM win a JOIN win b ON a.t < b.t
+    )
+    SELECT CAST((SELECT COUNT(*) FROM win) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope)
+                      AS DOUBLE), 6) AS theil_sen_slope
+    FROM slopes
+    """,
+)
+def agg_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend estimator (Theil 1950; Sen 1968) over the
+    trailing 90 days of daily revenue: the median of all pairwise
+    slopes — up to 29% of the points can be arbitrary outliers without
+    moving it, where the least-squares slope of agg_trend_corr follows
+    a single corrupted day. The pairwise join is quadratic BY DESIGN
+    and therefore runs on the BOUNDED day domain only (90 days →
+    ≤4,005 pairs regardless of corpus size; the window cap is the same
+    discipline as every other quadratic guard in this repo — the raw
+    fact table never self-joins). Slopes divide exact-decimal daily
+    sums rendered to double; the median is the interpolated percentile
+    both engines share (agg_percentile discipline, round 6).
+
+    Scale shape: facts → day domain (map-combined agg), broadcast
+    single-row max-date, one tiny self-join, one percentile over ≤4k
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "t"
+        )
+    ).agg(d2d(F.sum(dec("o_totalprice", 2))).alias("y"))
+    mx = F.broadcast(daily.agg(F.max("t").alias("tmax")))
+    win = daily.crossJoin(mx).filter(F.col("t") > F.col("tmax") - 90).select("t", "y")
+    a, b = win.alias("a"), win.alias("b")
+    slopes = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.t") - F.col("a.t"))).alias(
+            "slope"
+        )
+    )
+    n_days = F.broadcast(win.agg(F.count("*").cast("long").alias("n_days")))
+    return slopes.crossJoin(n_days).groupBy("n_days").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("theil_sen_slope"),
+    ).select("n_days", "n_pairs", "theil_sen_slope")

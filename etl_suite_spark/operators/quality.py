@@ -626,3 +626,56 @@ def dq_cross_table_rule(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS corpus_max FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_seen,
+           CAST(date_diff('minute', MAX(ts), (SELECT corpus_max FROM mx))
+                AS BIGINT) AS staleness_minutes,
+           date_diff('minute', MAX(ts), (SELECT corpus_max FROM mx)) > 360
+             AS is_stale
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dq_freshness(spark, sf_dir):
+    """Per-stream freshness report — the first page of every pipeline
+    health dashboard: when did each event type last arrive, how stale
+    is it against the newest data anywhere in the corpus, and does it
+    breach the 6-hour SLA flag. Measured against the CORPUS max rather
+    than wall-clock so the result is data-determined and reproducible
+    (the agg_rfm/ml_churn_label discipline — a backfill re-derives the
+    same report). Staleness is exact integer minutes counted as
+    minute-BOUNDARY crossings — DuckDB's date_diff('minute') truncates
+    both endpoints to the minute before differencing (it is not
+    elapsed-60-second units), so the Spark side truncates identically;
+    an elapsed-seconds floor disagreed on 3 of 5 fixture rows.
+
+    Scale shape: one groupBy onto the tiny event-type domain with
+    map-side MAX/COUNT combine; the corpus max rides along as a
+    broadcast single-row join. At 100 TB this reads partition-pruned
+    tail partitions only if you maintain an ingest-date layout —
+    which sink_overwrite_partition demonstrates."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = F.broadcast(ev.agg(F.max("ts").alias("corpus_max")))
+    stale_min = (
+        F.unix_timestamp(F.date_trunc("minute", "corpus_max"))
+        - F.unix_timestamp(F.date_trunc("minute", F.col("last_seen")))
+    ) / 60
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_events"), F.max("ts").alias("last_seen"))
+        .crossJoin(mx)
+        .select(
+            "event_type",
+            "n_events",
+            "last_seen",
+            F.floor(stale_min).cast("long").alias("staleness_minutes"),
+            (F.floor(stale_min) > 360).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )

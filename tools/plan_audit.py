@@ -64,6 +64,8 @@ EXPECTED_NLJ = {
     "ts_seasonal_index_dow",  # one-row (total, n_days) broadcast crossJoin
     "win_cusum_changepoint",  # one-row (total, n) broadcast crossJoin (exact mean)
     "agg_welch_ttest",  # 1x1 scalar crossJoin of the two group stat rows
+    "agg_theil_sen",  # 90-day-domain pairwise slope join + 1-row broadcasts (bounded by design)
+    "dq_freshness",  # one-row corpus-max broadcast crossJoin
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
