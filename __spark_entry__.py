@@ -239,6 +239,7 @@ R7_PLANNED = [
     "agg_welch_ttest",
     "agg_theil_sen",
     "dq_freshness",
+    "agg_funnel_timebound",
 ]
 
 

@@ -1158,3 +1158,90 @@ def agg_bitmap_rollup(spark, sf_dir):
         )
         .orderBy("week_start")
     )
+
+
+@query(
+    "agg_funnel_timebound",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN s ON e.user_id = s.user_id
+       AND e.ts >= s.st AND e.ts <= s.st + INTERVAL 24 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c ON e.user_id = c.user_id
+       AND e.ts >= c.ct AND e.ts <= c.ct + INTERVAL 24 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), n AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+             (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_24h,
+             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_24h
+    )
+    SELECT n_signup, n_click_24h, n_purchase_24h,
+           round(CAST(n_click_24h AS DOUBLE) / n_signup, 6) AS click_rate,
+           round(CAST(n_purchase_24h AS DOUBLE)
+                 / nullif(n_click_24h, 0), 6) AS purchase_rate
+    FROM n
+    """,
+)
+def agg_funnel_timebound(spark, sf_dir):
+    """Time-BOUND conversion funnel: signup → first click within 24 h →
+    first purchase within 24 h of that click, with per-step conversion
+    rates. The conversion-window constraint is what separates a funnel
+    metric from mere event ordering (agg_funnel): a purchase six months
+    after the click is retention, not conversion, and every growth
+    dashboard windows its steps. The window predicate lives in the JOIN
+    CONDITION (`ts BETWEEN prev AND prev + 24h`), not a post-filter, so
+    each stage's probe input shrinks before aggregation.
+
+    Scale shape: identical to agg_funnel — three user-keyed stages
+    reusing one co-partitioning, each stage's input monotonically
+    smaller; the final rate row is a join of three one-row counts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("st"))
+            & (F.col("ts") <= F.col("st") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("ct"))
+            & (F.col("ts") <= F.col("ct") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    n = (
+        s.agg(F.count("*").cast("long").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("n_click_24h")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("n_purchase_24h")))
+    )
+    return n.select(
+        "n_signup",
+        "n_click_24h",
+        "n_purchase_24h",
+        F.round(F.col("n_click_24h").cast("double") / F.col("n_signup"), 6).alias(
+            "click_rate"
+        ),
+        F.round(
+            F.col("n_purchase_24h").cast("double")
+            / F.nullif(F.col("n_click_24h"), F.lit(0)),
+            6,
+        ).alias("purchase_rate"),
+    )

@@ -66,6 +66,7 @@ EXPECTED_NLJ = {
     "agg_welch_ttest",  # 1x1 scalar crossJoin of the two group stat rows
     "agg_theil_sen",  # 90-day-domain pairwise slope join + 1-row broadcasts (bounded by design)
     "dq_freshness",  # one-row corpus-max broadcast crossJoin
+    "agg_funnel_timebound",  # three one-row stage counts crossJoined (rate row)
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
