@@ -240,6 +240,8 @@ R7_PLANNED = [
     "agg_theil_sen",
     "dq_freshness",
     "agg_funnel_timebound",
+    "agg_wow_growth",
+    "agg_path_trigrams",
 ]
 
 

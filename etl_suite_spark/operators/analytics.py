@@ -2475,3 +2475,116 @@ def agg_theil_sen(spark, sf_dir):
         F.count("*").cast("long").alias("n_pairs"),
         F.round(F.percentile("slope", F.lit(0.5)), 6).alias("theil_sen_slope"),
     ).select("n_days", "n_pairs", "theil_sen_slope")
+
+
+@query(
+    "agg_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS week_start,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT week_start, revenue, n_orders,
+             lag(revenue) OVER (ORDER BY week_start) AS prev_rev,
+             lag(n_orders) OVER (ORDER BY week_start) AS prev_orders
+      FROM weekly
+    )
+    SELECT week_start,
+           CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+           n_orders,
+           round(CAST(CAST(revenue - prev_rev AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(prev_rev AS VARCHAR) AS DOUBLE), 6)
+             AS revenue_wow,
+           round(CAST(n_orders - prev_orders AS DOUBLE) / prev_orders, 6)
+             AS orders_wow
+    FROM g WHERE prev_rev IS NOT NULL ORDER BY week_start
+    """,
+)
+def agg_wow_growth(spark, sf_dir):
+    """Week-over-week growth of revenue and order volume — THE topline
+    growth metric. Weekly exact-decimal sums, one lag window over the
+    week domain, growth = (this − prev)/prev with the subtraction done
+    in exact decimal before the one rounded double division. ISO week
+    boundaries (date_trunc 'week' = Monday on both engines — verified
+    by the shared week_trunc dialect bridge in test_differential).
+
+    Scale shape: facts → week domain (map-combined agg), then a lag
+    over dozens-to-hundreds of rows. The win_rank_change cousin for
+    levels instead of ranks."""
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", F.to_date("o_orderdate")).cast("date").alias(
+            "week_start"
+        )
+    ).agg(
+        F.sum(dec("o_totalprice", 2)).alias("revenue"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("week_start")
+    g = weekly.select(
+        "week_start",
+        "revenue",
+        "n_orders",
+        F.lag("revenue").over(w).alias("prev_rev"),
+        F.lag("n_orders").over(w).alias("prev_orders"),
+    ).filter(F.col("prev_rev").isNotNull())
+    return g.select(
+        "week_start",
+        d2d(F.col("revenue")).alias("revenue"),
+        "n_orders",
+        F.round(
+            d2d(F.col("revenue") - F.col("prev_rev")) / d2d(F.col("prev_rev")), 6
+        ).alias("revenue_wow"),
+        F.round(
+            (F.col("n_orders") - F.col("prev_orders")).cast("double")
+            / F.col("prev_orders"),
+            6,
+        ).alias("orders_wow"),
+    ).orderBy("week_start")
+
+
+@query(
+    "agg_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def agg_path_trigrams(spark, sf_dir):
+    """Top-10 three-step user flows (event-type trigrams in timestamp
+    order) — the "user paths" / Sankey view one order above
+    agg_path_transitions' first-order Markov matrix: transitions say
+    click→purchase is common, trigrams say WHICH two-step context
+    precedes it. (event_id tiebreak pins equal timestamps on both
+    engines — the agg_attribution discipline.)
+
+    Scale shape: two lead() windows share ONE (user_id, ts, event_id)
+    sort; the trigram domain is ≤|event_type|³ = 125 groups, so the
+    count agg collapses map-side; top-10 via TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
