@@ -242,6 +242,10 @@ R7_PLANNED = [
     "agg_funnel_timebound",
     "agg_wow_growth",
     "agg_path_trigrams",
+    "agg_chisq_independence",
+    "agg_mann_whitney",
+    "dq_volume_anomaly",
+    "er_golden_record",
 ]
 
 

@@ -2588,3 +2588,213 @@ def agg_path_trigrams(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "agg_chisq_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ), rm AS (SELECT pri, SUM(o) AS rn FROM obs GROUP BY pri),
+    cm AS (SELECT st, SUM(o) AS cn FROM obs GROUP BY st),
+    tot AS (SELECT SUM(o) AS n, CAST(COUNT(DISTINCT pri) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT st) AS BIGINT) AS c
+            FROM obs),
+    terms AS (
+      SELECT CAST(round(CAST(o AS DOUBLE) * o * n / (rn * cn), 9)
+                  AS DECIMAL(28,9)) AS term
+      FROM obs JOIN rm USING (pri) JOIN cm USING (st), tot
+    )
+    SELECT CAST(n AS BIGINT) AS n, r AS n_rows, c AS n_cols,
+           (r - 1) * (c - 1) AS dof,
+           round(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) - n, 6) AS chi2,
+           round(sqrt(greatest(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) - n,
+                               0)
+                      / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM terms, tot GROUP BY n, r, c
+    """,
+)
+def agg_chisq_independence(spark, sf_dir):
+    """Pearson's chi-squared test of independence (+ Cramér's V effect
+    size) over the order-priority × order-status contingency table — the
+    categorical-association test beside agg_welch_ttest (continuous
+    means) and agg_ab_test (two proportions). Uses the algebraic
+    identity chi2 = n·Σ O²/(rₘ·cₘ) − n, under which UNOBSERVED cells
+    contribute exactly zero (O=0), so no dense r×c grid is ever
+    materialized — only observed cells flow. Every input to the per-cell
+    term (O, row margin, column margin, n) is an exact integer; the one
+    double division per cell is rounded to 9 dp then summed in exact
+    decimal (the agg_entropy_mix discipline) so chi2 is
+    merge-order-independent on both engines.
+
+    Scale shape: one (pri, st) hash agg with map-side combine over the
+    fact table, then margins/total as aggregates of the ≤|pri|·|st|
+    observed-cell table — everything after the first aggregate is
+    O(categories), not O(rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    return chisq_from_counts(obs)
+
+
+def chisq_from_counts(obs):
+    """(pri, st, o) observed-cell counts → one-row chi2/Cramér's V report;
+    see :func:`agg_chisq_independence` for the float discipline."""
+    rm = obs.groupBy("pri").agg(F.sum("o").alias("rn"))
+    cm = obs.groupBy("st").agg(F.sum("o").alias("cn"))
+    tot = F.broadcast(
+        obs.agg(
+            F.sum("o").alias("n"),
+            F.countDistinct("pri").alias("r"),
+            F.countDistinct("st").alias("c"),
+        )
+    )
+    terms = (
+        obs.join(rm, "pri")
+        .join(cm, "st")
+        .crossJoin(tot)
+        .select(
+            "n",
+            "r",
+            "c",
+            F.round(
+                F.col("o").cast("double") * F.col("o") * F.col("n")
+                / (F.col("rn") * F.col("cn")),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("term"),
+        )
+    )
+    chi2 = d2d(F.sum("term")) - F.col("n")
+    return terms.groupBy("n", "r", "c").agg(
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.greatest(chi2, F.lit(0))
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    ).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_rows"),
+        F.col("c").cast("long").alias("n_cols"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        "chi2",
+        "cramers_v",
+    )
+
+
+@query(
+    "agg_mann_whitney",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(FLOOR(value) AS BIGINT) AS score,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), s AS (
+      SELECT score, CAST(SUM(g1) AS BIGINT) AS n1s,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM f GROUP BY score
+    ), c AS (
+      SELECT score, n1s, t,
+             COALESCE(SUM(t) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM s
+    ), sums AS (
+      SELECT CAST(SUM(n1s) AS BIGINT) AS n1,
+             CAST(SUM(t - n1s) AS BIGINT) AS n2,
+             CAST(SUM(n1s * (2 * cumb + t + 1)) AS BIGINT) AS r2x1,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t
+      FROM c
+    )
+    SELECT n1, n2,
+           CAST((r2x1 - n1 * (n1 + 1)) AS DOUBLE) / 2 AS u1,
+           round((CAST((r2x1 - n1 * (n1 + 1)) AS DOUBLE) / 2
+                  - CAST(n1 AS DOUBLE) * n2 / 2)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((n1 + n2 + 1)
+                           - CAST(tie_t AS DOUBLE)
+                             / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z_stat
+    FROM sums
+    """,
+)
+def agg_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U rank-sum test (Mann & Whitney 1947) with the
+    standard tie-corrected normal approximation: do 'click' and
+    'purchase' event values come from the same distribution? — the
+    NONPARAMETRIC member of the hypothesis-test family (agg_welch_ttest
+    assumes near-normal means; rank tests don't). Scores are integer
+    dollar buckets (floor(value) — exact on both engines, and coarse
+    enough that ties actually occur, exercising the tie-correction
+    term Σ(t³−t)).
+
+    The scale-critical formulation: ranks are NEVER assigned per row.
+    The per-score tied-average rank is cumb + (t+1)/2 — a function of
+    the (bounded) SCORE DOMAIN only — so the rank-sum R₁ doubles to the
+    pure-integer Σ n1ₛ·(2·cumb + t + 1), computed from one hash agg on
+    score (map-side combine over the fact table) plus one cumulative
+    window over the ≤|score-domain| rows. Integer sums are
+    merge-order-exact; the only float work is the final scalar z,
+    rounded to 6 dp. No continuity correction (documented choice,
+    matching the large-sample form on both engines).
+
+    Scale shape: fact scan → score-domain agg → tiny window → scalar.
+    A per-row rank() window would globally sort the fact table on ONE
+    unpartitioned ordering — this form never does."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    f = ev.select(
+        F.floor("value").cast("long").alias("score"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+    )
+    return mann_whitney_from_scores(f)
+
+
+def mann_whitney_from_scores(f):
+    """(score, g1) scored observations → one-row U/z report; see
+    :func:`agg_mann_whitney` for the rank-domain formulation."""
+    s = f.groupBy("score").agg(
+        F.sum("g1").cast("long").alias("n1s"),
+        F.count("*").cast("long").alias("t"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.select(
+        "score",
+        "n1s",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cumb"),
+    )
+    sums = c.agg(
+        F.sum("n1s").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("n1s")).cast("long").alias("n2"),
+        F.sum(F.col("n1s") * (2 * F.col("cumb") + F.col("t") + 1))
+        .cast("long")
+        .alias("r2x1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_t"),
+    )
+    u1 = (F.col("r2x1") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    n = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / 12
+        * (
+            (n + 1)
+            - F.col("tie_t").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        F.round(
+            (u1 - F.col("n1").cast("double") * F.col("n2") / 2) / sigma, 6
+        ).alias("z_stat"),
+    )

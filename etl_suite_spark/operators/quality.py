@@ -679,3 +679,189 @@ def dq_freshness(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "dq_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, day, n_events,
+             CAST(COUNT(*) OVER tw AS BIGINT) AS baseline_days,
+             CAST(SUM(n_events) OVER tw AS DOUBLE) AS s1,
+             CAST(SUM(n_events * n_events) OVER tw AS DOUBLE) AS s2
+      FROM daily
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT event_type, day, n_events, baseline_days,
+             CASE WHEN baseline_days >= 4
+                  THEN round(s1 / baseline_days, 6) END AS baseline_mean,
+             CASE WHEN baseline_days >= 4
+                        AND s2 - s1 * s1 / baseline_days > 0
+                  THEN round((n_events - s1 / baseline_days)
+                             / sqrt((s2 - s1 * s1 / baseline_days)
+                                    / (baseline_days - 1)), 6)
+             END AS z_score
+      FROM w
+    )
+    SELECT event_type, day, n_events, baseline_days, baseline_mean, z_score,
+           COALESCE(ABS(z_score) > 3, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def dq_volume_anomaly(spark, sf_dir):
+    """Daily ingest-volume anomaly screen — the 'did the pipeline break
+    today' check ops teams page on: each (event_type, day) row count is
+    z-scored against that stream's TRAILING 7-observed-day baseline
+    (rows-frame, excluding the current day so a broken day can't mask
+    itself), flagged at |z| > 3. Complements dq_freshness (are rows
+    arriving NOW) with did-the-right-AMOUNT-arrive; differs from
+    win_anomaly_mad/win_zscore_rolling, which score individual event
+    VALUES per user, not stream volumes. Rows with fewer than 4 prior
+    observed days emit NULL scores (cold start — insufficient
+    baseline), never a flag.
+
+    Float discipline: the baseline mean/std come from integer power
+    sums over the window (Σc, Σc² exact in both engines), so the only
+    float work is the final per-row mean/z scalars, rounded to 6 dp.
+
+    Scale shape: one (type, day) hash agg with map-side combine
+    collapses the fact table to the tiny type×day domain; the trailing
+    window runs per event_type over that domain (dozens of rows per
+    stream), so the WindowExec input is O(days·streams), never O(rows).
+    A calendar-gap day simply doesn't appear as a row — the frame is
+    'trailing 7 OBSERVED days' by declaration."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    return volume_anomaly_from_daily(daily)
+
+
+def volume_anomaly_from_daily(daily: DataFrame) -> DataFrame:
+    """(event_type, day, n_events) daily counts -> per-row trailing-z
+    report; see :func:`dq_volume_anomaly` for the frame semantics."""
+    from pyspark.sql import Window
+
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.count("*").over(tw).cast("long").alias("baseline_days"),
+        F.sum("n_events").over(tw).cast("double").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(tw)
+        .cast("double")
+        .alias("s2"),
+    )
+    k = F.col("baseline_days")
+    mean = F.col("s1") / k
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / k) / (k - 1)
+    z = F.when(
+        (k >= 4) & (F.col("s2") - F.col("s1") * F.col("s1") / k > 0),
+        F.round((F.col("n_events") - mean) / F.sqrt(var), 6),
+    )
+    return w.select(
+        "event_type",
+        "day",
+        "n_events",
+        "baseline_days",
+        F.when(k >= 4, F.round(mean, 6)).alias("baseline_mean"),
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > 3, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@query(
+    "er_golden_record",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(struct_pack(ts := ts, event_id := event_id,
+                             event_type := event_type)) AS lat,
+             MAX(CASE WHEN value IS NOT NULL
+                      THEN struct_pack(ts := ts, event_id := event_id,
+                                       value := value) END) AS latv
+      FROM events GROUP BY user_id
+    ), tc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), modal AS (
+      SELECT user_id, MAX(struct_pack(c := c, event_type := event_type)) AS m
+      FROM tc GROUP BY user_id
+    )
+    SELECT b.user_id, b.first_seen, b.last_seen, b.n_events,
+           m.m.event_type AS modal_event_type,
+           CAST(m.m.c AS BIGINT) AS modal_n,
+           round(CAST(m.m.c AS DOUBLE) / b.n_events, 6) AS modal_share,
+           b.lat.event_type AS latest_event_type,
+           b.latv.value AS latest_value
+    FROM base b JOIN modal m ON b.user_id = m.user_id
+    """,
+)
+def er_golden_record(spark, sf_dir):
+    """Survivorship / golden-record construction — the step AFTER
+    er_blocking_match in every MDM pipeline: collapse each entity's
+    records into ONE best row using per-ATTRIBUTE merge rules rather
+    than keeping one whole row (that row-level cousin is
+    dedup_by_key_latest). Rules demonstrated: recency (latest
+    event_type via max(struct(ts, event_id, …)) — the unique event_id
+    tiebreak pins equal timestamps), most-frequent (modal event_type,
+    count ties broken deterministically toward the lexicographically
+    larger value by the same struct-max idiom), latest-NON-NULL
+    (latest_value merges over only the rows where the attribute is
+    present — the conditional struct-max; this is what makes it
+    attribute-level survivorship), and span/count provenance
+    (first_seen, last_seen, n_events).
+
+    Both engines compare structs field-by-field, so every merge rule is
+    ONE deterministic aggregate — no window, no self-join, no
+    row_number. Scale shape: two hash aggs keyed on user_id (one direct,
+    one via the (user, type) count table) + one equi-join on user_id;
+    everything map-side combines, hot users collapse before shuffle."""
+    return golden_record(load_table(spark, sf_dir, "events"))
+
+
+def golden_record(ev: DataFrame) -> DataFrame:
+    """events-shaped (user_id, ts, event_id, event_type, value) →
+    one golden row per user; see :func:`er_golden_record`."""
+    base = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count("*").cast("long").alias("n_events"),
+        F.max(F.struct("ts", "event_id", "event_type")).alias("lat"),
+        F.max(
+            F.when(
+                F.col("value").isNotNull(),
+                F.struct("ts", "event_id", "value"),
+            )
+        ).alias("latv"),
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    modal = tc.groupBy("user_id").agg(
+        F.max(F.struct("c", "event_type")).alias("m")
+    )
+    return base.join(modal, "user_id").select(
+        "user_id",
+        "first_seen",
+        "last_seen",
+        "n_events",
+        F.col("m.event_type").alias("modal_event_type"),
+        F.col("m.c").cast("long").alias("modal_n"),
+        F.round(F.col("m.c").cast("double") / F.col("n_events"), 6).alias(
+            "modal_share"
+        ),
+        F.col("lat.event_type").alias("latest_event_type"),
+        F.col("latv.value").alias("latest_value"),
+    )

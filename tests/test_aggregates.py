@@ -272,3 +272,158 @@ def test_attribution_conserves_purchases(spark):
     assert attributed == purchases
     shares = [r.revenue_share for r in out.collect()]
     assert abs(sum(shares) - 1.0) < 1e-4
+
+def test_chisq_planted_tables(spark):
+    """Planted 2x2 tables: an exactly-proportional table gives chi2 = 0
+    (and Cramér's V = 0); a hand-computed dependent table matches the
+    textbook value chi2 = n(ad-bc)^2 / (r1 r2 c1 c2)."""
+    from etl_suite_spark.operators.analytics import chisq_from_counts
+
+    indep = spark.createDataFrame(
+        [("a", "x", 10), ("a", "y", 30), ("b", "x", 20), ("b", "y", 60)],
+        "pri string, st string, o long",
+    )
+    r = chisq_from_counts(indep).collect()[0]
+    assert (r.chi2, r.cramers_v, r.dof) == (0.0, 0.0, 1)
+
+    dep = spark.createDataFrame(
+        [("a", "x", 30), ("a", "y", 10), ("b", "x", 10), ("b", "y", 30)],
+        "pri string, st string, o long",
+    )
+    r = chisq_from_counts(dep).collect()[0]
+    # n(ad-bc)^2/(r1*r2*c1*c2) = 80*(900-100)^2/40^4 = 20
+    assert r.chi2 == 20.0
+    assert r.cramers_v == 0.5  # sqrt(20 / (80 * 1))
+    assert (r.n, r.n_rows, r.n_cols) == (80, 2, 2)
+
+
+def test_chisq_zero_cell_contributes_expected(spark):
+    """A structurally-empty cell must still push chi2 up via the O^2/E
+    identity (the empty cell's O=0 term vanishes but the mass it SHOULD
+    have had inflates other cells' terms): a diagonal-only table is
+    perfectly dependent -> Cramér's V = 1."""
+    from etl_suite_spark.operators.analytics import chisq_from_counts
+
+    diag = spark.createDataFrame(
+        [("a", "x", 25), ("b", "y", 25)], "pri string, st string, o long"
+    )
+    r = chisq_from_counts(diag).collect()[0]
+    assert r.chi2 == 50.0  # = n for a perfect 2x2 association
+    assert r.cramers_v == 1.0
+
+
+def test_mann_whitney_hand_example(spark):
+    """Hand-checked U on a tiny tied sample. Group1 scores {1,2,2},
+    group2 {2,3}: ranks 1, 3 (tied avg of 2,3,4), 3, 3, 5 ->
+    R1 = 7, U1 = 7 - 3*4/2 = 1; tie term for the triple 2: 3^3-3 = 24."""
+    from etl_suite_spark.operators.analytics import mann_whitney_from_scores
+
+    f = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1), (2, 0), (3, 0)], "score long, g1 int"
+    )
+    r = mann_whitney_from_scores(f).collect()[0]
+    assert (r.n1, r.n2, r.u1) == (3, 2, 1.0)
+    # sigma = sqrt(6/12 * (6 - 24/20)) = sqrt(2.4); z = (1-3)/sigma
+    assert r.z_stat == round(-2 / (2.4 ** 0.5), 6)
+
+
+def test_mann_whitney_symmetry(spark):
+    """Swapping group labels negates z and reflects U (U1 + U1' = n1*n2)
+    — the internal consistency check no single run exposes."""
+    from etl_suite_spark.operators.analytics import mann_whitney_from_scores
+
+    rows = [(s, 1) for s in (1, 4, 4, 7)] + [(s, 0) for s in (2, 4, 9)]
+    f = spark.createDataFrame(rows, "score long, g1 int")
+    fswap = spark.createDataFrame(
+        [(s, 1 - g) for s, g in rows], "score long, g1 int"
+    )
+    a = mann_whitney_from_scores(f).collect()[0]
+    b = mann_whitney_from_scores(fswap).collect()[0]
+    assert a.u1 + b.u1 == a.n1 * a.n2
+    assert a.z_stat == -b.z_stat
+
+
+def test_volume_anomaly_planted_spike(spark):
+    """Planted stream: 8 flat days (count 100 with one 99/101 wiggle so
+    the baseline std is nonzero) then a 10x spike day -> the spike is
+    flagged, the flat days are not, and the first 4 days (baseline < 4
+    prior rows) emit NULL scores."""
+    import datetime as dt
+
+    from etl_suite_spark.operators.quality import volume_anomaly_from_daily
+
+    d0 = dt.date(2024, 5, 1)
+    counts = [100, 99, 101, 100, 100, 99, 101, 100, 1000]
+    rows = [("s", d0 + dt.timedelta(days=i), c) for i, c in enumerate(counts)]
+    daily = spark.createDataFrame(
+        rows, "event_type string, day date, n_events long"
+    )
+    out = {r.day: r for r in volume_anomaly_from_daily(daily).collect()}
+    spike = out[d0 + dt.timedelta(days=8)]
+    assert spike.is_anomaly and spike.z_score > 3
+    assert spike.baseline_days == 7  # frame excludes the spike day itself
+    for i in range(4):  # cold start: fewer than 4 prior observed days
+        r = out[d0 + dt.timedelta(days=i)]
+        assert r.z_score is None and not r.is_anomaly
+    for i in range(4, 8):  # flat tail: well inside 3 sigma
+        assert not out[d0 + dt.timedelta(days=i)].is_anomaly
+
+
+def test_volume_anomaly_zero_variance_baseline(spark):
+    """A perfectly-flat baseline (variance 0) must yield NULL z, not a
+    division blowup — even when the current day deviates."""
+    import datetime as dt
+
+    from etl_suite_spark.operators.quality import volume_anomaly_from_daily
+
+    d0 = dt.date(2024, 5, 1)
+    rows = [("s", d0 + dt.timedelta(days=i), 50) for i in range(6)]
+    rows.append(("s", d0 + dt.timedelta(days=6), 500))
+    daily = spark.createDataFrame(
+        rows, "event_type string, day date, n_events long"
+    )
+    out = {r.day: r for r in volume_anomaly_from_daily(daily).collect()}
+    r = out[d0 + dt.timedelta(days=6)]
+    assert r.z_score is None and not r.is_anomaly
+    assert r.baseline_mean == 50.0  # mean still reported
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Planted entity: latest_value must skip the newest row's NULL
+    value (attribute-level survivorship), modal ties break toward the
+    lexicographically larger type, and equal timestamps resolve by
+    event_id."""
+    import datetime as dt
+
+    from etl_suite_spark.operators.quality import golden_record
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: newest row (m=3) has NULL value -> latest_value = 2.5
+        (1, ts(0), 10, "view", 1.0, "{}"),
+        (1, ts(1), 11, "click", 2.5, "{}"),
+        (1, ts(3), 12, "view", None, "{}"),
+        # user 2: modal tie view=1 click=1 -> 'view' (lexicographically larger);
+        # equal ts at m=5 -> event_id 21 wins latest
+        (2, ts(5), 20, "view", 7.0, "{}"),
+        (2, ts(5), 21, "click", 9.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.user_id: r for r in golden_record(ev).collect()}
+    u1 = out[1]
+    assert u1.latest_event_type == "view"  # newest ROW still wins recency
+    assert u1.latest_value == 2.5  # ...but the null value is skipped
+    assert u1.modal_event_type == "view" and u1.modal_n == 2
+    assert u1.n_events == 3 and u1.first_seen == ts(0) and u1.last_seen == ts(3)
+    u2 = out[2]
+    assert u2.modal_event_type == "view"  # 1-1 tie -> lexicographically larger
+    assert u2.latest_event_type == "click"  # same ts -> higher event_id (21)
+    assert u2.latest_value == 9.0

@@ -67,6 +67,7 @@ EXPECTED_NLJ = {
     "agg_theil_sen",  # 90-day-domain pairwise slope join + 1-row broadcasts (bounded by design)
     "dq_freshness",  # one-row corpus-max broadcast crossJoin
     "agg_funnel_timebound",  # three one-row stage counts crossJoined (rate row)
+    "agg_chisq_independence",  # one-row (n, r, c) totals broadcast crossJoin
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
