@@ -22,6 +22,22 @@ per-query MEDIAN: a noise burst lands on at most one pass of any query, and
 the median rejects it.  ``value`` is the sum of per-query medians; ``runs``
 keeps the raw per-pass timings so a judge can see the spread.
 
+Machine calibration (added round 5): successive rounds run on freshly
+provisioned VMs whose raw speed varies by integer factors (the round-5
+close VM ran the identical warm flagship query ~5x slower than the
+round-4 record's VM — measured steady-state, idle, same code). Absolute
+cross-round comparisons are therefore meaningless without a hardware
+normalizer, so every bench record now carries ``calibration_sec``: the
+median of 3 runs of a fixed DATA-INDEPENDENT pure-JVM workload
+(xxhash64-sum over spark.range(150M) — whole-stage codegen, no I/O, no
+repo code) plus ``sched_1k_tasks_sec`` (wall time to run 1000 EMPTY
+tasks — pure scheduler/dispatch throughput). The round-5 close VM
+measured cpu-calibration FAST (0.17 s) while empty-task dispatch ran
+~7 ms/task (~20x a healthy local mode), which is exactly the overhead
+that dominates a many-stage query at sf0.1 — so normalize stage-heavy
+subtotals by the SCHEDULER number, scan-heavy ones by the CPU number
+(BASELINE.md addendum 14).
+
 Each query is timed over a COLUMN-CONSUMING CHECKSUM action — sum of
 xxhash64 over every output column — after a JVM/codegen warmup pass of the
 flagship query. Through round 4 the action was ``df.count()``, which for
@@ -134,6 +150,26 @@ def main() -> None:
     # Warmup: JVM JIT + codegen + parquet footer caches.
     _checksum(QUERIES[names[0]](spark, sf_dir))
 
+    # Machine calibration: fixed data-independent JVM workload (see module
+    # docstring). Timed AFTER warmup so it measures steady-state speed.
+    from pyspark.sql import functions as F
+
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(150_000_000).select(
+            F.sum(F.xxhash64("id")).alias("h")
+        ).collect()
+        cal_runs.append(round(time.perf_counter() - t0, 3))
+    calibration = round(statistics.median(cal_runs), 3)
+
+    sched_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.sparkContext.parallelize(range(1000), 1000).count()
+        sched_runs.append(round(time.perf_counter() - t0, 3))
+    sched = round(statistics.median(sched_runs), 3)
+
     runs: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(repeats):
         for name in names:
@@ -152,6 +188,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "repeats": repeats,
+                "calibration_sec": calibration,
+                "calibration_runs": cal_runs,
+                "sched_1k_tasks_sec": sched,
+                "sched_runs": sched_runs,
                 "runs": runs,
             }
         )
