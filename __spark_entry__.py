@@ -246,6 +246,9 @@ R7_PLANNED = [
     "agg_mann_whitney",
     "dq_volume_anomaly",
     "er_golden_record",
+    "llm_ttr_hapax",
+    "llm_zipf_slope",
+    "llm_length_histogram",
 ]
 
 

@@ -1051,3 +1051,169 @@ def llm_perplexity_bucket(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "llm_ttr_hapax",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), per AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           round(COUNT(*) * 1.0 / SUM(c), 6) AS ttr,
+           round(COUNT(*) FILTER (WHERE c = 1) * 1.0 / COUNT(*), 6)
+             AS hapax_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def llm_ttr_hapax(spark, sf_dir):
+    """Per-document lexical diversity: type-token ratio and hapax ratio
+    (share of within-doc vocabulary used exactly once). The two standard
+    repetitiveness signals for corpus curation — template/boilerplate
+    text has low TTR and low hapax share, and both degrade LM training
+    (the per-doc companion to llm_quality_gopher's repetition gate).
+
+    Plan shape: explode → groupBy(doc_id, tok) with map-side partial
+    combine (the per-doc vocab is what shuffles, not the token stream) →
+    one more map-combined agg on doc_id. No windows, no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("hapax_ratio"),
+    )
+
+
+@query(
+    "llm_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok
+    ), top AS (
+      SELECT tok, f FROM freq ORDER BY f DESC, tok LIMIT 200
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM top
+    ), xy AS (
+      SELECT CAST(round(ln(r), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(f), 6) AS DECIMAL(18,6)) AS y
+      FROM ranked
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM xy
+    )
+    SELECT n AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def llm_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the token frequency spectrum: OLS slope of
+    ln(freq) on ln(rank) across the top-200 ranks, with r². Natural
+    corpora fit slope ≈ −1; a slope far off (or a poor r²) flags
+    synthetic/templated text or tokenizer damage — one of the cheapest
+    whole-corpus health checks (Zipf 1949; used as a QA gate alongside
+    llm_vocab_growth's Heaps curve).
+
+    Determinism: ln() of identical bigint counts rounds to 6 dp before
+    the decimal power-sum aggregation (the bigram-logprob discipline),
+    then ALL regression arithmetic runs on the exact-sum doubles —
+    scalar IEEE ops, identical on both engines. Rank ties break on the
+    token string so the ranking is total.
+
+    Plan shape: token hash-agg (map-combined; vocab rows shuffle, not
+    occurrences) → global top-200 via TakeOrderedAndProject (no full
+    sort) → a 200-row window + one single-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), F.asc("tok")).limit(200)
+    ranked = top.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok"))).alias("r")
+    )
+    xy = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 6).cast("decimal(18,6)").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        d2d(F.sum("x")).alias("sx"),
+        d2d(F.sum("y")).alias("sy"),
+        d2d(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        d2d(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        d2d(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+@query(
+    "llm_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT len(string_split(text, ' ')) AS n_tok, n_chars FROM documents
+    )
+    SELECT CAST((n_tok // 10) * 10 AS BIGINT) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           round(SUM(n_chars) * 1.0 / COUNT(*), 6) AS mean_chars
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_length_histogram(spark, sf_dir):
+    """Document-length histogram (10-token buckets): the calibration view
+    behind every min/max-length filter — where the mass sits, how much
+    of the token budget each band carries, and whether a proposed cutoff
+    would throw away meaningful volume. Bucketing is pure integer
+    arithmetic (floor-div), so bucket edges are identical on both
+    engines — no float-log bucket-boundary ambiguity.
+
+    Plan shape: map-only tokenize-and-measure, then a hash agg on a
+    ~dozens-row bucket domain — map-side combine collapses everything
+    before the shuffle; output is constant-size regardless of corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        F.size(F.split("text", " ")).alias("n_tok"), F.col("n_chars")
+    )
+    return (
+        t.groupBy(
+            (F.floor(F.col("n_tok") / 10) * 10).cast("long").alias("bucket_start")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(F.sum("n_chars") / F.count("*"), 6).alias("mean_chars"),
+        )
+        .orderBy("bucket_start")
+    )
