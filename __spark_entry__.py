@@ -249,6 +249,8 @@ R7_PLANNED = [
     "llm_ttr_hapax",
     "llm_zipf_slope",
     "llm_length_histogram",
+    "llm_emb_quantize_int8",
+    "llm_dedup_threshold_sweep",
 ]
 
 

@@ -1524,3 +1524,117 @@ def llm_dedup_containment(spark, sf_dir):
             F.round("containment", 6).alias("containment"),
         )
     )
+
+
+@query(
+    "llm_dedup_threshold_sweep",
+    oracle=f"""
+    WITH samp AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents
+      WHERE substring(md5('doc|' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM samp WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) * 1.0
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ), thr AS (
+      SELECT CAST(unnest([0.3, 0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold
+    ), hit AS (
+      SELECT t.threshold, p.doc_a, p.doc_b
+      FROM thr t LEFT JOIN pairs p ON p.jac >= t.threshold
+    ), np AS (
+      SELECT threshold, CAST(COUNT(doc_a) AS BIGINT) AS n_pairs FROM hit
+      GROUP BY threshold
+    ), nd AS (
+      SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_flagged
+      FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM hit)
+      GROUP BY threshold
+    )
+    SELECT np.threshold, n_pairs, n_docs_flagged,
+           CAST((SELECT COUNT(*) FROM samp) AS BIGINT) AS n_sample,
+           round(n_docs_flagged * 1.0 / (SELECT COUNT(*) FROM samp), 6)
+             AS dup_rate
+    FROM np JOIN nd USING (threshold)
+    ORDER BY threshold
+    """,
+)
+def llm_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold tuning curve: near-dup pair counts and flagged-doc
+    rates at five Jaccard thresholds, measured on a deterministic ~50%
+    content-hash sample. This is how a threshold gets CHOSEN before
+    running llm_dedup_ngram_jaccard/minhash on the full corpus — sweep
+    on a sample, read the elbow, then commit the fleet-scale run to one
+    threshold. Sampling is md5-bucketed (the sample_fraction idiom), so
+    the sweep is reproducible across engines and runs.
+
+    Plan shape: the sample's exact Jaccard pairs come from the same
+    shared-shingle equi-join as llm_dedup_ngram_jaccard (docs that share
+    no gram never meet — valid because every swept threshold is > 0);
+    the 5-row threshold table then LEFT-joins the pair list so
+    zero-duplicate corpora still report all five rows. Sample size keeps
+    the pair stage bounded regardless of corpus size; at 100 TB the
+    sample rate drops to ~0.1% and the shape is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    samp = d.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("doc|"), F.col("doc_id").cast("string"))), 1, 2
+        )
+        < "80"
+    )
+    sh = _shingles(samp)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jac"),
+        )
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in (0.3, 0.5, 0.7, 0.8, 0.9)], "threshold double"
+    )
+    hit = thr.join(pairs, F.col("jac") >= F.col("threshold"), "left")
+    np_ = hit.groupBy("threshold").agg(
+        F.count("doc_a").cast("long").alias("n_pairs")
+    )
+    nd = (
+        hit.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_flagged"))
+    )
+    n_sample = F.broadcast(samp.agg(F.count("*").cast("long").alias("n_sample")))
+    return (
+        np_.join(nd, "threshold")
+        .crossJoin(n_sample)
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_flagged",
+            "n_sample",
+            F.round(F.col("n_docs_flagged") / F.col("n_sample"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("threshold")
+    )

@@ -1378,3 +1378,85 @@ def llm_sim_mmr_rerank(spark, sf_dir):
         .applyInPandas(mmr, out_schema)
         .orderBy("query_id", "mmr_rank")
     )
+
+
+@query(
+    "llm_emb_quantize_int8",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(range(1, 65)) AS u(i)
+    ), d AS (
+      SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY pos
+    ), q AS (
+      SELECT vec_id, v,
+             CAST(CASE WHEN mx = mn THEN 0
+                       ELSE round((v - mn) / (mx - mn) * 255) END AS INTEGER)
+               AS qv,
+             mn, mx
+      FROM x JOIN d USING (pos)
+    ), e AS (
+      SELECT vec_id, qv,
+             (CASE WHEN mx = mn THEN mn
+                   ELSE mn + qv * (mx - mn) / 255 END) - v AS err
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(MIN(qv) AS INTEGER) AS qmin,
+           CAST(MAX(qv) AS INTEGER) AS qmax,
+           round(CAST(CAST(SUM(CAST(round(err * err, 12) AS DECIMAL(24,12)))
+                           AS VARCHAR) AS DOUBLE) / 64, 6) AS mse,
+           round(MAX(abs(err)), 6) AS max_abs_err
+    FROM e GROUP BY vec_id
+    """,
+)
+def llm_emb_quantize_int8(spark, sf_dir):
+    """Scalar (per-dimension min/max) uint8 quantization of the embedding
+    corpus with a per-vector reconstruction report — the serving-prep
+    pass that shrinks a float32 vector store 4× before ANN indexing
+    (the affine-scalar sibling of llm_sim_ann_pq's codebook
+    quantization). Emits each vector's quantized code range and its
+    reconstruction error (MSE + max abs), so the 'is uint8 good enough
+    for this corpus' decision is measured, not assumed.
+
+    Determinism: quantize/dequantize is scalar IEEE double math on
+    identical inputs; the per-vector MSE sums 64 squared errors rounded
+    to 12 dp through an exact decimal accumulator (merge-order-proof).
+    Constant dims (max = min) quantize to code 0 and reconstruct the
+    constant exactly.
+
+    Plan shape: per-dim stats are a 64-row map-combined agg broadcast
+    back to the (vec, dim) stream; everything else is map-local and the
+    final per-vector agg map-combines. At 100 TB the same per-dim stats
+    table drives a fold-based (transform + aggregate) map-only encode —
+    the explode here keeps the op oracle-checkable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    d = x.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    j = x.join(F.broadcast(d), "pos")
+    const = F.col("mx") == F.col("mn")
+    qv = F.when(const, F.lit(0)).otherwise(
+        F.round((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255, 0)
+    ).cast("int")
+    withq = j.withColumn("qv", qv).withColumn(
+        "err",
+        F.when(const, F.col("mn")).otherwise(
+            F.col("mn") + F.col("qv") * (F.col("mx") - F.col("mn")) / 255
+        )
+        - F.col("v"),
+    )
+    return withq.groupBy("vec_id").agg(
+        F.min("qv").cast("int").alias("qmin"),
+        F.max("qv").cast("int").alias("qmax"),
+        F.round(
+            d2d(
+                F.sum(F.round(F.col("err") * F.col("err"), 12).cast("decimal(24,12)"))
+            )
+            / 64,
+            6,
+        ).alias("mse"),
+        F.round(F.max(F.abs("err")), 6).alias("max_abs_err"),
+    )
