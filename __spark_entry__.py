@@ -251,6 +251,8 @@ R7_PLANNED = [
     "llm_length_histogram",
     "llm_emb_quantize_int8",
     "llm_dedup_threshold_sweep",
+    "graph_bfs_distance",
+    "inc_partition_rebuild",
 ]
 
 

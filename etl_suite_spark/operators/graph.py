@@ -525,3 +525,83 @@ def graph_jaccard_neighbors(spark, sf_dir):
         .orderBy(F.col("jaccard").desc(), "u", "v")
         .limit(20)
     )
+
+
+@query(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE {_COPURCHASE_EDGE_SQL}, edges AS (
+      SELECT u AS src, v AS dst FROM e
+      UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ), seed AS (
+      SELECT node FROM deg ORDER BY d DESC, node LIMIT 1
+    ), bfs(node, dist) AS (
+      SELECT node, 0 FROM seed
+      UNION
+      SELECT ed.dst, b.dist + 1
+      FROM bfs b JOIN edges ed ON ed.src = b.node
+      WHERE b.dist < 3
+    ), md AS (
+      SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
+    )
+    SELECT CAST(dist AS INTEGER) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_part,
+           CAST(MAX(node) AS BIGINT) AS max_part
+    FROM md GROUP BY dist ORDER BY dist
+    """,
+)
+def graph_bfs_distance(spark, sf_dir):
+    """Bounded-hop BFS: shortest-path distance (≤3 hops) from the
+    highest-degree part — the 'blast radius' query behind related-item
+    widgets and recall-set expansion ('everything within k hops of X').
+    Seed selection is data-derived and deterministic (max degree, ties
+    to the smallest part key).
+
+    Spark side unrolls the 3 levels as frontier joins with an anti-join
+    against the visited set — level k's frontier is exactly the nodes
+    first reached at distance k, so no MIN(dist) pass is needed. The
+    symmetric edge list is localCheckpointed once and reused by all
+    levels (the triangle-count barrier pattern). Per level: one
+    equi-join on node id + one anti-join against the (small) visited
+    set; hop count is a hard constant, so the plan is 3 fixed stages —
+    no iterate-to-convergence. The DuckDB twin is a recursive
+    reachability CTE with MIN(dist) — correct at oracle scale,
+    deliberately not the distributed shape (its path enumeration is
+    exponential in dense graphs)."""
+    und = _copurchase_edges(spark, sf_dir)
+    edges = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    seed = (
+        deg.orderBy(F.col("d").desc(), F.col("src").asc())
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
+    )
+    reached = seed.localCheckpoint(eager=True)
+    frontier = reached.select("node")
+    for k in (1, 2, 3):
+        nxt = (
+            frontier.join(edges, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(k))
+        )
+        reached = reached.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return (
+        reached.groupBy("dist")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_part"),
+            F.max("node").cast("long").alias("max_part"),
+        )
+        .select(F.col("dist").cast("int").alias("dist"), "n_nodes", "min_part", "max_part")
+        .orderBy("dist")
+    )

@@ -743,3 +743,111 @@ def inc_late_dim_resolve(spark, sf_dir):
     return resolved.unionByName(fixed).select(
         "order_key", "cust_key", "segment", "resolved_late"
     )
+
+
+# Portable per-row 60-bit content hash (fn_surrogate_key bridge): sha256 of
+# a canonical field string; doubles enter as exact cents, dates as ISO text.
+_ROWSIG = """CAST(('0x' || substring(sha256(
+        CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        || '|' || o_orderstatus || '|'
+        || CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+        || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        || '|' || o_orderpriority), 1, 15)) AS BIGINT)"""
+
+# Spark twin: same canonical string, hex->int via conv().
+_ROWSIG_SPARK = """conv(substring(sha2(
+        concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+                  o_orderstatus,
+                  CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS STRING),
+                  CAST(CAST(o_orderdate AS DATE) AS STRING),
+                  o_orderpriority), 256), 1, 15), 16, 10)"""
+
+
+@query(
+    "inc_partition_rebuild",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+    ), src AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             COUNT(*) AS n,
+             SUM(CAST({_ROWSIG} AS DECIMAL(38,0))) AS sig
+      FROM orders GROUP BY 1
+    ), mat AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             COUNT(*) AS n,
+             SUM(CAST({_ROWSIG} AS DECIMAL(38,0))) AS sig
+      FROM orders, mx
+      WHERE CAST(o_orderdate AS DATE) < maxd - INTERVAL 20 DAY
+      GROUP BY 1
+    )
+    SELECT s.month,
+           CAST(s.n AS BIGINT) AS src_rows,
+           CAST(COALESCE(m.n, 0) AS BIGINT) AS mat_rows,
+           CASE WHEN m.month IS NULL THEN 'missing'
+                WHEN m.n <> s.n OR m.sig <> s.sig THEN 'stale'
+                ELSE 'ok' END AS status
+    FROM src s LEFT JOIN mat m ON m.month = s.month
+    ORDER BY s.month
+    """,
+)
+def inc_partition_rebuild(spark, sf_dir):
+    """Changed-partition detection — the planning step of every
+    incremental rebuild: compare a per-partition content signature of
+    the source against the materialized copy and emit exactly which
+    monthly partitions need rewriting ('missing'/'stale') versus which
+    can be skipped ('ok'). Rewriting only flagged partitions is what
+    turns a 100 TB full refresh into a few-partition touch-up (pairs
+    with sink_overwrite_partition for the actual rewrite).
+
+    The signature is ORDER-INSENSITIVE and ADDITIVE: per-row
+    sha256-prefix (portable 60-bit int — the fn_surrogate_key bridge)
+    summed into an exact DECIMAL(38,0) per partition, the
+    sink_compact_small_files discipline (sums shift on any lost,
+    duplicated, or altered row; xor would cancel pairwise). Doubles
+    enter the hash as exact cents (round(x*100) — the quantized-dot
+    trick), never as engine-formatted strings. The 'materialized' side
+    here is the source minus its trailing 20 days — a deterministic
+    stale-copy simulation that exercises all three statuses on the
+    fixture.
+
+    Plan shape: two scans (source + materialized manifest), each a
+    map-combined hash agg down to one row per partition; the compare
+    joins partition-count-sized tables. At 100 TB the signatures are
+    incrementally maintained alongside each partition write, so the
+    plan drops to a metadata-sized join."""
+    o = load_table(spark, sf_dir, "orders")
+    rowsig = F.expr(_ROWSIG_SPARK).cast("decimal(38,0)")
+    month = F.date_trunc("month", F.to_date("o_orderdate")).cast("date").alias("month")
+
+    def part_sig(df):
+        return df.groupBy(month).agg(
+            F.count("*").alias("n"), F.sum(rowsig).alias("sig")
+        )
+
+    src = part_sig(o)
+    mx = F.broadcast(o.agg(F.max(F.to_date("o_orderdate")).alias("maxd")))
+    mat = part_sig(
+        o.crossJoin(mx).filter(F.to_date("o_orderdate") < F.date_sub("maxd", 20))
+    )
+    m = mat.select(
+        F.col("month").alias("m_month"),
+        F.col("n").alias("m_n"),
+        F.col("sig").alias("m_sig"),
+    )
+    return (
+        src.join(m, src["month"] == m["m_month"], "left")
+        .select(
+            "month",
+            F.col("n").cast("long").alias("src_rows"),
+            F.coalesce("m_n", F.lit(0)).cast("long").alias("mat_rows"),
+            F.when(F.col("m_month").isNull(), "missing")
+            .when(
+                (F.col("m_n") != F.col("n")) | (F.col("m_sig") != F.col("sig")),
+                "stale",
+            )
+            .otherwise("ok")
+            .alias("status"),
+        )
+        .orderBy("month")
+    )
