@@ -253,6 +253,8 @@ R7_PLANNED = [
     "llm_dedup_threshold_sweep",
     "graph_bfs_distance",
     "inc_partition_rebuild",
+    "agg_ks_test",
+    "agg_bootstrap_ci",
 ]
 
 

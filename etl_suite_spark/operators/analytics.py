@@ -2798,3 +2798,173 @@ def mann_whitney_from_scores(f):
             (u1 - F.col("n1").cast("double") * F.col("n2") / 2) / sigma, 6
         ).alias("z_stat"),
     )
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS c1,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS c2
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY value
+    ), c AS (
+      SELECT SUM(c1) OVER (ORDER BY value) AS cum1,
+             SUM(c2) OVER (ORDER BY value) AS cum2
+      FROM s
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM s
+    )
+    SELECT n1, n2,
+           round(MAX(abs(cum1 * 1.0 / n1 - cum2 * 1.0 / n2)), 6) AS ks_stat,
+           round(1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)), 6) AS ks_crit_95,
+           MAX(abs(cum1 * 1.0 / n1 - cum2 * 1.0 / n2))
+             > 1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)) AS significant
+    FROM c, tot GROUP BY n1, n2
+    """,
+)
+def agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov test: the largest ECDF gap between
+    purchase-event and click-event value distributions, against the 95%
+    critical value 1.358·√((n1+n2)/(n1·n2)). The distribution-shift
+    check behind drift monitoring — unlike agg_welch_ttest (means) or
+    agg_mann_whitney (ranks), KS sees ANY shape difference.
+
+    Exactness: ECDF steps are integer cumulative counts over the
+    distinct-value domain; the gap and threshold are scalar double math
+    on those integers — deterministic on both engines.
+
+    Plan shape: one map-combined agg collapses the fact stream to the
+    distinct-value domain BEFORE the ordered prefix-sum window, so the
+    global-order window runs over |distinct values| rows, not |events|.
+    At 100 TB the same plan holds with a range-partitioned two-level
+    prefix sum (partial sums + broadcast offsets) replacing the single
+    window — the aggregate-first step is what makes that viable."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = s.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    tot = F.broadcast(
+        s.agg(
+            F.sum("c1").cast("long").alias("n1"),
+            F.sum("c2").cast("long").alias("n2"),
+        )
+    )
+    gap = F.abs(F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2"))
+    crit = 1.358 * F.sqrt((F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2")))
+    return (
+        c.crossJoin(tot)
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(F.max(gap), 6).alias("ks_stat"),
+            F.round(F.any_value(crit), 6).alias("ks_crit_95"),
+            (F.max(gap) > F.any_value(crit)).alias("significant"),
+        )
+    )
+
+
+# Poisson(1) CDF at k = 0..5, written once so the Spark expression and the
+# DuckDB oracle share bit-identical double literals (weight = #thresholds
+# below the row's hash-uniform, i.e. the inverse-CDF sample, capped at 6;
+# P(X > 5) ~ 6e-4 so the cap's bias is negligible and deterministic).
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+_POIS_W = "(" + " + ".join(
+    f"CASE WHEN {{u}} >= {c} THEN 1 ELSE 0 END" for c in _POIS_CDF
+) + ")"
+# portable 60-bit hash-uniform in [0, 1) keyed by (replicate, order key)
+_BOOT_U_DUCK = (
+    "(CAST(('0x' || substring(sha256(CAST(b AS VARCHAR) || '|' ||"
+    " CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " / 1152921504606846976.0)"
+)
+_BOOT_U_SPARK = (
+    "(conv(substring(sha2(concat(CAST(b AS STRING), '|',"
+    " CAST(o_orderkey AS STRING)), 256), 1, 15), 16, 10)"
+    " / 1152921504606846976.0)"
+)
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH w AS (
+      SELECT b, {_POIS_W.format(u=_BOOT_U_DUCK)} AS w, o_totalprice
+      FROM orders, unnest(range(0, 50)) AS r(b)
+    ), reps AS (
+      SELECT b,
+             CAST(CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) / SUM(w) AS rep_mean
+      FROM w GROUP BY b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           round(CAST(percentile_cont(0.025) WITHIN GROUP (ORDER BY rep_mean)
+                      AS DOUBLE), 6) AS ci_lo,
+           round(CAST(percentile_cont(0.975) WITHIN GROUP (ORDER BY rep_mean)
+                      AS DOUBLE), 6) AS ci_hi,
+           round((SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                   AS VARCHAR) AS DOUBLE) / COUNT(*)
+                  FROM orders), 6) AS mean_full
+    FROM reps
+    """,
+)
+def agg_bootstrap_ci(spark, sf_dir):
+    """95% bootstrap confidence interval for mean order value via the
+    POISSON bootstrap (Chamandy et al. 2012; Kleiner et al.'s BLB is
+    the heavier cousin) — the resampling scheme that actually works
+    distributed: classic with-replacement resampling needs global
+    coordination, but Poisson(1) per-row replicate weights are iid and
+    map-local, so all 50 replicates ride one scan. Weights come from a
+    portable 60-bit content-hash uniform through the shared inverse-CDF
+    constants above — the same replicate is bit-reproducible on any
+    cluster, any partitioning, either engine (the sample_weighted
+    determinism discipline).
+
+    Plan shape: explode ×50 (map-side), then ONE map-combined agg to 50
+    replicate rows (weighted exact-decimal sums), then a 50-row
+    percentile. No shuffle sees the fact table; at 100 TB the explode
+    factor is the only cost knob (B replicates ⇒ B× map work, constant
+    reduce size)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        o.select("o_orderkey", "o_totalprice", F.explode(F.sequence(F.lit(0), F.lit(49))).alias("b"))
+        .withColumn("u", F.expr(_BOOT_U_SPARK))
+        .withColumn("w", F.expr(_POIS_W.format(u="u")))
+    )
+    reps = w.groupBy("b").agg(
+        (d2d(F.sum(F.col("w") * dec("o_totalprice", 2))) / F.sum("w")).alias(
+            "rep_mean"
+        )
+    )
+    full = F.broadcast(
+        o.agg(
+            F.round(d2d(F.sum(dec("o_totalprice", 2))) / F.count("*"), 6).alias(
+                "mean_full"
+            )
+        )
+    )
+    return (
+        reps.crossJoin(full)
+        .groupBy("mean_full")
+        .agg(
+            F.count("*").cast("long").alias("n_replicates"),
+            F.round(F.percentile("rep_mean", F.lit(0.025)), 6).alias("ci_lo"),
+            F.round(F.percentile("rep_mean", F.lit(0.975)), 6).alias("ci_hi"),
+        )
+        .select("n_replicates", "ci_lo", "ci_hi", "mean_full")
+    )
