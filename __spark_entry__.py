@@ -255,6 +255,8 @@ R7_PLANNED = [
     "inc_partition_rebuild",
     "agg_ks_test",
     "agg_bootstrap_ci",
+    "stream_anomaly_zscore",
+    "llm_mixture_epochs",
 ]
 
 

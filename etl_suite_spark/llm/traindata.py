@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..core import d2d
 from ..io import load_table
 from ..registry import query
 from .dedup import _NORM_SQL, _normalized_text, _shingles
@@ -690,4 +691,73 @@ def llm_span_corruption(spark, sf_dir):
                 F.expr("transform(array_sort(collect_list(struct(pos, tt))), x -> x.tt)"),
             ).alias("target"),
         )
+    )
+
+
+@query(
+    "llm_mixture_epochs",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({_TOK_SQL}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), s AS (
+      SELECT *, CAST(round(sqrt(n_tokens), 6) AS DECIMAL(18,6)) AS sq FROM t
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+             CAST(CAST(SUM(sq) AS VARCHAR) AS DOUBLE) AS tot_sq
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens * 1.0 / tot_tokens, 6) AS raw_share,
+           round(CAST(CAST(sq AS VARCHAR) AS DOUBLE) / tot_sq, 6) AS weight,
+           round(500000 * (CAST(CAST(sq AS VARCHAR) AS DOUBLE) / tot_sq)
+                 / n_tokens, 6) AS effective_epochs
+    FROM s, tot ORDER BY source
+    """,
+)
+def llm_mixture_epochs(spark, sf_dir):
+    """Temperature-smoothed mixture planning (τ = 0.5): per source, the
+    raw token share, the √-smoothed sampling weight
+    wᵢ = √tᵢ / Σ√t (the multilingual temperature-sampling scheme of
+    XLM-R / mT5, exponent 1/2), and the EFFECTIVE EPOCHS each source
+    repeats under a 500k-token training budget — epochsᵢ = B·wᵢ/tᵢ.
+    This is the table a data-mixing decision actually reads:
+    temperature smoothing up-samples small sources, and the epochs
+    column says by how much (>1 ⇒ the source repeats; >>1 ⇒ memorize
+    risk — llm_data_mixture's quota cut is the enforcement side).
+
+    Exponent 1/2 deliberately: sqrt is IEEE-correctly-rounded on both
+    engines (a general pow(x, τ) is not), and the smoothed weights sum
+    through a 6-dp decimal so the normalizer is merge-order-exact.
+
+    Plan shape: one map-combined agg to |sources| rows, two broadcast
+    single-row totals, scalar math — constant output, any corpus."""
+    t = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(_n_tokens()).cast("long").alias("n_tokens"),
+    )
+    s = t.withColumn(
+        "sq", F.round(F.sqrt("n_tokens"), 6).cast("decimal(18,6)")
+    )
+    tot = F.broadcast(
+        s.agg(
+            F.sum("n_tokens").cast("long").alias("tot_tokens"),
+            d2d(F.sum("sq")).alias("tot_sq"),
+        )
+    )
+    weight = d2d(F.col("sq")) / F.col("tot_sq")
+    return (
+        s.crossJoin(tot)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("raw_share"),
+            F.round(weight, 6).alias("weight"),
+            F.round(F.lit(500000) * weight / F.col("n_tokens"), 6).alias(
+                "effective_epochs"
+            ),
+        )
+        .orderBy("source")
     )

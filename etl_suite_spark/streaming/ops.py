@@ -713,3 +713,83 @@ def stream_topk_per_window(spark, sf_dir):
         .select("win_start", "event_type", F.col("n").cast("long").alias("n"), "rank")
         .orderBy("win_start", "rank")
     )
+
+
+@query(
+    "stream_anomaly_zscore",
+    oracle="""
+    WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+    g AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS win_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), gate AS (
+      SELECT win_start, event_type, n FROM g, m
+      WHERE win_start + INTERVAL 15 MINUTE <= wm
+    ), st AS (
+      SELECT event_type, COUNT(*) AS nw,
+             CAST(SUM(n) AS DOUBLE) AS sn,
+             CAST(SUM(n * n) AS DOUBLE) AS snn
+      FROM gate GROUP BY event_type
+    ), z AS (
+      SELECT win_start, gate.event_type, n,
+             CASE WHEN nw > 1 AND (snn - sn * sn / nw) / (nw - 1) > 0
+                  THEN (n - sn / nw)
+                       / sqrt((snn - sn * sn / nw) / (nw - 1))
+                  ELSE 0.0 END AS zraw
+      FROM gate JOIN st USING (event_type)
+    )
+    SELECT win_start, event_type, n, round(zraw, 6) AS zscore,
+           abs(zraw) > 2 AS is_anomaly
+    FROM z ORDER BY win_start, event_type
+    """,
+)
+def stream_anomaly_zscore(spark, sf_dir):
+    """Streaming volume-anomaly screen: per finalized 15-minute window
+    and event type, the window's event count z-scored against that
+    type's across-window distribution — the pager-feed version of
+    dq_volume_anomaly's daily batch screen. Same two-stage decomposition
+    as stream_topk_per_window: the STREAM owns only the associative
+    per-(window, type) count (cheap partial-agg state, append-emitted
+    exactly once at the 10-minute watermark); the z-scoring is a batch
+    pass over the emitted window counts — at most |types| × |windows|
+    rows, downstream of the stream (production: foreachBatch or a view
+    over the emitted table).
+
+    Determinism: counts are integers, so mean/variance come from exact
+    integer power sums rendered to double (< 2^53, conversion exact);
+    all z math is scalar IEEE. Zero-variance or single-window types
+    score 0 by definition rather than dividing by zero."""
+    drop, schema = _drop_dir(spark, sf_dir)
+    sdf = (
+        _read_stream(spark, drop, schema)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", F.col("n").cast("long").alias("n"))
+    )
+    # the memory-sink view is consumed by two plan branches (stats + join);
+    # localCheckpoint gives them independent lineage (a MemoryPlan self-join
+    # otherwise trips conflicting-reference resolution)
+    emitted = _run_to_memory(sdf, "append").localCheckpoint(eager=True)
+    st = emitted.groupBy("event_type").agg(
+        F.count("*").alias("nw"),
+        F.sum("n").cast("double").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("snn"),
+    )
+    nw, sn, snn = F.col("nw"), F.col("sn"), F.col("snn")
+    var = (snn - sn * sn / nw) / (nw - 1)
+    zraw = F.when((nw > 1) & (var > 0), (F.col("n") - sn / nw) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        emitted.join(F.broadcast(st), "event_type")
+        .select(
+            "win_start",
+            "event_type",
+            "n",
+            F.round(zraw, 6).alias("zscore"),
+            (F.abs(zraw) > 2).alias("is_anomaly"),
+        )
+        .orderBy("win_start", "event_type")
+    )
