@@ -68,6 +68,11 @@ EXPECTED_NLJ = {
     "dq_freshness",  # one-row corpus-max broadcast crossJoin
     "agg_funnel_timebound",  # three one-row stage counts crossJoined (rate row)
     "agg_chisq_independence",  # one-row (n, r, c) totals broadcast crossJoin
+    "agg_ks_test",  # one-row (n1, n2) totals broadcast crossJoin (ECDF denominators)
+    "agg_bootstrap_ci",  # one-row full-corpus-mean broadcast crossJoin
+    "inc_partition_rebuild",  # one-row max-date broadcast crossJoin (stale-copy cutoff)
+    "llm_dedup_threshold_sweep",  # 5-row threshold table theta-joined to sampled pairs
+    "llm_mixture_epochs",  # one-row (total tokens, weight normalizer) broadcast crossJoin
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
