@@ -257,6 +257,8 @@ R7_PLANNED = [
     "agg_bootstrap_ci",
     "stream_anomaly_zscore",
     "llm_mixture_epochs",
+    "ts_stl_decompose",
+    "agg_decay_score",
 ]
 
 

@@ -2968,3 +2968,140 @@ def agg_bootstrap_ci(spark, sf_dir):
         )
         .select("n_replicates", "ci_lo", "ci_hi", "mean_full")
     )
+
+
+@query(
+    "ts_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT day, rev,
+             SUM(rev) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             COUNT(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ), tr AS (
+      SELECT day, rev, CAST(CAST(s7 AS VARCHAR) AS DOUBLE) / 7 AS trend
+      FROM t WHERE c7 = 7
+    ), de AS (
+      SELECT *, CAST(round(CAST(CAST(rev AS VARCHAR) AS DOUBLE) - trend, 6)
+                     AS DECIMAL(18,6)) AS detr
+      FROM tr
+    ), sea AS (
+      SELECT isodow(day) AS dow,
+             CAST(CAST(SUM(detr) AS VARCHAR) AS DOUBLE) / COUNT(*) AS sea
+      FROM de GROUP BY 1
+    )
+    SELECT day,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+           round(trend, 6) AS trend,
+           round(sea, 6) AS seasonal,
+           round(CAST(CAST(detr AS VARCHAR) AS DOUBLE) - sea, 6) AS residual
+    FROM de JOIN sea ON sea.dow = isodow(de.day)
+    ORDER BY day
+    """,
+)
+def ts_stl_decompose(spark, sf_dir):
+    """Additive seasonal-trend decomposition of daily revenue (the
+    classical decomposition STL descends from — Cleveland et al. 1990):
+    trend = centered 7-row moving mean over the day domain, weekly
+    seasonal = day-of-week mean of the detrended series, residual = the
+    rest. The residual is what anomaly screens SHOULD run on — raw
+    daily revenue mixes weekday rhythm into every threshold
+    (win_anomaly_mad / dq_volume_anomaly are this op's consumers).
+
+    Exactness: the moving sum runs on exact decimals (no running-
+    accumulator drift), means become doubles via the d2d render, and
+    the detrended series re-enters group aggregation as a 6-dp decimal
+    so the per-dow means are merge-order-exact. Edge days (incomplete
+    7-row frame) are excluded, not padded.
+
+    Plan shape: facts → day domain (map-combined agg); one ordered
+    window over ~|days| rows; a 7-row seasonal join. The fact table
+    never sees a window."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(dec("o_totalprice", 2)).alias("rev")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+    ).filter(F.col("c7") == 7)
+    tr = t.withColumn("trend", d2d(F.col("s7")) / 7)
+    de = tr.withColumn(
+        "detr", F.round(d2d(F.col("rev")) - F.col("trend"), 6).cast("decimal(18,6)")
+    )
+    dow = F.expr("extract(DAYOFWEEK_ISO FROM day)").cast("long")
+    sea = de.groupBy(dow.alias("dow")).agg(
+        (d2d(F.sum("detr")) / F.count("*")).alias("sea")
+    )
+    return (
+        de.withColumn("dow", dow)
+        .join(F.broadcast(sea), "dow")
+        .select(
+            "day",
+            d2d(F.col("rev")).alias("revenue"),
+            F.round("trend", 6).alias("trend"),
+            F.round("sea", 6).alias("seasonal"),
+            F.round(d2d(F.col("detr")) - F.col("sea"), 6).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "agg_decay_score",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS mxus FROM events),
+    w AS (
+      SELECT user_id,
+             CAST(round(value * round(exp(-((mxus - epoch_us(ts))
+                                            / 86400000000.0) / 30.0), 12), 8)
+                  AS DECIMAL(18,8)) AS wv,
+             (mxus - epoch_us(ts)) / 86400000000.0 AS age_days
+      FROM events, mx
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(CAST(SUM(wv) AS VARCHAR) AS DOUBLE), 6) AS decay_score,
+           round(MIN(age_days), 6) AS last_seen_days
+    FROM w GROUP BY user_id
+    """,
+)
+def agg_decay_score(spark, sf_dir):
+    """Exponential time-decay engagement score per user:
+    Σ value·e^(−age/30d) — the recency-weighted feature that ranks a
+    user active-yesterday above one equally-busy-last-quarter (30-day
+    half-life-ish kernel; the continuous upgrade of
+    agg_rfm_segmentation's discrete recency quintile).
+
+    Determinism: age comes from exact epoch-microsecond integers; the
+    decay weight is rounded to 12 dp straight out of exp() and the
+    weighted value to 8 dp into an exact decimal accumulator, so the
+    per-user sum is merge-order-proof (the quantize-then-sum rule for
+    any libm-sourced factor).
+
+    Plan shape: one broadcast corpus-max row, map-local weighting, one
+    map-combined agg on user_id. Nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = F.broadcast(ev.agg(F.max(F.unix_micros("ts")).alias("mxus")))
+    age = (F.col("mxus") - F.unix_micros("ts")) / 86400000000.0
+    w = ev.crossJoin(mx).select(
+        "user_id",
+        F.round(
+            F.col("value") * F.round(F.exp(-age / 30.0), 12), 8
+        ).cast("decimal(18,8)").alias("wv"),
+        age.alias("age_days"),
+    )
+    return w.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(d2d(F.sum("wv")), 6).alias("decay_score"),
+        F.round(F.min("age_days"), 6).alias("last_seen_days"),
+    )

@@ -73,6 +73,7 @@ EXPECTED_NLJ = {
     "inc_partition_rebuild",  # one-row max-date broadcast crossJoin (stale-copy cutoff)
     "llm_dedup_threshold_sweep",  # 5-row threshold table theta-joined to sampled pairs
     "llm_mixture_epochs",  # one-row (total tokens, weight normalizer) broadcast crossJoin
+    "agg_decay_score",  # one-row corpus-max-timestamp broadcast crossJoin
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
