@@ -259,6 +259,8 @@ R7_PLANNED = [
     "llm_mixture_epochs",
     "ts_stl_decompose",
     "agg_decay_score",
+    "udf_arrow_map",
+    "pipeline_dag_run",
 ]
 
 

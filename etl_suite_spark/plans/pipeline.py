@@ -54,6 +54,8 @@ def _apply_transform(spark: SparkSession, sf_dir: str, df: DataFrame, t: dict) -
         other = load_table(spark, sf_dir, t["table"])
         if t.get("broadcast"):
             other = F.broadcast(other)
+        if "on_cols" in t:  # equi-join on shared column names
+            return df.join(other, t["on_cols"], t.get("how", "inner"))
         return df.join(other, F.expr(t["on"]), t.get("how", "inner"))
     if op == "groupby":
         aggs = [F.expr(expr).alias(name) for name, expr in t["aggs"].items()]
@@ -304,3 +306,141 @@ def pipeline_spec_stream(spark, sf_dir):
     drop, schema = _drop_dir(spark, sf_dir)
     sdf = compile_pipeline_stream(spark, drop, schema, _STREAM_SPEC)
     return _run_to_memory(sdf, "append").orderBy("win_start", "event_type")
+
+
+def compile_dag(spark: SparkSession, sf_dir: str, dag: dict) -> DataFrame:
+    """Multi-stage DAG of specs → ONE DataFrame plan.
+
+    ``dag = {"stages": {name: spec}, "output": name}`` where a stage's
+    ``source`` (or a join transform) may reference another stage via
+    ``{"stage": name}`` instead of ``{"table": name}``. Stages resolve
+    memoized — a diamond dependency compiles its shared stage once, so
+    Catalyst sees one plan with a shared subtree (and the whole DAG
+    still optimizes jointly: pushdown crosses stage boundaries exactly
+    as it crosses transform boundaries in the linear compiler). Cycles
+    are rejected at compile time. Nothing executes until the caller
+    sinks the returned frame.
+    """
+    stages = dag["stages"]
+    cache: dict[str, DataFrame] = {}
+
+    def build(name: str, visiting: tuple[str, ...]) -> DataFrame:
+        if name in cache:
+            return cache[name]
+        if name in visiting:
+            raise ValueError(f"pipeline DAG cycle: {' -> '.join(visiting + (name,))}")
+        spec = stages[name]
+        src = spec["source"]
+        df = (
+            build(src["stage"], visiting + (name,))
+            if "stage" in src
+            else load_table(spark, sf_dir, src["table"])
+        )
+        for t in spec.get("transforms", ()):
+            if t["op"] == "join" and "stage" in t:
+                other = build(t["stage"], visiting + (name,))
+                if t.get("broadcast"):
+                    other = F.broadcast(other)
+                if "on_cols" in t:
+                    df = df.join(other, t["on_cols"], t.get("how", "inner"))
+                else:
+                    df = df.join(other, F.expr(t["on"]), t.get("how", "inner"))
+            else:
+                df = _apply_transform(spark, sf_dir, df, t)
+        cache[name] = df
+        return df
+
+    return build(dag["output"], ())
+
+
+# Declared demonstrator: a diamond DAG — one shared filtered base feeding
+# two aggregation branches that re-join at the output. The same shape in
+# SQL (shared CTE) is the oracle, so the DAG compiler is correctness-gated
+# including its stage memoization.
+_DAG = {
+    "stages": {
+        "base": {
+            "source": {"table": "orders"},
+            "transforms": [
+                {"op": "filter", "predicate": "o_orderstatus <> 'F'"},
+            ],
+        },
+        "hi": {
+            "source": {"stage": "base"},
+            "transforms": [
+                {"op": "filter", "predicate": "o_totalprice >= 200000"},
+                {
+                    "op": "groupby",
+                    "keys": ["o_orderpriority"],
+                    "aggs": {"n_hi": "cast(count(*) as bigint)"},
+                },
+            ],
+        },
+        "lo": {
+            "source": {"stage": "base"},
+            "transforms": [
+                {"op": "filter", "predicate": "o_totalprice < 200000"},
+                {
+                    "op": "groupby",
+                    "keys": ["o_orderpriority"],
+                    "aggs": {"n_lo": "cast(count(*) as bigint)"},
+                },
+            ],
+        },
+        "out": {
+            "source": {"stage": "hi"},
+            "transforms": [
+                {
+                    "op": "join",
+                    "stage": "lo",
+                    "on_cols": ["o_orderpriority"],
+                    "how": "inner",
+                },
+            ],
+        },
+    },
+    "output": "out",
+}
+
+
+@query(
+    "pipeline_dag_run",
+    oracle="""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderstatus <> 'F'
+    ), hi AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_hi
+      FROM base WHERE o_totalprice >= 200000 GROUP BY 1
+    ), lo AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lo
+      FROM base WHERE o_totalprice < 200000 GROUP BY 1
+    )
+    SELECT hi.o_orderpriority, n_hi, n_lo,
+           round(n_hi * 1.0 / (n_hi + n_lo), 6) AS hi_share
+    FROM hi JOIN lo USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def pipeline_dag_run(spark, sf_dir):
+    """The DAG compiler's declared demonstrator: a diamond (shared
+    filtered base → two branch rollups → re-join). The ``base`` stage
+    compiles once (memoized) and both branches reference the same
+    subtree; Catalyst pushes each branch's price predicate down into
+    its copy of the scan, so the diamond costs two pruned scans, not a
+    materialization. At 100 TB a reused stage that is EXPENSIVE to
+    recompute would add an explicit materialize-once barrier (the
+    graph_pagerank pattern) — a one-line sink stage in this spec
+    language; the default stays lazy because recompute-under-pushdown
+    usually beats materialize-everything."""
+    out = compile_dag(spark, sf_dir, _DAG)
+    return (
+        out.select(
+            F.col("o_orderpriority"),
+            "n_hi",
+            "n_lo",
+            F.round(F.col("n_hi") / (F.col("n_hi") + F.col("n_lo")), 6).alias(
+                "hi_share"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
