@@ -261,6 +261,9 @@ R7_PLANNED = [
     "agg_decay_score",
     "udf_arrow_map",
     "pipeline_dag_run",
+    "llm_hard_negatives",
+    "ml_target_encoding",
+    "ml_feature_scale",
 ]
 
 

@@ -74,3 +74,125 @@ def ml_linear_scoring(spark, sf_dir):
         d2d(margin).alias("score"),
         (margin > F.lit(_THRESHOLD).cast("decimal(8,4)")).alias("predicted"),
     )
+
+
+@query(
+    "ml_target_encoding",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), g AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(price) AS s
+      FROM j GROUP BY segment
+    ), prior AS (
+      SELECT CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE) / COUNT(*) AS p
+      FROM j
+    )
+    SELECT segment, n_orders,
+           round(CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_orders, 6) AS raw_mean,
+           round((CAST(CAST(s AS VARCHAR) AS DOUBLE) + 100 * p)
+                 / (n_orders + 100), 6) AS encoded
+    FROM g, prior ORDER BY segment
+    """,
+)
+def ml_target_encoding(spark, sf_dir):
+    """Smoothed target (mean) encoding of a categorical feature —
+    segment → E[order value | segment] shrunk toward the global mean
+    with prior weight m=100 (Micci-Barreca 2001): enc = (Σy + m·ȳ) /
+    (n + m). Rare categories collapse to the prior instead of
+    memorizing noise. Production fits this out-of-fold to avoid target
+    leakage; the encoding TABLE construction here is the per-fold
+    building block (run it on the training fold, broadcast-join it
+    onto any fold).
+
+    Exactness: category sums and the prior are exact decimals rendered
+    once to double; the shrinkage is scalar math.
+
+    Plan shape: one broadcast dim join, one map-combined agg to
+    |categories| rows, one single-row prior broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("segment"), dec("o_totalprice", 2).alias("price")
+    )
+    g = j.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_orders"), F.sum("price").alias("s")
+    )
+    prior = F.broadcast(j.agg((d2d(F.sum("price")) / F.count("*")).alias("p")))
+    return (
+        g.crossJoin(prior)
+        .select(
+            "segment",
+            "n_orders",
+            F.round(d2d(F.col("s")) / F.col("n_orders"), 6).alias("raw_mean"),
+            F.round(
+                (d2d(F.col("s")) + 100 * F.col("p")) / (F.col("n_orders") + 100), 6
+            ).alias("encoded"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "ml_feature_scale",
+    oracle="""
+    WITH st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS s,
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                           * CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS ss,
+             MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx
+      FROM customer
+    )
+    SELECT c_custkey, c_acctbal,
+           round((c_acctbal - s / n)
+                 / sqrt((ss - s * s / n) / (n - 1)), 6) AS zscore,
+           round((c_acctbal - mn) / (mx - mn), 6) AS minmax
+    FROM customer, st
+    WHERE c_custkey < 500
+    ORDER BY c_custkey
+    """,
+)
+def ml_feature_scale(spark, sf_dir):
+    """Feature standardization — the two canonical scalers emitted side
+    by side per row: z-score ((x−μ)/σ, sample σ) and min-max
+    ((x−min)/(max−min)). The fit statistics are ONE map-combined pass
+    (exact decimal power sums + min/max) broadcast back over the rows —
+    the fit/transform split every ML pipeline needs, with the fit
+    artifact a single broadcastable row at any scale.
+
+    Determinism: μ and σ come from exact decimal sums rendered to
+    double; per-row scaling is scalar IEEE math."""
+    c = load_table(spark, sf_dir, "customer")
+    st = F.broadcast(
+        c.agg(
+            F.count("*").cast("long").alias("n"),
+            d2d(F.sum(dec("c_acctbal", 2))).alias("s"),
+            d2d(F.sum(dec("c_acctbal", 2) * dec("c_acctbal", 2))).alias("ss"),
+            F.min("c_acctbal").alias("mn"),
+            F.max("c_acctbal").alias("mx"),
+        )
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    return (
+        c.filter(F.col("c_custkey") < 500)
+        .crossJoin(st)
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.round(
+                (F.col("c_acctbal") - s / n)
+                / F.sqrt((ss - s * s / n) / (n - 1)),
+                6,
+            ).alias("zscore"),
+            F.round(
+                (F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+            ).alias("minmax"),
+        )
+        .orderBy("c_custkey")
+    )

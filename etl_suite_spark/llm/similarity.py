@@ -1460,3 +1460,72 @@ def llm_emb_quantize_int8(spark, sf_dir):
         ).alias("mse"),
         F.round(F.max(F.abs("err")), 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "llm_hard_negatives",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < 10),
+    ranked AS (
+      SELECT q.vec_id AS query_id,
+             CAST(q.label AS INTEGER) AS query_label,
+             e.vec_id AS neg_id,
+             CAST(e.label AS INTEGER) AS neg_label,
+             {_sql_cosine(sql_dot('q.embedding', 'e.embedding'),
+                          'q.nsq', 'e.nsq')} AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'),
+                                     'q.nsq', 'e.nsq')} DESC,
+                        e.vec_id ASC) AS rnk
+      FROM q JOIN n e ON e.label <> q.label
+    )
+    SELECT query_id, query_label, neg_id, neg_label, cosine,
+           CAST(rnk AS INTEGER) AS rank
+    FROM ranked WHERE rnk <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def llm_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the 3 highest-cosine corpus vectors with a DIFFERENT label
+    — the negatives that actually teach an embedding model (random
+    negatives are trivially separable; the near-miss wrong-class
+    examples carry the gradient signal; cf. DPR / SimCSE practice).
+
+    Same plan as llm_sim_cosine_topk — broadcast query set, corpus
+    never shuffled, exact quantized dot — plus the label-mismatch
+    predicate inside the join (so same-class candidates are dropped
+    before scoring, not ranked then filtered: the returned rank is the
+    rank AMONG negatives)."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nsq", dot("embedding", "embedding")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    cand = e.repartition(spark.sparkContext.defaultParallelism)
+    scored = cand.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        F.col("query_label").cast("int").alias("query_label"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").cast("int").alias("neg_label"),
+        _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )

@@ -74,6 +74,9 @@ EXPECTED_NLJ = {
     "llm_dedup_threshold_sweep",  # 5-row threshold table theta-joined to sampled pairs
     "llm_mixture_epochs",  # one-row (total tokens, weight normalizer) broadcast crossJoin
     "agg_decay_score",  # one-row corpus-max-timestamp broadcast crossJoin
+    "llm_hard_negatives",  # broadcast query set vs candidates (cosine_topk layer)
+    "ml_target_encoding",  # one-row global-prior broadcast crossJoin
+    "ml_feature_scale",  # one-row fit-statistics broadcast crossJoin
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
