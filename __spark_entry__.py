@@ -264,6 +264,8 @@ R7_PLANNED = [
     "llm_hard_negatives",
     "ml_target_encoding",
     "ml_feature_scale",
+    "dq_schema_contract",
+    "agg_trimmed_mean",
 ]
 
 

@@ -3105,3 +3105,63 @@ def agg_decay_score(spark, sf_dir):
         F.round(d2d(F.sum("wv")), 6).alias("decay_score"),
         F.round(F.min("age_days"), 6).alias("last_seen_days"),
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH th AS (
+      SELECT o_orderpriority,
+             CAST(percentile_cont(0.1) WITHIN GROUP (ORDER BY o_totalprice)
+                  AS DOUBLE) AS p10,
+             CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                  AS DOUBLE) AS p90
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS trimmed_mean,
+           round(MIN(p10), 6) AS p10,
+           round(MIN(p90), 6) AS p90
+    FROM orders o JOIN th ON th.o_orderpriority = o.o_orderpriority
+    WHERE o_totalprice >= p10 AND o_totalprice <= p90
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def agg_trimmed_mean(spark, sf_dir):
+    """10%-trimmed mean of order value per priority — the robust KPI for
+    dashboards a single whale order shouldn't move (the estimator
+    between the mean agg_stats reports and the median agg_percentile
+    reports; win_anomaly_mad is the screening-side sibling). Per-group
+    p10/p90 fences use the shared interpolated percentile; the kept
+    rows' mean is an exact decimal sum. Fence comparisons happen on
+    identical doubles on both engines, so boundary rows land the same
+    side everywhere.
+
+    Plan shape: percentile pass → |groups|-row fence table broadcast
+    back onto the facts → one map-combined agg. Two scans of the fact
+    table, no window over it."""
+    o = load_table(spark, sf_dir, "orders")
+    th = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.1)).alias("p10"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+    )
+    return (
+        o.join(F.broadcast(th), "o_orderpriority")
+        .filter(
+            (F.col("o_totalprice") >= F.col("p10"))
+            & (F.col("o_totalprice") <= F.col("p90"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.round(d2d(F.sum(dec("o_totalprice", 2))) / F.count("*"), 6).alias(
+                "trimmed_mean"
+            ),
+            F.round(F.min("p10"), 6).alias("p10"),
+            F.round(F.min("p90"), 6).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -865,3 +865,87 @@ def golden_record(ev: DataFrame) -> DataFrame:
         F.col("lat.event_type").alias("latest_event_type"),
         F.col("latv.value").alias("latest_value"),
     )
+
+
+# Declared schema contract for the orders table. Two entries deliberately
+# violate reality so the check's mismatch/missing branches are exercised
+# deterministically on the clean fixture: o_custkey is declared int32
+# (actual int64) and o_comment is declared but absent.
+_ORDERS_CONTRACT = [
+    ("o_orderkey", "int64"),
+    ("o_custkey", "int32"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+    ("o_comment", "string"),
+]
+
+_CONTRACT_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, '{t}' AS expected_type"
+    for c, t in _ORDERS_CONTRACT
+)
+
+
+@query(
+    "dq_schema_contract",
+    oracle=f"""
+    WITH actual AS (
+      SELECT column_name,
+             CASE column_type
+               WHEN 'BIGINT' THEN 'int64'
+               WHEN 'INTEGER' THEN 'int32'
+               WHEN 'DOUBLE' THEN 'double'
+               WHEN 'VARCHAR' THEN 'string'
+               WHEN 'TIMESTAMP' THEN 'timestamp'
+               ELSE lower(column_type)
+             END AS actual_type
+      FROM (DESCRIBE orders)
+    ), contract AS ({_CONTRACT_SQL})
+    SELECT COALESCE(c.column_name, a.column_name) AS column_name,
+           c.expected_type, a.actual_type,
+           CASE WHEN a.column_name IS NULL THEN 'missing'
+                WHEN c.column_name IS NULL THEN 'unexpected'
+                WHEN c.expected_type <> a.actual_type THEN 'mismatch'
+                ELSE 'ok' END AS status
+    FROM contract c FULL JOIN actual a USING (column_name)
+    ORDER BY column_name
+    """,
+)
+def dq_schema_contract(spark, sf_dir):
+    """Schema-contract enforcement — validate a dataset's ON-DISK schema
+    against the declared contract BEFORE any job reads it: per column,
+    ok / mismatch / missing / unexpected. This is the producer-consumer
+    data-contract gate (the schema sibling of dq_checks' value rules);
+    at 100 TB it runs against footer metadata only — no data pages are
+    touched on either engine (Spark reads the merged parquet schema,
+    the oracle describes the registered relation), so the check is
+    milliseconds regardless of table size.
+
+    Both engines canonicalize their native type names to one label set
+    (int32/int64/double/string/timestamp) before comparing; the
+    contract deliberately plants one type drift and one absent column
+    so every verdict branch is exercised (see _ORDERS_CONTRACT)."""
+    actual_schema = load_table(spark, sf_dir, "orders").dtypes
+    canon = {"bigint": "int64", "int": "int32", "timestamp_ntz": "timestamp"}
+    actual = spark.createDataFrame(
+        [(c, canon.get(t, t)) for c, t in actual_schema],
+        "column_name string, actual_type string",
+    )
+    contract = spark.createDataFrame(
+        _ORDERS_CONTRACT, "column_name string, expected_type string"
+    )
+    return (
+        contract.join(actual, "column_name", "full")
+        .select(
+            "column_name",
+            "expected_type",
+            "actual_type",
+            F.when(F.col("actual_type").isNull(), "missing")
+            .when(F.col("expected_type").isNull(), "unexpected")
+            .when(F.col("expected_type") != F.col("actual_type"), "mismatch")
+            .otherwise("ok")
+            .alias("status"),
+        )
+        .orderBy("column_name")
+    )
