@@ -266,6 +266,9 @@ R7_PLANNED = [
     "ml_feature_scale",
     "dq_schema_contract",
     "agg_trimmed_mean",
+    "graph_assortativity",
+    "dq_psi_drift",
+    "ts_acf",
 ]
 
 

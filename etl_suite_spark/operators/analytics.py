@@ -3165,3 +3165,78 @@ def agg_trimmed_mean(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "ts_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS t,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT l.lag, a.rev AS x, b.rev AS y
+      FROM daily a
+      JOIN (SELECT unnest(range(1, 15)) AS lag) l ON true
+      JOIN daily b ON b.t = a.t - l.lag
+    ), s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS acf
+    FROM s ORDER BY lag
+    """,
+)
+def ts_acf(spark, sf_dir):
+    """Sample autocorrelation function of daily revenue at lags 1–14 —
+    the diagnostic that DECIDES the seasonality period before anyone
+    runs ts_seasonal_index_dow / ts_stl_decompose (a weekly rhythm
+    shows as a spike at lag 7 and 14; agg_autocorr_lag1 is this op's
+    single-lag special case on the per-user event series). Per lag:
+    Pearson over (y_t, y_{t−lag}) day pairs from exact decimal power
+    sums rendered once to double.
+
+    Plan shape: facts → day domain once (map-combined agg), a 14-row
+    lag grid joined against the day table (14× a ~|days|-row table,
+    not 14 scans of the facts), one hash agg to 14 rows. The pair join
+    is an equi-join on (t − lag) — no windows, no self-cross."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit(_EPOCH).cast("date")).alias("t")
+    ).agg(F.sum(dec("o_totalprice", 2)).alias("rev"))
+    lags = spark.range(1, 15).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("t", F.col("rev").alias("x"))
+    b = daily.select(F.col("t").alias("tprev"), F.col("rev").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("tprev", F.col("t") - F.col("lag"))
+        .join(b, "tprev")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        d2d(F.sum("x")).alias("sx"),
+        d2d(F.sum("y")).alias("sy"),
+        d2d(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        d2d(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        d2d(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag")

@@ -605,3 +605,76 @@ def graph_bfs_distance(spark, sf_dir):
         .select(F.col("dist").cast("int").alias("dist"), "n_nodes", "min_part", "max_part")
         .orderBy("dist")
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGE_SQL}, edges AS (
+      SELECT u AS src, v AS dst FROM e
+      UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ), ends AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM edges
+      JOIN deg du ON du.node = edges.src
+      JOIN deg dv ON dv.node = edges.dst
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM ends
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           round((m * sxy - sx * sy)
+                 / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees across edges of the part co-purchase graph.
+    Positive ⇒ hubs sell with hubs (catalog core); negative ⇒
+    hub-and-spoke (anchors pulling long-tail parts) — it determines
+    whether hub caps and skew salting even matter for this graph, so it
+    belongs next to graph_degree_histogram in the pre-flight kit.
+    Computed over the SYMMETRIZED edge list (each undirected edge
+    contributes both orientations — the standard estimator, which also
+    makes Σx = Σy by construction).
+
+    Exactness: degrees are integers, so all five power sums are exact
+    (< 2^53) before one scalar Pearson. Plan: degree agg + two
+    equi-joins of the degree table onto the edge list + one single-row
+    aggregate — no windows, no pairs beyond the edges themselves."""
+    und = _copurchase_edges(spark, sf_dir)
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("src").alias("u_node"), F.col("d").alias("x"))
+    dv = deg.select(F.col("src").alias("v_node"), F.col("d").alias("y"))
+    ends = edges.join(du, F.col("src") == F.col("u_node")).join(
+        dv, F.col("dst") == F.col("v_node")
+    )
+    s = ends.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        (m / 2).cast("long").alias("n_edges"),
+        F.round(
+            (m * sxy - sx * sy)
+            / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )

@@ -20,7 +20,7 @@ Rule kinds:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -949,3 +949,122 @@ def dq_schema_contract(spark, sf_dir):
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "dq_psi_drift",
+    oracle="""
+    WITH d AS (
+      SELECT o_totalprice AS price,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS t
+      FROM orders
+    ), split AS (
+      SELECT CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY t) AS DOUBLE)
+               AS tmid
+      FROM d
+    ), ref AS (SELECT price FROM d, split WHERE t <= tmid),
+    cur AS (SELECT price FROM d, split WHERE t > tmid),
+    edges AS (
+      SELECT percentile_cont([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               WITHIN GROUP (ORDER BY price) AS e
+      FROM ref
+    ), rb AS (
+      SELECT len(list_filter(e, x -> price >= x)) AS bin,
+             COUNT(*) AS n
+      FROM ref, edges GROUP BY 1
+    ), cb AS (
+      SELECT len(list_filter(e, x -> price >= x)) AS bin,
+             COUNT(*) AS n
+      FROM cur, edges GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT SUM(n) FROM rb) AS nr, (SELECT SUM(n) FROM cb) AS nc
+    ), terms AS (
+      SELECT CAST(COALESCE(rb.bin, cb.bin) AS BIGINT) AS bin,
+             GREATEST(COALESCE(rb.n, 0) * 1.0 / nr, 1e-6) AS p_ref,
+             GREATEST(COALESCE(cb.n, 0) * 1.0 / nc, 1e-6) AS q_cur
+      FROM rb FULL JOIN cb USING (bin), tot
+    )
+    SELECT bin, round(p_ref, 6) AS p_ref, round(q_cur, 6) AS q_cur,
+           round((q_cur - p_ref) * ln(q_cur / p_ref), 6) AS psi_term,
+           round(SUM(CAST(round((q_cur - p_ref) * ln(q_cur / p_ref), 12)
+                          AS DECIMAL(18,12))) OVER (), 6) AS psi_total
+    FROM terms ORDER BY bin
+    """,
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the order history (split at the median order day): reference-period
+    price deciles become the bins, and PSI = Σ (q−p)·ln(q/p) over them
+    — THE model-monitoring drift metric (PSI < 0.1 stable, 0.1–0.25
+    watch, > 0.25 shifted), complementing agg_ks_test (KS detects ANY
+    gap; PSI localizes WHICH deciles moved and by how much). Empty bins
+    clamp to 1e-6 share on both sides so the log stays finite — the
+    standard PSI smoothing.
+
+    Determinism: bin edges are the shared interpolated percentiles
+    (identical doubles both engines), bin assignment is a count of
+    exceeded edges, shares are integer-count ratios, and the total sums
+    12-dp-rounded terms through a decimal accumulator.
+
+    Plan shape: one percentile pass over the reference half, the 9-edge
+    array broadcast onto both halves, two map-combined bin aggs over a
+    10-row domain, and a 10-row window for the total."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_totalprice").alias("price"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias(
+            "t"
+        ),
+    )
+    split = F.broadcast(d.agg(F.percentile("t", F.lit(0.5)).alias("tmid")))
+    dd = d.crossJoin(split)
+    ref = dd.filter(F.col("t") <= F.col("tmid")).select("price")
+    cur = dd.filter(F.col("t") > F.col("tmid")).select("price")
+    edges = F.broadcast(
+        ref.agg(
+            F.percentile(
+                "price", F.array([F.lit(x / 10.0) for x in range(1, 10)])
+            ).alias("e")
+        )
+    )
+    def bins(df):
+        return (
+            df.crossJoin(edges)
+            .select(
+                F.size(F.filter("e", lambda x: F.col("price") >= x)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+    rb = bins(ref).select(F.col("bin"), F.col("n").alias("rn"))
+    cb = bins(cur).select(F.col("bin").alias("cbin"), F.col("n").alias("cn"))
+    tot = F.broadcast(
+        rb.agg(F.sum("rn").alias("nr")).crossJoin(cb.agg(F.sum("cn").alias("nc")))
+    )
+    terms = (
+        rb.join(cb, rb["bin"] == cb["cbin"], "full")
+        .crossJoin(tot)
+        .select(
+            F.coalesce("bin", "cbin").cast("long").alias("bin"),
+            F.greatest(
+                F.coalesce("rn", F.lit(0)) / F.col("nr"), F.lit(1e-6)
+            ).alias("p_ref"),
+            F.greatest(
+                F.coalesce("cn", F.lit(0)) / F.col("nc"), F.lit(1e-6)
+            ).alias("q_cur"),
+        )
+    )
+    term = (F.col("q_cur") - F.col("p_ref")) * F.log(F.col("q_cur") / F.col("p_ref"))
+    return terms.select(
+        "bin",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("q_cur", 6).alias("q_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(
+            F.sum(F.round(term, 12).cast("decimal(18,12)")).over(
+                Window.partitionBy()
+            ),
+            6,
+        ).alias("psi_total"),
+    ).orderBy("bin")

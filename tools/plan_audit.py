@@ -77,6 +77,8 @@ EXPECTED_NLJ = {
     "llm_hard_negatives",  # broadcast query set vs candidates (cosine_topk layer)
     "ml_target_encoding",  # one-row global-prior broadcast crossJoin
     "ml_feature_scale",  # one-row fit-statistics broadcast crossJoin
+    "dq_psi_drift",  # one-row split/edges/totals broadcast crossJoins (PSI constants)
+    "ts_acf",  # 14-row lag-grid broadcast crossJoin onto the day domain
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
