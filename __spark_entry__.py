@@ -269,6 +269,8 @@ R7_PLANNED = [
     "graph_assortativity",
     "dq_psi_drift",
     "ts_acf",
+    "llm_packing_efficiency",
+    "inc_snapshot_expire",
 ]
 
 

@@ -761,3 +761,84 @@ def llm_mixture_epochs(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "llm_packing_efficiency",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, {_TOK_SQL} AS n_tokens FROM documents
+    ), c AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ), bins AS (
+      SELECT source, FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS bin,
+             SUM(n_tokens) AS bin_tokens
+      FROM c GROUP BY 1, 2
+    ), bucketed AS (
+      SELECT LEAST(bin_tokens * 10 // {_PACK_BUDGET}, 10) AS fill_bucket,
+             COUNT(*) AS n_bins, SUM(bin_tokens) AS tokens
+      FROM bins GROUP BY 1
+    )
+    SELECT CAST(fill_bucket AS BIGINT) AS fill_bucket,
+           CAST(n_bins AS BIGINT) AS n_bins,
+           round(tokens * 1.0 / (n_bins * {_PACK_BUDGET}), 6) AS avg_fill,
+           round(SUM(tokens) OVER () * 1.0
+                 / (SUM(n_bins) OVER () * {_PACK_BUDGET}), 6)
+             AS overall_utilization
+    FROM bucketed ORDER BY fill_bucket
+    """,
+)
+def llm_packing_efficiency(spark, sf_dir):
+    """Fill-rate report for llm_seq_packing's bins — the readout that
+    justifies (or indicts) the packing budget: bins bucketed by fill
+    decile (a doc straddling the boundary books to its starting bin, so
+    fill > 100% buckets to 10), per-bucket mean fill, and the overall
+    token utilization = tokens / (bins × budget). Low utilization means
+    the budget fights the document length distribution
+    (llm_length_histogram shows why); the greedy packer
+    (llm_seq_packing_greedy) is the fix this report motivates.
+
+    Determinism: fills are ratios of exact integer token sums; the
+    decile bucket is pure integer arithmetic (tokens·10 // budget) —
+    no float bucket edges.
+
+    Plan shape: the same per-source prefix-sum window as the packer,
+    then two map-combined aggs onto an ≤11-row bucket domain and an
+    11-row total window."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", _n_tokens().alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    bins = c.groupBy(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET).alias("bin"),
+    ).agg(F.sum("n_tokens").alias("bin_tokens"))
+    bucketed = bins.groupBy(
+        F.least(
+            F.expr(f"(bin_tokens * 10) div {_PACK_BUDGET}"), F.lit(10).cast("long")
+        ).alias("fill_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("bin_tokens").alias("tokens"),
+    )
+    wall = Window.partitionBy()
+    return bucketed.select(
+        "fill_bucket",
+        "n_bins",
+        F.round(F.col("tokens") / (F.col("n_bins") * _PACK_BUDGET), 6).alias(
+            "avg_fill"
+        ),
+        F.round(
+            F.sum("tokens").over(wall)
+            / (F.sum("n_bins").over(wall) * _PACK_BUDGET),
+            6,
+        ).alias("overall_utilization"),
+    ).orderBy("fill_bucket")

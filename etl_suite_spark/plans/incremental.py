@@ -851,3 +851,71 @@ def inc_partition_rebuild(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+@query(
+    "inc_snapshot_expire",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, ts, event_id, event_type AS attr,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_attr
+      FROM events
+    ), changes AS (
+      SELECT user_id, ts, event_id, attr FROM hist
+      WHERE prev_attr IS NULL OR attr <> prev_attr
+    ), versions AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes
+    ), cutoff AS (
+      SELECT max(ts) - INTERVAL 7 DAY AS cut FROM events
+    )
+    SELECT CASE WHEN valid_to IS NULL THEN 'current'
+                WHEN valid_to >= cut THEN 'kept'
+                ELSE 'expired' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(valid_from) AS min_valid_from,
+           MAX(valid_from) AS max_valid_from
+    FROM versions, cutoff
+    GROUP BY 1 ORDER BY status
+    """,
+)
+def inc_snapshot_expire(spark, sf_dir):
+    """SCD2 retention vacuum — the maintenance pass every versioned
+    dimension needs: classify versions as 'current' (open interval),
+    'kept' (closed but inside the 7-day retention horizon, still
+    needed for point-in-time queries), or 'expired' (safe to physically
+    delete). Emits the audit summary a vacuum job logs BEFORE deleting;
+    the delete itself is a partition-overwrite of the expired set
+    (sink_overwrite_partition). Point-in-time lookups older than the
+    horizon (dim_scd2_lookup) must route to cold storage after this
+    runs — that contract is the reason the audit row exists.
+
+    Plan shape: the shared SCD2 interval build (one window exchange on
+    user_id), a one-row broadcast cutoff, and a 3-row classification
+    agg with map-side combine."""
+    versions = scd2_intervals(load_table(spark, sf_dir, "events"))
+    cutoff = F.broadcast(
+        load_table(spark, sf_dir, "events").agg(
+            (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cut")
+        )
+    )
+    return (
+        versions.crossJoin(cutoff)
+        .groupBy(
+            F.when(F.col("valid_to").isNull(), "current")
+            .when(F.col("valid_to") >= F.col("cut"), "kept")
+            .otherwise("expired")
+            .alias("status")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_versions"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.min("valid_from").alias("min_valid_from"),
+            F.max("valid_from").alias("max_valid_from"),
+        )
+        .orderBy("status")
+    )

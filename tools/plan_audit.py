@@ -79,6 +79,7 @@ EXPECTED_NLJ = {
     "ml_feature_scale",  # one-row fit-statistics broadcast crossJoin
     "dq_psi_drift",  # one-row split/edges/totals broadcast crossJoins (PSI constants)
     "ts_acf",  # 14-row lag-grid broadcast crossJoin onto the day domain
+    "inc_snapshot_expire",  # one-row retention-cutoff broadcast crossJoin
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
