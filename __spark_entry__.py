@@ -271,6 +271,8 @@ R7_PLANNED = [
     "ts_acf",
     "llm_packing_efficiency",
     "inc_snapshot_expire",
+    "join_asof_tolerance",
+    "llm_charset_report",
 ]
 
 

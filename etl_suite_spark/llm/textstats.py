@@ -1217,3 +1217,44 @@ def llm_length_histogram(spark, sf_dir):
         )
         .orderBy("bucket_start")
     )
+
+
+@query(
+    "llm_charset_report",
+    oracle="""
+    WITH ch AS (
+      SELECT unnest(string_split(text, '')) AS ch FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM ch)
+    SELECT ch AS char,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(COUNT(*) * 1.0 / MAX(n), 6) AS share,
+           MAX(ascii(ch)) < 128 AS is_ascii
+    FROM ch, tot GROUP BY ch ORDER BY ch
+    """,
+)
+def llm_charset_report(spark, sf_dir):
+    """Character-inventory report: every distinct character in the
+    corpus with its frequency share and an ASCII flag — the
+    encoding-QA pass that catches mojibake, stray control characters,
+    and zero-width junk BEFORE a tokenizer bakes them into the vocab
+    (a handful of U+FFFD or NBSP characters in a 100 TB crawl is
+    invisible in samples and obvious here). The char domain is bounded
+    by the alphabet, so the output is constant-size at any corpus
+    scale.
+
+    Plan shape: map-only char explode → hash agg on the (tiny) char
+    domain with map-side combine, one broadcast total."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(F.explode(F.split("text", "")).alias("char"))
+    tot = F.broadcast(ch.agg(F.count("*").alias("n")))
+    return (
+        ch.crossJoin(tot)
+        .groupBy("char")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.count("*") / F.max("n"), 6).alias("share"),
+            (F.max(F.ascii("char")) < 128).alias("is_ascii"),
+        )
+        .select("char", "n", "share", "is_ascii")
+        .orderBy("char")
+    )

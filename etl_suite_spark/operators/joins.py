@@ -498,3 +498,75 @@ def join_interval_overlap(spark, sf_dir):
             ovl.cast("long").alias("overlap_us"),
         )
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 900000000
+                THEN c.event_id END AS click_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 900000000
+                THEN round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6)
+           END AS staleness_sec,
+           c.ts IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(c.ts) <= 900000000 AS fresh
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness tolerance — join_asof's missing knob:
+    the latest click at-or-before each purchase counts ONLY if it is at
+    most 15 minutes old; older matches are nulled out (a quote from
+    yesterday must not price today's trade — the pandas merge_asof
+    ``tolerance`` semantic). Every purchase row survives (left
+    semantics) with a ``fresh`` verdict and the match's measured
+    staleness, so the downstream can distinguish 'no click ever' from
+    'click too old' (both null, same verdict column).
+
+    Same linear union+window plan as join_asof — one shuffle + one sort
+    per user — with the tolerance applied AFTER the carry-forward as a
+    map-local gate on exact epoch-microsecond ages; the window cost is
+    identical, no extra pass. DuckDB's native ASOF LEFT JOIN is the
+    twin."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.struct(
+            F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        ).alias("click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None)
+        .cast("struct<click_id:bigint,click_ts:timestamp>")
+        .alias("click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.col("click.click_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = clicks.unionByName(purchases).withColumn(
+        "last_click", F.last("click", ignorenulls=True).over(w)
+    )
+    age_us = F.unix_micros("ts") - F.unix_micros("last_click.click_ts")
+    fresh = F.col("last_click").isNotNull() & (age_us <= 900_000_000)
+    return filled.filter(F.col("side") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(fresh, F.col("last_click.click_id")).alias("click_id"),
+        F.when(fresh, F.round(age_us / 1_000_000.0, 6)).alias("staleness_sec"),
+        fresh.alias("fresh"),
+    )

@@ -80,6 +80,7 @@ EXPECTED_NLJ = {
     "dq_psi_drift",  # one-row split/edges/totals broadcast crossJoins (PSI constants)
     "ts_acf",  # 14-row lag-grid broadcast crossJoin onto the day domain
     "inc_snapshot_expire",  # one-row retention-cutoff broadcast crossJoin
+    "llm_charset_report",  # one-row corpus-total broadcast crossJoin (share denominator)
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
