@@ -273,6 +273,7 @@ R7_PLANNED = [
     "inc_snapshot_expire",
     "join_asof_tolerance",
     "llm_charset_report",
+    "llm_quality_composite",
 ]
 
 

@@ -842,3 +842,65 @@ def llm_packing_efficiency(spark, sf_dir):
             6,
         ).alias("overall_utilization"),
     ).orderBy("fill_bucket")
+
+
+def _composite_oracle() -> str:
+    """Assembled at registration from the registry's own oracle strings,
+    so the composite can NEVER drift from its constituent gates — edit
+    a rule in llm_quality_c4 and this oracle follows automatically."""
+    from ..registry import ORACLES
+
+    return f"""
+    WITH c4 AS ({ORACLES["llm_quality_c4"]}),
+    gopher AS ({ORACLES["llm_quality_gopher"]})
+    SELECT c4.doc_id,
+           c4.keep AS c4_keep,
+           gopher.keep AS gopher_keep,
+           c4.keep AND gopher.keep AS keep,
+           concat_ws(',',
+             CASE WHEN NOT c4.keep THEN 'c4' END,
+             CASE WHEN NOT gopher.keep THEN 'gopher' END) AS reasons
+    FROM c4 JOIN gopher ON gopher.doc_id = c4.doc_id
+    ORDER BY c4.doc_id
+    """
+
+
+@query("llm_quality_composite", oracle=_composite_oracle())
+def llm_quality_composite(spark, sf_dir):
+    """The filter CASCADE every corpus pipeline actually ships: the
+    map-only C4 rule gate AND the Gopher repetition gate, joined per
+    document into one keep/drop verdict with machine-readable reason
+    codes (FineWeb/RefinedWeb-style: cheap rules first, each retained
+    as its own column so thresholds can be re-mixed without re-scanning;
+    reasons are ''/'c4'/'gopher'/'c4,gopher'). Composed from the
+    REGISTERED constituent queries on both sides — the Spark plan calls
+    the same functions, the oracle splices the same oracle SQL — so the
+    composite tracks rule changes by construction.
+
+    Plan shape: both gates aggregate to one row per doc before the
+    equi-join on doc_id, and the C4 side is map-only, so the join cost
+    is the gopher side's existing shuffle — composition adds one
+    doc-domain join, nothing over the token stream."""
+    from ..registry import QUERIES
+
+    c4 = QUERIES["llm_quality_c4"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c4_keep")
+    )
+    gopher = QUERIES["llm_quality_gopher"](spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    return (
+        c4.join(gopher, "doc_id")
+        .select(
+            "doc_id",
+            "c4_keep",
+            "gopher_keep",
+            (F.col("c4_keep") & F.col("gopher_keep")).alias("keep"),
+            F.concat_ws(
+                ",",
+                F.when(~F.col("c4_keep"), "c4"),
+                F.when(~F.col("gopher_keep"), "gopher"),
+            ).alias("reasons"),
+        )
+        .orderBy("doc_id")
+    )
