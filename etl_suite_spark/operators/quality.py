@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..core import d2d
 from ..io import load_table
 from ..registry import query
 
@@ -987,8 +988,10 @@ def dq_schema_contract(spark, sf_dir):
     )
     SELECT bin, round(p_ref, 6) AS p_ref, round(q_cur, 6) AS q_cur,
            round((q_cur - p_ref) * ln(q_cur / p_ref), 6) AS psi_term,
-           round(SUM(CAST(round((q_cur - p_ref) * ln(q_cur / p_ref), 12)
-                          AS DECIMAL(18,12))) OVER (), 6) AS psi_total
+           round(CAST(CAST(SUM(CAST(round((q_cur - p_ref)
+                                         * ln(q_cur / p_ref), 12)
+                                    AS DECIMAL(18,12))) OVER ()
+                      AS VARCHAR) AS DOUBLE), 6) AS psi_total
     FROM terms ORDER BY bin
     """,
 )
@@ -1062,8 +1065,10 @@ def dq_psi_drift(spark, sf_dir):
         F.round("q_cur", 6).alias("q_cur"),
         F.round(term, 6).alias("psi_term"),
         F.round(
-            F.sum(F.round(term, 12).cast("decimal(18,12)")).over(
-                Window.partitionBy()
+            d2d(
+                F.sum(F.round(term, 12).cast("decimal(18,12)")).over(
+                    Window.partitionBy()
+                )
             ),
             6,
         ).alias("psi_total"),
