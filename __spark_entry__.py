@@ -274,6 +274,7 @@ R7_PLANNED = [
     "join_asof_tolerance",
     "llm_charset_report",
     "llm_quality_composite",
+    "ts_holt_winters",
 ]
 
 

@@ -3240,3 +3240,117 @@ def ts_acf(spark, sf_dir):
             6,
         ).alias("acf"),
     ).orderBy("lag")
+
+
+def _hw_fold(x, l, b, s0, seasonals):
+    """Holt–Winters step as an engine-parametric expression template.
+
+    ``x``/``l``/``b``/``s0`` are the engine's subscript spellings for the
+    incoming value, level, trend, and the 7-steps-ago seasonal;
+    ``seasonals`` the rotated tail (positions 2..7 of the seasonal ring).
+    α=0.5, β=0.3, γ=0.2; every component rounds to 6 dp into decimal so
+    the fold is bit-identical on both engines (the ts_holt_linear
+    discipline; ℓₜ is inlined where bₜ/sₜ need it because fold lambdas
+    can't bind intermediates).
+    """
+    lt = f"round(0.5 * ({x} - {s0}) + 0.5 * ({l} + {b}), 6)"
+    bt = f"round(0.3 * ({lt} - {l}) + 0.7 * {b}, 6)"
+    st = f"round(0.2 * ({x} - {lt}) + 0.8 * {s0}, 6)"
+    parts = [lt, bt] + seasonals + [st]
+    return ", ".join(f"CAST({p} AS DECIMAL(18,6))" for p in parts)
+
+
+_HW_SPARK = _hw_fold(
+    "x[0]", "acc[0]", "acc[1]", "acc[2]", [f"acc[{i}]" for i in range(3, 9)]
+)
+_HW_DUCK = _hw_fold(
+    "p[1]", "acc[1]", "acc[2]", "acc[3]", [f"acc[{i}]" for i in range(4, 10)]
+)
+
+
+@query(
+    "ts_holt_winters",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS v
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+             list([CAST(v AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)),
+                   CAST(0 AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)),
+                   CAST(0 AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)),
+                   CAST(0 AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)),
+                   CAST(0 AS DECIMAL(18,6))] ORDER BY day) AS vs
+      FROM daily
+    ), folded AS (
+      SELECT n_days, list_reduce(vs, (acc, p) -> [{_HW_DUCK}]) AS st FROM s
+    )
+    SELECT CAST(h AS INTEGER) AS h,
+           CAST(CAST(st[1] AS VARCHAR) AS DOUBLE) AS level,
+           CAST(CAST(st[2] AS VARCHAR) AS DOUBLE) AS trend,
+           round(CAST(CAST(st[1] AS VARCHAR) AS DOUBLE)
+                 + h * CAST(CAST(st[2] AS VARCHAR) AS DOUBLE)
+                 + CAST(CAST(st[2 + h] AS VARCHAR) AS DOUBLE), 6)
+             AS forecast
+    FROM folded, unnest(range(1, 8)) AS r(h)
+    ORDER BY h
+    """,
+)
+def ts_holt_winters(spark, sf_dir):
+    """Additive Holt–Winters (triple-exponential) smoothing of the daily
+    revenue series, period 7 — level + trend + a weekly seasonal ring
+    (Winters 1960), emitting the 1–7-day-ahead forecast fan:
+    ŷ(t+h) = ℓ + h·b + s_{t+h−7}. Completes the forecasting ladder
+    (snaive baseline → ts_ewma → ts_holt_linear → this, the first
+    member that models the dow rhythm ts_acf/ts_seasonal_index_dow
+    diagnose). Zero-init seasonals (the level absorbs week one — the
+    standard simplified init).
+
+    The recursion threads a 9-element [ℓ, b, s₁..s₇] decimal state
+    through the same left fold as ts_holt_linear, every component
+    rounded to 6 dp so both engines' folds are bit-identical; the
+    seasonal ring rotates by list slicing inside the lambda. Built on
+    the GLOBAL day domain (dense), not per-user series, because
+    row-indexed seasonality under per-user day gaps would desync from
+    the calendar.
+
+    Plan shape: facts → day domain (map-combined), ONE single-row fold
+    over the date-span-bounded array, 7 output rows. The fold is
+    inherently sequential — but over |days| elements, not |facts|."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        d2d(F.sum(dec("o_totalprice", 2))).alias("v")
+    )
+    zeros = ", ".join(["CAST(0 AS DECIMAL(18,6))"] * 8)
+    s = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, v))),"
+            f" p -> array(CAST(p.v AS DECIMAL(18,6)), {zeros}))"
+        ).alias("vs"),
+    )
+    folded = s.select(
+        "n_days",
+        F.expr(
+            "aggregate(slice(vs, 2, size(vs) - 1), element_at(vs, 1),"
+            f" (acc, x) -> array({_HW_SPARK}))"
+        ).alias("st"),
+    )
+    hs = spark.range(1, 8).select(F.col("id").cast("int").alias("h"))
+    return (
+        folded.crossJoin(F.broadcast(hs))
+        .select(
+            "h",
+            d2d(F.expr("st[0]")).alias("level"),
+            d2d(F.expr("st[1]")).alias("trend"),
+            F.round(
+                d2d(F.expr("st[0]"))
+                + F.col("h") * d2d(F.expr("st[1]"))
+                + d2d(F.expr("st[1 + h]")),
+                6,
+            ).alias("forecast"),
+        )
+        .orderBy("h")
+    )

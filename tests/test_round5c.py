@@ -153,3 +153,28 @@ def test_quality_composite_is_the_conjunction(spark):
             if not ok
         )
         assert r["reasons"] == expected
+
+
+def test_holt_winters_matches_python_reference(spark, duck):
+    """The decimal fold must reproduce a plain-Python Holt-Winters
+    recursion (same rounding schedule) exactly."""
+    rows = duck.sql(
+        """SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS VARCHAR) AS DOUBLE) AS v
+           FROM orders GROUP BY CAST(o_orderdate AS DATE)
+           ORDER BY CAST(o_orderdate AS DATE)"""
+    ).fetchall()
+    xs = [r[0] for r in rows]
+    l, b, s = xs[0], 0.0, [0.0] * 7
+    for x in xs[1:]:
+        s0 = s[0]
+        lt = round(0.5 * (x - s0) + 0.5 * (l + b), 6)
+        bt = round(0.3 * (lt - l) + 0.7 * b, 6)
+        st = round(0.2 * (x - lt) + 0.8 * s0, 6)
+        l, b, s = lt, bt, s[1:] + [st]
+    got = QUERIES["ts_holt_winters"](spark, SF_DIR).collect()
+    assert len(got) == 7
+    for r in got:
+        assert abs(r["level"] - l) < 1e-6
+        assert abs(r["trend"] - b) < 1e-6
+        assert abs(r["forecast"] - round(l + r["h"] * b + s[r["h"] - 1], 6)) < 1e-6
