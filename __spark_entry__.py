@@ -98,7 +98,8 @@ R4_WINDOW = [
     "llm_unigram_logprob",
 ]
 
-# Round-5 ACTIVE window (VERDICT r4 "Next round" item 1): the first 50
+# Round-5 window (HISTORICAL — drove CORRECTNESS_r05, 50/50 green; kept
+# for the evidence-ledger tests): the first 50
 # oracle-checkable entries of the round-4 R5_PLANNED rotation list.
 # CORRECTNESS_r04 came back 50/50 green so there are no red re-checks;
 # the only two R5_PLANNED entries skipped here are the rows-only
@@ -160,21 +161,22 @@ R5_WINDOW = [
     "win_anomaly_mad",
 ]
 
-# Round-6 closeout plan (VERDICT r4 item 7): every registered query with no
-# driver record after R5 executes — 14 r3/r4-era oracle-checkable queries,
-# the 31 added during round 5 (each oracle-checked locally on introduction
-# AND re-checked in the round-close full sweep at sf0.01; the 20 later ones
-# also pass a fresh-process non-UTC-session-TZ driver simulation), plus 4
-# rows-only ops that get (weaker) rows-only driver records so even
-# they have driver evidence: agg_sketch_rollup (engine-specific sketch state;
-# quantile twin oracle-checked in R5), llm_sim_mmr_rerank (sequential greedy
-# rerank, pytest-checked vs NumPy), and llm_sim_ann_pq / llm_sim_ann_ivfpq
-# (approximate by construction; their `_recall` honesty twins are
-# oracle-checked in the R5 window above).  New queries added in round 5+
-# must be appended here — tests/test_entry_contract.py recomputes coverage
-# from the committed CORRECTNESS files and fails if any oracled query is
-# left without a driver-evidence plan.
-R6_PLANNED = [
+# Round-6 ACTIVE window (VERDICT r5 "Next round" item 2): every registered
+# query with no driver record after R5 executed — 14 r3/r4-era
+# oracle-checkable queries, the 31 added during round 5 (each oracle-checked
+# locally on introduction AND re-checked in the round-close full sweep at
+# sf0.01; the 20 later ones also pass a fresh-process non-UTC-session-TZ
+# driver simulation), plus 4 rows-only ops that get (weaker) rows-only
+# driver records so even they have driver evidence: agg_sketch_rollup
+# (engine-specific sketch state; quantile twin oracle-checked in R5),
+# llm_sim_mmr_rerank (sequential greedy rerank, pytest-checked vs NumPy),
+# and llm_sim_ann_pq / llm_sim_ann_ivfpq (approximate by construction;
+# their `_recall` honesty twins are oracle-checked in the R5 window above).
+# New queries added in round 6+ must be appended to R7_PLANNED —
+# tests/test_entry_contract.py recomputes coverage from the committed
+# CORRECTNESS files and fails if any registered query is left without a
+# driver-evidence plan.
+R6_WINDOW = [
     "join_asof_nearest",
     "agg_trend_corr",
     "llm_curriculum_order",
@@ -229,11 +231,12 @@ R6_PLANNED = [
     "llm_sim_ann_ivfpq",
 ]
 
-# Round-7 overflow plan: R6_PLANNED filled its 50-slot window, so queries
+# Round-7 overflow plan: R6_WINDOW filled its 50-slot window, so queries
 # added past that point queue here (same contract: each is oracle-checked
 # locally on introduction; tests/test_entry_contract.py counts R7 toward
-# the every-query-has-a-driver-evidence-plan invariant and caps it at one
-# window).
+# the every-query-has-a-driver-evidence-plan invariant). It currently
+# holds 40 entries, so up to 10 queries added during round 6 can append
+# here and still fit the one-round 50-slot window.
 R7_PLANNED = [
     "ts_holt_linear",
     "agg_welch_ttest",
@@ -279,7 +282,7 @@ R7_PLANNED = [
 
 
 def _windowed(mapping: dict) -> dict:
-    ordered = {k: mapping[k] for k in R5_WINDOW if k in mapping}
+    ordered = {k: mapping[k] for k in R6_WINDOW if k in mapping}
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
     return ordered
 

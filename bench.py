@@ -1,12 +1,16 @@
 """Benchmark harness — the driver's per-round performance probe.
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line::
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints TWO JSON
+lines — a full detail record (with raw per-pass ``runs`` arrays), then a
+compact FINAL line sized for the driver's 2000-char stdout tail::
 
-    {"metric": "headline_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1, "repeats": 3,
-     "runs": {"q1": [a, b, c], ...}}
+    {"metric":"headline_wall_sec","value":N,"unit":"sec","sf":0.1,
+     "repeats":3,"calibration_sec":C,"sched_1k_tasks_sec":S,
+     "queries":{"q1":sec,...}}
+
+(The single-line format outgrew the driver's tail window at 30 rows —
+BENCH_r05 recorded ``"parsed": null``; the driver parses the LAST line.)
 
 Headline set (SURVEY.md §6): the flagship group-agg, the 5-way join, the
 per-group top-k window, and the LLM-data ops (dedup + similarity) — the
@@ -179,23 +183,52 @@ def main() -> None:
 
     timings = {n: round(statistics.median(r), 3) for n, r in runs.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "repeats": repeats,
-                "calibration_sec": calibration,
-                "calibration_runs": cal_runs,
-                "sched_1k_tasks_sec": sched,
-                "sched_runs": sched_runs,
-                "runs": runs,
-            }
+    detail = {
+        "metric": "headline_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "repeats": repeats,
+        "calibration_sec": calibration,
+        "calibration_runs": cal_runs,
+        "sched_1k_tasks_sec": sched,
+        "sched_runs": sched_runs,
+        "runs": runs,
+    }
+    # Full detail first (raw per-pass runs for spread inspection), then the
+    # compact record LAST: the driver parses the final stdout line and keeps
+    # only a 2000-char tail, which the detail record outgrew at 30 rows
+    # (BENCH_r05 recorded "parsed": null). The compact line drops the runs
+    # arrays and degrades further if the query map itself ever gets huge.
+    print(json.dumps(detail))
+    print(compact_record(detail))
+
+
+def compact_record(detail: dict, limit: int = 1900) -> str:
+    """Final-line record sized for the driver's 2000-char tail window."""
+    compact = {
+        k: detail[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "repeats",
+            "calibration_sec",
+            "sched_1k_tasks_sec",
         )
-    )
+        if k in detail
+    }
+    compact["queries"] = detail["queries"]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > limit:  # ~60+ rows at 3 dp: shrink to 2 dp
+        compact["queries"] = {n: round(v, 2) for n, v in detail["queries"].items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > limit:  # last resort: headline number beats no number
+        del compact["queries"]
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -1245,7 +1245,12 @@ def llm_charset_report(spark, sf_dir):
     Plan shape: map-only char explode → hash agg on the (tiny) char
     domain with map-side combine, one broadcast total."""
     d = load_table(spark, sf_dir, "documents")
-    ch = d.select(F.explode(F.split("text", "")).alias("char"))
+    # The zero-length filter is a no-op today but pins parity across
+    # Spark versions: Java's split(-1) has historically kept a trailing
+    # empty element that DuckDB's string_split(text, '') drops.
+    ch = d.select(F.explode(F.split("text", "")).alias("char")).filter(
+        F.length("char") > 0
+    )
     tot = F.broadcast(ch.agg(F.count("*").alias("n")))
     return (
         ch.crossJoin(tot)

@@ -6,13 +6,13 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-5 window composition (VERDICT r4 "Next round" item 1): the first 50
-oracle-checkable entries of the round-4 R5_PLANNED rotation list — the
-r3-era scale/analytics/dq ops plus everything added in round 4.
-CORRECTNESS_r04 was 50/50 green so there are no red re-checks.
-R6_PLANNED pins the closeout: the 14 remaining r3/r4-era oracled
-queries, every query added during round 5 (31), and 4 rows-only ops
-taking (weaker) rows-only driver slots — 49 of the 50-slot window.
+Round-6 window composition (VERDICT r5 "Next round" item 2): the
+closeout rotation — 14 r3/r4-era oracle-checkable queries, the 31 added
+during round 5, and 4 rows-only ops taking (weaker) rows-only driver
+slots whose honesty twins are already driver-green.  R7_PLANNED holds
+the remaining 40 never-driver-checked queries; after R7 executes, every
+registered query will have a driver record, and the evidence-ledger test
+below enforces exactly that from the committed CORRECTNESS files.
 """
 
 from __future__ import annotations
@@ -22,60 +22,68 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R5_WINDOW = [
-    "agg_string_concat_group",
-    "agg_multi_distinct",
-    "agg_quantile_sketch_rollup",
-    "agg_higher_moments",
-    "agg_conditional",
-    "agg_path_transitions",
-    "agg_time_to_convert",
-    "win_gaps_islands",
-    "win_pct_of_total",
-    "win_interval_coalesce",
-    "dq_checks",
-    "dq_key_skew_report",
-    "er_blocking_match",
-    "join_salted_skew",
-    "join_bloom_pruned",
-    "join_range_bucketed",
-    "join_null_skew_rewrite",
-    "sink_bucketed_colocated_join",
-    "sink_overwrite_partition",
-    "sink_merge_upsert",
-    "llm_seq_packing_greedy",
-    "sample_group_fixed",
-    "sample_stratified",
-    "inc_dedup_ingest",
-    "llm_dedup_embedding",
-    "llm_dedup_paragraph",
-    "llm_quality_c4",
-    "llm_sim_ann_pq_recall",
-    "dim_scd2_lookup",
-    "agg_unpivot",
-    "ts_gapfill_locf",
-    "llm_dedup_keeplist",
-    "llm_bigram_logprob",
-    "llm_sim_ann_ivfpq_recall",
-    "ts_ewma",
-    "dq_profile",
-    "sink_zorder_layout",
-    "agg_aqp_estimate",
-    "graph_triangle_count",
-    "win_running_median",
-    "inc_scd2_apply",
-    "agg_market_basket",
-    "agg_gini",
-    "win_ohlc",
-    "win_pareto_abc",
-    "dq_snapshot_diff",
-    "llm_dedup_minhash_precision",
-    "stream_ohlc",
-    "sample_weighted",
-    "win_anomaly_mad",
+EXPECTED_R6_WINDOW = [
+    "join_asof_nearest",
+    "agg_trend_corr",
+    "llm_curriculum_order",
+    "inc_late_dim_resolve",
+    "ts_gapfill_interpolate",
+    "agg_cohort_ltv",
+    "win_zscore_rolling",
+    "scan_rowgroup_stats",
+    "llm_corpus_stats",
+    "agg_autocorr_lag1",
+    "llm_ngram_novelty",
+    "win_rank_change",
+    "agg_new_vs_returning",
+    "agg_interevent_gaps",
+    "llm_dedup_embedding_recall",
+    "llm_sim_range_search",
+    "llm_dedup_crossset",
+    "agg_dau_wau_stickiness",
+    "dq_benford",
+    "llm_vocab_growth",
+    "agg_activity_heatmap",
+    "mm_byte_framing",
+    "agg_rfm_segmentation",
+    "agg_bitmap_rollup",
+    "agg_forecast_snaive",
+    "agg_entropy_mix",
+    "win_rolling_corr7",
+    "dq_cross_table_rule",
+    "llm_bpe_merge_candidates",
+    "llm_perplexity_bucket",
+    "stream_topk_per_window",
+    "agg_bitmap_distinct",
+    "win_cusum_changepoint",
+    "ts_seasonal_index_dow",
+    "dq_outlier_iqr",
+    "join_interval_overlap",
+    "llm_dedup_containment",
+    "llm_span_corruption",
+    "llm_readability",
+    "graph_connected_components",
+    "graph_degree_histogram",
+    "graph_jaccard_neighbors",
+    "agg_ab_test",
+    "agg_survival_km",
+    "agg_attribution_last_touch",
+    "win_drawdown",
+    # rows-only driver slots (no oracle BY DESIGN — see __spark_entry__):
+    "agg_sketch_rollup",
+    "llm_sim_mmr_rerank",
+    "llm_sim_ann_pq",
+    "llm_sim_ann_ivfpq",
 ]
 
-_DRIVER_ROUNDS = (1, 2, 3, 4)
+ROWS_ONLY_SLOTS = {
+    "agg_sketch_rollup",
+    "llm_sim_mmr_rerank",
+    "llm_sim_ann_pq",
+    "llm_sim_ann_ivfpq",
+}
+
+_DRIVER_ROUNDS = (1, 2, 3, 4, 5, 6)
 
 
 def _driver_history() -> dict[str, dict]:
@@ -89,28 +97,36 @@ def _driver_history() -> dict[str, dict]:
 
 
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R5_WINDOW) == 50
-    assert len(set(EXPECTED_R5_WINDOW)) == 50
+    assert len(EXPECTED_R6_WINDOW) == 50
+    assert len(set(EXPECTED_R6_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R5_WINDOW
-    assert entry_mod.R5_WINDOW == EXPECTED_R5_WINDOW
+    assert qs[:50] == EXPECTED_R6_WINDOW
+    assert entry_mod.R6_WINDOW == EXPECTED_R6_WINDOW
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R5_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R6_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
-def test_every_window_query_has_an_oracle():
-    # A windowed query without an oracle burns a driver slot on a
-    # rows-only record; the window must be 50 oracle-checkable queries.
+def test_window_oracle_coverage_is_exactly_as_declared():
+    # 46 oracle-checked + the 4 declared rows-only slots; any other
+    # oracle-less entry burns a driver slot on an unplanned weak record.
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in EXPECTED_R5_WINDOW if n not in oracles]
+    missing = [
+        n
+        for n in EXPECTED_R6_WINDOW
+        if n not in oracles and n not in ROWS_ONLY_SLOTS
+    ]
     assert not missing, f"window names without oracles: {missing}"
+    oracled_rows_only = sorted(n for n in ROWS_ONLY_SLOTS if n in oracles)
+    assert not oracled_rows_only, (
+        f"declared rows-only but oracle exists: {oracled_rows_only}"
+    )
 
 
 def test_oracle_keys_subset_of_queries():
@@ -119,15 +135,12 @@ def test_oracle_keys_subset_of_queries():
     assert not extra, f"oracles without queries: {extra}"
 
 
-def test_r5_targets_stale_red_and_never_checked():
-    """The window must clear every stale-red oracle-able driver record.
-
-    Recomputes "latest driver record is red" from the committed
-    CORRECTNESS_r0{1..4}.json files; every such query with an oracle must
-    be inside R5_WINDOW.  (CORRECTNESS_r04 was 50/50 green, so this is
-    expected to be vacuous — the test exists to catch a regression being
-    planned around rather than re-checked.)
-    """
+def test_no_stale_red_left_outside_window():
+    """Any query whose LATEST driver record is red (oracle-able but not
+    fully green) must sit inside the active window for a re-check.
+    Recomputed from the committed CORRECTNESS_r0*.json files; r1-r5 ended
+    50/50 green so this is expected vacuous — it exists to catch a
+    regression being planned around rather than re-checked."""
     latest = _driver_history()
     oracles = entry_mod.oracle_sql()
     red = [
@@ -138,41 +151,36 @@ def test_r5_targets_stale_red_and_never_checked():
             rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
         )
     ]
-    outside = sorted(set(red) - set(EXPECTED_R5_WINDOW))
+    outside = sorted(set(red) - set(EXPECTED_R6_WINDOW))
     assert not outside, f"stale-red oracle-able queries not in window: {outside}"
 
 
-def test_r6_plan_covers_every_remaining_query():
-    """R5_WINDOW ∪ R6_PLANNED ∪ driver history must cover EVERY registered
-    query — including rows-only ops, which take weaker rows-only driver
-    slots in R6.  A query added in round 5+ without an R6_PLANNED entry
-    fails here."""
-    seen = set(_driver_history())
-    qs = set(entry_mod.queries())
-    covered = (
-        seen
-        | set(EXPECTED_R5_WINDOW)
-        | set(entry_mod.R6_PLANNED)
-        | set(entry_mod.R7_PLANNED)
-    )
-    uncovered = sorted(qs - covered)
+def _is_green_or_rows_only(rec: dict) -> bool:
+    if rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"):
+        return True
+    # rows-only record: driver ran the Spark side, got rows, no oracle
+    return rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
+
+
+def test_evidence_ledger_covers_every_query():
+    """VERDICT r5 item 6: every registered query must have a
+    green-or-rows-only driver record in the committed CORRECTNESS files,
+    OR a pinned slot in the active window / R7_PLANNED.  Once R7
+    executes, the planned sets shrink to empty and this becomes the pure
+    ledger invariant — a future query addition with no driver-evidence
+    plan fails here immediately."""
+    latest = _driver_history()
+    evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
+    planned = set(EXPECTED_R6_WINDOW) | set(entry_mod.R7_PLANNED)
+    uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
-
-
-def test_r6_plan_fits_one_window():
-    assert len(entry_mod.R6_PLANNED) <= 50
-    assert len(set(entry_mod.R6_PLANNED)) == len(entry_mod.R6_PLANNED)
-    overlap = set(entry_mod.R6_PLANNED) & set(EXPECTED_R5_WINDOW)
-    assert not overlap, f"R6 entries already in R5 window: {overlap}"
 
 
 def test_r7_overflow_plan_is_well_formed():
     assert len(entry_mod.R7_PLANNED) <= 50
     assert len(set(entry_mod.R7_PLANNED)) == len(entry_mod.R7_PLANNED)
-    overlap = set(entry_mod.R7_PLANNED) & (
-        set(entry_mod.R6_PLANNED) | set(EXPECTED_R5_WINDOW)
-    )
-    assert not overlap, f"R7 entries already planned earlier: {overlap}"
+    overlap = set(entry_mod.R7_PLANNED) & set(EXPECTED_R6_WINDOW)
+    assert not overlap, f"R7 entries already in the R6 window: {overlap}"
 
 
 def test_bench_headline_queries_registered():
@@ -185,3 +193,33 @@ def test_bench_headline_queries_registered():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, f"bench rows not registered: {missing}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_bench_compact_line_fits_driver_tail():
+    """BENCH_r05 came back "parsed": null because the single JSON line
+    outgrew the driver's 2000-char stdout tail.  Pin that the compact
+    final line stays well under the window for the CURRENT headline set
+    (worst-case 4-digit-seconds timings), and that the degradation
+    ladder works at 60+ rows."""
+    import bench
+
+    fake = {
+        "metric": "headline_wall_sec",
+        "value": 9999.999,
+        "unit": "sec",
+        "sf": 0.1,
+        "repeats": 3,
+        "calibration_sec": 99.999,
+        "sched_1k_tasks_sec": 99.999,
+        "queries": {n: 9999.999 for n in bench.HEADLINE},
+    }
+    line = bench.compact_record(fake)
+    assert len(line) < 1900, f"compact line {len(line)} chars"
+    assert '"value": 9999.999'.replace(" ", "") in line.replace(" ", "")
+    # 70-row stress: must still emit a parseable line under the limit
+    fake["queries"] = {f"some_quite_long_query_name_{i:03d}": 9999.999 for i in range(70)}
+    import json as _json
+
+    stress = bench.compact_record(fake)
+    assert len(stress) < 1900
+    assert _json.loads(stress)["value"] == 9999.999

@@ -93,11 +93,16 @@ def test_threshold_sweep_is_monotone(spark):
 
 def test_bfs_levels_partition_reachable_set(spark, duck):
     """Level sets are disjoint by construction; their union equals the
-    recursive-oracle reachable set; level 0 is a single seed."""
+    recursive-oracle reachable set (per-distance counts compared against
+    the recursive CTE run via DuckDB); level 0 is a single seed."""
     rows = QUERIES["graph_bfs_distance"](spark, SF_DIR).collect()
     assert rows[0]["dist"] == 0 and rows[0]["n_nodes"] == 1
     dists = [r["dist"] for r in rows]
     assert dists == sorted(set(dists))
+    oracle = duck.sql(entry_mod.oracle_sql()["graph_bfs_distance"]).fetchall()
+    assert [(r["dist"], r["n_nodes"]) for r in rows] == [
+        (int(d), int(n)) for d, n, _mn, _mx in oracle
+    ]
 
 
 def test_partition_rebuild_statuses(spark):
@@ -203,12 +208,20 @@ def test_dag_compiler_rejects_cycles(spark):
         compile_dag(spark, SF_DIR, dag)
 
 
-def test_dag_memoizes_shared_stage(spark):
-    """The diamond's shared base stage must compile to the SAME DataFrame
-    object for both branches (memoization, not re-expansion)."""
-    from etl_suite_spark.plans.pipeline import compile_dag
+def test_dag_memoizes_shared_stage(spark, monkeypatch):
+    """The diamond's shared base stage must be BUILT exactly once
+    (memoization, not re-expansion): instrument load_table and count
+    how often the base table is loaded while both branches consume it."""
+    from etl_suite_spark.plans import pipeline as pl
 
     calls = []
+    real_load = pl.load_table
+
+    def counting_load(spark_, sf_dir_, table):
+        calls.append(table)
+        return real_load(spark_, sf_dir_, table)
+
+    monkeypatch.setattr(pl, "load_table", counting_load)
     dag = {
         "stages": {
             "base": {"source": {"table": "orders"}},
@@ -222,7 +235,8 @@ def test_dag_memoizes_shared_stage(spark):
         },
         "output": "r",
     }
-    df = compile_dag(spark, SF_DIR, dag)
+    df = pl.compile_dag(spark, SF_DIR, dag)
+    assert calls.count("orders") == 1  # diamond base compiled once
     assert df.count() > 0  # join-on-self via memoized stage resolves
 
 

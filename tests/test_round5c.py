@@ -157,24 +157,44 @@ def test_quality_composite_is_the_conjunction(spark):
 
 def test_holt_winters_matches_python_reference(spark, duck):
     """The decimal fold must reproduce a plain-Python Holt-Winters
-    recursion (same rounding schedule) exactly."""
+    recursion with the SAME rounding schedule the engines use: every
+    component quantized to 6 dp in decimal with ROUND_HALF_UP (Spark and
+    DuckDB both fold in DECIMAL(18,6); Python float round() is half-even
+    on binary doubles and drifts ~1.6e-5 over ~90 fold steps)."""
+    import decimal
+    from decimal import Decimal
+
     rows = duck.sql(
-        """SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                    AS VARCHAR) AS DOUBLE) AS v
+        """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,6)) AS v
            FROM orders GROUP BY CAST(o_orderdate AS DATE)
            ORDER BY CAST(o_orderdate AS DATE)"""
     ).fetchall()
-    xs = [r[0] for r in rows]
-    l, b, s = xs[0], 0.0, [0.0] * 7
-    for x in xs[1:]:
-        s0 = s[0]
-        lt = round(0.5 * (x - s0) + 0.5 * (l + b), 6)
-        bt = round(0.3 * (lt - l) + 0.7 * b, 6)
-        st = round(0.2 * (x - lt) + 0.8 * s0, 6)
-        l, b, s = lt, bt, s[1:] + [st]
+    grid = Decimal("0.000001")
+    with decimal.localcontext() as ctx:
+        ctx.prec = 50
+        ctx.rounding = decimal.ROUND_HALF_UP
+
+        def q6(d):
+            return d.quantize(grid, rounding=decimal.ROUND_HALF_UP)
+
+        a, bb, g, ca, cb, cg = (
+            Decimal("0.5"), Decimal("0.3"), Decimal("0.2"),
+            Decimal("0.5"), Decimal("0.7"), Decimal("0.8"),
+        )
+        xs = [Decimal(r[0]) for r in rows]
+        l, b, s = xs[0], Decimal(0), [Decimal(0)] * 7
+        for x in xs[1:]:
+            s0 = s[0]
+            lt = q6(a * (x - s0) + ca * (l + b))
+            bt = q6(bb * (lt - l) + cb * b)
+            st = q6(g * (x - lt) + cg * s0)
+            l, b, s = lt, bt, s[1:] + [st]
     got = QUERIES["ts_holt_winters"](spark, SF_DIR).collect()
     assert len(got) == 7
     for r in got:
-        assert abs(r["level"] - l) < 1e-6
-        assert abs(r["trend"] - b) < 1e-6
-        assert abs(r["forecast"] - round(l + r["h"] * b + s[r["h"] - 1], 6)) < 1e-6
+        assert abs(r["level"] - float(l)) < 1e-9
+        assert abs(r["trend"] - float(b)) < 1e-9
+        # l, b, s all carry exactly 6 dp, so the forecast sum is already
+        # on the 6-dp grid — the engines' round(double, 6) lands on it.
+        assert abs(r["forecast"] - float(l + r["h"] * b + s[r["h"] - 1])) < 1e-9

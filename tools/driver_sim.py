@@ -1,0 +1,107 @@
+"""Fresh-process driver simulation (verify skill step 2).
+
+Replicates how the external correctness harness consumes the repo: import
+``__spark_entry__`` via importlib in THIS process, build a plain
+SparkSession (NOT the repo's ``get_spark``) with a deliberately non-UTC
+**session** timezone — probing that the runtime ``configure()`` inside the
+entry path forces correctness-critical confs itself — then smoke-run
+``entry(spark)`` and oracle-compare the first-50 driver window at sf0.01.
+
+TZ protocol (see .claude/skills/verify/SKILL.md): set
+``spark.sql.session.timeZone=America/New_York`` on the builder but do NOT
+touch the process env ``TZ`` — PySpark renders TimestampType via the Python
+process's local zone on collect(), so an env-TZ sim shifts raw-timestamp
+columns and fails even driver-green queries as an artifact.
+
+Usage::
+
+    python tools/driver_sim.py [--sf /root/testdata/sf0.01] [--n 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.verify_local import canon_duck, canon_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--n", type=int, default=50, help="window size to check")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .appName("driver-sim")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    mod = importlib.import_module("__spark_entry__")
+
+    rows = mod.entry(spark).collect()
+    print(f"entry(): {len(rows)} rows, schema ok")
+    assert len(rows) >= 0
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    window = list(qs)[: args.n]
+
+    from etl_suite_spark.io import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    passed, failed, rows_only = 0, [], 0
+    for name in window:
+        t0 = time.time()
+        try:
+            sc, sr = canon_spark(qs[name](spark, args.sf))
+        except Exception as e:  # noqa: BLE001 — report like the driver does
+            failed.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            rows_only += 1
+            status = "rows-only" if len(sr) > 0 else "rows-only-EMPTY"
+            print(f"{status} {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            oc, orr = canon_duck(con, oracles[name])
+        except Exception as e:  # noqa: BLE001
+            failed.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        if sc != oc or len(sr) != len(orr) or sr != orr:
+            failed.append((name, "mismatch"))
+            print(f"FAIL {name}: cols/rows/values mismatch "
+                  f"(spark {len(sr)}x{len(sc)} vs oracle {len(orr)}x{len(oc)})")
+            continue
+        passed += 1
+        print(f"PASS {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n== driver-sim: {passed} passed, {len(failed)} failed, "
+          f"{rows_only} rows-only, of {len(window)} ==")
+    if failed:
+        for n, msg in failed:
+            print(f"  {n}: {msg}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
