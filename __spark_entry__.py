@@ -278,6 +278,12 @@ R7_PLANNED = [
     "llm_charset_report",
     "llm_quality_composite",
     "ts_holt_winters",
+    # added in round 6 (oracle-checked locally on introduction):
+    "ts_forecast_backtest",
+    "ts_holt_damped",
+    "llm_ngram_kneser_ney",
+    "llm_tokenizer_fertility",
+    "graph_clustering_local",
 ]
 
 

@@ -120,6 +120,12 @@ HEADLINE = [
     # one) — first-measurement baselines under the checksum action.
     "llm_span_corruption",
     "graph_connected_components",
+    # appended in round 6 (VERDICT r5 item 7): first bench representation
+    # for the r5 analytics/dq families — the self-join pair miner (capped
+    # basket pair generation) and the full-outer snapshot reconciliation —
+    # first-measurement baselines under the checksum action.
+    "agg_market_basket",
+    "dq_snapshot_diff",
 ]
 
 REPEATS = 3

@@ -1263,3 +1263,167 @@ def llm_charset_report(spark, sf_dir):
         .select("char", "n", "share", "is_ascii")
         .orderBy("char")
     )
+
+
+@query(
+    "llm_ngram_kneser_ney",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM t, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1t AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n1p FROM c12 GROUP BY w2),
+    nt AS (SELECT COUNT(*) AS ntypes FROM c12),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(ln(greatest(CAST(c12.c2 AS DOUBLE) - 0.75e0, 0e0)
+                     / CAST(c1t.c1 AS DOUBLE)
+                   + (0.75e0 * CAST(c1t.n1f AS DOUBLE) / CAST(c1t.c1 AS DOUBLE))
+                     * (CAST(cont.n1p AS DOUBLE)
+                        / CAST((SELECT ntypes FROM nt) AS DOUBLE))), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM bg b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1t ON b.w1 = c1t.w1
+      JOIN cont ON b.w2 = cont.w2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           round(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS avg_kn_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def llm_ngram_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1999's interpolated form, absolute discount d=0.75) — the
+    smoothing that actually powers KenLM-style perplexity filters, and
+    the step past llm_bigram_logprob's add-1: P(w2|w1) =
+    max(c(w1w2)−d,0)/c(w1•) + λ(w1)·P_cont(w2), with λ(w1) =
+    d·N1+(w1,•)/c(w1•) and the continuation probability P_cont(w2) =
+    N1+(•,w2)/|bigram types| — "how many contexts has w2 completed",
+    which is why KN famously ranks 'Francisco' low despite high raw
+    frequency. Scored as each document's mean bigram KN log-prob.
+
+    Determinism: every count is an exact integer, d=0.75 and the
+    interpolation weights are exact decimal literals, the probability
+    is assembled with an IDENTICAL arithmetic expression tree on both
+    engines (greatest/div/mul in IEEE double), and ln() is rounded to
+    6 dp then cast to DECIMAL(18,6) before the per-doc sum — the
+    llm_bigram_logprob discipline.
+
+    100 TB plan shape: bigram extraction stays map-only; c12/c1t/cont
+    aggregate with map-side combine and collapse to vocab-sized tables
+    that broadcast back onto the bigram stream (the zipfian head is
+    absorbed by partial aggregation); |types| is a scalar. The only
+    corpus-sized shuffle is the final per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    " element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1t = c12.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").alias("n1p"))
+    ntypes = c12.count()  # scalar: total distinct bigram types
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1t), "w1")
+        .join(F.broadcast(cont), "w2")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(round(ln(greatest(CAST(c2 AS DOUBLE) - 0.75e0, 0e0)"
+                " / CAST(c1 AS DOUBLE)"
+                " + (0.75e0 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))"
+                f" * (CAST(n1p AS DOUBLE) / CAST({ntypes} AS DOUBLE))), 6)"
+                " AS DECIMAL(18,6))"
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(d2d(F.sum("lp")) / F.count("*"), 6).alias("avg_kn_logprob"),
+    )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    oracle=r"""
+    WITH m AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS ws,
+             len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS toks,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS n_words,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(toks) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 6)
+             AS fertility,
+           round(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-fertility report per language: tokens-per-word and
+    chars-per-token under the BPE-ish regex tokenizer (alnum runs |
+    single punctuation) — the table every multilingual-training paper
+    publishes (XLM-R, BLOOM) because high fertility means a language
+    pays more sequence length per sentence, which skews both compute
+    cost and effective epoch counts in the data mixture
+    (llm_mixture_epochs consumes exactly this kind of table). Corpus
+    aggregates, not per-doc means, so long documents weigh in
+    proportionally.
+
+    Plan shape: map-only per-doc token counting (regexp_count + split —
+    no explode, no Python), then one hash agg on the tiny lang domain
+    with map-side combine; the per-lang division happens on exact
+    integer sums cast to double. The cheapest kind of full-corpus pass
+    at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("ws"),
+        as_long(F.regexp_count("text", F.lit(r"[a-z0-9]+|[^a-z0-9\s]"))).alias(
+            "toks"
+        ),
+        "n_chars",
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("n_words"),
+            F.sum("toks").alias("n_tokens"),
+            F.round(
+                F.sum("toks").cast("double") / F.sum("ws").cast("double"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("toks").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

@@ -678,3 +678,117 @@ def graph_assortativity(spark, sf_dir):
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_clustering_local",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGE_SQL}, ue AS (
+      SELECT u, v FROM e
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM ue UNION ALL SELECT v FROM ue
+      ) GROUP BY node
+    ), oe AS (
+      SELECT CASE WHEN (du.d, ue.u) < (dv.d, ue.v) THEN ue.u ELSE ue.v END AS src,
+             CASE WHEN (du.d, ue.u) < (dv.d, ue.v) THEN ue.v ELSE ue.u END AS dst
+      FROM ue JOIN deg du ON du.node = ue.u JOIN deg dv ON dv.node = ue.v
+    ), tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oe e1
+      JOIN oe e2 ON e2.src = e1.src AND e1.dst < e2.dst
+      JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ), tcnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT CAST(deg.node AS BIGINT) AS node, deg.d AS degree,
+           CAST(COALESCE(tcnt.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN round(2.0 * COALESCE(tcnt.t, 0)
+                           / (deg.d * (deg.d - 1)), 6) END AS local_cc
+    FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+    ORDER BY node
+    """,
+)
+def graph_clustering_local(spark, sf_dir):
+    """Per-node LOCAL clustering coefficient over the co-purchase graph
+    (Watts & Strogatz 1998): C(v) = 2·T(v) / (d(v)·(d(v)−1)), the
+    "how clique-like is this node's neighborhood" score that separates
+    hub-of-unrelated-parts from bundle-member — the node-level
+    companion to graph_triangle_count's single global coefficient, and
+    the standard feature in link-prediction / anomaly pipelines.
+    Degree-1 nodes emit NULL (the coefficient is undefined, not zero).
+
+    Triangles are enumerated ONCE via the same degree-ordered
+    orientation as graph_triangle_count (Suri & Vassilvitskii 2011 —
+    out-degrees bounded ~O(√m), so the wedge join survives hubs), then
+    each triangle credits its three corners through one explode +
+    count — no per-node neighborhood materialization, no second wedge
+    pass. Plan: edge list (support-capped, materialized once) → two
+    broadcast-joined degree lookups → oriented wedge close → explode(3)
+    → hash agg → left join back onto degrees. All shuffles are on node
+    ids; the triangle stream is the only super-linear term and it is
+    exactly the triangle count."""
+    und = _copurchase_edges(spark, sf_dir).select("u", "v")
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oe = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)  # oriented edges: reused 3x
+    )
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.src") == F.col("e1.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2.0 * F.coalesce(F.col("t"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ),
+            ).alias("local_cc"),
+        )
+        .orderBy("node")
+    )

@@ -59,6 +59,24 @@ OPS = [
     "graph_pagerank",
     "win_topk_per_group",
     "llm_decontaminate",
+    # the composite quality cascade reads documents, which DOES replicate
+    # in this tier (VERDICT r5 item 4)
+    "llm_quality_composite",
+]
+
+# Graph tier (--graph, VERDICT r5 item 4): the uniform tier replicates only
+# documents/embeddings, so the co-purchase graph (derived from lineitem)
+# stays CONSTANT there — graph ops in OPS are effectively 1x rows. This tier
+# replicates lineitem+orders copies-x with per-copy key offsets (disjoint
+# copies: component count scales linearly, per-component diameter is
+# unchanged, so pointer-jumped label propagation should converge in the SAME
+# number of rounds while wall-time grows near-linearly — that pair is the
+# pass criterion). Each op is timed at 1x AND at copies-x so one run prints
+# the scaling ratio.
+GRAPH_OPS = [
+    "graph_connected_components",
+    "graph_pagerank",
+    "graph_triangle_count",
 ]
 
 
@@ -130,6 +148,41 @@ def build_skewed(base: str, out: str) -> None:
     )
 
 
+def build_graph(base: str, copies: int, out: str) -> None:
+    """Replicate the EDGE side (lineitem + orders) with disjoint per-copy
+    key offsets; everything else copies as-is."""
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    for t in [
+        "region", "nation", "customer", "supplier",
+        "part", "events",
+    ]:
+        shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    shutil.copy(f"{base}/documents.parquet", f"{out}/documents.parquet")
+    shutil.copy(f"{base}/embeddings.parquet", f"{out}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (l_orderkey + 100000000 * c AS l_orderkey,
+                            l_partkey + 10000000 * c AS l_partkey)
+          FROM read_parquet('{base}/lineitem.parquet'),
+               unnest(range(0, {copies})) AS u(c)
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (o_orderkey + 100000000 * c AS o_orderkey)
+          FROM read_parquet('{base}/orders.parquet'),
+               unnest(range(0, {copies})) AS u(c)
+        ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
 def build(base: str, copies: int, out: str) -> None:
     import duckdb
 
@@ -175,6 +228,11 @@ def main() -> None:
         action="store_true",
         help="run the Zipf-skewed tier (planted hot keys) instead of the 10x uniform tier",
     )
+    ap.add_argument(
+        "--graph",
+        action="store_true",
+        help="run the graph tier (edge side replicated copies-x; each op timed at 1x and copies-x)",
+    )
     args = ap.parse_args()
 
     import etl_suite_spark  # noqa: F401
@@ -184,15 +242,46 @@ def main() -> None:
     out = os.path.join(tempfile.mkdtemp(prefix="etl_scale_"), "sfx")
     if args.skew:
         build_skewed(args.base, out)
+    elif args.graph:
+        build_graph(args.base, args.copies, out)
     else:
         build(args.base, args.copies, out)
 
     spark = get_spark("etl-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
-    if args.skew:
-        ops = SKEW_OPS
-    else:
-        ops = OPS + (["llm_dedup_substring"] if args.all else [])
+
+    if args.graph:
+        QUERIES[GRAPH_OPS[0]](spark, args.base).count()  # warmup
+        timings = {}
+        for name in GRAPH_OPS:
+            t0 = time.perf_counter()
+            n1 = QUERIES[name](spark, args.base).count()
+            base_sec = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            nx = QUERIES[name](spark, out).count()
+            scaled_sec = round(time.perf_counter() - t0, 3)
+            timings[name] = {
+                "base_sec": base_sec,
+                "scaled_sec": scaled_sec,
+                "ratio": round(scaled_sec / base_sec, 2) if base_sec else None,
+                "base_rows": n1,
+                "scaled_rows": nx,
+            }
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_smoke_graph_ratio",
+                    "tier": "graph",
+                    "copies": args.copies,
+                    "base": args.base,
+                    "queries": timings,
+                }
+            )
+        )
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        return
+
+    ops = SKEW_OPS if args.skew else OPS + (["llm_dedup_substring"] if args.all else [])
     QUERIES[ops[0]](spark, out).count()  # warmup
 
     timings = {}
