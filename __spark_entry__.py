@@ -284,6 +284,8 @@ R7_PLANNED = [
     "llm_ngram_kneser_ney",
     "llm_tokenizer_fertility",
     "graph_clustering_local",
+    "llm_sft_pairs",
+    "llm_vocab_coverage",
 ]
 
 

@@ -1427,3 +1427,70 @@ def llm_tokenizer_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle="""
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), freq AS (
+      SELECT word, COUNT(*) AS f FROM w GROUP BY word
+    ), vocab AS (
+      SELECT word FROM freq ORDER BY f DESC, word ASC LIMIT 1000
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE word IN (SELECT word FROM vocab))
+                AS BIGINT) AS n_covered,
+           CAST(COUNT(DISTINCT word)
+                  FILTER (WHERE word NOT IN (SELECT word FROM vocab))
+                AS BIGINT) AS n_oov_types,
+           round(1.0 - CAST(COUNT(*) FILTER (WHERE word IN
+                     (SELECT word FROM vocab)) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage / OOV audit: fix the vocab at the corpus's
+    top-1000 words (frequency desc, word asc tiebreak — deterministic on
+    both engines) and report, per language, token coverage and the
+    out-of-vocab rate plus distinct OOV types. This is the
+    tokenizer-budget question ("what does a k-word vocab actually cover,
+    and which languages pay the OOV tax") that sits beside
+    llm_tokenizer_fertility in every multilingual data card; a spiking
+    oov_rate per source is also a cheap mojibake/contamination alarm.
+
+    Plan: one word-keyed count (map-side combine absorbs the zipfian
+    head), a top-k on the vocab-sized result, the winner set broadcast
+    back as a LEFT SEMI-style membership flag onto the token stream,
+    then a tiny lang-keyed agg. The only corpus-sized shuffle is the
+    word count; the vocab never touches the driver as data."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    freq = w.groupBy("word").agg(F.count("*").alias("f"))
+    vocab = freq.orderBy(F.col("f").desc(), F.col("word").asc()).limit(1000)
+    flagged = w.join(
+        F.broadcast(vocab.select("word", F.lit(True).alias("in_vocab"))),
+        "word",
+        "left",
+    )
+    covered = F.col("in_vocab").isNotNull()
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count(F.when(covered, 1)).alias("n_covered"),
+            F.count_distinct(F.when(~covered, F.col("word"))).alias(
+                "n_oov_types"
+            ),
+            F.round(
+                1.0
+                - F.count(F.when(covered, 1)).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -904,3 +904,63 @@ def llm_quality_composite(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_sft_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), ok AS (
+      SELECT doc_id, lang, w, len(w) AS nw FROM t WHERE len(w) >= 24
+    )
+    SELECT doc_id, lang,
+           'Summarize:\n' || array_to_string(w[1:16], ' ') AS prompt,
+           array_to_string(w[17:least(80, nw)], ' ') AS completion,
+           CAST(17 AS BIGINT) AS n_prompt_tokens,
+           CAST(least(80, nw) - 16 AS BIGINT) AS n_completion_tokens,
+           nw - 16 > 64 AS truncated
+    FROM ok ORDER BY doc_id
+    """,
+)
+def llm_sft_pairs(spark, sf_dir):
+    """SFT example assembly: render (prompt, completion) pairs from the
+    corpus under a fixed template and a completion token budget — the
+    step between "clean documents" and "instruction-tuning batches"
+    that every fine-tuning pipeline runs (template splice, prompt/
+    completion token accounting, budget truncation with an explicit
+    truncated flag so downstream loss masking can drop clipped tails).
+    Here: prompt = the template plus the first 16 words, completion =
+    the next ≤64 words; docs under 24 words are dropped (too short to
+    yield a non-trivial pair). n_prompt_tokens counts the template as
+    one token plus the 16 prompt words.
+
+    Everything is array slicing + join on the already-split word array
+    — map-only, zero shuffle, no Python; at 100 TB this is a pure scan
+    pass whose output is typically written straight to the packed-
+    sequence sink (llm_seq_packing consumes exactly these counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    ok = d.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("nw"),
+    ).filter(F.col("nw") >= 24)
+    return (
+        ok.select(
+            "doc_id",
+            "lang",
+            F.concat(
+                F.lit("Summarize:\n"), F.array_join(F.slice("w", 1, 16), " ")
+            ).alias("prompt"),
+            F.expr("array_join(slice(w, 17, least(80, nw) - 16), ' ')").alias(
+                "completion"
+            ),
+            F.lit(17).cast("long").alias("n_prompt_tokens"),
+            (F.least(F.lit(80), F.col("nw")) - 16)
+            .cast("long")
+            .alias("n_completion_tokens"),
+            (F.col("nw") - 16 > 64).alias("truncated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -161,3 +161,39 @@ def test_local_clustering_bounds_and_null_rule(spark):
             assert abs(r["local_cc"] - want) < 1e-9
     assert total_inc % 3 == 0
     assert seen_positive  # the co-purchase graph has real triangles
+
+
+def test_sft_pairs_budget_and_splice(spark, duck):
+    """Prompt+completion must splice back to a prefix of the source text;
+    completion token budget (64) is enforced exactly; truncated flags
+    exactly the docs whose tail was clipped."""
+    rows = QUERIES["llm_sft_pairs"](spark, SF_DIR).collect()
+    assert rows
+    texts = dict(duck.sql("SELECT doc_id, text FROM documents").fetchall())
+    for r in rows:
+        assert r["prompt"].startswith("Summarize:\n")
+        assert 1 <= r["n_completion_tokens"] <= 64
+        body = r["prompt"][len("Summarize:\n"):]
+        spliced = body + " " + r["completion"]
+        assert texts[r["doc_id"]].startswith(spliced)
+        words = texts[r["doc_id"]].split(" ")
+        assert len(words) >= 24
+        assert r["truncated"] == (len(words) - 16 > 64)
+        if not r["truncated"]:
+            assert spliced == texts[r["doc_id"]]
+
+
+def test_vocab_coverage_reconciles_with_corpus(spark, duck):
+    """Coverage totals must reconcile with the corpus: n_tokens sums to
+    the corpus token count; every covered count <= n_tokens; the top-1000
+    vocab covers MORE mass than a same-size random-looking vocab would
+    miss (oov_rate strictly < 0.5 on this zipfian corpus)."""
+    rows = QUERIES["llm_vocab_coverage"](spark, SF_DIR).collect()
+    (total,) = duck.sql(
+        "SELECT COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) FROM documents)"
+    ).fetchone()
+    assert sum(r["n_tokens"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["n_covered"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - round(1 - r["n_covered"] / r["n_tokens"], 6)) < 1e-9
+        assert r["oov_rate"] < 0.5

@@ -81,6 +81,7 @@ EXPECTED_NLJ = {
     "ts_acf",  # 14-row lag-grid broadcast crossJoin onto the day domain
     "inc_snapshot_expire",  # one-row retention-cutoff broadcast crossJoin
     "llm_charset_report",  # one-row corpus-total broadcast crossJoin (share denominator)
+    "ts_holt_winters",  # one-row folded state crossJoined with broadcast 7-row horizon grid
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
