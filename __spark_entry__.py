@@ -286,6 +286,7 @@ R7_PLANNED = [
     "graph_clustering_local",
     "llm_sft_pairs",
     "llm_vocab_coverage",
+    "llm_dedup_simhash_recall",
 ]
 
 

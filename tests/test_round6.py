@@ -197,3 +197,12 @@ def test_vocab_coverage_reconciles_with_corpus(spark, duck):
         assert 0 <= r["n_covered"] <= r["n_tokens"]
         assert abs(r["oov_rate"] - round(1 - r["n_covered"] / r["n_tokens"], 6)) < 1e-9
         assert r["oov_rate"] < 0.5
+
+
+def test_simhash_recall_twin_flags_hold(spark):
+    """The measured gates must genuinely hold at fixture scale (recall
+    0.75 / precision 0.78 at sf0.001 — see the op docstring)."""
+    row = QUERIES["llm_dedup_simhash_recall"](spark, SF_DIR).collect()[0]
+    assert row["n_true_pairs"] > 0
+    assert row["recall_ge_50"] is True
+    assert row["precision_ge_75"] is True

@@ -44,6 +44,7 @@ EXPECTED_NLJ = {
     "tpch_q11",  # one-row global-total broadcast joined back (Q11 scalar subquery)
     "llm_dedup_minhash_recall",  # two one-row count aggregates joined (scalar metrics)
     "llm_dedup_minhash_precision",  # three one-row count aggregates joined
+    "llm_dedup_simhash_recall",  # four one-row count aggregates joined (scalar metrics)
     "llm_sim_ann_ivf_recall",  # same one-row metric join + IVF centroid broadcast
     "ml_churn_label",  # one-row global-now broadcast joined onto per-user aggs
     "tpch_q22",  # 1-row (sum,count) scalar-threshold broadcast (Q22 AVG subquery)
