@@ -287,6 +287,7 @@ R7_PLANNED = [
     "llm_sft_pairs",
     "llm_vocab_coverage",
     "llm_dedup_simhash_recall",
+    "ml_kmeans_quality",
 ]
 
 

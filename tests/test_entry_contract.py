@@ -223,3 +223,43 @@ def test_bench_compact_line_fits_driver_tail():
     stress = bench.compact_record(fake)
     assert len(stress) < 1900
     assert _json.loads(stress)["value"] == 9999.999
+
+
+try:
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    _QNAME = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=4, max_size=48
+    )
+
+    @given(
+        st.dictionaries(
+            _QNAME, st.floats(0, 99999, allow_nan=False), max_size=150
+        )
+    )
+    def test_compact_record_property(qmap):
+        """For ANY query map up to 150 rows the compact line stays under
+        the driver tail limit, parses as JSON, and preserves the headline
+        value (hypothesis sweep over sizes/name lengths)."""
+        import json as _json
+
+        import bench
+
+        detail = {
+            "metric": "headline_wall_sec",
+            "value": 1234.567,
+            "unit": "sec",
+            "sf": 0.1,
+            "repeats": 3,
+            "calibration_sec": 1.0,
+            "sched_1k_tasks_sec": 1.0,
+            "queries": {k: round(v, 3) for k, v in qmap.items()},
+        }
+        line = bench.compact_record(detail)
+        assert len(line) <= 1900
+        parsed = _json.loads(line)
+        assert parsed["value"] == 1234.567
+        assert parsed["metric"] == "headline_wall_sec"
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass

@@ -206,3 +206,14 @@ def test_simhash_recall_twin_flags_hold(spark):
     assert row["n_true_pairs"] > 0
     assert row["recall_ge_50"] is True
     assert row["precision_ge_75"] is True
+
+
+def test_kmeans_quality_gate_holds(spark):
+    """The kmeans-beats-arbitrary-partition flag must genuinely hold and
+    the per-cell baselines must be positive with all 5 cells present."""
+    rows = QUERIES["ml_kmeans_quality"](spark, SF_DIR).collect()
+    assert [r["cell"] for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert r["baseline_sse"] > 0
+        assert r["n_vectors"] > 0
+        assert r["kmeans_beats_baseline"] is True

@@ -39,6 +39,7 @@ EXPECTED_NLJ = {
     "llm_corpus_stats",  # two one-row stat aggregates joined (dashboard row)
     "ml_kmeans_tiers",  # k centroids broadcast each iteration
     "ml_kmeanspp_tiers",  # one-row chosen-centroid array broadcast per init round
+    "ml_kmeans_quality",  # one-row beats-baseline flag broadcast onto 5 cell rows
     "llm_sim_ann_ivf",  # 8 coarse centroids broadcast for query-side cell probe
     "join_bloom_pruned",  # one-row bloom bitmap broadcast onto the fact side
     "tpch_q11",  # one-row global-total broadcast joined back (Q11 scalar subquery)
