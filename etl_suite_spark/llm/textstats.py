@@ -1281,12 +1281,10 @@ def llm_charset_report(spark, sf_dir):
     nt AS (SELECT COUNT(*) AS ntypes FROM c12),
     scored AS (
       SELECT b.doc_id,
-             CAST(round(ln(greatest(CAST(c12.c2 AS DOUBLE) - 0.75e0, 0e0)
-                     / CAST(c1t.c1 AS DOUBLE)
-                   + (0.75e0 * CAST(c1t.n1f AS DOUBLE) / CAST(c1t.c1 AS DOUBLE))
-                     * (CAST(cont.n1p AS DOUBLE)
-                        / CAST((SELECT ntypes FROM nt) AS DOUBLE))), 6)
-                  AS DECIMAL(18,6)) AS lp
+             (2 * (greatest(4 * c12.c2 - 3, 0) * (SELECT ntypes FROM nt)
+                   + 3 * c1t.n1f * cont.n1p) * 1000000
+              + 4 * c1t.c1 * (SELECT ntypes FROM nt))
+             // (2 * 4 * c1t.c1 * (SELECT ntypes FROM nt)) AS p6s
       FROM bg b
       JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
       JOIN c1t ON b.w1 = c1t.w1
@@ -1294,8 +1292,8 @@ def llm_charset_report(spark, sf_dir):
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           round(CAST(CAST(SUM(lp) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
-             AS avg_kn_logprob
+           CAST(CAST((2 * SUM(p6s) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+                / 1000000.0 AS DOUBLE) AS avg_kn_prob
     FROM scored
     GROUP BY doc_id
     """,
@@ -1309,14 +1307,26 @@ def llm_ngram_kneser_ney(spark, sf_dir):
     d·N1+(w1,•)/c(w1•) and the continuation probability P_cont(w2) =
     N1+(•,w2)/|bigram types| — "how many contexts has w2 completed",
     which is why KN famously ranks 'Francisco' low despite high raw
-    frequency. Scored as each document's mean bigram KN log-prob.
+    frequency. Scored as each document's MEAN BIGRAM KN PROBABILITY —
+    deliberately the probability domain, not log: a downstream
+    perplexity consumer takes log once per aggregate, and keeping the
+    oracle-checked value transcendental-free makes it bit-stable.
 
-    Determinism: every count is an exact integer, d=0.75 and the
-    interpolation weights are exact decimal literals, the probability
-    is assembled with an IDENTICAL arithmetic expression tree on both
-    engines (greatest/div/mul in IEEE double), and ln() is rounded to
-    6 dp then cast to DECIMAL(18,6) before the per-doc sum — the
-    llm_bigram_logprob discipline.
+    Determinism — the hard-won part: the KN probability is a RATIONAL
+    number (with d=3/4, p = [max(4·c₁₂−3,0)·T + 3·N1f·N1p] / (4·c₁·T)
+    where T = bigram types), so its 6-dp half-up quantization is
+    computed ENTIRELY in integer arithmetic — ⌊(2·num·10⁶ + den) /
+    (2·den)⌋ per bigram, the per-doc mean half-up-divided the same way,
+    doubles appearing only in the final exact render (÷10⁶ of an
+    integer ≤ 10⁶). Two weaker forms were each measured non-portable at
+    sf0.1 (one row in 5000): an ln()-based score (Java Math.log vs
+    glibc log differ by 1 ulp on ~1-in-1e5 inputs; doc 3611) and a
+    round(double, 6) form (Spark rounds the double's SHORTEST decimal
+    representation via BigDecimal.valueOf while DuckDB rounds the full
+    binary value; doc 1147). Neither transcendentals nor double-round
+    appear in oracle-checked columns. Integer headroom: 2·num·10⁶ ≈
+    2e16 at sf0.1 — at corpus scale promote the numerators to
+    DECIMAL(38,0), same expressions.
 
     100 TB plan shape: bigram extraction stays map-only; c12/c1t/cont
     aggregate with map-side combine and collapse to vocab-sized tables
@@ -1352,17 +1362,19 @@ def llm_ngram_kneser_ney(spark, sf_dir):
         .select(
             "doc_id",
             F.expr(
-                "CAST(round(ln(greatest(CAST(c2 AS DOUBLE) - 0.75e0, 0e0)"
-                " / CAST(c1 AS DOUBLE)"
-                " + (0.75e0 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE))"
-                f" * (CAST(n1p AS DOUBLE) / CAST({ntypes} AS DOUBLE))), 6)"
-                " AS DECIMAL(18,6))"
-            ).alias("lp"),
+                f"(2 * (greatest(4 * c2 - 3, 0L) * {ntypes}"
+                " + 3 * n1f * n1p) * 1000000"
+                f" + 4 * c1 * {ntypes})"
+                f" div (2 * 4 * c1 * {ntypes})"
+            ).alias("p6s"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(d2d(F.sum("lp")) / F.count("*"), 6).alias("avg_kn_logprob"),
+        F.expr(
+            "CAST(CAST((2 * SUM(p6s) + COUNT(*)) div (2 * COUNT(*)) AS DOUBLE)"
+            " / 1000000.0 AS DOUBLE)"
+        ).alias("avg_kn_prob"),
     )
 
 
