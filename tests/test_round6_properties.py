@@ -87,7 +87,11 @@ def test_decimal_fold_differential(spark, duck, xs):
 @given(
     st.lists(
         st.floats(
-            min_value=-4.0, max_value=4.0, allow_nan=False, allow_infinity=False
+            min_value=-4.0,
+            max_value=4.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
         ),
         min_size=1,
         max_size=64,
@@ -95,8 +99,18 @@ def test_decimal_fold_differential(spark, duck, xs):
 )
 def test_quantization_rounding_differential(spark, duck, vs):
     """CAST(round(x * 1e6) AS BIGINT) must agree between engines for
-    arbitrary doubles — the primitive under every quantized dot product
-    (llm/similarity.py _DOT vs _SQL_DOT)."""
+    FLOAT32-origin values — the exact input class of every quantized dot
+    product (llm/similarity.py _DOT vs _SQL_DOT; the embedding columns
+    are float32). Deliberately NOT arbitrary doubles: Spark's
+    round(double) rounds the double's shortest decimal representation
+    (BigDecimal.valueOf) while DuckDB rounds the binary value, and on
+    boundary-adjacent arbitrary doubles they can disagree — measured in
+    the llm_ngram_kneser_ney sf0.1 hunt (BASELINE.md 2026-08-15 entry).
+    Money/measure columns avoid the hazard via the decimal discipline
+    (round decimals, never doubles); the quantized kernels avoid it by
+    construction (float32 in, integers out); remaining round(double, 6)
+    sites on computed ratios carry a per-value risk of ~1e-10 that the
+    per-round sf0.01 gate and the sf0.1 sweeps police empirically."""
     arr = ", ".join(f"CAST({repr(v)} AS DOUBLE)" for v in vs)
     s_rows = spark.sql(
         f"SELECT transform(array({arr}),"
