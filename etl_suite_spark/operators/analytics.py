@@ -1344,7 +1344,7 @@ def agg_new_vs_returning(spark, sf_dir):
     SELECT event_type,
            CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
            CAST(SUM(gap_us) // COUNT(gap_us) AS BIGINT) AS mean_gap_us,
-           CAST(median(gap_us) AS BIGINT) AS median_gap_us,
+           CAST(floor(median(gap_us)) AS BIGINT) AS median_gap_us,
            CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
            CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
     FROM g WHERE gap_us IS NOT NULL
@@ -1357,9 +1357,14 @@ def agg_interevent_gaps(spark, sf_dir):
     watermark sizing (the streaming ops' 10-minute bound): you pick those
     constants FROM this distribution. Gaps are exact integer microsecond
     differences via one lag() per (user, type) partition; mean is exact
-    integer division, median is the exact interpolated percentile floored
-    to a BIGINT — every output is an integer, so nothing can drift. One
-    window exchange + one small hash aggregate."""
+    integer division, median is the exact interpolated percentile
+    EXPLICITLY floored to a BIGINT on both engines — the floor matters:
+    Spark's double→long cast truncates while DuckDB's rounds half-even,
+    and with an even gap count the interpolated median lands on .5 (the
+    sf0.1 sweep caught the two engines one microsecond apart on two
+    event types; gaps are positive so truncate == floor). Every output
+    is an integer, so nothing else can drift. One window exchange + one
+    small hash aggregate."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     g = ev.select(
@@ -1371,7 +1376,9 @@ def agg_interevent_gaps(spark, sf_dir):
         .agg(
             F.count("gap_us").alias("n_gaps"),
             F.expr("sum(gap_us) div count(gap_us)").alias("mean_gap_us"),
-            F.expr("percentile(gap_us, 0.5)").cast("long").alias("median_gap_us"),
+            F.expr("CAST(floor(percentile(gap_us, 0.5)) AS LONG)").alias(
+                "median_gap_us"
+            ),
             F.min("gap_us").alias("min_gap_us"),
             F.max("gap_us").alias("max_gap_us"),
         )
@@ -1933,7 +1940,7 @@ def win_drawdown(spark, sf_dir):
     )
     SELECT day,
            CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
-           round(cusum, 6) AS cusum,
+           cusum,
            row_number() OVER (ORDER BY abs(cusum) DESC, day) = 1
              AS is_changepoint
     FROM cusum ORDER BY day
@@ -1947,7 +1954,13 @@ def win_cusum_changepoint(spark, sf_dir):
     never materialized as a float — cusum_t = (n·run_t − t·total)/n is
     computed from EXACT decimal running sums and integer t/n, with one
     correctly-rounded division at the end (the agg_trend_corr
-    exact-power-sum discipline applied to a window statistic).
+    exact-power-sum discipline applied to a window statistic). The
+    quotient is emitted UNROUNDED: the double itself is bit-identical on
+    both engines (exact decimal render + one IEEE division), whereas a
+    cosmetic round(double, 6) is NOT portable — Spark rounds the
+    shortest decimal representation via BigDecimal.valueOf, DuckDB the
+    binary value, and the sf0.1 sweep caught them disagreeing on one
+    boundary-adjacent day (1998-04-01: …35704 vs …357039).
 
     Scale shape: facts collapse to the day domain first; the running
     sum, the rank and the argmax all window the tiny aggregated series.
@@ -1976,7 +1989,7 @@ def win_cusum_changepoint(spark, sf_dir):
     return cusum.select(
         "day",
         d2d(F.col("revenue")).alias("revenue"),
-        F.round("cusum", 6).alias("cusum"),
+        F.col("cusum").alias("cusum"),
         (F.row_number().over(pick) == 1).alias("is_changepoint"),
     ).orderBy("day")
 
