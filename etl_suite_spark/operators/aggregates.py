@@ -1002,7 +1002,8 @@ def agg_unpivot(spark, sf_dir):
     oracle=f"""
     WITH s AS (
       SELECT * FROM lineitem
-      WHERE ((l_orderkey * 100003 + l_linenumber) * 2654435761) % 50 = 0
+      WHERE (((l_orderkey * 100003 + l_linenumber) % 1000003)
+             * 2654435761) % 50 = 0
     ),
     est AS (
       SELECT CAST(COUNT(*) * 50 AS BIGINT) AS est_rows,
@@ -1033,15 +1034,24 @@ def agg_aqp_estimate(spark, sf_dir):
     The hash-sample (not ``TABLESAMPLE``/rand()) is the load-bearing
     choice: the sample is a pure function of the data, so it is identical
     across engines, runs, AND partitionings — which is what makes an AQP
-    estimate auditable (and this oracle checkable at all). Plan shape:
+    estimate auditable (and this oracle checkable at all). The inner key
+    mix is reduced mod 1000003 (prime) BEFORE the Knuth multiply so every
+    intermediate stays under 2⁶³: the unreduced form overflowed INT64 at
+    sf0.1, where Spark (non-ANSI) wraps silently but DuckDB raises — the
+    engines would otherwise sample DIFFERENT rows the moment keys grow
+    past ~3.5e9 (caught by the full sf0.1 sweep). Plan shape:
     the sample predicate pushes into the scan (a 2% scan at 100 TB when
     the layout buckets by the hash), and both branches are single
     hash aggregates; the exact branch exists here to measure honesty —
-    production serves the estimate alone. Measured rel_error at sf0.01
-    is 1.9% against the 5% gate (2.6x headroom; sample n≈1200 → expected
-    1/sqrt(n) ≈ 3% scale)."""
+    production serves the estimate alone. Measured rel_error against the
+    5% gate: 2.1% at sf0.01 (sample n≈1200, expected 1/sqrt(n) ≈ 3%
+    scale), 0.6% at sf0.1 (n≈12k) — error shrinking ~1/sqrt(n) as the
+    sample grows, exactly the AQP contract."""
     li = load_table(spark, sf_dir, "lineitem")
-    h = ((F.col("l_orderkey") * 100003 + F.col("l_linenumber")) * 2654435761) % 50
+    h = (
+        ((F.col("l_orderkey") * 100003 + F.col("l_linenumber")) % 1000003)
+        * 2654435761
+    ) % 50
     est = li.filter(h == 0).agg(
         (F.count("*") * 50).alias("est_rows"),
         F.round(d2d(F.sum(dec("l_extendedprice"))) * 50, 2).alias("est_revenue"),
