@@ -379,3 +379,27 @@ def test_scd2_apply_boundary_no_change_not_closed(spark):
     full = QUERIES["dim_scd2_build"](spark, SF_DIR)
     assert inc.count() == full.count()
     assert inc.filter("is_current").count() == full.filter("is_current").count()
+
+
+def test_kneser_ney_count_tables_broadcast(spark):
+    """The three vocab-sized count tables must broadcast back onto the
+    bigram stream — a sort-merge join here would shuffle the corpus
+    three times at 100 TB."""
+    plan = plan_of(QUERIES["llm_ngram_kneser_ney"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_membership_broadcast(spark):
+    """The top-1000 vocab must reach the token stream as a broadcast
+    membership join, never a shuffle of the token stream against it."""
+    plan = plan_of(QUERIES["llm_vocab_coverage"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sft_pairs_is_map_only(spark):
+    """SFT pair rendering is pure projection — any exchange besides the
+    final presentation sort means a shuffle snuck into a scan pass."""
+    plan = plan_of(QUERIES["llm_sft_pairs"](spark, SF_DIR))
+    assert "hashpartitioning" not in plan  # no hash shuffle anywhere
