@@ -234,9 +234,8 @@ R6_WINDOW = [
 # Round-7 overflow plan: R6_WINDOW filled its 50-slot window, so queries
 # added past that point queue here (same contract: each is oracle-checked
 # locally on introduction; tests/test_entry_contract.py counts R7 toward
-# the every-query-has-a-driver-evidence-plan invariant). It currently
-# holds 40 entries, so up to 10 queries added during round 6 can append
-# here and still fit the one-round 50-slot window.
+# the every-query-has-a-driver-evidence-plan invariant). Round-6 additions
+# filled it to exactly 50 — further queries queue in R8_PLANNED below.
 R7_PLANNED = [
     "ts_holt_linear",
     "agg_welch_ttest",
@@ -288,6 +287,13 @@ R7_PLANNED = [
     "llm_vocab_coverage",
     "llm_dedup_simhash_recall",
     "ml_kmeans_quality",
+    "llm_retrieval_ndcg",
+]
+
+# Round-8 overflow plan: R7_PLANNED reached its 50-slot window, so
+# queries added past that point queue here under the same contract.
+R8_PLANNED = [
+    "ts_rolling_slope",
 ]
 
 

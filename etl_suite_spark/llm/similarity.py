@@ -1529,3 +1529,192 @@ def llm_hard_negatives(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .orderBy("query_id", "rank")
     )
+
+
+# NDCG position discounts 1/log2(p+1) for p = 1..10, quantized to 8 dp so
+# each per-query DCG is an exact DECIMAL sum (order-independent across
+# engines — a raw double sum would depend on the engines' accumulation
+# order, and libm log2 itself is not correctly rounded everywhere). The
+# ≤1e-8 discount quantization is far below any ranking-decision threshold.
+_NDCG_DISC = [
+    "1.00000000",
+    "0.63092975",
+    "0.50000000",
+    "0.43067656",
+    "0.38685281",
+    "0.35620719",
+    "0.33333333",
+    "0.31546488",
+    "0.30103000",
+    "0.28906483",
+]
+_DISC_ARRAY = (
+    "array(" + ", ".join(f"CAST({d} AS DECIMAL(10,8))" for d in _NDCG_DISC) + ")"
+)
+_SQL_DISC_ARRAY = (
+    "[" + ", ".join(f"CAST({d} AS DECIMAL(10,8))" for d in _NDCG_DISC) + "]"
+)
+
+
+@query(
+    "llm_retrieval_ndcg",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_SQL_BUCKET.format(e='embedding')} AS bucket,
+             {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM b WHERE vec_id < 10),
+    truth AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')} DESC,
+                          e.vec_id ASC) AS trank
+        FROM q JOIN b e ON e.vec_id <> q.vec_id
+      ) WHERE trank <= 10
+    ),
+    retr AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')} DESC,
+                          e.vec_id ASC) AS pos
+        FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+      ) WHERE pos <= 10
+    ),
+    ragg AS (
+      SELECT r.query_id,
+             COUNT(*) AS n_retrieved,
+             SUM(CASE WHEN t.trank IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+             MIN(CASE WHEN t.trank IS NOT NULL THEN r.pos END) AS first_rel,
+             SUM(CASE WHEN t.trank IS NOT NULL
+                      THEN {_SQL_DISC_ARRAY}[r.pos]
+                      ELSE CAST(0 AS DECIMAL(10,8)) END) AS dcg
+      FROM retr r LEFT JOIN truth t USING (query_id, neighbor_id)
+      GROUP BY r.query_id
+    ),
+    tagg AS (
+      SELECT query_id, COUNT(*) AS truth_n,
+             SUM({_SQL_DISC_ARRAY}[trank]) AS idcg
+      FROM truth GROUP BY query_id
+    )
+    SELECT t.query_id,
+           CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+           CAST(COALESCE(r.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(r.hits, 0) AS DOUBLE) / CAST(t.truth_n AS DOUBLE)
+             AS recall_at_10,
+           COALESCE(CAST(1 AS DOUBLE) / CAST(r.first_rel AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS mrr,
+           COALESCE(CAST(CAST(r.dcg AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(t.idcg AS VARCHAR) AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS ndcg_at_10
+    FROM tagg t LEFT JOIN ragg r USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def llm_retrieval_ndcg(spark, sf_dir):
+    """Ranking-quality eval of the LSH-bucketed retrieval path against
+    brute-force cosine ground truth: per query, recall@10, MRR, and
+    NDCG@10 (binary relevance = membership in the exact top-10). This is
+    the standard ANN-benchmark metric suite (recall measures the SET the
+    bucket returns, NDCG/MRR measure the ORDER it returns it in) —
+    `llm_sim_ann_recall` already gates the set; this op gates the
+    ranking, which is what a RAG serving layer actually consumes.
+
+    Scale shape: the ground-truth side is the eval harness, not the
+    serving path — it brute-forces only the (tiny, broadcast) sampled
+    query set against the corpus, exactly how FAISS/BigANN recall
+    harnesses run, so the cost is one corpus scan per eval batch. The
+    serving side is the bucket equi-join (no cross join anywhere). A
+    query whose bucket is empty contributes recall/MRR/NDCG = 0 through
+    the left join from the truth side — silent-miss-proof by
+    construction. DCG folds in DECIMAL(10,8) (see _NDCG_DISC) so both
+    engines sum exactly; all final divisions are double-on-double with
+    identical operand trees."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", F.expr(_BUCKET.format(e="embedding")))
+        .withColumn("nsq", dot("embedding", "embedding"))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    cand = e.repartition(spark.sparkContext.defaultParallelism)
+    truth = (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
+        )
+        .withColumn("trank", F.row_number().over(wq))
+        .filter(F.col("trank") <= 10)
+        .select("query_id", "neighbor_id", "trank")
+    )
+    retr = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
+        )
+        .withColumn("pos", F.row_number().over(wq))
+        .filter(F.col("pos") <= 10)
+        .select("query_id", "neighbor_id", "pos")
+    )
+    disc = F.expr(_DISC_ARRAY)
+    zero_disc = F.lit("0").cast("decimal(10,8)")
+    ragg = (
+        retr.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.sum(
+                F.when(F.col("trank").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("hits"),
+            F.min(F.when(F.col("trank").isNotNull(), F.col("pos"))).alias(
+                "first_rel"
+            ),
+            F.sum(
+                F.when(
+                    F.col("trank").isNotNull(), F.element_at(disc, F.col("pos"))
+                ).otherwise(zero_disc)
+            ).alias("dcg"),
+        )
+    )
+    tagg = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("truth_n"),
+        F.sum(F.element_at(disc, F.col("trank"))).alias("idcg"),
+    )
+    out = tagg.join(ragg, "query_id", "left")
+    return out.select(
+        "query_id",
+        F.coalesce(F.col("n_retrieved"), F.lit(0)).cast("bigint").alias(
+            "n_retrieved"
+        ),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+        (
+            F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+            / F.col("truth_n").cast("double")
+        ).alias("recall_at_10"),
+        F.coalesce(
+            F.lit(1).cast("double") / F.col("first_rel").cast("double"),
+            F.lit(0).cast("double"),
+        ).alias("mrr"),
+        F.coalesce(
+            d2d(F.col("dcg")) / d2d(F.col("idcg")), F.lit(0).cast("double")
+        ).alias("ndcg_at_10"),
+    ).orderBy("query_id")

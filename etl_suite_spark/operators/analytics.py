@@ -3563,3 +3563,114 @@ def ts_holt_damped(spark, sf_dir):
             d2d(F.expr("st[0]")) + 4.6953279 * d2d(F.expr("st[1]")), 6
         ).alias("forecast_7d"),
     )
+
+
+@query(
+    "ts_rolling_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), d AS (
+      SELECT event_type, day,
+             CAST(day - DATE '2024-01-01' AS BIGINT) AS x, v
+      FROM daily
+    ), f AS (
+      SELECT event_type, day,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx,
+             SUM(x * x) OVER w AS sxx,
+             CAST(SUM(v) OVER w AS DECIMAL(18,2)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(8,0)) * v) OVER w
+                  AS DECIMAL(18,2)) AS sxy
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), g AS (
+      SELECT event_type, day, n, sx, sy,
+             CAST(CAST(CAST(n AS DECIMAL(4,0)) * sxy
+                       - CAST(sx AS DECIMAL(8,0)) * sy AS VARCHAR) AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+      FROM f WHERE n = 14
+    )
+    SELECT event_type, day, slope,
+           (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+              - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM g
+    ORDER BY event_type, day
+    """,
+)
+def ts_rolling_slope(spark, sf_dir):
+    """Rolling 14-day OLS regression (slope + intercept) of each event
+    type's daily value series — the trend-estimation window behind
+    "is this metric accelerating" dashboards and linear drift alarms,
+    strictly stronger than a moving average (which can't distinguish a
+    level shift from a trend). x is the TRUE epoch-day index, so calendar
+    gaps in the series are handled by the regression itself rather than
+    silently treated as adjacent points.
+
+    Numeric discipline: the classic closed form needs only frame sums —
+    n, Σx, Σx², Σy, Σxy. Σx/Σx² stay in BIGINT; Σy/Σxy fold in exact
+    DECIMAL (value quantized to 2dp first), so every frame statistic is
+    bit-identical across engines regardless of accumulation order; only
+    the final slope/intercept divisions run in double, with identical
+    operand trees on both engines (decimal→double goes through the
+    string cast — see core.d2d). covar_pop/var_pop window aggregates
+    would be the obvious alternative but their streaming co-moment
+    accumulation order is engine-specific, which is exactly the
+    portability trap the sum form avoids.
+
+    Scale shape: one map-side-combinable shuffle reduces the fact table
+    to (event_type × day) — bounded by the calendar times the type
+    cardinality, NOT the fact-table row count — and the window runs on
+    that tiny domain partitioned by event_type. At 100 TB the heavy
+    stage is the partial agg on the scan, which is embarrassingly
+    parallel; the window stage is invariant-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(dec("value", 2)).alias("v"))
+    d = daily.withColumn(
+        "x", F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    f = d.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum("v").over(w).cast("decimal(18,2)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(8,0)") * F.col("v"))
+        .over(w)
+        .cast("decimal(18,2)")
+        .alias("sxy"),
+    )
+    g = f.filter(F.col("n") == 14).select(
+        "event_type",
+        "day",
+        "n",
+        "sx",
+        "sy",
+        (
+            d2d(
+                F.col("n").cast("decimal(4,0)") * F.col("sxy")
+                - F.col("sx").cast("decimal(8,0)") * F.col("sy")
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope"),
+    )
+    return g.select(
+        "event_type",
+        "day",
+        "slope",
+        (
+            (d2d(F.col("sy")) - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    ).orderBy("event_type", "day")

@@ -171,7 +171,11 @@ def test_evidence_ledger_covers_every_query():
     plan fails here immediately."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    planned = set(EXPECTED_R6_WINDOW) | set(entry_mod.R7_PLANNED)
+    planned = (
+        set(EXPECTED_R6_WINDOW)
+        | set(entry_mod.R7_PLANNED)
+        | set(entry_mod.R8_PLANNED)
+    )
     uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
@@ -181,6 +185,14 @@ def test_r7_overflow_plan_is_well_formed():
     assert len(set(entry_mod.R7_PLANNED)) == len(entry_mod.R7_PLANNED)
     overlap = set(entry_mod.R7_PLANNED) & set(EXPECTED_R6_WINDOW)
     assert not overlap, f"R7 entries already in the R6 window: {overlap}"
+
+
+def test_r8_overflow_plan_is_well_formed():
+    assert len(entry_mod.R8_PLANNED) <= 50
+    assert len(set(entry_mod.R8_PLANNED)) == len(entry_mod.R8_PLANNED)
+    earlier = set(EXPECTED_R6_WINDOW) | set(entry_mod.R7_PLANNED)
+    overlap = set(entry_mod.R8_PLANNED) & earlier
+    assert not overlap, f"R8 entries already planned earlier: {overlap}"
 
 
 def test_bench_headline_queries_registered():

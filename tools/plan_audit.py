@@ -32,6 +32,7 @@ EXPECTED_NLJ = {
     "llm_sim_knn_classify",  # same broadcast retrieval layer as cosine_topk
     "llm_sim_mmr_rerank",  # same broadcast retrieval layer feeding the pools
     "llm_sim_ann_recall",  # same broadcast retrieval layer (ground-truth side)
+    "llm_retrieval_ndcg",  # same broadcast ground-truth side as ann_recall
     "dq_key_skew_report",  # 1-row stats profile broadcast onto per-key counts
     "llm_dedup_embcos",  # all-pairs scorer at oracle scale (LSH is scale path)
     "udf_pandas_scalar",  # 1-row stats frame cross-joined (broadcast)
