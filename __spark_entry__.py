@@ -294,6 +294,7 @@ R7_PLANNED = [
 # queries added past that point queue here under the same contract.
 R8_PLANNED = [
     "ts_rolling_slope",
+    "graph_label_propagation",
 ]
 
 

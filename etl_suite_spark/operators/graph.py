@@ -70,6 +70,59 @@ def _oracle_pagerank() -> str:
     return head + "," + ",".join(steps) + tail
 
 
+def _trade_edges(spark, sf_dir, edges_path=None):
+    """Symmetrized customer↔supplier trade edge list, materialized ONCE as
+    a src-partitioned parquet artifact shared by every iterative graph op
+    (pagerank, label propagation) — the bucket-write-then-reuse pattern
+    prescribed for 100 TB, and the measured winner at bench scale (see
+    graph_pagerank's docstring for the persist()/localCheckpoint numbers).
+
+    Concurrency-safe shared cache (ADVICE r3): each process writes a
+    PID-suffixed temp dir then atomically renames it into place; the loser
+    of a rename race discards its copy and reads the winner's (content is
+    deterministic per sf_dir — the "v1" token versions the derivation so a
+    future edge-logic change can't silently reuse stale data). A complete
+    dir carries Spark's _SUCCESS marker, so a reader never sees a
+    half-written edge list."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges_lazy = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if edges_path is None:
+        final = os.path.join(
+            tempfile.gettempdir(),
+            "etl_pr_edges_"
+            + hashlib.sha1(("v1:" + sf_dir).encode()).hexdigest()[:12],
+            "edges",
+        )
+        if not os.path.isfile(os.path.join(final, "_SUCCESS")):
+            tmp = f"{final}.tmp.{os.getpid()}"
+            edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, final)
+            except OSError:  # concurrent builder won the rename; use theirs
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        edges_path = final
+    else:
+        edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(edges_path)
+    return spark.read.parquet(edges_path)
+
+
 @query("graph_pagerank", oracle=_oracle_pagerank())
 def graph_pagerank(
     spark,
@@ -97,63 +150,17 @@ def graph_pagerank(
     path at scale); default is a deterministic per-sf_dir temp dir that is
     reused across invocations instead of leaking a fresh mkdtemp each run.
     """
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
-        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    # Materialize the symmetrized edge list ONCE (distributed src-
-    # partitioned write), then iterate over the clean parquet scan — the
-    # bucket-write-then-reuse pattern prescribed for 100 TB, and also the
-    # measured winner at bench scale (sf0.1, local[32]): ~4.5 s incl. the
-    # write vs ~6.8 s recomputing the distinct edge build per iteration
-    # and ~8-16 s with .persist() (cache materialization blocks, and its
-    # InMemoryRelation boundary stops AQE re-optimization). Also measured
-    # and REJECTED (round 3): per-iteration rank.localCheckpoint(eager)
-    # to truncate lineage — 11.3 s vs 8.3 s first-run in fresh sessions
-    # (each eager materialization pays its own codegen; the unrolled DAG
-    # compiles once). At 100 TB with many more iterations the tradeoff
-    # flips and checkpointing every ~5 iterations is the standard move.
-    import hashlib
-    import os
-    import tempfile
-
-    edges_lazy = e0.union(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    if edges_path is None:
-        # Shared deterministic dir, made concurrency-safe (ADVICE r3): each
-        # process writes to its own PID-suffixed temp dir, then atomically
-        # renames it into place.  The loser of a rename race discards its
-        # copy and reads the winner's (content is deterministic per sf_dir —
-        # the "v1" token versions the derivation so a future edge-logic
-        # change can't silently reuse stale data).  A complete dir carries
-        # Spark's _SUCCESS marker; rename makes it appear atomically, so a
-        # reader never sees a half-written edge list.
-        final = os.path.join(
-            tempfile.gettempdir(),
-            "etl_pr_edges_"
-            + hashlib.sha1(("v1:" + sf_dir).encode()).hexdigest()[:12],
-            "edges",
-        )
-        if not os.path.isfile(os.path.join(final, "_SUCCESS")):
-            tmp = f"{final}.tmp.{os.getpid()}"
-            edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(tmp)
-            try:
-                os.rename(tmp, final)
-            except OSError:  # concurrent builder won the rename; use theirs
-                import shutil
-
-                shutil.rmtree(tmp, ignore_errors=True)
-        edges_path = final
-    else:
-        edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(edges_path)
-    edges = spark.read.parquet(edges_path)
+    # Edge materialization choices measured at bench scale (sf0.1,
+    # local[32]): ~4.5 s incl. the write vs ~6.8 s recomputing the
+    # distinct edge build per iteration and ~8-16 s with .persist()
+    # (cache materialization blocks, and its InMemoryRelation boundary
+    # stops AQE re-optimization). Also measured and REJECTED (round 3):
+    # per-iteration rank.localCheckpoint(eager) to truncate lineage —
+    # 11.3 s vs 8.3 s first-run in fresh sessions (each eager
+    # materialization pays its own codegen; the unrolled DAG compiles
+    # once). At 100 TB with many more iterations the tradeoff flips and
+    # checkpointing every ~5 iterations is the standard move.
+    edges = _trade_edges(spark, sf_dir, edges_path)
 
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
@@ -792,3 +799,105 @@ def graph_clustering_local(spark, sf_dir):
         )
         .orderBy("node")
     )
+
+
+def _oracle_label_propagation() -> str:
+    """Unrolled-CTE DuckDB twin of the Spark LPA loop (same 3 synchronous
+    rounds, same mode-label update with the (count DESC, label ASC)
+    tie-break)."""
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    steps = []
+    for i in range(1, _ITERS + 1):
+        steps.append(f"""
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT e.src AS node, l.label, COUNT(*) AS cnt,
+               row_number() OVER (
+                 PARTITION BY e.src
+                 ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM edges e JOIN l{i - 1} l ON e.dst = l.node
+        GROUP BY e.src, l.label
+      ) WHERE rn = 1
+    )""")
+    tail = f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+           node // 2 AS entity_key,
+           CASE WHEN label % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS community_kind,
+           label // 2 AS community_key
+    FROM l{_ITERS}
+    ORDER BY kind, entity_key
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@query("graph_label_propagation", oracle=_oracle_label_propagation())
+def graph_label_propagation(spark, sf_dir, edges_path=None):
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) over the customer↔supplier trade graph: every
+    node starts as its own community, then for 3 rounds simultaneously
+    adopts the MOST FREQUENT label among its neighbors, ties broken by
+    the smallest label. The mode update is what distinguishes this from
+    connected components (min-label propagation, graph.py/llm/dedup.py):
+    CC answers "which nodes are reachable", LPA answers "which nodes are
+    DENSELY connected" — bridges between communities don't merge them
+    just because a path exists.
+
+    Determinism: classic LPA is notoriously run-order-dependent
+    (asynchronous updates + random tie-breaks). This is the deterministic
+    variant — synchronous rounds (all updates read the previous round's
+    labels) and a total (count DESC, label ASC) tie order — so both
+    engines land on identical labels and the result is hash-comparable
+    and resumable at 100 TB.
+
+    Scale shape: per round, ONE equi-join of the label table onto the
+    persisted src-partitioned edge artifact (shared with graph_pagerank —
+    built once, reused by every iterative graph op) and one (node, label)
+    aggregation with a per-node top-1 window. Label tables are
+    node-cardinality, edges dominate — identical join geometry to
+    pagerank, whose bucketing/broadcast notes apply verbatim. Fixed 3
+    rounds keeps the plan an unrolled DAG (no driver loop on collected
+    data); production convergence looping would reuse
+    graph_connected_components' budget-guarded pattern."""
+    from pyspark.sql import Window
+
+    edges = _trade_edges(spark, sf_dir, edges_path)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(_ITERS):
+        nbr_labels = edges.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        labels = (
+            nbr_labels.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node div 2").alias("entity_key"),
+        F.when(F.col("label") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("community_kind"),
+        F.expr("label div 2").alias("community_key"),
+    ).orderBy("kind", "entity_key")

@@ -171,3 +171,69 @@ def test_rolling_slope_matches_python_reference(spark):
         want = ref[(r["event_type"], r["day"])]
         assert r["slope"] == pytest.approx(want[0], abs=1e-9), r
         assert r["intercept"] == pytest.approx(want[1], abs=1e-9), r
+
+
+def _ref_label_propagation():
+    """Pure-Python replica of graph_label_propagation: synchronous
+    3-round mode-label LPA with the (count DESC, label ASC) tie-break
+    over the symmetrized customer↔supplier trade graph."""
+    from collections import Counter
+
+    orders = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    cust = dict(
+        zip(orders.column("o_orderkey").to_pylist(),
+            orders.column("o_custkey").to_pylist())
+    )
+    e0 = set()
+    for ok, sk in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_suppkey").to_pylist()
+    ):
+        if ok in cust:
+            e0.add((cust[ok] * 2, sk * 2 + 1))
+    adj = {}
+    for s, d in e0:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts = Counter(labels[m] for m in nbrs)
+            nxt[n] = min(counts, key=lambda lb: (-counts[lb], lb))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_python_reference(spark):
+    ref = _ref_label_propagation()
+    rows = QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        node = r["entity_key"] * 2 + (0 if r["kind"] == "customer" else 1)
+        want = ref[node]
+        got = r["community_key"] * 2 + (
+            0 if r["community_kind"] == "customer" else 1
+        )
+        assert got == want, (node, got, want)
+
+
+def test_label_propagation_communities_are_coarser_than_nodes(spark):
+    """LPA must actually merge: the community count is strictly below the
+    node count, and every community label is itself a node (labels only
+    ever copy existing node ids — mode-of-neighbors can't invent one)."""
+    rows = QUERIES["graph_label_propagation"](spark, SF_DIR).collect()
+    nodes = {
+        r["entity_key"] * 2 + (0 if r["kind"] == "customer" else 1)
+        for r in rows
+    }
+    comms = {
+        r["community_key"] * 2 + (0 if r["community_kind"] == "customer" else 1)
+        for r in rows
+    }
+    assert comms <= nodes
+    assert len(comms) < len(nodes)

@@ -76,6 +76,7 @@ OPS = [
 GRAPH_OPS = [
     "graph_connected_components",
     "graph_pagerank",
+    "graph_label_propagation",
     "graph_triangle_count",
 ]
 
