@@ -161,7 +161,8 @@ R5_WINDOW = [
     "win_anomaly_mad",
 ]
 
-# Round-6 ACTIVE window (VERDICT r5 "Next round" item 2): every registered
+# Round-6 window (HISTORICAL — drove CORRECTNESS_r06, 50/50 green; kept
+# for the evidence-ledger tests): every registered
 # query with no driver record after R5 executed — 14 r3/r4-era
 # oracle-checkable queries, the 31 added during round 5 (each oracle-checked
 # locally on introduction AND re-checked in the round-close full sweep at
@@ -172,10 +173,10 @@ R5_WINDOW = [
 # llm_sim_mmr_rerank (sequential greedy rerank, pytest-checked vs NumPy),
 # and llm_sim_ann_pq / llm_sim_ann_ivfpq (approximate by construction;
 # their `_recall` honesty twins are oracle-checked in the R5 window above).
-# New queries added in round 6+ must be appended to R7_PLANNED —
-# tests/test_entry_contract.py recomputes coverage from the committed
-# CORRECTNESS files and fails if any registered query is left without a
-# driver-evidence plan.
+# New queries must be appended to the next planned window (R8_PLANNED
+# as of round 7) — tests/test_entry_contract.py recomputes coverage from
+# the committed CORRECTNESS files and fails if any registered query is
+# left without a driver-evidence plan.
 R6_WINDOW = [
     "join_asof_nearest",
     "agg_trend_corr",
@@ -231,12 +232,16 @@ R6_WINDOW = [
     "llm_sim_ann_ivfpq",
 ]
 
-# Round-7 overflow plan: R6_WINDOW filled its 50-slot window, so queries
-# added past that point queue here (same contract: each is oracle-checked
-# locally on introduction; tests/test_entry_contract.py counts R7 toward
-# the every-query-has-a-driver-evidence-plan invariant). Round-6 additions
-# filled it to exactly 50 — further queries queue in R8_PLANNED below.
-R7_PLANNED = [
+# Round-7 ACTIVE window (VERDICT r6 "Next round" item 1): the 50 queries
+# that accumulated in the R7 overflow plan across rounds 5-6 — the r5
+# analytics/time-series/data-quality tail plus all 10 round-6 operators.
+# Every entry is oracle-checked (no rows-only slots this round: the three
+# honesty twins llm_dedup_simhash_recall / ml_kmeans_quality /
+# llm_retrieval_ndcg are themselves oracle-backed). Each was verified
+# locally at sf0.01 on introduction AND in the round-6 close full sweep.
+# After this window executes, only R8_PLANNED (2 queries + round-7
+# additions) remains without driver evidence.
+R7_WINDOW = [
     "ts_holt_linear",
     "agg_welch_ttest",
     "agg_theil_sen",
@@ -290,16 +295,18 @@ R7_PLANNED = [
     "llm_retrieval_ndcg",
 ]
 
-# Round-8 overflow plan: R7_PLANNED reached its 50-slot window, so
-# queries added past that point queue here under the same contract.
+# Round-8 overflow plan: R7_WINDOW is full (50 slots), so queries added
+# past that point queue here under the same contract (oracle-checked
+# locally on introduction; tests/test_entry_contract.py counts R8 toward
+# the every-query-has-a-driver-evidence-plan invariant). Round-7
+# additions append here.
 R8_PLANNED = [
     "ts_rolling_slope",
     "graph_label_propagation",
 ]
 
-
 def _windowed(mapping: dict) -> dict:
-    ordered = {k: mapping[k] for k in R6_WINDOW if k in mapping}
+    ordered = {k: mapping[k] for k in R7_WINDOW if k in mapping}
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
     return ordered
 

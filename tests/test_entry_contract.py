@@ -6,13 +6,13 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-6 window composition (VERDICT r5 "Next round" item 2): the
-closeout rotation — 14 r3/r4-era oracle-checkable queries, the 31 added
-during round 5, and 4 rows-only ops taking (weaker) rows-only driver
-slots whose honesty twins are already driver-green.  R7_PLANNED holds
-the remaining 40 never-driver-checked queries; after R7 executes, every
-registered query will have a driver record, and the evidence-ledger test
-below enforces exactly that from the committed CORRECTNESS files.
+Round-7 window composition (VERDICT r6 "Next round" item 1): the 50
+queries that queued in the R7 overflow plan across rounds 5-6 — the r5
+analytics/time-series/data-quality tail plus all 10 round-6 operators.
+Every entry is oracle-checked; there are NO rows-only slots this round.
+After R7 executes, only R8_PLANNED (2 queries + round-7 additions)
+remains without driver evidence, and the evidence-ledger test below
+enforces exactly that from the committed CORRECTNESS files.
 """
 
 from __future__ import annotations
@@ -22,68 +22,61 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R6_WINDOW = [
-    "join_asof_nearest",
-    "agg_trend_corr",
-    "llm_curriculum_order",
-    "inc_late_dim_resolve",
-    "ts_gapfill_interpolate",
-    "agg_cohort_ltv",
-    "win_zscore_rolling",
-    "scan_rowgroup_stats",
-    "llm_corpus_stats",
-    "agg_autocorr_lag1",
-    "llm_ngram_novelty",
-    "win_rank_change",
-    "agg_new_vs_returning",
-    "agg_interevent_gaps",
-    "llm_dedup_embedding_recall",
-    "llm_sim_range_search",
-    "llm_dedup_crossset",
-    "agg_dau_wau_stickiness",
-    "dq_benford",
-    "llm_vocab_growth",
-    "agg_activity_heatmap",
-    "mm_byte_framing",
-    "agg_rfm_segmentation",
-    "agg_bitmap_rollup",
-    "agg_forecast_snaive",
-    "agg_entropy_mix",
-    "win_rolling_corr7",
-    "dq_cross_table_rule",
-    "llm_bpe_merge_candidates",
-    "llm_perplexity_bucket",
-    "stream_topk_per_window",
-    "agg_bitmap_distinct",
-    "win_cusum_changepoint",
-    "ts_seasonal_index_dow",
-    "dq_outlier_iqr",
-    "join_interval_overlap",
-    "llm_dedup_containment",
-    "llm_span_corruption",
-    "llm_readability",
-    "graph_connected_components",
-    "graph_degree_histogram",
-    "graph_jaccard_neighbors",
-    "agg_ab_test",
-    "agg_survival_km",
-    "agg_attribution_last_touch",
-    "win_drawdown",
-    # rows-only driver slots (no oracle BY DESIGN — see __spark_entry__):
-    "agg_sketch_rollup",
-    "llm_sim_mmr_rerank",
-    "llm_sim_ann_pq",
-    "llm_sim_ann_ivfpq",
+EXPECTED_R7_WINDOW = [
+    "ts_holt_linear",
+    "agg_welch_ttest",
+    "agg_theil_sen",
+    "dq_freshness",
+    "agg_funnel_timebound",
+    "agg_wow_growth",
+    "agg_path_trigrams",
+    "agg_chisq_independence",
+    "agg_mann_whitney",
+    "dq_volume_anomaly",
+    "er_golden_record",
+    "llm_ttr_hapax",
+    "llm_zipf_slope",
+    "llm_length_histogram",
+    "llm_emb_quantize_int8",
+    "llm_dedup_threshold_sweep",
+    "graph_bfs_distance",
+    "inc_partition_rebuild",
+    "agg_ks_test",
+    "agg_bootstrap_ci",
+    "stream_anomaly_zscore",
+    "llm_mixture_epochs",
+    "ts_stl_decompose",
+    "agg_decay_score",
+    "udf_arrow_map",
+    "pipeline_dag_run",
+    "llm_hard_negatives",
+    "ml_target_encoding",
+    "ml_feature_scale",
+    "dq_schema_contract",
+    "agg_trimmed_mean",
+    "graph_assortativity",
+    "dq_psi_drift",
+    "ts_acf",
+    "llm_packing_efficiency",
+    "inc_snapshot_expire",
+    "join_asof_tolerance",
+    "llm_charset_report",
+    "llm_quality_composite",
+    "ts_holt_winters",
+    # added in round 6 (oracle-checked locally on introduction):
+    "ts_forecast_backtest",
+    "ts_holt_damped",
+    "llm_ngram_kneser_ney",
+    "llm_tokenizer_fertility",
+    "graph_clustering_local",
+    "llm_sft_pairs",
+    "llm_vocab_coverage",
+    "llm_dedup_simhash_recall",
+    "ml_kmeans_quality",
+    "llm_retrieval_ndcg",
 ]
 
-ROWS_ONLY_SLOTS = {
-    "agg_sketch_rollup",
-    "llm_sim_mmr_rerank",
-    "llm_sim_ann_pq",
-    "llm_sim_ann_ivfpq",
-}
-
-_DRIVER_ROUNDS = (1, 2, 3, 4, 5, 6)
+_DRIVER_ROUNDS = (1, 2, 3, 4, 5, 6, 7)
 
 
 def _driver_history() -> dict[str, dict]:
@@ -97,36 +90,28 @@ def _driver_history() -> dict[str, dict]:
 
 
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R6_WINDOW) == 50
-    assert len(set(EXPECTED_R6_WINDOW)) == 50
+    assert len(EXPECTED_R7_WINDOW) == 50
+    assert len(set(EXPECTED_R7_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R6_WINDOW
-    assert entry_mod.R6_WINDOW == EXPECTED_R6_WINDOW
+    assert qs[:50] == EXPECTED_R7_WINDOW
+    assert entry_mod.R7_WINDOW == EXPECTED_R7_WINDOW
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R6_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R7_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
-def test_window_oracle_coverage_is_exactly_as_declared():
-    # 46 oracle-checked + the 4 declared rows-only slots; any other
-    # oracle-less entry burns a driver slot on an unplanned weak record.
+def test_window_is_fully_oracle_checked():
+    # The R7 window has NO rows-only slots: all 50 entries carry DuckDB
+    # oracles, so CORRECTNESS_r07 should be 50/50 full hash checks.
     oracles = entry_mod.oracle_sql()
-    missing = [
-        n
-        for n in EXPECTED_R6_WINDOW
-        if n not in oracles and n not in ROWS_ONLY_SLOTS
-    ]
+    missing = [n for n in EXPECTED_R7_WINDOW if n not in oracles]
     assert not missing, f"window names without oracles: {missing}"
-    oracled_rows_only = sorted(n for n in ROWS_ONLY_SLOTS if n in oracles)
-    assert not oracled_rows_only, (
-        f"declared rows-only but oracle exists: {oracled_rows_only}"
-    )
 
 
 def test_oracle_keys_subset_of_queries():
@@ -138,7 +123,7 @@ def test_oracle_keys_subset_of_queries():
 def test_no_stale_red_left_outside_window():
     """Any query whose LATEST driver record is red (oracle-able but not
     fully green) must sit inside the active window for a re-check.
-    Recomputed from the committed CORRECTNESS_r0*.json files; r1-r5 ended
+    Recomputed from the committed CORRECTNESS_r0*.json files; r1-r6 ended
     50/50 green so this is expected vacuous — it exists to catch a
     regression being planned around rather than re-checked."""
     latest = _driver_history()
@@ -151,7 +136,7 @@ def test_no_stale_red_left_outside_window():
             rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
         )
     ]
-    outside = sorted(set(red) - set(EXPECTED_R6_WINDOW))
+    outside = sorted(set(red) - set(EXPECTED_R7_WINDOW))
     assert not outside, f"stale-red oracle-able queries not in window: {outside}"
 
 
@@ -163,36 +148,46 @@ def _is_green_or_rows_only(rec: dict) -> bool:
 
 
 def test_evidence_ledger_covers_every_query():
-    """VERDICT r5 item 6: every registered query must have a
-    green-or-rows-only driver record in the committed CORRECTNESS files,
-    OR a pinned slot in the active window / R7_PLANNED.  Once R7
-    executes, the planned sets shrink to empty and this becomes the pure
-    ledger invariant — a future query addition with no driver-evidence
-    plan fails here immediately."""
+    """Every registered query must have a green-or-rows-only driver
+    record in the committed CORRECTNESS files, OR a pinned slot in the
+    active window / R8_PLANNED.  Once R7 executes, the planned backlog
+    shrinks to R8's 2 entries + round-7 additions; a future query added
+    with no driver-evidence plan fails here immediately."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    planned = (
-        set(EXPECTED_R6_WINDOW)
-        | set(entry_mod.R7_PLANNED)
-        | set(entry_mod.R8_PLANNED)
-    )
+    planned = set(EXPECTED_R7_WINDOW) | set(entry_mod.R8_PLANNED)
     uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
 
-def test_r7_overflow_plan_is_well_formed():
-    assert len(entry_mod.R7_PLANNED) <= 50
-    assert len(set(entry_mod.R7_PLANNED)) == len(entry_mod.R7_PLANNED)
-    overlap = set(entry_mod.R7_PLANNED) & set(EXPECTED_R6_WINDOW)
-    assert not overlap, f"R7 entries already in the R6 window: {overlap}"
+def test_pre_r7_backlog_is_exactly_the_known_two():
+    """VERDICT r6 item 7 (tightened ledger): of everything registered
+    BEFORE round 7, only the R7 window itself and the two R8 carryovers
+    (ts_rolling_slope, graph_label_propagation) may lack a driver record.
+    This is the strict form of the ledger — no plan-list escape for any
+    other pre-r7 query."""
+    latest = _driver_history()
+    evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
+    pre_r7 = set(entry_mod.queries()) - set(entry_mod.R8_PLANNED[2:])
+    allowed_gap = set(EXPECTED_R7_WINDOW) | {
+        "ts_rolling_slope",
+        "graph_label_propagation",
+    }
+    uncovered = sorted(pre_r7 - evidenced - allowed_gap)
+    assert not uncovered, f"pre-r7 queries with no driver record: {uncovered}"
 
 
 def test_r8_overflow_plan_is_well_formed():
     assert len(entry_mod.R8_PLANNED) <= 50
     assert len(set(entry_mod.R8_PLANNED)) == len(entry_mod.R8_PLANNED)
-    earlier = set(EXPECTED_R6_WINDOW) | set(entry_mod.R7_PLANNED)
-    overlap = set(entry_mod.R8_PLANNED) & earlier
-    assert not overlap, f"R8 entries already planned earlier: {overlap}"
+    overlap = set(entry_mod.R8_PLANNED) & set(EXPECTED_R7_WINDOW)
+    assert not overlap, f"R8 entries already in the R7 window: {overlap}"
+    # the two round-6 carryovers must keep their queue position so the
+    # tightened-ledger test above stays meaningful
+    assert entry_mod.R8_PLANNED[:2] == [
+        "ts_rolling_slope",
+        "graph_label_propagation",
+    ]
 
 
 def test_bench_headline_queries_registered():
