@@ -62,6 +62,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_bytes(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Total on-disk bytes of one canonical table, read through the Hadoop
+    FileSystem API — NO Spark job, and FS-agnostic (local, HDFS, S3A all
+    implement getContentSummary), so it is safe to call at plan-construction
+    time. Used to gate broadcast hints on derived tables whose size tracks
+    the source corpus (e.g. the bigram-type count tables of the LM scorers):
+    a row-count gate there would itself cost a full aggregation job just to
+    pick a join strategy, while source bytes are a sound upper-bound proxy —
+    a distinct-key count table is never larger than a small multiple of the
+    corpus it was counted from."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(table_path(sf_dir, name))
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(path).getLength())
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for the SQL entry point."""
     for t in TABLES:

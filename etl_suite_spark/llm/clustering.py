@@ -206,12 +206,13 @@ def ml_kmeanspp_tiers(spark, sf_dir):
              CAST(round(embedding[u.i] * 1000000) AS BIGINT) AS q
       FROM embeddings, unnest(range(1, 65)) AS u(i)
     ), per AS (
-      SELECT cell, dim, COUNT(*) AS n, SUM(q) AS sq, SUM(q * q) AS sqq
+      SELECT cell, dim, COUNT(*) AS n,
+             CAST(SUM(q) AS HUGEINT) AS sq,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq
       FROM q GROUP BY cell, dim
     ), terms AS (
       SELECT cell, n,
-             CAST(CAST(n AS BIGINT) * CAST(sqq AS BIGINT)
-                  - CAST(sq AS BIGINT) * CAST(sq AS BIGINT)
+             CAST(CAST(n AS HUGEINT) * sqq - sq * sq
                   AS DECIMAL(38,0)) AS term
       FROM per
     )
@@ -234,12 +235,15 @@ def ml_kmeans_quality(spark, sf_dir):
     this is the "measure, don't guess" gate for the one rows-only family
     whose quality evidence previously lived only in pytest.
 
-    Exactness: each (cell, dim) term n·Σq² − (Σq)² is exact int64 (≤
-    ~1.6e17 at sf0.1); the per-cell 64-term sum goes through a
-    DECIMAL(38,0) accumulator (the int64 ceiling is ~1e19 — at larger
-    per-cell counts the decimal accumulator is the scale path), then one
-    exact-string render to double. Only the flag compares engine-side
-    float inertia, and its measured margin is ~4%.
+    Exactness: each (cell, dim) term n·Σq² − (Σq)² is computed entirely
+    in 128-bit-capable arithmetic — Spark sums/multiplies in
+    DECIMAL(38,0), DuckDB in HUGEINT — BEFORE the subtraction, never in
+    int64 (ADVICE r6: the terms grow ~n² and pass the int64 ceiling near
+    sf≈1, where non-ANSI Spark would wrap silently while DuckDB raises —
+    the same overflow class agg_aqp_estimate hit in round 5). The
+    per-cell 64-term sum stays in DECIMAL(38,0), then one exact-string
+    render to double. Only the flag compares engine-side float inertia,
+    and its measured margin is ~4%.
 
     Plan: map-only quantized explode → (cell, dim) hash agg → cell agg
     (5 rows) + the kmeans run's inertia as a broadcast scalar."""
@@ -254,13 +258,16 @@ def ml_kmeans_quality(spark, sf_dir):
     )
     per = q.groupBy("cell", "dim").agg(
         F.count("*").alias("n"),
-        F.sum("q").alias("sq"),
-        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("sq"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sqq"),
     )
     terms = per.select(
         "cell",
         "n",
-        (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq"))
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sqq")
+            - F.col("sq") * F.col("sq")
+        )
         .cast("decimal(38,0)")
         .alias("term"),
     )

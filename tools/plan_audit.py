@@ -84,6 +84,10 @@ EXPECTED_NLJ = {
     "ts_acf",  # 14-row lag-grid broadcast crossJoin onto the day domain
     "inc_snapshot_expire",  # one-row retention-cutoff broadcast crossJoin
     "llm_charset_report",  # one-row corpus-total broadcast crossJoin (share denominator)
+    "llm_unigram_logprob",  # one-row corpus-total broadcast crossJoin (LM denominator)
+    "llm_bigram_logprob",  # one-row |V| broadcast crossJoin (Laplace denominator)
+    "llm_ngram_kneser_ney",  # one-row |bigram types| broadcast crossJoin (KN T term)
+    "llm_perplexity_bucket",  # composes llm_unigram_logprob → inherits its one-row crossJoin
     "ts_holt_winters",  # one-row folded state crossJoined with broadcast 7-row horizon grid
 }
 
