@@ -303,6 +303,17 @@ R7_WINDOW = [
 R8_PLANNED = [
     "ts_rolling_slope",
     "graph_label_propagation",
+    # added in round 7 (oracle-checked locally on introduction):
+    "agg_hhi_concentration",
+    "ts_cross_correlation",
+    "agg_cms_heavy_hitters",
+    "llm_cross_entropy_heldout",
+    "llm_bigram_pmi_top20",
+    "llm_dup_cluster_histogram",
+    "llm_emb_dim_stats",
+    "dq_duplicate_key_report",
+    "ml_gradient_step_linear",
+    "graph_kcore",
 ]
 
 def _windowed(mapping: dict) -> dict:

@@ -130,6 +130,15 @@ HEADLINE = [
 
 REPEATS = 3
 
+# The round-1 performance baseline (BASELINE.md 2026-08-13: 29.38 s) was
+# recorded over the FIRST 20 headline rows; the cross-round 2x gate is
+# judged against that subtotal, so the record carries it as an explicit
+# field — and, because rounds land on VMs whose empty-task dispatch rate
+# varies ~25x, also pre-divided by sched_1k_tasks_sec (the stage-bound
+# normalization protocol of BASELINE.md addendum 14) so the gate can be
+# read without reconstruction.
+R1_BASELINE_ROWS = 20
+
 
 def _checksum(df) -> None:
     """Force full materialization of every output column: sum of xxhash64
@@ -189,6 +198,8 @@ def main() -> None:
 
     timings = {n: round(statistics.median(r), 3) for n, r in runs.items()}
     total = round(sum(timings.values()), 3)
+    r1_set = [n for n in HEADLINE[:R1_BASELINE_ROWS] if n in timings]
+    subtotal = round(sum(timings[n] for n in r1_set), 3)
     detail = {
         "metric": "headline_wall_sec",
         "value": total,
@@ -200,6 +211,8 @@ def main() -> None:
         "calibration_runs": cal_runs,
         "sched_1k_tasks_sec": sched,
         "sched_runs": sched_runs,
+        "subtotal_r1_20q": subtotal,
+        "subtotal_per_sched": round(subtotal / sched, 2) if sched else None,
         "runs": runs,
     }
     # Full detail first (raw per-pass runs for spread inspection), then the
@@ -223,6 +236,8 @@ def compact_record(detail: dict, limit: int = 1900) -> str:
             "repeats",
             "calibration_sec",
             "sched_1k_tasks_sec",
+            "subtotal_r1_20q",
+            "subtotal_per_sched",
         )
         if k in detail
     }

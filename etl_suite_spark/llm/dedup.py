@@ -1704,3 +1704,77 @@ def llm_dedup_simhash_recall(spark, sf_dir):
             (F.col("n_found") >= 0.5 * F.col("n_true")).alias("recall_ge_50"),
         )
     )
+
+
+@query(
+    "llm_dup_cluster_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), c AS (
+      SELECT array_to_string(w[i*10+1:i*10+10], ' ') AS chunk
+      FROM t, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS u(i)
+    ), clusters AS (
+      SELECT chunk, COUNT(*) AS sz FROM c GROUP BY chunk
+    ), hist AS (
+      SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+             sz * COUNT(*) AS n_chunks
+      FROM clusters GROUP BY sz
+    ), tot AS (SELECT SUM(n_chunks) AS t FROM hist)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           round(n_chunks * 1.0 / t, 6) AS pct_chunks
+    FROM hist JOIN tot ON TRUE
+    ORDER BY cluster_size
+    """,
+)
+def llm_dup_cluster_histogram(spark, sf_dir):
+    """Duplicate-cluster size distribution at the paragraph-chunk grain —
+    the report a dedup run is judged by (C4/RefinedWeb publish exactly
+    this table): for each duplicated-segment cluster size, how many
+    clusters exist and what fraction of the corpus sits in them. A fat
+    tail (one chunk appearing in 0.1 % of documents) is boilerplate the
+    removal pass must absorb skew-safely; an all-1s table means segment
+    dedup is done and the spend moves to MinHash. Chunking is the SAME
+    10-word segmentation as llm_dedup_paragraph, so this histogram is
+    that op's before-picture (the fixture has chunk clusters up to size
+    6 but zero whole-document dups, which is why the doc grain would be
+    a vacuous 1-row report).
+
+    Plan: one chunk-keyed shuffle with map-side combine (hot boilerplate
+    chunks collapse per-partition before the exchange — the same
+    skew-safe agg formulation as the paragraph op), then a second
+    aggregation over the cluster table onto the tiny size domain, plus a
+    one-row total crossJoined back — nothing after the first shuffle is
+    corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = (
+        d.select(F.split("text", " ").alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1),"
+                    " i -> array_join(slice(w, i * 10 + 1, 10), ' '))"
+                )
+            ).alias("chunk")
+        )
+    )
+    clusters = chunks.groupBy("chunk").agg(F.count("*").alias("sz"))
+    hist = clusters.groupBy("sz").agg(F.count("*").alias("n_clusters"))
+    hist = hist.select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_chunks"),
+    )
+    tot = hist.agg(F.sum("n_chunks").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_chunks",
+            F.round(F.col("n_chunks") / F.col("t"), 6).alias("pct_chunks"),
+        )
+        .orderBy("cluster_size")
+    )

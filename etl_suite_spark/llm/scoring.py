@@ -196,3 +196,111 @@ def ml_feature_scale(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+# Fixed starting weights for the single audited gradient-descent step:
+# price ~ w0 + w1*quantity + w2*discount + w3*tax, weights in exact 2-dp
+# decimals so every partial product below stays an exact rational.
+_GDS_W0 = [("intercept", "100.00"), ("quantity", "50.00"),
+           ("discount", "-10.00"), ("tax", "5.00")]
+_GDS_LR = "0.001"
+
+
+@query(
+    "ml_gradient_step_linear",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(1 AS DECIMAL(8,2)) AS x0,
+             CAST(l_quantity AS DECIMAL(8,2)) AS x1,
+             CAST(l_discount AS DECIMAL(8,2)) AS x2,
+             CAST(l_tax AS DECIMAL(8,2)) AS x3,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      FROM lineitem
+    ), r AS (
+      SELECT CAST(CAST({_GDS_W0[0][1]} AS DECIMAL(18,2)) * x0
+                + CAST({_GDS_W0[1][1]} AS DECIMAL(18,2)) * x1
+                + CAST({_GDS_W0[2][1]} AS DECIMAL(18,2)) * x2
+                + CAST({_GDS_W0[3][1]} AS DECIMAL(18,2)) * x3
+                - y AS DECIMAL(18,4)) AS resid,
+             x0, x1, x2, x3
+      FROM x
+    ), g AS (
+      SELECT COUNT(*) AS n,
+             SUM(resid * x0) AS g0, SUM(resid * x1) AS g1,
+             SUM(resid * x2) AS g2, SUM(resid * x3) AS g3
+      FROM r
+    )
+    SELECT u.j AS dim, u.feature, u.w_old,
+           round(2.0 * CAST(CAST(u.s AS VARCHAR) AS DOUBLE) / n, 6) AS grad,
+           round(u.w_old - {_GDS_LR}e0
+                 * (2.0 * CAST(CAST(u.s AS VARCHAR) AS DOUBLE) / n), 6)
+             AS w_new
+    FROM g, LATERAL (
+      VALUES (0, 'intercept', CAST({_GDS_W0[0][1]} AS DOUBLE), g.g0),
+             (1, 'quantity',  CAST({_GDS_W0[1][1]} AS DOUBLE), g.g1),
+             (2, 'discount',  CAST({_GDS_W0[2][1]} AS DOUBLE), g.g2),
+             (3, 'tax',       CAST({_GDS_W0[3][1]} AS DOUBLE), g.g3)
+    ) AS u(j, feature, w_old, s)
+    ORDER BY dim
+    """,
+)
+def ml_gradient_step_linear(spark, sf_dir):
+    """One audited batch-gradient-descent step for a linear model
+    (price ~ intercept + quantity + discount + tax) — the distributed-ML
+    primitive every parameter-server / allreduce trainer is built from:
+    the gradient of the squared loss is (2/n)·Σ residual·x_j, and that
+    per-feature sum is ONE map-side-combinable aggregation over the fact
+    table. The output is the 4-row (w_old, grad, w_new) table after a
+    single lr=0.001 step from pinned starting weights.
+
+    Exactness: features and weights are exact 2-dp decimals, so every
+    residual and every resid·x_j partial product is an exact rational in
+    DECIMAL — the gradient sums are bit-identical regardless of
+    partition merge order (the core.py rule-3 power-sum discipline
+    applied to a training step rather than a statistic); doubles appear
+    only in the final (2·S/n, lr-scaled) render, where both engines hold
+    identical exact inputs. No transcendental anywhere — which is
+    precisely why the audit uses the LINEAR model: a logistic step's
+    sigmoid would reintroduce cross-engine libm drift into the sums.
+
+    100 TB shape: epochs = repeated invocations; the gradient pass
+    shuffles NOTHING but 4 partial sums per partition (allreduce in
+    Spark clothing). Feature scaling (ml_feature_scale) composes in
+    front; the fixed weights make it an oracle-checkable unit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = [(name, F.lit(val).cast("decimal(18,2)")) for name, val in _GDS_W0]
+    x = li.select(
+        F.lit(1).cast("decimal(8,2)").alias("x0"),
+        dec("l_quantity", 2, 8).alias("x1"),
+        dec("l_discount", 2, 8).alias("x2"),
+        dec("l_tax", 2, 8).alias("x3"),
+        dec("l_extendedprice", 2).alias("y"),
+    )
+    resid = (
+        w[0][1] * F.col("x0")
+        + w[1][1] * F.col("x1")
+        + w[2][1] * F.col("x2")
+        + w[3][1] * F.col("x3")
+        - F.col("y")
+    ).cast("decimal(18,4)")
+    r = x.select(resid.alias("resid"), "x0", "x1", "x2", "x3")
+    g = r.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col("resid") * F.col(f"x{j}")).alias(f"g{j}")
+            for j in range(4)
+        ],
+    )
+    rows = None
+    for j, (name, val) in enumerate(_GDS_W0):
+        grad = 2.0 * d2d(F.col(f"g{j}")) / F.col("n")
+        row = g.select(
+            F.lit(j).cast("int").alias("dim"),
+            F.lit(name).alias("feature"),
+            F.lit(val).cast("double").alias("w_old"),
+            F.round(grad, 6).alias("grad"),
+            F.round(F.lit(val).cast("double") - F.lit(float(_GDS_LR)) * grad, 6)
+            .alias("w_new"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows.orderBy("dim")

@@ -1718,3 +1718,80 @@ def llm_retrieval_ndcg(spark, sf_dir):
             d2d(F.col("dcg")) / d2d(F.col("idcg")), F.lit(0).cast("double")
         ).alias("ndcg_at_10"),
     ).orderBy("query_id")
+
+
+@query(
+    "llm_emb_dim_stats",
+    oracle="""
+    WITH q AS (
+      SELECT u.i - 1 AS dim,
+             CAST(round(embedding[u.i] * 1000000) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, 65)) AS u(i)
+    ), s AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(q) AS HUGEINT) AS sq,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq,
+             MIN(q) AS min_q, MAX(q) AS max_q
+      FROM q GROUP BY dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
+           round(CAST(CAST(CAST(sq AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+                 / n / 1e6, 6) AS mean_q,
+           round(CAST(CAST(CAST(CAST(n AS HUGEINT) * sqq - sq * sq
+                                AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1e12, 6) AS var_q,
+           CAST(min_q AS BIGINT) AS min_q, CAST(max_q AS BIGINT) AS max_q
+    FROM s ORDER BY dim
+    """,
+)
+def llm_emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics — the embedding-space health
+    dashboard (mean offset per dim = anisotropy / un-centered space, the
+    Ethayarajh 2019 finding that hurts cosine retrieval; near-zero
+    variance = dead dims that PQ codebooks waste bits on; min/max =
+    the quantization range llm_emb_quantize_int8 must cover). 64 rows
+    out regardless of corpus size.
+
+    Exactness: values quantize to 6-dp integers (the kmeans-quality
+    discipline), all power sums accumulate in DECIMAL(38,0)/HUGEINT —
+    the n·Σq²−(Σq)² variance term passes the int64 ceiling near sf≈1,
+    the exact overflow class ADVICE r6 flagged in ml_kmeans_quality —
+    and only the final render divides through exact-string doubles.
+
+    Plan: map-only posexplode (64 rows per vector) into ONE hash agg on
+    the 64-key dim domain with map-side combine; min/max/sums all merge
+    associatively, so the shuffle carries 64 rows per input partition.
+    The cheapest kind of full-corpus pass at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d38 = "decimal(38,0)"
+    q = e.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding, v -> CAST(round(v * 1000000, 0) AS BIGINT))"
+            )
+        ).alias("dim", "q")
+    )
+    s = q.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("q").cast(d38)).alias("sq"),
+        F.sum(F.col("q").cast(d38) * F.col("q")).alias("sqq"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+    var_term = (F.col("n").cast(d38) * F.col("sqq") - F.col("sq") * F.col("sq")).cast(
+        d38
+    )
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.round(d2d(F.col("sq")) / F.col("n") / F.lit(1e6), 6).alias("mean_q"),
+        F.round(
+            d2d(var_term)
+            / F.col("n").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1e12),
+            6,
+        ).alias("var_q"),
+        F.col("min_q").cast("long").alias("min_q"),
+        F.col("max_q").cast("long").alias("max_q"),
+    ).orderBy("dim")

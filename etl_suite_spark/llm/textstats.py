@@ -650,7 +650,7 @@ def llm_unigram_logprob(spark, sf_dir):
     GROUP BY doc_id
     """,
 )
-def llm_bigram_logprob(spark, sf_dir):
+def llm_bigram_logprob(spark, sf_dir, broadcast_gate_bytes=None):
     """Bigram language-model scoring with add-1 (Laplace) smoothing —
     the next step up from llm_unigram_logprob toward KenLM-style
     perplexity filtering: p(w2|w1) = (c(w1,w2)+1) / (c(w1)+|V|), scored
@@ -669,7 +669,9 @@ def llm_bigram_logprob(spark, sf_dir):
     best at fixture scale); over it → no hint, AQE decides, and the
     bg⋈c12 join co-partitions with the aggregation that built c12. |V|
     folds in as a broadcast one-row aggregate, not a driver-side
-    count_distinct, so plan construction launches no job."""
+    count_distinct, so plan construction launches no job.
+    ``broadcast_gate_bytes`` overrides the gate threshold (0 → never
+    hint; the scale smoke times both regimes through it)."""
     docs = load_table(spark, sf_dir, "documents")
     bg = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
@@ -686,7 +688,7 @@ def llm_bigram_logprob(spark, sf_dir):
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    hint = _lm_count_table_hint(spark, sf_dir)
+    hint = _lm_count_table_hint(spark, sf_dir, broadcast_gate_bytes)
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = docs.select(F.explode(F.split("text", " ")).alias("tok")).agg(
@@ -1341,7 +1343,7 @@ def llm_charset_report(spark, sf_dir):
     GROUP BY doc_id
     """,
 )
-def llm_ngram_kneser_ney(spark, sf_dir):
+def llm_ngram_kneser_ney(spark, sf_dir, broadcast_gate_bytes=None):
     """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
     Goodman 1999's interpolated form, absolute discount d=0.75) — the
     smoothing that actually powers KenLM-style perplexity filters, and
@@ -1382,9 +1384,11 @@ def llm_ngram_kneser_ney(spark, sf_dir):
     re-shuffles. T = |bigram types| folds in as a broadcast one-row
     aggregate (the tpch_q11 pattern) rather than a driver-side count()
     frozen into the plan as a literal (ADVICE r6): plan construction
-    launches no job, and T always reflects the executed data."""
+    launches no job, and T always reflects the executed data.
+    ``broadcast_gate_bytes`` overrides the gate threshold (0 → never
+    hint; the scale smoke times both regimes through it)."""
     docs = load_table(spark, sf_dir, "documents")
-    hint = _lm_count_table_hint(spark, sf_dir)
+    hint = _lm_count_table_hint(spark, sf_dir, broadcast_gate_bytes)
     bg = (
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 2)
@@ -1562,4 +1566,178 @@ def llm_vocab_coverage(spark, sf_dir):
             ).alias("oov_rate"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "llm_cross_entropy_heldout",
+    oracle="""
+    WITH train_tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 5 <> 4
+    ), cnt AS (
+      SELECT tok, COUNT(*) AS c FROM train_tok GROUP BY tok
+    ), stats AS (
+      SELECT COUNT(*) AS t, COUNT(DISTINCT tok) AS v FROM train_tok
+    ), eval_tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 5 = 4
+    ), scored AS (
+      SELECT e.lang,
+             CASE WHEN c.c IS NULL THEN 1 ELSE 0 END AS oov,
+             CAST(round(-ln((COALESCE(c.c, 0) + 1.0) / (s.t + s.v + 1)), 6)
+                  AS DECIMAL(18,6)) AS nll
+      FROM eval_tok e
+      LEFT JOIN cnt c ON e.tok = c.tok
+      JOIN stats s ON TRUE
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+           round(SUM(oov) * 1.0 / COUNT(*), 6) AS oov_rate,
+           round(CAST(CAST(SUM(nll) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS cross_entropy
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_cross_entropy_heldout(spark, sf_dir, broadcast_gate_bytes=None):
+    """Held-out cross-entropy of the corpus unigram LM — the train/eval
+    discipline behind every perplexity-based quality report: docs split
+    80/20 by ``doc_id % 5`` (deterministic, engine-portable — a hash
+    split would need cross-engine-identical hashing), a Laplace-smoothed
+    unigram model fit on the TRAIN side only (p = (c+1)/(T+|V|+1), one
+    shared OOV bucket), then the EVAL side scored per language: token
+    count, OOV rate, and mean negative log-likelihood in nats. Unlike
+    llm_unigram_logprob (which scores the corpus with itself), this pair
+    of columns moves the right way under contamination — memorized
+    boilerplate drops held-out CE while OOV stays flat — which is what
+    makes it a mixing-dashboard metric rather than a fluency score.
+
+    Same determinism discipline as the LM family: ln() rounded to 6 dp
+    then summed as exact DECIMAL(18,6). Plan at 100 TB: one train-side
+    token shuffle builds the count table (token-keyed — broadcast GATED
+    via _lm_count_table_hint, same reasoning as the other LM scorers);
+    (T, |V|) is a broadcast one-row aggregate; the eval side joins and
+    folds to a |lang|-sized result with map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    hint = _lm_count_table_hint(spark, sf_dir, broadcast_gate_bytes)
+    train_tok = docs.filter(F.col("doc_id") % 5 != 4).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = train_tok.groupBy("tok").agg(F.count("*").alias("c"))
+    stats = train_tok.agg(
+        F.count("*").alias("lm_t"), F.count_distinct("tok").alias("lm_v")
+    )
+    eval_tok = docs.filter(F.col("doc_id") % 5 == 4).select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    scored = (
+        eval_tok.join(hint(cnt), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "lang",
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("oov"),
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("lm_t") + F.col("lm_v") + 1)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("oov").cast("long").alias("oov_tokens"),
+            F.round(F.sum("oov") / F.count("*"), 6).alias("oov_rate"),
+            F.round(d2d(F.sum("nll")) / F.count("*"), 6).alias("cross_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "llm_bigram_pmi_top20",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM t, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    cl AS (SELECT w1, COUNT(*) AS cl FROM bg GROUP BY w1),
+    cr AS (SELECT w2, COUNT(*) AS cr FROM bg GROUP BY w2),
+    nn AS (SELECT COUNT(*) AS n FROM bg)
+    SELECT c12.w1, c12.w2, CAST(c2 AS BIGINT) AS c12,
+           CAST((c2 * n * 1000000) // (cl.cl * cr.cr) AS BIGINT)
+             AS pmi_ratio_q6
+    FROM c12
+    JOIN cl ON c12.w1 = cl.w1
+    JOIN cr ON c12.w2 = cr.w2
+    JOIN nn ON TRUE
+    WHERE c2 >= 5
+    ORDER BY pmi_ratio_q6 DESC, c12.w1, c12.w2
+    LIMIT 20
+    """,
+)
+def llm_bigram_pmi_top20(spark, sf_dir, broadcast_gate_bytes=None):
+    """Top-20 collocations by pointwise mutual information over the
+    bigram stream (Church & Hanks 1990) with a min-count-5 support floor
+    — the standard corpus-linguistics sanity report (multiword entities
+    and boilerplate phrases float to the top; a PMI table full of
+    template fragments is a dedup-pipeline smell).
+
+    PMI = ln(p(w1,w2) / (p(w1)·p(w2))) is MONOTONE in the exact rational
+    c12·N / (cl·cr), so the ranking and the published score are the
+    integer-quantized ratio (×10⁶, floor division) — no transcendental
+    ever touches an oracle-checked column, the same KN-scorer discipline
+    (a consumer takes ln once per row if nats are wanted). Integer
+    headroom: c2·N·10⁶ ≈ 1e16 at sf0.1; at corpus scale promote to
+    DECIMAL(38,0) — same expressions.
+
+    Plan: the three count tables aggregate off one bigram pass with
+    map-side combine; joins are token-keyed and broadcast-GATED
+    (_lm_count_table_hint); top-20 is TakeOrderedAndProject, never a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    hint = _lm_count_table_hint(spark, sf_dir, broadcast_gate_bytes)
+    bg = (
+        docs.select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    " element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cl = bg.groupBy("w1").agg(F.count("*").alias("cl"))
+    cr = bg.groupBy("w2").agg(F.count("*").alias("cr"))
+    nn = bg.agg(F.count("*").alias("lm_n"))
+    return (
+        c12.filter(F.col("c2") >= 5)
+        .join(hint(cl), "w1")
+        .join(hint(cr), "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("long").alias("c12"),
+            F.expr("(c2 * lm_n * 1000000) div (cl * cr)")
+            .cast("long")
+            .alias("pmi_ratio_q6"),
+        )
+        .orderBy(F.col("pmi_ratio_q6").desc(), "w1", "w2")
+        .limit(20)
     )

@@ -3674,3 +3674,271 @@ def ts_rolling_slope(spark, sf_dir):
             / F.col("n").cast("double")
         ).alias("intercept"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                  AS DECIMAL(19,6)) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ), per_nation AS (
+      SELECT s_nationkey,
+             COUNT(*) AS n_suppliers,
+             SUM(r) AS tot,
+             SUM(r * r) AS sumsq
+      FROM rev GROUP BY s_nationkey
+    )
+    SELECT n.n_name,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           round(CAST(CAST(tot AS VARCHAR) AS DOUBLE), 2) AS total_revenue,
+           round(CAST(CAST(sumsq AS VARCHAR) AS DOUBLE)
+                 / (CAST(CAST(tot AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(tot AS VARCHAR) AS DOUBLE)), 6) AS hhi
+    FROM per_nation p JOIN nation n ON p.s_nationkey = n.n_nationkey
+    ORDER BY n.n_name
+    """,
+)
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman market-concentration index of supplier revenue
+    within each nation — the standard antitrust/marketplace-health metric
+    (HHI = Σ share_i², 1/n for perfect competition, 1.0 for monopoly).
+    Computed as Σr_i² / (Σr_i)² so the whole pipeline stays in exact
+    decimals: per-supplier revenue sums are DECIMAL(19,6) (the TPC-H
+    revenue discipline), squared into DECIMAL(38,12), and only the final
+    ratio goes through the exact-string double render. At 100 TB: one
+    lineitem shuffle on l_suppkey with map-side combine (supplier is a
+    broadcast dim), then a 25-key nation rollup — the fact table is
+    touched once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice", 2)
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount", 4))
+            )
+            .cast("decimal(19,6)")
+            .alias("r")
+        )
+    )
+    per_nation = rev.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("r").alias("tot"),
+        F.sum(F.col("r") * F.col("r")).alias("sumsq"),
+    )
+    return (
+        per_nation.join(
+            F.broadcast(n), per_nation["s_nationkey"] == n["n_nationkey"]
+        )
+        .select(
+            "n_name",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round(d2d(F.col("tot")), 2).alias("total_revenue"),
+            F.round(
+                d2d(F.col("sumsq")) / (d2d(F.col("tot")) * d2d(F.col("tot"))), 6
+            ).alias("hhi"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ), x AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), y AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ), series AS (
+      SELECT d.day, COALESCE(x.c, 0) AS xv, COALESCE(y.c, 0) AS yv
+      FROM days d LEFT JOIN x ON d.day = x.day LEFT JOIN y ON d.day = y.day
+    ), pairs AS (
+      SELECT l.lag, a.xv AS xv, b.yv AS yv
+      FROM series a
+      JOIN (SELECT unnest(range(0, 8)) AS lag) l ON TRUE
+      JOIN series b ON b.day = a.day + CAST(l.lag AS INTEGER)
+    ), sums AS (
+      SELECT lag, COUNT(*) AS n,
+             CAST(SUM(xv) AS HUGEINT) AS sx, CAST(SUM(yv) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(xv AS HUGEINT) * yv) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(xv AS HUGEINT) * xv) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(yv AS HUGEINT) * yv) AS HUGEINT) AS syy
+      FROM pairs GROUP BY lag
+    ), terms AS (
+      SELECT lag, n,
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DECIMAL(38,0)) AS dx,
+             CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DECIMAL(38,0)) AS dy
+      FROM sums
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / sqrt(CAST(CAST(dx AS VARCHAR) AS DOUBLE))
+             / sqrt(CAST(CAST(dy AS VARCHAR) AS DOUBLE)) AS xcorr_raw
+    FROM terms ORDER BY lag
+    """,
+)
+def ts_cross_correlation(spark, sf_dir):
+    """Lead–lag cross-correlation between two behavioral series — daily
+    'view' counts vs daily 'purchase' counts shifted 0..7 days later (the
+    classic does-browsing-predict-buying question; the peak lag is the
+    conversion latency a marketing team reads off this table).
+
+    Pearson r at each lag from exact INTEGER power sums (n, Σx, Σy, Σxy,
+    Σx², Σy²), with the n·Σxy − Σx·Σy products computed in DECIMAL(38,0)
+    / HUGEINT (daily counts at 100 TB reach 1e9+, so the cross products
+    pass the int64 ceiling — the agg_aqp_estimate overflow lesson). The
+    raw correlation is left unrounded double (xcorr_raw): every input is
+    an identical exact double on both engines and /, sqrt are correctly
+    rounded IEEE ops, so the full expression is bit-deterministic.
+
+    Plan: ONE events shuffle builds the (day, x, y) series (two
+    conditional counts in the same agg); the series is day-domain-sized,
+    so the lag fan-out (8-row broadcast grid) and the self-join are
+    dim-table work. Zero-count days come from the distinct-day grid, not
+    gap-filling, so a quiet day correctly contributes 0, not a gap."""
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("xv"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("yv"),
+        )
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    a, b = series.alias("a"), series.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.day") == F.date_add(F.col("a.day"), F.col("lag")),
+        )
+        .select("lag", F.col("a.xv").alias("xv"), F.col("b.yv").alias("yv"))
+    )
+    d38 = "decimal(38,0)"
+    sums = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("xv").cast(d38).alias("sx"),
+        F.sum("yv").cast(d38).alias("sy"),
+        F.sum(F.col("xv").cast(d38) * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv").cast(d38) * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv").cast(d38) * F.col("yv")).alias("syy"),
+    )
+    num = (F.col("n").cast(d38) * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38)
+    dx = (F.col("n").cast(d38) * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38)
+    dy = (F.col("n").cast(d38) * F.col("syy") - F.col("sy") * F.col("sy")).cast(d38)
+    return sums.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        (d2d(num) / F.sqrt(d2d(dx)) / F.sqrt(d2d(dy))).alias("xcorr_raw"),
+    ).orderBy("lag")
+
+
+# Count–min sketch hash rows: pairwise-independent (a·x + b) mod p mod w
+# with p = 2^31 − 1 (Mersenne prime) and w = 1024. Fixed constants so the
+# sketch — and therefore the oracle comparison — is fully deterministic.
+_CMS_P = 2147483647
+_CMS_W = 1024
+_CMS_ROWS = [(0, 31, 7), (1, 137, 41), (2, 1009, 97), (3, 65537, 19)]
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    WITH params AS (
+      SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_ROWS)})
+        AS t(j, a, b)
+    ), counters AS (
+      SELECT j, ((a * user_id + b) % {_CMS_P}) % {_CMS_W} AS bucket,
+             COUNT(*) AS c
+      FROM events, params
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    ), est AS (
+      SELECT e.user_id, e.exact_count, MIN(c.c) AS est_count
+      FROM exact e
+      JOIN params p ON TRUE
+      JOIN counters c
+        ON c.j = p.j
+       AND c.bucket = ((p.a * e.user_id + p.b) % {_CMS_P}) % {_CMS_W}
+      GROUP BY e.user_id, e.exact_count
+    )
+    SELECT user_id, CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(est_count - exact_count AS BIGINT) AS overcount
+    FROM est
+    ORDER BY est_count DESC, user_id
+    LIMIT 20
+    """,
+)
+def agg_cms_heavy_hitters(spark, sf_dir):
+    """Count–min-sketch heavy hitters over the event stream (Cormode &
+    Muthukrishnan 2005): d=4 hash rows × w=1024 counters, explicit
+    (a·x+b) mod p mod w universal hashing with pinned constants so both
+    engines build the IDENTICAL sketch — and the one-sided error
+    guarantee (estimate ≥ exact, overcount bounded by collisions) is
+    verified IN the output by joining the estimates back to exact counts.
+
+    The 100 TB shape this demonstrates: the sketch state is 4×1024
+    counters REGARDLESS of stream size — the counter build is one
+    map-side-combinable aggregation (events × 4 hash rows), and the
+    readout joins the 4096-row counter table back by BROADCAST, so no
+    corpus-sized shuffle happens after the count. In production the
+    counter table is the mergeable per-partition state (sum across
+    partitions = sketch of the union), which is exactly why CMS beats
+    exact counting when the key domain is too big to hold; the exact
+    side here exists as the honesty check at fixture scale."""
+    ev = load_table(spark, sf_dir, "events")
+    params = spark.createDataFrame(_CMS_ROWS, "j INT, a LONG, b LONG")
+    counters = (
+        ev.crossJoin(F.broadcast(params))
+        .select(
+            "j",
+            (
+                (F.col("a") * F.col("user_id") + F.col("b")) % _CMS_P % _CMS_W
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    est = (
+        exact.crossJoin(F.broadcast(params))
+        .select(
+            "user_id",
+            "exact_count",
+            "j",
+            (
+                (F.col("a") * F.col("user_id") + F.col("b")) % _CMS_P % _CMS_W
+            ).alias("bucket"),
+        )
+        .join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.select(
+            "user_id",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), "user_id")
+        .limit(20)
+    )

@@ -901,3 +901,84 @@ def graph_label_propagation(spark, sf_dir, edges_path=None):
         .alias("community_kind"),
         F.expr("label div 2").alias("community_key"),
     ).orderBy("kind", "entity_key")
+
+
+def _oracle_kcore(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled peeling CTEs (same fixed-iteration oracle style as
+    pagerank): d_i = degrees of E_i, s_{i+1} = survivors, E_{i+1} =
+    surviving edges."""
+    # AS MATERIALIZED: each e_i is referenced three times by round i+1
+    # (degree build + two semi-joins) plus the report subqueries; without
+    # the hint DuckDB inlines CTEs and re-evaluates the co-purchase
+    # self-join exponentially in the round count (measured: >120 s at
+    # sf0.01 inlined vs <1 s materialized).
+    parts = [
+        f"WITH {_COPURCHASE_EDGE_SQL}, e0 AS MATERIALIZED (SELECT u, v FROM e)"
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}
+      ) GROUP BY node
+    ), s{i + 1} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {k}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e{i}.u, e{i}.v FROM e{i}
+      JOIN s{i + 1} a ON e{i}.u = a.node
+      JOIN s{i + 1} b ON e{i}.v = b.node
+    )""")
+    selects = [
+        f"""SELECT {i + 1} AS round,
+             (SELECT COUNT(*) FROM s{i + 1}) AS n_nodes,
+             (SELECT COUNT(*) FROM e{i + 1}) AS n_edges"""
+        for i in range(rounds)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+
+
+@query("graph_kcore", oracle=_oracle_kcore())
+def graph_kcore(spark, sf_dir, k=3, rounds=4):
+    """K-core peeling over the co-purchase graph (Seidman 1983; the
+    Matula–Beck peel): repeatedly drop nodes of degree < k, reporting
+    (survivor nodes, surviving edges) after each of 4 fixed rounds — the
+    densest-cohesion filter community pipelines run before anything
+    expensive (a node outside the 3-core cannot sit in any triangle-rich
+    community), and the convergence trace (deltas shrinking to 0) is the
+    op's own audit. Fixed-round unrolling keeps it oracle-checkable, the
+    same determinism trade pagerank makes; a production run loops until
+    |E_i| stops changing.
+
+    Per round: one degree aggregation (node-keyed, map-side combine) and
+    one double semi-join of edges onto survivors — all shuffles on node
+    ids, nothing super-linear in edges. Each round's edge set is
+    localCheckpoint-ed: the 4 report rows each read their round's edges
+    without re-deriving the whole peel prefix (the same unrolled-DAG vs
+    rematerialization trade measured in graph_pagerank's docstring; at
+    100 TB these become persisted per-round edge tables)."""
+    cur = _copurchase_edges(spark, sf_dir).select("u", "v").localCheckpoint(
+        eager=True
+    )
+    rows = None
+    for i in range(rounds):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        surv = deg.filter(F.col("d") >= k).select("node").localCheckpoint(
+            eager=True
+        )
+        cur = (
+            cur.join(surv.withColumnRenamed("node", "u"), "u")
+            .join(surv.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        row = surv.agg(F.count("*").alias("n_nodes")).crossJoin(
+            cur.agg(F.count("*").alias("n_edges"))
+        ).select(
+            F.lit(i + 1).cast("int").alias("round"), "n_nodes", "n_edges"
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows.orderBy("round")

@@ -1073,3 +1073,67 @@ def dq_psi_drift(spark, sf_dir):
             6,
         ).alias("psi_total"),
     ).orderBy("bin")
+
+
+# (table, primary-key column list) for the uniqueness audit below.
+_PK_SPEC = [
+    ("customer", ["c_custkey"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+    ("events", ["event_id"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("nation", ["n_nationkey"]),
+    ("orders", ["o_orderkey"]),
+    ("part", ["p_partkey"]),
+    ("region", ["r_regionkey"]),
+    ("supplier", ["s_suppkey"]),
+]
+
+
+@query(
+    "dq_duplicate_key_report",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT ({", ".join(cols)})) AS BIGINT) AS n_keys,
+               CAST(COUNT(*) - COUNT(DISTINCT ({", ".join(cols)})) AS BIGINT)
+                 AS dup_rows
+        FROM {t}"""
+        for t, cols in _PK_SPEC
+    )
+    + "\nORDER BY table_name",
+)
+def dq_duplicate_key_report(spark, sf_dir):
+    """Primary-key uniqueness audit across EVERY warehouse table in one
+    report — the first page of any data-quality runbook (a nonzero
+    dup_rows on an ingest table means the upstream exactly-once contract
+    broke; dedup_by_key_latest / inc_dedup_ingest are the remediation
+    ops this report routes to). Composite keys audited as composites
+    (lineitem's (l_orderkey, l_linenumber)), not concatenations — string
+    concatenation invents collisions ('1'||'11' = '11'||'1').
+
+    Plan: one count + count-distinct aggregation per table (map-side
+    partial on both), each a constant-size output row, unioned — the
+    tables scan in parallel and nothing shuffles more than the distinct
+    partials. At 100 TB this is the cheap always-on audit; per-key
+    remediation is a different op."""
+    parts = []
+    for t, cols in _PK_SPEC:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.count_distinct(*[F.col(c) for c in cols]).alias("n_keys"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_keys").cast("long").alias("n_keys"),
+                (F.col("n_rows") - F.col("n_keys")).cast("long").alias("dup_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("table_name")

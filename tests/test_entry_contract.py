@@ -218,6 +218,8 @@ def test_bench_compact_line_fits_driver_tail():
         "repeats": 3,
         "calibration_sec": 99.999,
         "sched_1k_tasks_sec": 99.999,
+        "subtotal_r1_20q": 9999.999,
+        "subtotal_per_sched": 9999.99,
         "queries": {n: 9999.999 for n in bench.HEADLINE},
     }
     line = bench.compact_record(fake)
@@ -261,6 +263,8 @@ try:
             "repeats": 3,
             "calibration_sec": 1.0,
             "sched_1k_tasks_sec": 1.0,
+            "subtotal_r1_20q": 1234.567,
+            "subtotal_per_sched": 1234.57,
             "queries": {k: round(v, 3) for k, v in qmap.items()},
         }
         line = bench.compact_record(detail)

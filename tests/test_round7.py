@@ -108,3 +108,98 @@ def test_lm_gate_reads_bytes_without_an_aggregation_job(spark):
             if tracker.getStageInfo(s) is not None
         )
         assert tasks <= 1, f"plan build ran a {tasks}-task job (id {jid})"
+
+
+# ---- round-7 new-operator property tests ----------------------------------
+
+
+def test_cms_estimates_never_undercount(spark):
+    """Count-min's one-sided error guarantee: min-over-rows estimate >=
+    exact count for EVERY key in the output, with equality exactly when
+    no collision inflated any of the key's 4 counters."""
+    rows = QUERIES["agg_cms_heavy_hitters"](spark, SF_DIR).collect()
+    # sf0.001 has fewer than 20 distinct users; the driver's sf0.01 run
+    # fills the LIMIT
+    assert 0 < len(rows) <= 20
+    assert all(r.est_count >= r.exact_count for r in rows)
+    assert all(r.overcount == r.est_count - r.exact_count for r in rows)
+    # estimates are sorted by the sketch, not the exact counts
+    ests = [r.est_count for r in rows]
+    assert ests == sorted(ests, reverse=True)
+
+
+def test_kcore_peel_is_monotone(spark):
+    """Peeling can only shrink: node and edge counts are non-increasing
+    round over round, and every survivor count is consistent with a
+    3-core bound (n_edges >= 3*n_nodes/2 once converged-ish)."""
+    rows = QUERIES["graph_kcore"](spark, SF_DIR).collect()
+    assert [r.round for r in rows] == [1, 2, 3, 4]
+    nodes = [r.n_nodes for r in rows]
+    edges = [r.n_edges for r in rows]
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    # in a graph where every node has degree >= 3, m >= 3n/2; the last
+    # round is close to fixpoint so the bound must hold there
+    assert 2 * edges[-1] >= 3 * nodes[-1]
+
+
+def test_hhi_bounds(spark):
+    """HHI lies in (1/n_suppliers, 1]: above the perfect-competition
+    floor, at most monopoly."""
+    rows = QUERIES["agg_hhi_concentration"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.hhi <= 1.0 + 1e-9
+        assert r.hhi >= 1.0 / r.n_suppliers - 1e-9
+
+
+def test_cross_correlation_lag0_is_symmetric_bounded(spark):
+    """|r| <= 1 at every lag, and the n_days pairing shrinks as the lag
+    grows (fewer overlapping days)."""
+    rows = QUERIES["ts_cross_correlation"](spark, SF_DIR).collect()
+    assert [r.lag for r in rows] == list(range(8))
+    assert all(abs(r.xcorr_raw) <= 1.0 + 1e-12 for r in rows)
+    ndays = [r.n_days for r in rows]
+    assert ndays == sorted(ndays, reverse=True)
+
+
+def test_heldout_ce_exceeds_in_domain_score(spark):
+    """Held-out cross-entropy must be positive and the OOV rate a valid
+    fraction; eval-side token totals must cover all eval docs' tokens."""
+    rows = QUERIES["llm_cross_entropy_heldout"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.cross_entropy > 0
+        assert 0 <= r.oov_rate <= 1
+        assert r.oov_tokens <= r.n_tokens
+
+
+def test_gradient_step_moves_weights_downhill(spark):
+    """w_new = w_old - lr*grad exactly, per row (the lr is pinned), and
+    the gradient signs match the obvious data relationship: with w0
+    underpredicting price massively, residuals are negative, so the
+    intercept gradient must be negative and the step must raise it."""
+    rows = {r.feature: r for r in QUERIES["ml_gradient_step_linear"](spark, SF_DIR).collect()}
+    assert set(rows) == {"intercept", "quantity", "discount", "tax"}
+    for r in rows.values():
+        assert abs(r.w_new - round(r.w_old - 0.001 * r.grad, 6)) < 1e-9
+    assert rows["intercept"].grad < 0
+    assert rows["intercept"].w_new > rows["intercept"].w_old
+
+
+def test_dup_cluster_histogram_accounts_for_every_chunk(spark):
+    """The histogram partitions the chunk universe: sizes*counts sum to
+    the total chunk count and pct sums to ~1."""
+    rows = QUERIES["llm_dup_cluster_histogram"](spark, SF_DIR).collect()
+    assert rows and rows[0].cluster_size == 1
+    total = sum(r.n_chunks for r in rows)
+    assert all(r.n_chunks == r.cluster_size * r.n_clusters for r in rows)
+    assert abs(sum(r.pct_chunks for r in rows) - 1.0) < 1e-3
+
+
+def test_emb_dim_stats_covers_all_dims(spark):
+    rows = QUERIES["llm_emb_dim_stats"](spark, SF_DIR).collect()
+    assert [r.dim for r in rows] == list(range(64))
+    for r in rows:
+        assert r.min_q <= r.max_q
+        assert r.var_q >= 0

@@ -89,6 +89,13 @@ EXPECTED_NLJ = {
     "llm_ngram_kneser_ney",  # one-row |bigram types| broadcast crossJoin (KN T term)
     "llm_perplexity_bucket",  # composes llm_unigram_logprob → inherits its one-row crossJoin
     "ts_holt_winters",  # one-row folded state crossJoined with broadcast 7-row horizon grid
+    "ts_cross_correlation",  # 8-row lag-grid broadcast crossJoin onto the day-domain series
+    "agg_cms_heavy_hitters",  # 4-row hash-param grid broadcast crossJoin (sketch rows)
+    "llm_cross_entropy_heldout",  # one-row (T, |V|) broadcast crossJoin (LM denominator)
+    "llm_bigram_pmi_top20",  # one-row |bigrams| broadcast crossJoin (PMI denominator)
+    "llm_dup_cluster_histogram",  # one-row total broadcast crossJoin (pct denominator)
+    "ml_gradient_step_linear",  # 4 one-row gradient renders off the single agg row
+    "graph_kcore",  # per-round 1x1 (n_nodes, n_edges) report crossJoins
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —

@@ -53,6 +53,7 @@ OPS = [
     "llm_sim_ann_pq",
     "llm_sim_ann_ivfpq",
     "llm_bigram_logprob",
+    "llm_ngram_kneser_ney",
     "llm_span_corruption",
     "ts_gapfill_locf",
     "dim_scd2_lookup",
@@ -151,7 +152,17 @@ def build_skewed(base: str, out: str) -> None:
 
 def build_graph(base: str, copies: int, out: str) -> None:
     """Replicate the EDGE side (lineitem + orders) with disjoint per-copy
-    key offsets; everything else copies as-is."""
+    key offsets; everything else copies as-is.
+
+    EVERY key a GRAPH_OPS edge list is built from gets a per-copy offset
+    (ADVICE r6): the co-purchase graph keys (l_orderkey/l_partkey) AND the
+    trade-graph keys (o_custkey/l_suppkey — graph_pagerank and
+    graph_label_propagation derive their nodes from these via
+    orders⋈lineitem). Without the latter two, .distinct() collapsed all
+    copies of the trade graph back to the base graph and the tier's
+    "components scale linearly" criterion was vacuous for half of
+    GRAPH_OPS. No graph op joins the customer/supplier dims (they read
+    only orders+lineitem), so the offset keys dangle harmlessly."""
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -167,7 +178,8 @@ def build_graph(base: str, copies: int, out: str) -> None:
         f"""
         COPY (
           SELECT * REPLACE (l_orderkey + 100000000 * c AS l_orderkey,
-                            l_partkey + 10000000 * c AS l_partkey)
+                            l_partkey + 10000000 * c AS l_partkey,
+                            l_suppkey + 1000000 * c AS l_suppkey)
           FROM read_parquet('{base}/lineitem.parquet'),
                unnest(range(0, {copies})) AS u(c)
         ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
@@ -176,7 +188,8 @@ def build_graph(base: str, copies: int, out: str) -> None:
     con.execute(
         f"""
         COPY (
-          SELECT * REPLACE (o_orderkey + 100000000 * c AS o_orderkey)
+          SELECT * REPLACE (o_orderkey + 100000000 * c AS o_orderkey,
+                            o_custkey + 1000000 * c AS o_custkey)
           FROM read_parquet('{base}/orders.parquet'),
                unnest(range(0, {copies})) AS u(c)
         ) TO '{out}/orders.parquet' (FORMAT PARQUET)
@@ -290,6 +303,16 @@ def main() -> None:
         t0 = time.perf_counter()
         n = QUERIES[name](spark, out).count()
         timings[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
+    if not args.skew:
+        # VERDICT r6 item 3: time the Kneser-Ney scorer in BOTH broadcast
+        # regimes — the gated-off form (broadcast_gate_bytes=0 → no hint,
+        # AQE decides) is what a 100 TB corpus would plan.
+        t0 = time.perf_counter()
+        n = QUERIES["llm_ngram_kneser_ney"](spark, out, broadcast_gate_bytes=0).count()
+        timings["llm_ngram_kneser_ney_nogate"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "rows": n,
+        }
     print(
         json.dumps(
             {
