@@ -314,6 +314,11 @@ R8_PLANNED = [
     "dq_duplicate_key_report",
     "ml_gradient_step_linear",
     "graph_kcore",
+    "ml_auc_roc",
+    "ml_calibration_bins",
+    "ml_confusion_metrics",
+    "llm_ngram_coverage_curve",
+    "agg_session_stats",
 ]
 
 def _windowed(mapping: dict) -> dict:

@@ -126,6 +126,13 @@ HEADLINE = [
     # first-measurement baselines under the checksum action.
     "agg_market_basket",
     "dq_snapshot_diff",
+    # appended in round 7: first bench representation for the two new
+    # iterative/sketch families — fixed-round k-core peeling (per-round
+    # localCheckpoint barrier costs dominate at fixture scale) and the
+    # count-min sketch build + broadcast readout — first-measurement
+    # baselines under the checksum action.
+    "graph_kcore",
+    "agg_cms_heavy_hitters",
 ]
 
 REPEATS = 3

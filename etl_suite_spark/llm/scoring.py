@@ -304,3 +304,272 @@ def ml_gradient_step_linear(spark, sf_dir):
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows.orderBy("dim")
+
+
+@query(
+    "ml_auc_roc",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS score,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS pos
+      FROM events GROUP BY user_id
+    ), grp AS (
+      SELECT score, COUNT(*) AS n, SUM(pos) AS npos FROM per_user GROUP BY score
+    ), ranked AS (
+      SELECT n, npos,
+             COALESCE(SUM(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM grp
+    ), s AS (
+      SELECT SUM(npos * (2 * below + n + 1)) AS trs,
+             SUM(npos) AS p, SUM(n - npos) AS q
+      FROM ranked
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
+           round(CAST(trs - p * (p + 1) AS DOUBLE)
+                 / CAST(2 * p * q AS DOUBLE), 6) AS auc
+    FROM s
+    """,
+)
+def ml_auc_roc(spark, sf_dir):
+    """ROC AUC of a behavioral score (per-user total event value)
+    predicting a binary label (more purchases than errors — every fixture
+    user purchases at least once, so the presence label would be
+    degenerate) — the model-eval
+    number every offline scoring pipeline reports, computed by the
+    rank-sum identity AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg)
+    (Hanley & McNeil 1982; the Mann–Whitney U statistic in ML clothing —
+    agg_mann_whitney is the hypothesis-test framing of the same sum).
+
+    Tie handling is exact: ties share their average rank, and the whole
+    computation carries 2×ranksum so the half-ranks stay INTEGER —
+    2·R_pos = Σ_groups npos_g · (2·below_g + n_g + 1). The only doubles
+    are the final division of two exact integers. The ordered cumulative
+    window runs over the DISTINCT-SCORE table (already aggregated from
+    users), the same bounded-domain single-sort trade agg_mann_whitney
+    makes; the per-user aggregation underneath is the one corpus-sized
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(dec("value", 2)).cast("decimal(18,2)").alias("score"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        )
+        .cast("int")
+        .alias("pos"),
+    )
+    grp = per_user.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("npos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.select(
+        "n", "npos", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("below")
+    )
+    s = ranked.agg(
+        F.sum(F.col("npos") * (2 * F.col("below") + F.col("n") + 1)).alias("trs"),
+        F.sum("npos").alias("p"),
+        F.sum(F.col("n") - F.col("npos")).alias("q"),
+    )
+    return s.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("q").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("trs") - F.col("p") * (F.col("p") + 1)).cast("double")
+            / (2 * F.col("p") * F.col("q")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS score,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS pos
+      FROM events GROUP BY user_id
+    ), binned AS (
+      SELECT ntile(10) OVER (ORDER BY score, user_id) AS decile, score, pos
+      FROM per_user
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           COUNT(*) AS n_users,
+           round(CAST(CAST(SUM(score) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+             AS mean_score,
+           round(SUM(pos) * 1.0 / COUNT(*), 6) AS pos_rate
+    FROM binned GROUP BY decile ORDER BY decile
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability table (calibration curve) for the same behavioral
+    score ml_auc_roc ranks: users cut into score deciles, each reporting
+    mean score vs realized positive rate — monotone pos_rate across the
+    deciles is what "the score is usable as a propensity" actually means,
+    and the table is what calibration methods (Platt, isotonic) fit on.
+
+    ntile ties break on the explicit (score, user_id) order so both
+    engines cut identical deciles; mean score renders through the exact
+    decimal sum. The decile window sorts the per-user table (already one
+    aggregation smaller than events) — the same bounded single-sort trade
+    as the AUC op; everything after is a 10-key rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(dec("value", 2)).cast("decimal(18,2)").alias("score"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        )
+        .cast("int")
+        .alias("pos"),
+    )
+    binned = per_user.select(
+        F.ntile(10).over(Window.orderBy("score", "user_id")).alias("decile"),
+        "score",
+        "pos",
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(d2d(F.sum("score")) / F.count("*"), 6).alias("mean_score"),
+            F.round(F.sum("pos") / F.count("*"), 6).alias("pos_rate"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_users",
+            "mean_score",
+            "pos_rate",
+        )
+        .orderBy("decile")
+    )
+
+
+# Shift quantized embedding values into the nonnegative range so the
+# half-up centroid rounding below is a pure positive-integer expression —
+# `div` truncates toward zero in Spark while DuckDB's // floors, and the
+# two agree only on nonnegative operands. The uniform shift cancels out
+# of every centroid distance.
+_CENTROID_SHIFT = 4_000_000
+
+
+@query(
+    "ml_confusion_metrics",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, u.i - 1 AS dim,
+             CAST(round(embedding[u.i] * 1000000) AS BIGINT)
+               + {_CENTROID_SHIFT} AS qs
+      FROM embeddings, unnest(range(1, 65)) AS u(i)
+    ), cent AS (
+      SELECT label AS clabel, dim,
+             (2 * SUM(qs) + COUNT(*)) // (2 * COUNT(*)) AS c
+      FROM q WHERE vec_id % 5 <> 4 GROUP BY label, dim
+    ), ev AS (
+      SELECT vec_id, label, dim, qs FROM q WHERE vec_id % 5 = 4
+    ), dist AS (
+      SELECT ev.vec_id, ev.label, cent.clabel,
+             SUM((ev.qs - cent.c) * (ev.qs - cent.c)) AS d
+      FROM ev JOIN cent ON ev.dim = cent.dim
+      GROUP BY ev.vec_id, ev.label, cent.clabel
+    ), pred AS (
+      SELECT vec_id, label AS true_label,
+             MIN(struct_pack(d := d, clabel := clabel)).clabel AS pred_label
+      FROM dist GROUP BY vec_id, label
+    ), per_true AS (
+      SELECT true_label AS label, COUNT(*) AS n_true,
+             SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS tp
+      FROM pred GROUP BY true_label
+    ), per_pred AS (
+      SELECT pred_label AS label, COUNT(*) AS n_pred FROM pred GROUP BY pred_label
+    )
+    SELECT t.label, CAST(n_true AS BIGINT) AS n_true,
+           CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(tp AS BIGINT) AS tp,
+           round(tp * 1.0 / n_pred, 6) AS precision,
+           round(tp * 1.0 / n_true, 6) AS recall,
+           round(2.0 * tp / (n_true + COALESCE(n_pred, 0)), 6) AS f1
+    FROM per_true t LEFT JOIN per_pred p ON t.label = p.label
+    ORDER BY t.label
+    """,
+)
+def ml_confusion_metrics(spark, sf_dir):
+    """Per-class precision/recall/F1 of a nearest-centroid classifier on
+    the held-out fifth of the embedding table (train = vec_id % 5 ≠ 4,
+    the llm_cross_entropy_heldout split discipline) — the eval table
+    every classification pipeline publishes, here with the classifier
+    AND the metrics inside the engine so the whole loop is one audited
+    query. Centroids are 6-dp-quantized integer means rounded half-up in
+    pure integer arithmetic ((2·Σq+n) div (2n), on shifted nonnegative
+    values — see _CENTROID_SHIFT), so prediction = argmin of an exact
+    integer distance with (distance, label) tie order: bit-identical
+    everywhere. F1 comes from exact counts (2tp/(n_true+n_pred)), not
+    from the rounded P/R.
+
+    Plan at 100 TB: the train pass is one (label, dim)-keyed agg with
+    map-side combine → a 640-row centroid table that BROADCASTS into the
+    eval stream's dim-join; the 10× label fan-out happens on the already-
+    exploded dim rows and immediately folds back to (vec, label) — no
+    corpus × corpus anything. The final tables are label-domain-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, v ->"
+                f" CAST(round(v * 1000000, 0) AS BIGINT) + {_CENTROID_SHIFT})"
+            )
+        ).alias("dim", "qs"),
+    )
+    cent = (
+        q.filter(F.col("vec_id") % 5 != 4)
+        .groupBy(F.col("label").alias("clabel"), "dim")
+        .agg(
+            F.expr("(2 * SUM(qs) + COUNT(*)) div (2 * COUNT(*))").alias("c")
+        )
+    )
+    ev = q.filter(F.col("vec_id") % 5 == 4)
+    dist = (
+        ev.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((F.col("qs") - F.col("c")) * (F.col("qs") - F.col("c"))).alias("d"))
+    )
+    pred = dist.groupBy("vec_id", F.col("label").alias("true_label")).agg(
+        F.min(F.struct("d", "clabel")).getField("clabel").alias("pred_label")
+    )
+    per_true = pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").alias("n_true"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    per_pred = pred.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count("*").alias("n_pred")
+    )
+    return (
+        per_true.join(per_pred, "label", "left")
+        .select(
+            "label",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            F.col("tp").cast("long").alias("tp"),
+            F.round(F.col("tp") / F.col("n_pred"), 6).alias("precision"),
+            F.round(F.col("tp") / F.col("n_true"), 6).alias("recall"),
+            F.round(
+                2.0 * F.col("tp") / (F.col("n_true") + F.coalesce(F.col("n_pred"), F.lit(0))),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("label")
+    )

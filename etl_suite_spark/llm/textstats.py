@@ -1741,3 +1741,87 @@ def llm_bigram_pmi_top20(spark, sf_dir, broadcast_gate_bytes=None):
         .orderBy(F.col("pmi_ratio_q6").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "llm_ngram_coverage_curve",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM t, unnest(range(1, len(w))) AS u(i)
+      WHERE len(w) >= 2
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+    ), top AS (
+      SELECT c2, row_number() OVER (ORDER BY c2 DESC, w1, w2) AS rn
+      FROM c12 ORDER BY c2 DESC, w1, w2 LIMIT 10000
+    ), tot AS (
+      SELECT COUNT(*) AS n_occ, (SELECT COUNT(*) FROM c12) AS n_types FROM bg
+    )
+    SELECT g.top_n,
+           CAST(COUNT(*) AS BIGINT) AS n_types_used,
+           CAST(SUM(c2) AS BIGINT) AS covered,
+           round(SUM(c2) * 1.0 / MAX(n_occ), 6) AS coverage
+    FROM top
+    JOIN (SELECT unnest([100, 1000, 10000]) AS top_n) g ON top.rn <= g.top_n
+    JOIN tot ON TRUE
+    GROUP BY g.top_n ORDER BY g.top_n
+    """,
+)
+def llm_ngram_coverage_curve(spark, sf_dir):
+    """Zipf coverage curve for LM/tokenizer budget planning: what
+    fraction of all bigram OCCURRENCES do the top-{100, 1k, 10k} bigram
+    TYPES cover? This is the table that sizes an n-gram LM's pruning
+    threshold or a phrase-vocabulary budget — coverage saturating by 10k
+    says a small table suffices; a shallow curve says the corpus's mass
+    sits in the tail and pruning will cost perplexity (the Heaps/Zipf
+    companion to llm_vocab_growth's type-accumulation view).
+
+    Rank order is pinned (count DESC, w1, w2) so ties cut identically on
+    both engines. Scale shape: the ONLY global ordering is a top-10000
+    TakeOrderedAndProject over the already-aggregated bigram-type table
+    — never a full sort, never a single-partition window over the type
+    domain; the 10k survivors get their row_numbers in one tiny-side
+    window, the 3-row threshold grid broadcast-joins onto them, and the
+    occurrence total folds in as a one-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS w1,"
+                    " element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    top = (
+        c12.orderBy(F.col("c2").desc(), "w1", "w2")
+        .limit(10000)
+        .select(
+            "c2",
+            F.row_number()
+            .over(Window.orderBy(F.col("c2").desc(), "w1", "w2"))
+            .alias("rn"),
+        )
+    )
+    tot = bg.agg(F.count("*").alias("n_occ"))
+    grid = spark.createDataFrame([(100,), (1000,), (10000,)], "top_n INT")
+    return (
+        top.join(F.broadcast(grid), F.col("rn") <= F.col("top_n"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("top_n")
+        .agg(
+            F.count("*").cast("long").alias("n_types_used"),
+            F.sum("c2").cast("long").alias("covered"),
+            F.round(F.sum("c2") / F.max("n_occ"), 6).alias("coverage"),
+        )
+        .orderBy("top_n")
+    )

@@ -3942,3 +3942,108 @@ def agg_cms_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("est_count").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "agg_session_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id,
+             ts
+      FROM g
+    ), sess AS (
+      SELECT user_id, sess_id, COUNT(*) AS n_events,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_sec
+      FROM s GROUP BY user_id, sess_id
+    ), bucketed AS (
+      SELECT CASE WHEN dur_sec = 0 THEN '0_single_instant'
+                  WHEN dur_sec < 600 THEN '1_under_10min'
+                  WHEN dur_sec < 3600 THEN '2_under_1h'
+                  ELSE '3_over_1h' END AS bucket,
+             n_events, dur_sec
+      FROM sess
+    ), tot AS (SELECT COUNT(*) AS t FROM bucketed)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           round(COUNT(*) * 1.0 / MAX(t), 6) AS pct_sessions,
+           round(SUM(n_events) * 1.0 / COUNT(*), 6) AS mean_events,
+           round(SUM(dur_sec) * 1.0 / COUNT(*), 6) AS mean_dur_sec
+    FROM bucketed JOIN tot ON TRUE
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_session_stats(spark, sf_dir):
+    """Session-duration distribution — the product-analytics companion to
+    win_sessionize (same 30-minute-gap, epoch-microsecond session
+    definition): sessions bucketed by duration with count, share, mean
+    events, and mean duration per bucket. The shape of this table is the
+    first thing an engagement dashboard shows; its drift is a
+    bot/instrumentation alarm (a spike in single-instant sessions is
+    double-firing, a fat over-1h bucket is a missing logout event).
+
+    All arithmetic on exact integers (epoch-µs diffs floor-divided to
+    whole seconds; counts), ratios rendered once at 6 dp. Plan: ONE
+    user-keyed exchange serves both window passes (lag then running sum,
+    identical partitioning), the session rollup groups on (user, sess) —
+    a refinement of the same partitioning, no new shuffle — and the
+    bucket rollup is a 4-key agg with a one-row total crossJoined for
+    the share."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > 1_800_000_000
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    sess = s.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "(unix_micros(MAX(ts)) - unix_micros(MIN(ts))) div 1000000"
+        ).alias("dur_sec"),
+    )
+    bucketed = sess.select(
+        F.when(F.col("dur_sec") == 0, "0_single_instant")
+        .when(F.col("dur_sec") < 600, "1_under_10min")
+        .when(F.col("dur_sec") < 3600, "2_under_1h")
+        .otherwise("3_over_1h")
+        .alias("bucket"),
+        "n_events",
+        "dur_sec",
+    )
+    tot = bucketed.agg(F.count("*").alias("t"))
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.round(F.count("*") / F.max("t"), 6).alias("pct_sessions"),
+            F.round(F.sum("n_events") / F.count("*"), 6).alias("mean_events"),
+            F.round(F.sum("dur_sec") / F.count("*"), 6).alias("mean_dur_sec"),
+        )
+        .orderBy("bucket")
+    )

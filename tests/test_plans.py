@@ -443,3 +443,38 @@ def test_sft_pairs_is_map_only(spark):
     final presentation sort means a shuffle snuck into a scan pass."""
     plan = plan_of(QUERIES["llm_sft_pairs"](spark, SF_DIR))
     assert "hashpartitioning" not in plan  # no hash shuffle anywhere
+
+
+def test_cms_readout_broadcasts_counter_table(spark):
+    """The CMS counter table is <=4096 rows by construction — its readout
+    join back onto the per-key probe MUST broadcast; a shuffle there
+    would defeat the whole point of sketching."""
+    plan = plan_of(QUERIES["agg_cms_heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # top-20 readout must not globally sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hhi_broadcasts_dims_single_fact_pass(spark):
+    """supplier and nation are broadcast dims; lineitem is scanned once."""
+    plan = plan_of(QUERIES["agg_hhi_concentration"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # 3 scans (lineitem + 2 dims), each named twice in the formatted plan
+    # (tree node + detail section) — a lineitem re-scan would show as 8
+    assert plan.count("Scan parquet") == 6
+
+
+def test_pmi_topk_no_global_sort(spark):
+    plan = plan_of(QUERIES["llm_bigram_pmi_top20"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_emb_dim_stats_single_shuffle(spark):
+    """One hash agg on the 64-key dim domain: exactly one hash exchange
+    (the presentation sort's range exchange is the only other one)."""
+    plan = plan_of(QUERIES["llm_emb_dim_stats"](spark, SF_DIR))
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Arguments: hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, plan

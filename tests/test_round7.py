@@ -203,3 +203,75 @@ def test_emb_dim_stats_covers_all_dims(spark):
     for r in rows:
         assert r.min_q <= r.max_q
         assert r.var_q >= 0
+
+
+def test_auc_matches_brute_force_pairs(spark):
+    """Rank-sum AUC must equal the brute-force pair count:
+    (wins + 0.5*ties) / (n_pos*n_neg) over all pos/neg pairs."""
+    from pyspark.sql import functions as F2
+
+    ev_rows = QUERIES["ml_auc_roc"](spark, SF_DIR).collect()
+    assert len(ev_rows) == 1
+    got = ev_rows[0]
+    from etl_suite_spark.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F2.sum(F2.col("value").cast("decimal(18,2)")).alias("score"),
+            (
+                F2.sum(F2.when(F2.col("event_type") == "purchase", 1).otherwise(0))
+                > F2.sum(F2.when(F2.col("event_type") == "error", 1).otherwise(0))
+            )
+            .cast("int")
+            .alias("pos"),
+        )
+        .collect()
+    )
+    pos = [r.score for r in per_user if r.pos == 1]
+    neg = [r.score for r in per_user if r.pos == 0]
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got.auc - expected) < 1e-6
+
+
+def test_confusion_metrics_consistency(spark):
+    """tp <= min(n_true, n_pred); totals balance (sum n_true = sum
+    n_pred = eval-set size); f1 between 0 and 1."""
+    rows = QUERIES["ml_confusion_metrics"](spark, SF_DIR).collect()
+    assert rows
+    assert sum(r.n_true for r in rows) >= sum(r.tp for r in rows)
+    assert sum(r.n_true for r in rows) == sum(r.n_pred for r in rows)
+    for r in rows:
+        assert r.tp <= min(r.n_true, r.n_pred) or r.n_pred == 0
+        assert 0 <= r.f1 <= 1
+
+
+def test_calibration_bins_partition_users(spark):
+    rows = QUERIES["ml_calibration_bins"](spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n_users for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # ntile balance
+    scores = [r.mean_score for r in rows]
+    assert scores == sorted(scores)  # deciles ordered by score
+
+
+def test_coverage_curve_is_monotone(spark):
+    rows = QUERIES["llm_ngram_coverage_curve"](spark, SF_DIR).collect()
+    assert [r.top_n for r in rows] == [100, 1000, 10000]
+    covs = [r.coverage for r in rows]
+    assert covs == sorted(covs)
+    assert all(0 < c <= 1 for c in covs)
+    for r in rows:
+        assert r.n_types_used <= r.top_n
+
+
+def test_session_stats_shares_sum_to_one(spark):
+    rows = QUERIES["agg_session_stats"](spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.pct_sessions for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r.mean_events >= 1

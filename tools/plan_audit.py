@@ -96,6 +96,8 @@ EXPECTED_NLJ = {
     "llm_dup_cluster_histogram",  # one-row total broadcast crossJoin (pct denominator)
     "ml_gradient_step_linear",  # 4 one-row gradient renders off the single agg row
     "graph_kcore",  # per-round 1x1 (n_nodes, n_edges) report crossJoins
+    "llm_ngram_coverage_curve",  # 3-row threshold grid theta-join + one-row total
+    "agg_session_stats",  # one-row session-total broadcast crossJoin (share denominator)
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —

@@ -79,6 +79,9 @@ GRAPH_OPS = [
     "graph_pagerank",
     "graph_label_propagation",
     "graph_triangle_count",
+    # round 7: fixed-round peel over the co-purchase graph — the edge set
+    # scales with the l_partkey/l_suppkey offsets like triangle_count's
+    "graph_kcore",
 ]
 
 
