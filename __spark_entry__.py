@@ -319,6 +319,9 @@ R8_PLANNED = [
     "ml_confusion_metrics",
     "llm_ngram_coverage_curve",
     "agg_session_stats",
+    "llm_emb_gram_matrix",
+    "llm_lang_id_confusion",
+    "llm_sft_lint",
 ]
 
 def _windowed(mapping: dict) -> dict:

@@ -1795,3 +1795,87 @@ def llm_emb_dim_stats(spark, sf_dir):
         F.col("min_q").cast("long").alias("min_q"),
         F.col("max_q").cast("long").alias("max_q"),
     ).orderBy("dim")
+
+
+@query(
+    "llm_emb_gram_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, u.i - 1 AS dim,
+             CAST(round(embedding[u.i] * 1000000) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, 65)) AS u(i)
+    )
+    SELECT a.dim AS i, b.dim AS j,
+           round(CAST(CAST(CAST(SUM(CAST(a.q AS HUGEINT) * b.q)
+                                AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+                 / 1e12, 6) AS gram
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+    ORDER BY i, j
+    """,
+)
+def llm_emb_gram_matrix(spark, sf_dir):
+    """Upper-triangle Gram (second-moment) matrix of the embedding
+    space, X^T X over 6-dp-quantized values — the one-pass statistic
+    PCA / whitening / OPQ rotation all start from (and the full-matrix
+    big sibling of llm_emb_dim_stats' diagonal). 2080 rows out
+    regardless of corpus size.
+
+    This op is the repo's justified **vectorized-Pandas showcase**: the
+    64x64 outer-product accumulation is dense linear algebra that SQL
+    can only express as a 2080-way explode-join, so the Spark side runs
+    ``mapInPandas`` partials — each Arrow batch contributes one
+    ``Q^T Q`` (numpy int64 matmul over the ALREADY-QUANTIZED integer
+    arrays, so the only float step — 6-dp quantization — happens in the
+    engine with the same round() the oracle uses; re-quantizing in
+    numpy would reopen the floor(x+0.5)-vs-HALF_UP double edge case).
+    Integer exactness end to end: per-batch partials bound by
+    batch_rows * 4e12 << int64, the cross-partition merge sums in
+    DECIMAL(38,0), so the result is merge-order-independent — the
+    core.py rule-3 power-sum discipline applied to a matrix. At 100 TB
+    this is the canonical tree-reduce: map-side 64x64 partials (2080
+    rows per task) into one tiny hash agg; nothing corpus-sized ever
+    shuffles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.expr(
+            "transform(embedding, v -> CAST(round(v * 1000000, 0) AS BIGINT))"
+        ).alias("q")
+    )
+    schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("j", LongType()),
+            StructField("s", LongType()),
+        ]
+    )
+
+    def gram_partial(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
+
+        iu, ju = np.triu_indices(64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["q"].tolist(), dtype=np.int64)
+            acc = mat.T @ mat  # exact: |q| <= ~4e6, batch partial << 2^63
+            yield pd.DataFrame(
+                {"i": iu, "j": ju, "s": acc[iu, ju]}
+            )
+
+    partials = q.mapInPandas(gram_partial, schema)
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("ss"))
+        .select(
+            "i",
+            "j",
+            F.round(d2d(F.col("ss")) / F.lit(1e12), 6).alias("gram"),
+        )
+        .orderBy("i", "j")
+    )

@@ -1825,3 +1825,48 @@ def llm_ngram_coverage_curve(spark, sf_dir):
         )
         .orderBy("top_n")
     )
+
+
+# Composed oracle: wrap llm_lang_id's full SQL (registered just above) so
+# the confusion rollup and the per-doc op can never drift apart.
+from ..registry import ORACLES as _ORACLES  # noqa: E402  (after registrations)
+
+
+@query(
+    "llm_lang_id_confusion",
+    oracle=f"""
+    WITH base AS ({_ORACLES["llm_lang_id"]}),
+    tot AS (SELECT COUNT(*) AS t FROM base)
+    SELECT true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(COUNT(*) * 1.0 / MAX(t), 6) AS pct_corpus
+    FROM base JOIN tot ON TRUE
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def llm_lang_id_confusion(spark, sf_dir):
+    """Confusion matrix of the stopword-hit-rate language identifier
+    against the labeled lang column — the eval table that decides
+    whether the cheap heuristic is good enough to partition a corpus by
+    (off-diagonal mass on a language pair means its routing leaks
+    training data into the wrong per-language pipeline; CCNet publishes
+    exactly this audit for its fastText stage). Composes llm_lang_id
+    verbatim — the oracle literally embeds that op's SQL as a CTE, so
+    the classifier under audit and the classifier in production cannot
+    drift apart.
+
+    Plan: llm_lang_id's one doc-keyed aggregation, then a rollup onto
+    the |langs|² domain with map-side combine and a one-row total for
+    the share — nothing new is corpus-sized."""
+    base = llm_lang_id(spark, sf_dir)
+    tot = base.agg(F.count("*").alias("t"))
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .groupBy("true_lang", "pred_lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.count("*") / F.max("t"), 6).alias("pct_corpus"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )

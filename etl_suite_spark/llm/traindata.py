@@ -964,3 +964,57 @@ def llm_sft_pairs(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_sft_lint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS nw FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nw >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN nw < 24 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped_short,
+           CAST(SUM(CASE WHEN nw - 16 > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           round(SUM(CASE WHEN nw - 16 > 64 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN nw >= 24 THEN 1 ELSE 0 END), 0), 6)
+             AS truncated_rate,
+           round(SUM(CASE WHEN nw >= 24 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS yield_rate
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_sft_lint(spark, sf_dir):
+    """Lint report for the SFT assembly stage — the per-language yield
+    accounting every fine-tuning data pipeline publishes next to its
+    pair dump: how many documents produce a pair under llm_sft_pairs'
+    exact eligibility rule (>=24 words), how many drop as too short,
+    and how many pairs hit the completion budget and truncate. The
+    thresholds are THE SAME constants as llm_sft_pairs (24-word floor,
+    16-word prompt, 64-word completion budget), so yield_rate * n_docs
+    here always equals that op's row count — the cross-op consistency a
+    lint exists to guarantee (pinned in pytest).
+
+    Plan: map-only word counting (split + size, no explode), one hash
+    agg on the tiny lang domain. The cheapest audit pass there is."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", F.size(F.split("text", " ")).alias("nw"))
+    pair = F.when(F.col("nw") >= 24, 1).otherwise(0)
+    trunc = F.when(F.col("nw") - 16 > 64, 1).otherwise(0)
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(pair).cast("long").alias("n_pairs"),
+            F.sum(1 - pair).cast("long").alias("n_dropped_short"),
+            F.sum(trunc).cast("long").alias("n_truncated"),
+            F.round(F.sum(trunc) / F.nullif(F.sum(pair), F.lit(0)), 6).alias(
+                "truncated_rate"
+            ),
+            F.round(F.sum(pair) / F.count("*"), 6).alias("yield_rate"),
+        )
+        .orderBy("lang")
+    )

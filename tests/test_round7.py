@@ -275,3 +275,62 @@ def test_session_stats_shares_sum_to_one(spark):
     assert abs(sum(r.pct_sessions for r in rows) - 1.0) < 1e-3
     for r in rows:
         assert r.mean_events >= 1
+
+
+def test_gram_diagonal_matches_dim_stats_moments(spark):
+    """Cross-op consistency: the Gram diagonal (i == j) must equal the
+    second moment llm_emb_dim_stats derives its variance from —
+    gram_ii = var_i*n^2/n... verified through the raw sums: rebuild
+    Sum(q_i^2) from dim_stats' (n, mean, var) and compare to gram*1e12."""
+    gram = {
+        (r.i, r.j): r.gram
+        for r in QUERIES["llm_emb_gram_matrix"](spark, SF_DIR).collect()
+    }
+    assert len(gram) == 64 * 65 // 2
+    stats = QUERIES["llm_emb_dim_stats"](spark, SF_DIR).collect()
+    for s in stats:
+        # var = (n*sqq - sq^2)/n^2 (all /1e12-scaled) => sqq/1e12 =
+        # var + mean^2 times n
+        expected_gram_ii = (s.var_q + s.mean_q * s.mean_q) * s.n
+        assert abs(gram[(s.dim, s.dim)] - expected_gram_ii) < max(
+            1e-3, 1e-5 * abs(expected_gram_ii)
+        )
+
+
+def test_gram_matrix_is_merge_order_independent(spark):
+    """Re-running with a different partitioning must produce identical
+    rows (the decimal merge discipline) — repartition(7) vs default."""
+    from etl_suite_spark.io import load_table  # noqa: F401
+
+    base = sorted(map(tuple, QUERIES["llm_emb_gram_matrix"](spark, SF_DIR).collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        alt = sorted(
+            map(tuple, QUERIES["llm_emb_gram_matrix"](spark, SF_DIR).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert alt == base
+
+
+def test_sft_lint_yield_matches_pair_count(spark):
+    """The lint's n_pairs must equal llm_sft_pairs' actual row count —
+    the cross-op guarantee the lint exists for."""
+    lint = QUERIES["llm_sft_lint"](spark, SF_DIR).collect()
+    pairs = QUERIES["llm_sft_pairs"](spark, SF_DIR).count()
+    assert sum(r.n_pairs for r in lint) == pairs
+    for r in lint:
+        assert r.n_docs == r.n_pairs + r.n_dropped_short
+
+
+def test_lang_confusion_mass_balances(spark):
+    """Confusion cells sum to the doc count; per-language diagonal
+    accuracy is computable and the heuristic beats chance overall."""
+    rows = QUERIES["llm_lang_id_confusion"](spark, SF_DIR).collect()
+    from etl_suite_spark.io import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    correct = sum(r.n_docs for r in rows if r.true_lang == r.pred_lang)
+    assert correct / n_docs > 0.2  # 5 languages -> chance is 0.2

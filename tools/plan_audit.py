@@ -98,6 +98,7 @@ EXPECTED_NLJ = {
     "graph_kcore",  # per-round 1x1 (n_nodes, n_edges) report crossJoins
     "llm_ngram_coverage_curve",  # 3-row threshold grid theta-join + one-row total
     "agg_session_stats",  # one-row session-total broadcast crossJoin (share denominator)
+    "llm_lang_id_confusion",  # one-row doc-total broadcast crossJoin (share denominator)
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
