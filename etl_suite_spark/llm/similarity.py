@@ -1836,8 +1836,6 @@ def llm_emb_gram_matrix(spark, sf_dir):
     this is the canonical tree-reduce: map-side 64x64 partials (2080
     rows per task) into one tiny hash agg; nothing corpus-sized ever
     shuffles."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
     e = load_table(spark, sf_dir, "embeddings")

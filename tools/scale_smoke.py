@@ -63,6 +63,13 @@ OPS = [
     # the composite quality cascade reads documents, which DOES replicate
     # in this tier (VERDICT r5 item 4)
     "llm_quality_composite",
+    # round 7: the new heavy corpus passes — held-out LM scoring (train
+    # count table + eval join), the mapInPandas Gram partials, and the
+    # nearest-centroid eval — all read documents/embeddings, which
+    # replicate here
+    "llm_cross_entropy_heldout",
+    "llm_emb_gram_matrix",
+    "ml_confusion_metrics",
 ]
 
 # Graph tier (--graph, VERDICT r5 item 4): the uniform tier replicates only
