@@ -1675,7 +1675,8 @@ def llm_cross_entropy_heldout(spark, sf_dir, broadcast_gate_bytes=None):
     cr AS (SELECT w2, COUNT(*) AS cr FROM bg GROUP BY w2),
     nn AS (SELECT COUNT(*) AS n FROM bg)
     SELECT c12.w1, c12.w2, CAST(c2 AS BIGINT) AS c12,
-           CAST((c2 * n * 1000000) // (cl.cl * cr.cr) AS BIGINT)
+           CAST((CAST(c2 AS HUGEINT) * n * 1000000)
+                // (CAST(cl.cl AS HUGEINT) * cr.cr) AS BIGINT)
              AS pmi_ratio_q6
     FROM c12
     JOIN cl ON c12.w1 = cl.w1
@@ -1697,9 +1698,11 @@ def llm_bigram_pmi_top20(spark, sf_dir, broadcast_gate_bytes=None):
     c12·N / (cl·cr), so the ranking and the published score are the
     integer-quantized ratio (×10⁶, floor division) — no transcendental
     ever touches an oracle-checked column, the same KN-scorer discipline
-    (a consumer takes ln once per row if nats are wanted). Integer
-    headroom: c2·N·10⁶ ≈ 1e16 at sf0.1; at corpus scale promote to
-    DECIMAL(38,0) — same expressions.
+    (a consumer takes ln once per row if nats are wanted). The ratio's
+    numerator c2·N·10⁶ passes the int64 ceiling around N≈1e9 bigrams
+    (hypothesis found the edge by overflowing DuckDB just past it), so
+    it is computed in DECIMAL(38,0)/HUGEINT from the start — no
+    documented-but-unimplemented promotion.
 
     Plan: the three count tables aggregate off one bigram pass with
     map-side combine; joins are token-keyed and broadcast-GATED
@@ -1734,7 +1737,10 @@ def llm_bigram_pmi_top20(spark, sf_dir, broadcast_gate_bytes=None):
             "w1",
             "w2",
             F.col("c2").cast("long").alias("c12"),
-            F.expr("(c2 * lm_n * 1000000) div (cl * cr)")
+            F.expr(
+                "(CAST(c2 AS DECIMAL(38,0)) * lm_n * 1000000)"
+                " div (CAST(cl AS DECIMAL(38,0)) * cr)"
+            )
             .cast("long")
             .alias("pmi_ratio_q6"),
         )

@@ -334,3 +334,58 @@ def test_lang_confusion_mass_balances(spark):
     assert sum(r.n_docs for r in rows) == n_docs
     correct = sum(r.n_docs for r in rows if r.true_lang == r.pred_lang)
     assert correct / n_docs > 0.2  # 5 languages -> chance is 0.2
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**40))
+    def test_cms_hash_expression_matches_python(user_id):
+        """Differential check of the CMS bucket expression: the Spark/
+        DuckDB SQL form ((a*x+b) % p) % w must equal Python's unbounded
+        integer arithmetic for any plausible user_id — guarding both the
+        int64 headroom (a*x at a=65537, x=2^40 is ~7e16 < 2^63) and the
+        %-semantics assumption (all operands nonnegative)."""
+        import duckdb as _duck
+
+        from etl_suite_spark.operators.analytics import _CMS_P, _CMS_ROWS, _CMS_W
+
+        for _, a, b in _CMS_ROWS:
+            expected = ((a * user_id + b) % _CMS_P) % _CMS_W
+            # literals cast to BIGINT: the real oracle's user_id COLUMN is
+            # already BIGINT so promotion happens there; bare literals
+            # would stay INT32 and DuckDB raises on overflow
+            got = _duck.sql(
+                f"SELECT ((CAST({a} AS BIGINT) * {user_id} + {b})"
+                f" % {_CMS_P}) % {_CMS_W}"
+            ).fetchone()[0]
+            assert got == expected
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=5, max_value=10**4),
+        st.integers(min_value=1, max_value=10**8),
+        st.integers(min_value=1, max_value=10**6),
+        st.integers(min_value=1, max_value=10**6),
+    )
+    def test_pmi_ratio_division_matches_python_floor(c2, n, cl, cr):
+        """The PMI quantized ratio uses integer division on strictly
+        positive operands, where DuckDB's // (floor) and Spark's div
+        (truncate toward zero) agree with Python's //. Differential
+        check against DuckDB over random count shapes WITHIN the
+        documented int64 envelope (c2*N*1e6 <= 1e18; the op's docstring
+        pins DECIMAL(38,0) as the corpus-scale promotion — hypothesis
+        confirmed the envelope is real by overflowing DuckDB just past
+        it)."""
+        import duckdb as _duck
+
+        expected = (c2 * n * 1_000_000) // (cl * cr)
+        got = _duck.sql(
+            f"SELECT (CAST({c2} AS BIGINT) * CAST({n} AS BIGINT) * 1000000)"
+            f" // (CAST({cl} AS BIGINT) * CAST({cr} AS BIGINT))"
+        ).fetchone()[0]
+        assert int(got) == expected
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass
