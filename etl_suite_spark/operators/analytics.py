@@ -221,10 +221,15 @@ def agg_time_to_convert(spark, sf_dir):
     """Time-to-convert: first purchase strictly after each user's first
     signup, with the delay bucketed for funnel-latency reporting (the
     distribution marketing actually reads). Two aggregations + one join,
-    all keyed on user_id, so one exchange is reused throughout; the
-    signup side is the small one and broadcasts. Delay arithmetic uses
-    the bridged epoch forms (Spark unix_timestamp ≡ DuckDB
-    floor(epoch)) so second-level truncation matches."""
+    all keyed on user_id, so one exchange is reused throughout. The
+    signup side carries NO broadcast hint (round-7 scale audit: it is
+    USER-cardinality — it only looks "small" at fixture scale, the same
+    Heaps-trap class as the bigram count tables): the join key equals
+    both sides' aggregation key, so the unhinted form co-partitions on
+    user_id, and AQE still picks a broadcast at runtime when the signup
+    side actually fits. Delay arithmetic uses the bridged epoch forms
+    (Spark unix_timestamp ≡ DuckDB floor(epoch)) so second-level
+    truncation matches."""
     ev = load_table(spark, sf_dir, "events")
     su = (
         ev.filter(F.col("event_type") == "signup")
@@ -233,7 +238,7 @@ def agg_time_to_convert(spark, sf_dir):
     )
     conv = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(su), "user_id")
+        .join(su, "user_id")
         .filter(F.col("ts") > F.col("signup_ts"))
         .groupBy("user_id", "signup_ts")
         .agg(F.min("ts").alias("conv_ts"))
