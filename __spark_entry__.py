@@ -322,6 +322,7 @@ R8_PLANNED = [
     "llm_emb_gram_matrix",
     "llm_lang_id_confusion",
     "llm_sft_lint",
+    "stream_content_dedup",
 ]
 
 def _windowed(mapping: dict) -> dict:

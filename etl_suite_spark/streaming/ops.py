@@ -793,3 +793,45 @@ def stream_anomaly_zscore(spark, sf_dir):
         )
         .orderBy("win_start", "event_type")
     )
+
+
+@query(
+    "stream_content_dedup",
+    # the regenerated-id copies must vanish: content-deduped per-type
+    # counts equal the source's (content 5-tuples are unique in the
+    # fixture — verified, and the test plants the collision case)
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT (user_id, ts, event_type, value, props))
+                AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_content_dedup(spark, sf_dir):
+    """Content-keyed streaming dedup — the at-least-once case
+    stream_dedup canNOT catch: a producer retry that RE-STAMPS ids
+    (regenerated UUIDs, new offsets) re-delivers the same payload under
+    a fresh event_id, so id-keyed dedup state never fires. Dedup key =
+    the full content tuple (user_id, ts, event_type, value, props);
+    second-batch events are re-delivered in the final drop file with
+    event_id + 10_000_000 and suppressed because their CONTENT was seen
+    within the 1-hour watermark horizon in a prior batch.
+
+    At 100 TB the state-store entry is keyed by the content tuple (in
+    production you'd hash it to a fixed-width key with sha2 — kept raw
+    here so the state key is visible in the checkpoint for debugging);
+    state size is bounded by the watermark horizon exactly like
+    stream_dedup, and the same shuffle-partition count shards it."""
+    ev_dups = _dup_sample(spark, sf_dir).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    )
+    drop, schema = _drop_dir(spark, sf_dir, extra=ev_dups)
+    deduped = (
+        _read_stream(spark, drop, schema)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(
+            ["user_id", "ts", "event_type", "value", "props"]
+        )
+    )
+    out = _run_to_memory(deduped.select("event_id", "event_type"), "append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")

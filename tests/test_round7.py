@@ -389,3 +389,22 @@ try:
         assert int(got) == expected
 except ImportError:  # pragma: no cover — hypothesis is baked in
     pass
+
+
+def test_content_dedup_catches_regenerated_ids(spark):
+    """The planted failure stream_dedup cannot catch: copies re-delivered
+    under FRESH event_ids. Id-keyed dedup keeps them (ids are new);
+    content-keyed dedup must suppress every one — per-type counts equal
+    the clean source's."""
+    from etl_suite_spark.io import load_table
+
+    src = load_table(spark, SF_DIR, "events")
+    clean = {
+        (r.event_type): r.n
+        for r in src.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r.event_type: r.n
+        for r in QUERIES["stream_content_dedup"](spark, SF_DIR).collect()
+    }
+    assert got == clean
