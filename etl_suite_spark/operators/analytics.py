@@ -3867,7 +3867,7 @@ _CMS_ROWS = [(0, 31, 7), (1, 137, 41), (2, 1009, 97), (3, 65537, 19)]
       SELECT * FROM (VALUES {", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_ROWS)})
         AS t(j, a, b)
     ), counters AS (
-      SELECT j, ((a * user_id + b) % {_CMS_P}) % {_CMS_W} AS bucket,
+      SELECT j, ((a * (user_id % {_CMS_P}) + b) % {_CMS_P}) % {_CMS_W} AS bucket,
              COUNT(*) AS c
       FROM events, params
       GROUP BY 1, 2
@@ -3879,7 +3879,7 @@ _CMS_ROWS = [(0, 31, 7), (1, 137, 41), (2, 1009, 97), (3, 65537, 19)]
       JOIN params p ON TRUE
       JOIN counters c
         ON c.j = p.j
-       AND c.bucket = ((p.a * e.user_id + p.b) % {_CMS_P}) % {_CMS_W}
+       AND c.bucket = ((p.a * (e.user_id % {_CMS_P}) + p.b) % {_CMS_P}) % {_CMS_W}
       GROUP BY e.user_id, e.exact_count
     )
     SELECT user_id, CAST(est_count AS BIGINT) AS est_count,
@@ -3894,7 +3894,9 @@ def agg_cms_heavy_hitters(spark, sf_dir):
     """Count–min-sketch heavy hitters over the event stream (Cormode &
     Muthukrishnan 2005): d=4 hash rows × w=1024 counters, explicit
     (a·x+b) mod p mod w universal hashing with pinned constants so both
-    engines build the IDENTICAL sketch — and the one-sided error
+    engines build the IDENTICAL sketch (keys reduce mod p BEFORE the
+    multiply, so a·x stays under p² ≈ 4.6e18 < 2^63 for ANY 64-bit key —
+    snowflake-scale ids cannot overflow the hash) — and the one-sided error
     guarantee (estimate ≥ exact, overcount bounded by collisions) is
     verified IN the output by joining the estimates back to exact counts.
 
@@ -3914,7 +3916,7 @@ def agg_cms_heavy_hitters(spark, sf_dir):
         .select(
             "j",
             (
-                (F.col("a") * F.col("user_id") + F.col("b")) % _CMS_P % _CMS_W
+                (F.col("a") * (F.col("user_id") % _CMS_P) + F.col("b")) % _CMS_P % _CMS_W
             ).alias("bucket"),
         )
         .groupBy("j", "bucket")
@@ -3928,7 +3930,7 @@ def agg_cms_heavy_hitters(spark, sf_dir):
             "exact_count",
             "j",
             (
-                (F.col("a") * F.col("user_id") + F.col("b")) % _CMS_P % _CMS_W
+                (F.col("a") * (F.col("user_id") % _CMS_P) + F.col("b")) % _CMS_P % _CMS_W
             ).alias("bucket"),
         )
         .join(F.broadcast(counters), ["j", "bucket"])

@@ -341,25 +341,26 @@ try:
     from hypothesis import strategies as st
 
     @settings(max_examples=30, deadline=None)
-    @given(st.integers(min_value=0, max_value=2**40))
+    @given(st.integers(min_value=0, max_value=2**63 - 1))
     def test_cms_hash_expression_matches_python(user_id):
         """Differential check of the CMS bucket expression: the Spark/
-        DuckDB SQL form ((a*x+b) % p) % w must equal Python's unbounded
-        integer arithmetic for any plausible user_id — guarding both the
-        int64 headroom (a*x at a=65537, x=2^40 is ~7e16 < 2^63) and the
-        %-semantics assumption (all operands nonnegative)."""
+        DuckDB SQL form ((a*(x%p)+b) % p) % w must equal Python's
+        unbounded integer arithmetic for ANY 64-bit user_id — the mod-p
+        pre-reduction keeps a*(x%p) under p^2 < 2^63, so even
+        snowflake-scale ids cannot overflow (the unreduced form would at
+        x ~ 2^47 with a=65537)."""
         import duckdb as _duck
 
         from etl_suite_spark.operators.analytics import _CMS_P, _CMS_ROWS, _CMS_W
 
         for _, a, b in _CMS_ROWS:
-            expected = ((a * user_id + b) % _CMS_P) % _CMS_W
+            expected = ((a * (user_id % _CMS_P) + b) % _CMS_P) % _CMS_W
             # literals cast to BIGINT: the real oracle's user_id COLUMN is
             # already BIGINT so promotion happens there; bare literals
             # would stay INT32 and DuckDB raises on overflow
             got = _duck.sql(
-                f"SELECT ((CAST({a} AS BIGINT) * {user_id} + {b})"
-                f" % {_CMS_P}) % {_CMS_W}"
+                f"SELECT ((CAST({a} AS BIGINT) * ({user_id} % {_CMS_P})"
+                f" + {b}) % {_CMS_P}) % {_CMS_W}"
             ).fetchone()[0]
             assert got == expected
 
