@@ -323,6 +323,8 @@ R8_PLANNED = [
     "llm_lang_id_confusion",
     "llm_sft_lint",
     "stream_content_dedup",
+    "agg_ship_latency",
+    "ts_sma_crossover",
 ]
 
 def _windowed(mapping: dict) -> dict:

@@ -4054,3 +4054,144 @@ def agg_session_stats(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_ship_latency",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lat
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(SUM(lat) * 1.0 / COUNT(*), 6) AS mean_days,
+           CAST(MIN(lat) AS BIGINT) AS min_days,
+           CAST(MAX(lat) AS BIGINT) AS max_days,
+           CAST(SUM(CASE WHEN lat > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_90d,
+           round(SUM(CASE WHEN lat > 90 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS pct_over_90d
+    FROM j GROUP BY priority ORDER BY priority
+    """,
+)
+def agg_ship_latency(spark, sf_dir):
+    """Order-to-ship latency SLA report per order priority — the
+    fulfillment dashboard every ops team runs (and the check that
+    priority actually BUYS latency: URGENT should dominate LOW here, or
+    the priority field is decorative). Mean/min/max whole-day latencies
+    from exact DATE diffs plus a 90-day SLA-breach rate.
+
+    Plan: one orders⋈lineitem equi-join on the orderkey (at 100 TB both
+    sides bucket by orderkey — the canonical co-located fact-fact join,
+    same layout sink_bucketed_colocated_join demonstrates), then a
+    5-key priority rollup with map-side combine. Latency stays in exact
+    integer days; only the final rates render to doubles."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "priority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("lat"),
+    )
+    over = F.when(F.col("lat") > 90, 1).otherwise(0)
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.sum("lat") / F.count("*"), 6).alias("mean_days"),
+            F.min("lat").cast("long").alias("min_days"),
+            F.max("lat").cast("long").alias("max_days"),
+            F.sum(over).cast("long").alias("n_over_90d"),
+            F.round(F.sum(over) / F.count("*"), 6).alias("pct_over_90d"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "ts_sma_crossover",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS rev
+      FROM orders GROUP BY 1
+    ), sma AS (
+      SELECT day,
+             COUNT(*) OVER w7 AS n7, COUNT(*) OVER w28 AS n28,
+             SUM(rev) OVER w7 AS s7, SUM(rev) OVER w28 AS s28
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             w28 AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    ), full_sma AS (
+      -- exact rational comparison: sma7 > sma28 <=> s7*n28 > s28*n7
+      SELECT day,
+             CASE WHEN s7 * n28 > s28 * n7 THEN 1 ELSE 0 END AS fast_above
+      FROM sma WHERE n28 = 28
+    ), flags AS (
+      SELECT day, fast_above,
+             lag(fast_above) OVER (ORDER BY day) AS prev
+      FROM full_sma
+    )
+    SELECT day,
+           CASE WHEN fast_above = 1 THEN 'golden_cross'
+                ELSE 'death_cross' END AS signal
+    FROM flags WHERE prev IS NOT NULL AND fast_above <> prev
+    ORDER BY day
+    """,
+)
+def ts_sma_crossover(spark, sf_dir):
+    """Moving-average crossover signals on daily order revenue — SMA(7)
+    crossing SMA(28) up (golden cross) or down (death cross), the
+    classic momentum-regime detector, emitted only on CHANGE days. The
+    comparison is the exact rational s7·n28 > s28·n7 on decimal window
+    sums — no division ever happens, so the signal day set is
+    bit-deterministic on both engines (a double SMA comparison could
+    flip a knife-edge day per engine).
+
+    Plan: one orders shuffle to the day domain, then two frame sums over
+    the SAME ordered window (one sort serves both frames) on the
+    day-domain table — the bounded-domain single-sort trade every ts_*
+    op documents; the crossover lag is a third pass over the same
+    ordering. Emits only regime changes, so output is sparse."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(dec("o_totalprice", 2)).cast("decimal(18,2)").alias("rev"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    w28 = Window.orderBy("day").rowsBetween(-27, 0)
+    sma = daily.select(
+        "day",
+        F.count("*").over(w7).alias("n7"),
+        F.count("*").over(w28).alias("n28"),
+        F.sum("rev").over(w7).alias("s7"),
+        F.sum("rev").over(w28).alias("s28"),
+    )
+    full = sma.filter(F.col("n28") == 28).select(
+        "day",
+        F.when(
+            F.col("s7") * F.col("n28") > F.col("s28") * F.col("n7"), 1
+        )
+        .otherwise(0)
+        .alias("fast_above"),
+    )
+    flags = full.select(
+        "day",
+        "fast_above",
+        F.lag("fast_above").over(Window.orderBy("day")).alias("prev"),
+    )
+    return (
+        flags.filter(F.col("prev").isNotNull() & (F.col("fast_above") != F.col("prev")))
+        .select(
+            "day",
+            F.when(F.col("fast_above") == 1, "golden_cross")
+            .otherwise("death_cross")
+            .alias("signal"),
+        )
+        .orderBy("day")
+    )

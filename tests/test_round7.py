@@ -409,3 +409,37 @@ def test_content_dedup_catches_regenerated_ids(spark):
         for r in QUERIES["stream_content_dedup"](spark, SF_DIR).collect()
     }
     assert got == clean
+
+
+def test_session_stats_agrees_with_win_sessionize(spark):
+    """Cross-op invariant: agg_session_stats' total session count and
+    total event count must equal win_sessionize's (same 30-minute-gap
+    definition — a drift between the two session definitions would split
+    the analytics from the sessionizer)."""
+    stats = QUERIES["agg_session_stats"](spark, SF_DIR).collect()
+    sess = QUERIES["win_sessionize"](spark, SF_DIR).collect()
+    assert sum(r.n_sessions for r in stats) == len(sess)
+    stats_events = sum(r.mean_events * r.n_sessions for r in stats)
+    assert abs(stats_events - sum(r.n_events for r in sess)) < 1e-3 * len(sess)
+
+
+def test_ship_latency_priorities_complete(spark):
+    rows = QUERIES["agg_ship_latency"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.min_days <= r.mean_days <= r.max_days
+        assert 0 <= r.pct_over_90d <= 1
+        assert r.n_over_90d <= r.n_lines
+
+
+def test_sma_crossover_signals_alternate(spark):
+    """Consecutive signals must alternate golden/death (a regime can
+    only flip to the opposite regime), and each signal day must exist
+    in the order-date domain."""
+    rows = QUERIES["ts_sma_crossover"](spark, SF_DIR).collect()
+    assert rows, "fixture has revenue regime changes"
+    sigs = [r.signal for r in rows]
+    for a, b in zip(sigs, sigs[1:]):
+        assert a != b
+    days = [r.day for r in rows]
+    assert days == sorted(days)
