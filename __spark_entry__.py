@@ -325,6 +325,7 @@ R8_PLANNED = [
     "stream_content_dedup",
     "agg_ship_latency",
     "ts_sma_crossover",
+    "agg_partial_final",
 ]
 
 def _windowed(mapping: dict) -> dict:

@@ -1255,3 +1255,71 @@ def agg_funnel_timebound(spark, sf_dir):
             6,
         ).alias("purchase_rate"),
     )
+
+
+@query(
+    "agg_partial_final",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS sum_qty,
+           round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                           AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_partial_final(spark, sf_dir):
+    """EXPLICIT two-phase (partial → final) aggregation — §2's one
+    formerly documentation-only row, implemented as a demonstration that
+    the mergeable-state contract Spark's physical planner applies
+    automatically (HashAggregate partial → Exchange → HashAggregate
+    final) can be expressed, audited, and oracle-checked at the API
+    level too. Phase 1 folds each INPUT partition's rows into one
+    (count, decimal-sum, max) state tuple per (group, partition) —
+    exactly the shape a map-side combiner emits; phase 2 merges the
+    states with the associative-commutative merge (sum of counts, sum of
+    decimal sums, max of maxes) and only then derives avg = sum/count.
+
+    The partial states themselves depend on the physical partitioning
+    (spark_partition_id is not stable across runs) — which is precisely
+    the point: the MERGED result provably does not, because every state
+    component is a commutative monoid fold over exact values (decimal
+    sums, longs, max). The oracle computes the same groups single-phase;
+    a pytest additionally pins repartition-invariance. AVG is the
+    canonical non-trivially-mergeable example: you cannot merge
+    averages, you merge (sum, count) pairs and divide once — the mistake
+    this op exists to teach against. At 100 TB this is the contract
+    behind every map-side combine and every inc_state_merge_stats-style
+    incremental rollup: partials computed per file/partition/day merge
+    into exact global aggregates without a second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.spark_partition_id().alias("pid"),
+            dec("l_quantity", 2).alias("qty"),
+        )
+        .groupBy("l_returnflag", "l_linestatus", "pid")
+        .agg(
+            F.count("*").alias("p_n"),
+            F.sum("qty").alias("p_sum"),
+            F.max("qty").alias("p_max"),
+        )
+    )
+    final = partial.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("p_n").cast("long").alias("n_rows"),
+        F.sum("p_sum").alias("m_sum"),
+        F.max("p_max").alias("m_max"),
+    )
+    return final.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        d2d(F.col("m_sum")).alias("sum_qty"),
+        F.round(d2d(F.col("m_sum")) / F.col("n_rows"), 6).alias("avg_qty"),
+        F.col("m_max").cast("double").alias("max_qty"),
+    ).orderBy("l_returnflag", "l_linestatus")

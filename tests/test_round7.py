@@ -443,3 +443,34 @@ def test_sma_crossover_signals_alternate(spark):
         assert a != b
     days = [r.day for r in rows]
     assert days == sorted(days)
+
+
+def test_partial_final_is_repartition_invariant(spark):
+    """The merged two-phase result must be identical under any physical
+    partitioning (the partial states differ wildly; the merge is a
+    commutative monoid fold) AND equal to the single-phase built-in."""
+    q = QUERIES["agg_partial_final"]
+    base = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        alt = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert alt == base
+    from etl_suite_spark.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    single = {
+        (r.l_returnflag, r.l_linestatus): (r.n, float(r.s))
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+    for row in base:
+        flag, status, n_rows, sum_qty = row[0], row[1], row[2], row[3]
+        sn, ss = single[(flag, status)]
+        assert n_rows == sn and abs(sum_qty - ss) < 1e-9
