@@ -326,6 +326,7 @@ R8_PLANNED = [
     "agg_ship_latency",
     "ts_sma_crossover",
     "agg_partial_final",
+    "dim_calendar_build",
 ]
 
 def _windowed(mapping: dict) -> dict:

@@ -919,3 +919,69 @@ def inc_snapshot_expire(spark, sf_dir):
         )
         .orderBy("status")
     )
+
+
+@query(
+    "dim_calendar_build",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                         DATE '2024-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    )
+    SELECT day,
+           CAST(year(day) AS INTEGER) AS year,
+           CAST(quarter(day) AS INTEGER) AS quarter,
+           CAST(month(day) AS INTEGER) AS month,
+           CAST(day(day) AS INTEGER) AS day_of_month,
+           CAST(dayofweek(day) + 1 AS INTEGER) AS dow_sunday1,
+           CAST(isodow(day) AS INTEGER) AS iso_dow,
+           CAST(weekofyear(day) AS INTEGER) AS iso_week,
+           CAST(dayofyear(day) AS INTEGER) AS day_of_year,
+           isodow(day) >= 6 AS is_weekend,
+           CAST(date_trunc('month', day) AS DATE) AS month_start,
+           CAST(last_day(day) AS DATE) AS month_end
+    FROM d ORDER BY day
+    """,
+)
+def dim_calendar_build(spark, sf_dir):
+    """Calendar-dimension generator for 2024 — the one warehouse table
+    every deployment builds from NOTHING (a generator op, the only row
+    source in the surface that reads no fixture): one row per day with
+    the attribute set downstream rollups join on (ISO week/dow, quarter,
+    weekend flag, month bounds). Joining facts to a materialized
+    calendar beats re-deriving date parts in every query — the
+    dimension is tiny, broadcastable, and the single place fiscal rules
+    live.
+
+    Dialect bridges (each verified value-identical): Spark has no isodow
+    — derived as ((dayofweek+5) % 7)+1; Spark weekofyear IS ISO week
+    (DuckDB's weekofyear likewise); Spark dayofweek is Sunday=1 while
+    DuckDB's is Sunday=0, bridged with +1 in the oracle.
+    Generation is sequence() + explode over a literal range — map-only,
+    365 rows, no shuffle but the presentation sort. sf_dir is accepted
+    for signature uniformity and unused."""
+    d = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    iso_dow = ((F.dayofweek("day") + 5) % 7) + 1
+    return d.select(
+        "day",
+        F.year("day").cast("int").alias("year"),
+        F.quarter("day").cast("int").alias("quarter"),
+        F.month("day").cast("int").alias("month"),
+        F.dayofmonth("day").cast("int").alias("day_of_month"),
+        F.dayofweek("day").cast("int").alias("dow_sunday1"),
+        iso_dow.cast("int").alias("iso_dow"),
+        F.weekofyear("day").cast("int").alias("iso_week"),
+        F.dayofyear("day").cast("int").alias("day_of_year"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.trunc("day", "month").alias("month_start"),
+        F.last_day("day").alias("month_end"),
+    ).orderBy("day")

@@ -474,3 +474,17 @@ def test_partial_final_is_repartition_invariant(spark):
         flag, status, n_rows, sum_qty = row[0], row[1], row[2], row[3]
         sn, ss = single[(flag, status)]
         assert n_rows == sn and abs(sum_qty - ss) < 1e-9
+
+
+def test_calendar_dimension_invariants(spark):
+    rows = QUERIES["dim_calendar_build"](spark, SF_DIR).collect()
+    assert len(rows) == 366  # 2024 is a leap year
+    assert rows[0].day.isoformat() == "2024-01-01"
+    assert rows[-1].day.isoformat() == "2024-12-31"
+    # ISO dow cycles 1..7 and weekend flag matches it
+    for r in rows:
+        assert 1 <= r.iso_dow <= 7
+        assert r.is_weekend == (r.iso_dow >= 6)
+        assert r.month_start <= r.day <= r.month_end
+    # Jan 1 2024 is a Monday
+    assert rows[0].iso_dow == 1 and rows[0].dow_sunday1 == 2
