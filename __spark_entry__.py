@@ -295,11 +295,9 @@ R7_WINDOW = [
     "llm_retrieval_ndcg",
 ]
 
-# Round-8 overflow plan: R7_WINDOW is full (50 slots), so queries added
-# past that point queue here under the same contract (oracle-checked
-# locally on introduction; tests/test_entry_contract.py counts R8 toward
-# the every-query-has-a-driver-evidence-plan invariant). Round-7
-# additions append here.
+# Round-8 queued queries (HISTORICAL name kept for the ledger tests):
+# the 25 queries that accumulated across rounds 6-7 with no driver
+# evidence yet; they form the first half of the ACTIVE R8_WINDOW below.
 R8_PLANNED = [
     "ts_rolling_slope",
     "graph_label_propagation",
@@ -329,8 +327,55 @@ R8_PLANNED = [
     "dim_calendar_build",
 ]
 
+# Round-8 ACTIVE window (VERDICT r7 "Next round" item 1): the 25 queued
+# R8_PLANNED queries above + the 25 oldest-evidence re-checks — every
+# core SURVEY §2 ID whose latest driver record dates to r1 (13 ops,
+# including the rows-only-by-design llm_dedup_minhash so no core ID's
+# evidence stays older than r2) and the 12 r2-era core joins.  After this
+# window executes, every pre-r8 registered query has driver evidence no
+# older than r2 and the never-checked backlog is exactly R9_PLANNED.
+R8_RECHECKS = [
+    # r1-era core §2 IDs (latest driver record 2026-08-13, code touched
+    # for 5+ rounds since):
+    "fn_regexp",
+    "fn_math",
+    "fn_array",
+    "fn_explode",
+    "fn_hash",
+    "fn_conditional",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",  # rows-only by design (engine-specific seeds)
+    "llm_sim_cosine_topk",
+    "llm_sim_centroid",
+    "llm_text_stats",
+    "llm_text_tfidf",  # re-check required: byte-gated dfreq this round
+    "llm_multimodal_join",
+    # r2-era core joins:
+    "join_inner_equi",
+    "join_multiway",
+    "join_semi",
+    "join_anti",
+    "join_broadcast",
+    "join_cross",
+    "join_theta_range",
+    "join_asof",
+    "join_self_agg",
+    "join_left",
+    "join_right",
+    "join_full",
+]
+
+R8_WINDOW = R8_PLANNED + R8_RECHECKS
+
+# Round-9 overflow plan: R8_WINDOW is full (50 slots), so queries added
+# during round 8 queue here under the same contract (oracle-checked
+# locally on introduction; tests/test_entry_contract.py counts R9 toward
+# the every-query-has-a-driver-evidence-plan invariant).
+R9_PLANNED = []
+
+
 def _windowed(mapping: dict) -> dict:
-    ordered = {k: mapping[k] for k in R7_WINDOW if k in mapping}
+    ordered = {k: mapping[k] for k in R8_WINDOW if k in mapping}
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
     return ordered
 

@@ -6,13 +6,14 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-7 window composition (VERDICT r6 "Next round" item 1): the 50
-queries that queued in the R7 overflow plan across rounds 5-6 — the r5
-analytics/time-series/data-quality tail plus all 10 round-6 operators.
-Every entry is oracle-checked; there are NO rows-only slots this round.
-After R7 executes, only R8_PLANNED (2 queries + round-7 additions)
-remains without driver evidence, and the evidence-ledger test below
-enforces exactly that from the committed CORRECTNESS files.
+Round-8 window composition (VERDICT r7 "Next round" item 1): the 25
+queries queued in R8_PLANNED across rounds 6-7 + the 25 oldest-evidence
+re-checks (all 13 core SURVEY §2 IDs whose latest driver record dates to
+r1, including the rows-only-by-design llm_dedup_minhash, plus the 12
+r2-era core joins).  After R8 executes, every pre-r8 registered query
+has driver evidence no older than r2 and the never-checked backlog is
+exactly R9_PLANNED — the strict-ledger test below enforces that from the
+committed CORRECTNESS files.
 """
 
 from __future__ import annotations
@@ -22,96 +23,123 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R7_WINDOW = [
-    "ts_holt_linear",
-    "agg_welch_ttest",
-    "agg_theil_sen",
-    "dq_freshness",
-    "agg_funnel_timebound",
-    "agg_wow_growth",
-    "agg_path_trigrams",
-    "agg_chisq_independence",
-    "agg_mann_whitney",
-    "dq_volume_anomaly",
-    "er_golden_record",
-    "llm_ttr_hapax",
-    "llm_zipf_slope",
-    "llm_length_histogram",
-    "llm_emb_quantize_int8",
-    "llm_dedup_threshold_sweep",
-    "graph_bfs_distance",
-    "inc_partition_rebuild",
-    "agg_ks_test",
-    "agg_bootstrap_ci",
-    "stream_anomaly_zscore",
-    "llm_mixture_epochs",
-    "ts_stl_decompose",
-    "agg_decay_score",
-    "udf_arrow_map",
-    "pipeline_dag_run",
-    "llm_hard_negatives",
-    "ml_target_encoding",
-    "ml_feature_scale",
-    "dq_schema_contract",
-    "agg_trimmed_mean",
-    "graph_assortativity",
-    "dq_psi_drift",
-    "ts_acf",
-    "llm_packing_efficiency",
-    "inc_snapshot_expire",
-    "join_asof_tolerance",
-    "llm_charset_report",
-    "llm_quality_composite",
-    "ts_holt_winters",
-    # added in round 6 (oracle-checked locally on introduction):
-    "ts_forecast_backtest",
-    "ts_holt_damped",
-    "llm_ngram_kneser_ney",
-    "llm_tokenizer_fertility",
-    "graph_clustering_local",
-    "llm_sft_pairs",
-    "llm_vocab_coverage",
-    "llm_dedup_simhash_recall",
-    "ml_kmeans_quality",
-    "llm_retrieval_ndcg",
+EXPECTED_R8_WINDOW = [
+    # --- R8_PLANNED: the two round-6 carryovers... ---
+    "ts_rolling_slope",
+    "graph_label_propagation",
+    # --- ...plus the round-7 additions (oracle-checked locally then) ---
+    "agg_hhi_concentration",
+    "ts_cross_correlation",
+    "agg_cms_heavy_hitters",
+    "llm_cross_entropy_heldout",
+    "llm_bigram_pmi_top20",
+    "llm_dup_cluster_histogram",
+    "llm_emb_dim_stats",
+    "dq_duplicate_key_report",
+    "ml_gradient_step_linear",
+    "graph_kcore",
+    "ml_auc_roc",
+    "ml_calibration_bins",
+    "ml_confusion_metrics",
+    "llm_ngram_coverage_curve",
+    "agg_session_stats",
+    "llm_emb_gram_matrix",
+    "llm_lang_id_confusion",
+    "llm_sft_lint",
+    "stream_content_dedup",
+    "agg_ship_latency",
+    "ts_sma_crossover",
+    "agg_partial_final",
+    "dim_calendar_build",
+    # --- re-checks: r1-era core §2 IDs ---
+    "fn_regexp",
+    "fn_math",
+    "fn_array",
+    "fn_explode",
+    "fn_hash",
+    "fn_conditional",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",  # rows-only by design (engine-specific seeds)
+    "llm_sim_cosine_topk",
+    "llm_sim_centroid",
+    "llm_text_stats",
+    "llm_text_tfidf",  # byte-gated dfreq broadcast this round
+    "llm_multimodal_join",
+    # --- re-checks: r2-era core joins ---
+    "join_inner_equi",
+    "join_multiway",
+    "join_semi",
+    "join_anti",
+    "join_broadcast",
+    "join_cross",
+    "join_theta_range",
+    "join_asof",
+    "join_self_agg",
+    "join_left",
+    "join_right",
+    "join_full",
 ]
 
-_DRIVER_ROUNDS = (1, 2, 3, 4, 5, 6, 7)
+# The single window slot without an oracle: llm_dedup_minhash's sketch
+# buckets depend on engine-specific xxhash64 seeds; its `_recall` /
+# `_precision` honesty twins ARE oracle-checked (driver-green r4/r5).
+ROWS_ONLY_IN_WINDOW = {"llm_dedup_minhash"}
+
+_DRIVER_ROUNDS = tuple(range(1, 9))
 
 
 def _driver_history() -> dict[str, dict]:
     root = pathlib.Path(__file__).resolve().parent.parent
     latest: dict[str, dict] = {}
     for n in _DRIVER_ROUNDS:
-        path = root / f"CORRECTNESS_r0{n}.json"
+        path = root / f"CORRECTNESS_r{n:02d}.json"
         if path.exists():
             latest.update(json.loads(path.read_text()))
     return latest
 
 
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R7_WINDOW) == 50
-    assert len(set(EXPECTED_R7_WINDOW)) == 50
+    assert len(EXPECTED_R8_WINDOW) == 50
+    assert len(set(EXPECTED_R8_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R7_WINDOW
-    assert entry_mod.R7_WINDOW == EXPECTED_R7_WINDOW
+    assert qs[:50] == EXPECTED_R8_WINDOW
+    assert entry_mod.R8_WINDOW == EXPECTED_R8_WINDOW
+
+
+def test_window_composition():
+    """The window is exactly R8_PLANNED followed by the re-check block,
+    and the re-checks only contain queries whose latest driver record is
+    r1/r2 (recomputed from the committed CORRECTNESS files)."""
+    assert entry_mod.R8_WINDOW == entry_mod.R8_PLANNED + entry_mod.R8_RECHECKS
+    root = pathlib.Path(__file__).resolve().parent.parent
+    latest_round: dict[str, int] = {}
+    for n in (1, 2, 3, 4, 5, 6, 7):
+        path = root / f"CORRECTNESS_r0{n}.json"
+        if path.exists():
+            for name in json.loads(path.read_text()):
+                latest_round[name] = n
+    stale = {n: latest_round.get(n) for n in entry_mod.R8_RECHECKS}
+    too_fresh = {n: r for n, r in stale.items() if r is None or r > 2}
+    assert not too_fresh, f"re-check slots with fresh evidence: {too_fresh}"
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R7_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R8_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
-def test_window_is_fully_oracle_checked():
-    # The R7 window has NO rows-only slots: all 50 entries carry DuckDB
-    # oracles, so CORRECTNESS_r07 should be 50/50 full hash checks.
+def test_window_oracle_coverage():
+    # Exactly one rows-only slot this round (llm_dedup_minhash); every
+    # other window entry carries a DuckDB oracle.
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in EXPECTED_R7_WINDOW if n not in oracles]
-    assert not missing, f"window names without oracles: {missing}"
+    missing = {n for n in EXPECTED_R8_WINDOW if n not in oracles}
+    assert missing == ROWS_ONLY_IN_WINDOW, (
+        f"unexpected rows-only window slots: {missing ^ ROWS_ONLY_IN_WINDOW}"
+    )
 
 
 def test_oracle_keys_subset_of_queries():
@@ -123,9 +151,9 @@ def test_oracle_keys_subset_of_queries():
 def test_no_stale_red_left_outside_window():
     """Any query whose LATEST driver record is red (oracle-able but not
     fully green) must sit inside the active window for a re-check.
-    Recomputed from the committed CORRECTNESS_r0*.json files; r1-r6 ended
-    50/50 green so this is expected vacuous — it exists to catch a
-    regression being planned around rather than re-checked."""
+    Recomputed from the committed CORRECTNESS files; r1-r7 ended 50/50
+    green so this is expected vacuous — it exists to catch a regression
+    being planned around rather than re-checked."""
     latest = _driver_history()
     oracles = entry_mod.oracle_sql()
     red = [
@@ -136,7 +164,7 @@ def test_no_stale_red_left_outside_window():
             rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
         )
     ]
-    outside = sorted(set(red) - set(EXPECTED_R7_WINDOW))
+    outside = sorted(set(red) - set(EXPECTED_R8_WINDOW))
     assert not outside, f"stale-red oracle-able queries not in window: {outside}"
 
 
@@ -150,44 +178,35 @@ def _is_green_or_rows_only(rec: dict) -> bool:
 def test_evidence_ledger_covers_every_query():
     """Every registered query must have a green-or-rows-only driver
     record in the committed CORRECTNESS files, OR a pinned slot in the
-    active window / R8_PLANNED.  Once R7 executes, the planned backlog
-    shrinks to R8's 2 entries + round-7 additions; a future query added
-    with no driver-evidence plan fails here immediately."""
+    active window / R9_PLANNED.  A future query added with no
+    driver-evidence plan fails here immediately."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    planned = set(EXPECTED_R7_WINDOW) | set(entry_mod.R8_PLANNED)
+    planned = set(EXPECTED_R8_WINDOW) | set(entry_mod.R9_PLANNED)
     uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
 
-def test_pre_r7_backlog_is_exactly_the_known_two():
-    """VERDICT r6 item 7 (tightened ledger): of everything registered
-    BEFORE round 7, only the R7 window itself and the two R8 carryovers
-    (ts_rolling_slope, graph_label_propagation) may lack a driver record.
-    This is the strict form of the ledger — no plan-list escape for any
-    other pre-r7 query."""
+def test_strict_ledger_pre_r8_backlog_is_empty():
+    """VERDICT r7 item 6 (tightened ledger, endgame form): every query
+    registered BEFORE round 8 must either have a committed driver record
+    or sit in the active R8 window — there is NO plan-list escape for
+    pre-r8 queries.  Only round-8 additions (R9_PLANNED) may wait."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    pre_r7 = set(entry_mod.queries()) - set(entry_mod.R8_PLANNED[2:])
-    allowed_gap = set(EXPECTED_R7_WINDOW) | {
-        "ts_rolling_slope",
-        "graph_label_propagation",
-    }
-    uncovered = sorted(pre_r7 - evidenced - allowed_gap)
-    assert not uncovered, f"pre-r7 queries with no driver record: {uncovered}"
+    pre_r8 = set(entry_mod.queries()) - set(entry_mod.R9_PLANNED)
+    uncovered = sorted(pre_r8 - evidenced - set(EXPECTED_R8_WINDOW))
+    assert not uncovered, f"pre-r8 queries with no driver record: {uncovered}"
 
 
-def test_r8_overflow_plan_is_well_formed():
-    assert len(entry_mod.R8_PLANNED) <= 50
-    assert len(set(entry_mod.R8_PLANNED)) == len(entry_mod.R8_PLANNED)
-    overlap = set(entry_mod.R8_PLANNED) & set(EXPECTED_R7_WINDOW)
-    assert not overlap, f"R8 entries already in the R7 window: {overlap}"
-    # the two round-6 carryovers must keep their queue position so the
-    # tightened-ledger test above stays meaningful
-    assert entry_mod.R8_PLANNED[:2] == [
-        "ts_rolling_slope",
-        "graph_label_propagation",
-    ]
+def test_r9_overflow_plan_is_well_formed():
+    assert len(entry_mod.R9_PLANNED) <= 50
+    assert len(set(entry_mod.R9_PLANNED)) == len(entry_mod.R9_PLANNED)
+    overlap = set(entry_mod.R9_PLANNED) & set(EXPECTED_R8_WINDOW)
+    assert not overlap, f"R9 entries already in the R8 window: {overlap}"
+    registered = set(entry_mod.queries())
+    ghosts = sorted(set(entry_mod.R9_PLANNED) - registered)
+    assert not ghosts, f"R9-planned names not registered: {ghosts}"
 
 
 def test_bench_headline_queries_registered():
