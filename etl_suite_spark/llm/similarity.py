@@ -1860,6 +1860,19 @@ def llm_emb_gram_matrix(spark, sf_dir):
         for pdf in batches:
             if pdf.empty:
                 continue
+            # int64-exactness bound (ADVICE r7): each accumulated term is
+            # |q_i * q_j| <= ~1.6e13 (|q| <= ~4e6), so a batch of n rows
+            # accumulates at most n * 1.6e13 — safe below 2^63 only while
+            # n < ~5.7e5. Arrow batch size is config-controlled
+            # (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k
+            # → ~900x margin); assert loudly so raising that config past
+            # the bound fails the job instead of silently wrapping int64.
+            if len(pdf) > 500_000:
+                raise ValueError(
+                    f"gram_partial batch of {len(pdf)} rows exceeds the "
+                    "int64-exact accumulation bound (~5e5 rows); lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             mat = np.array(pdf["q"].tolist(), dtype=np.int64)
             acc = mat.T @ mat  # exact: |q| <= ~4e6, batch partial << 2^63
             yield pd.DataFrame(

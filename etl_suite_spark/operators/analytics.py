@@ -3688,14 +3688,14 @@ def ts_rolling_slope(spark, sf_dir):
       SELECT s.s_nationkey, l.l_suppkey,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 - CAST(l_discount AS DECIMAL(18,4))))
-                  AS DECIMAL(19,6)) AS r
+                  AS DECIMAL(18,6)) AS r
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY s.s_nationkey, l.l_suppkey
     ), per_nation AS (
       SELECT s_nationkey,
              COUNT(*) AS n_suppliers,
              SUM(r) AS tot,
-             SUM(r * r) AS sumsq
+             SUM(CAST(r AS DECIMAL(19,6)) * r) AS sumsq
       FROM rev GROUP BY s_nationkey
     )
     SELECT n.n_name,
@@ -3713,9 +3713,16 @@ def agg_hhi_concentration(spark, sf_dir):
     within each nation — the standard antitrust/marketplace-health metric
     (HHI = Σ share_i², 1/n for perfect competition, 1.0 for monopoly).
     Computed as Σr_i² / (Σr_i)² so the whole pipeline stays in exact
-    decimals: per-supplier revenue sums are DECIMAL(19,6) (the TPC-H
-    revenue discipline), squared into DECIMAL(38,12), and only the final
-    ratio goes through the exact-string double render. At 100 TB: one
+    decimals: per-supplier revenue sums are DECIMAL(18,6) — NOT 19,6,
+    because the square of a p=19 decimal needs precision 39, which Spark
+    silently rounds to decimal(38,11) while DuckDB keeps the exact
+    38,12 product (ADVICE r7: last digit diverged cross-engine, masked
+    only by the final 6-dp round). At 18,6 the square is decimal(37,12)
+    exact on BOTH engines, and only the final ratio goes through the
+    exact-string double render. (Oracle detail: DuckDB stores
+    DECIMAL(18) in int64 and overflows the raw 18×18 multiply, so the
+    oracle widens ONE operand to 19,6 — same exact 37,12 product, but
+    computed in int128.) At 100 TB: one
     lineitem shuffle on l_suppkey with map-side combine (supplier is a
     broadcast dim), then a 25-key nation rollup — the fact table is
     touched once."""
@@ -3730,7 +3737,7 @@ def agg_hhi_concentration(spark, sf_dir):
                 dec("l_extendedprice", 2)
                 * (F.lit(1).cast("decimal(18,4)") - dec("l_discount", 4))
             )
-            .cast("decimal(19,6)")
+            .cast("decimal(18,6)")
             .alias("r")
         )
     )

@@ -1097,8 +1097,8 @@ _PK_SPEC = [
     + "\nUNION ALL\n".join(
         f"""SELECT '{t}' AS table_name,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               CAST(COUNT(DISTINCT ({", ".join(cols)})) AS BIGINT) AS n_keys,
-               CAST(COUNT(*) - COUNT(DISTINCT ({", ".join(cols)})) AS BIGINT)
+               CAST(COUNT(DISTINCT ROW({", ".join(cols)})) AS BIGINT) AS n_keys,
+               CAST(COUNT(*) - COUNT(DISTINCT ROW({", ".join(cols)})) AS BIGINT)
                  AS dup_rows
         FROM {t}"""
         for t, cols in _PK_SPEC
@@ -1114,6 +1114,15 @@ def dq_duplicate_key_report(spark, sf_dir):
     (lineitem's (l_orderkey, l_linenumber)), not concatenations — string
     concatenation invents collisions ('1'||'11' = '11'||'1').
 
+    NULL keys count as keys (ADVICE r7): Spark's multi-column
+    count_distinct silently DROPS rows where any key column is NULL,
+    while DuckDB's COUNT(DISTINCT (a, b)) counts NULL-bearing row
+    structs — and a NULL primary key is exactly the defect this audit
+    exists to surface, so dropping it would both diverge cross-engine
+    and inflate dup_rows. Wrapping the key in struct() makes Spark
+    count NULL-bearing tuples too (struct values are never NULL even
+    when their fields are), matching DuckDB's row-struct semantics.
+
     Plan: one count + count-distinct aggregation per table (map-side
     partial on both), each a constant-size output row, unioned — the
     tables scan in parallel and nothing shuffles more than the distinct
@@ -1125,7 +1134,9 @@ def dq_duplicate_key_report(spark, sf_dir):
         parts.append(
             df.agg(
                 F.count("*").alias("n_rows"),
-                F.count_distinct(*[F.col(c) for c in cols]).alias("n_keys"),
+                F.count_distinct(
+                    F.struct(*[F.col(c) for c in cols])
+                ).alias("n_keys"),
             ).select(
                 F.lit(t).alias("table_name"),
                 F.col("n_rows").cast("long").alias("n_rows"),
