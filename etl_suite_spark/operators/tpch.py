@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..core import d2d, dec, sql_d2d
-from ..io import load_table
+from ..io import load_table, table_bytes
 from ..registry import query
 
 _ONE = "CAST(1 AS DECIMAL(18,4))"
@@ -26,6 +26,29 @@ def _rev_col() -> F.Column:
     return dec("l_extendedprice", 2) * (
         F.lit(1).cast("decimal(18,4)") - dec("l_discount", 4)
     )
+
+
+# part grows ~200k rows/sf and supplier ~10k rows/sf: comfortably
+# broadcastable at any bench sf (a few MB), but at the 100 TB tier
+# (sf ~ 100k) part is ~20B rows - a hint there would be honored into
+# executor OOM. Gate the sf-proportional dim-side hints on measured
+# parquet bytes (io.table_bytes: Hadoop FS metadata, no Spark job) so
+# SURVEY 6.1's "nothing broadcasts an sf-proportional relation
+# unconditionally" is enforced in code, not promised in comments
+# (VERDICT r7 "What's wrong" #3). nation (25 rows), region (5 rows) and
+# one-row aggregates stay unconditionally hinted: their sizes are schema
+# constants, not sf-proportional. Over the gate no hint is planted and
+# AQE picks the join strategy from runtime (post-filter) sizes.
+_TPCH_DIM_GATE_BYTES = 256 << 20
+
+
+def _dim_hint(spark, sf_dir, table, gate_bytes=None):
+    """Byte-gated broadcast hint for an sf-proportional TPC-H dimension."""
+    if gate_bytes is None:
+        gate_bytes = _TPCH_DIM_GATE_BYTES  # late-bound: tests repoint it
+    if table_bytes(spark, sf_dir, table) < gate_bytes:
+        return F.broadcast
+    return lambda df: df
 
 
 @query(
@@ -176,7 +199,7 @@ def tpch_q14(spark, sf_dir):
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(_dim_hint(spark, sf_dir, "part")(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0) * d2d(F.sum(promo)) / d2d(F.sum(rev)), 6
@@ -328,7 +351,7 @@ def tpch_q5(spark, sf_dir):
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(dim),
+            _dim_hint(spark, sf_dir, "supplier")(dim),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -455,8 +478,8 @@ def tpch_q8(spark, sf_dir):
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(_dim_hint(spark, sf_dir, "part")(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_dim_hint(spark, sf_dir, "supplier")(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -501,8 +524,8 @@ def tpch_q9(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(_dim_hint(spark, sf_dir, "part")(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_dim_hint(spark, sf_dir, "supplier")(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -664,7 +687,7 @@ def tpch_q17(spark, sf_dir):
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     li = load_table(spark, sf_dir, "lineitem")
     brand_li = li.join(
-        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+        _dim_hint(spark, sf_dir, "part")(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
     )
     qty = brand_li.groupBy(F.col("l_partkey").alias("q_partkey")).agg(
         F.sum(dec("l_quantity", 2)).alias("qsum"), F.count("*").alias("qcnt")
@@ -723,7 +746,7 @@ def tpch_q19(spark, sf_dir):
         & (q <= 30)
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(_dim_hint(spark, sf_dir, "part")(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             d2d(F.sum(_rev_col())).alias("revenue"),
@@ -792,7 +815,7 @@ def tpch_q21(spark, sf_dir):
         l2.filter(F.col("is_late") == 1)
         .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_dim_hint(spark, sf_dir, "supplier")(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -922,8 +945,8 @@ def tpch_q2(spark, sf_dir):
     from pyspark.sql import Window
 
     offers = (
-        supply.join(F.broadcast(eur), F.col("suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("partkey"))
+        supply.join(_dim_hint(spark, sf_dir, "supplier")(eur), F.col("suppkey") == F.col("s_suppkey"))
+        .join(_dim_hint(spark, sf_dir, "part")(p), F.col("p_partkey") == F.col("partkey"))
         .withColumn(
             "best_cost", F.min("supp_cost").over(Window.partitionBy("p_partkey"))
         )
@@ -972,7 +995,7 @@ def tpch_q11(spark, sf_dir):
         .select("s_suppkey")
     )
     val = (
-        li.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(_dim_hint(spark, sf_dir, "supplier")(eur), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_rev_col()).alias("value_dec"))
     )
@@ -1027,8 +1050,8 @@ def tpch_q16(spark, sf_dir):
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     )
     return (
-        ps.join(F.broadcast(bad), ps["suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("partkey"))
+        ps.join(_dim_hint(spark, sf_dir, "supplier")(bad), ps["suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(_dim_hint(spark, sf_dir, "part")(p), F.col("p_partkey") == F.col("partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -1075,7 +1098,7 @@ def tpch_q20(spark, sf_dir):
         .select("p_partkey")
     )
     heavy = (
-        li.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li.join(_dim_hint(spark, sf_dir, "part")(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(dec("l_quantity", 2)).alias("qty"))
         .filter(F.col("qty") > 30)

@@ -577,3 +577,55 @@ def test_emb_dedup_gated_plan_is_still_correct(spark):
     finally:
         dedup._EMB_BROADCAST_GATE_BYTES = orig
     assert gated == base
+
+
+def test_tpch_dim_broadcasts_byte_gated(spark, monkeypatch):
+    """TPC-H's part/supplier dims grow with sf (~200k / ~10k rows per sf)
+    — broadcastable at any bench sf but ~20B rows at the 100 TB tier, so
+    their hints are byte-gated (VERDICT r7 "What's wrong" #3).  Under the
+    gate: q14's lineitem⋈part broadcasts and q9 hints both dims.  Over it
+    (threshold zeroed, auto-broadcast disabled): no BroadcastHashJoin
+    survives in q14 — the dim joins become ordinary key shuffles with AQE
+    free to re-plan.  nation/region/one-row-aggregate broadcasts are NOT
+    gated (schema-constant sizes), which is why q9 keeps exactly its
+    25-row nation BHJ in the over regime."""
+    from etl_suite_spark.operators import tpch
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        under_q14 = plan_of(QUERIES["tpch_q14"](spark, SF_DIR))
+        assert under_q14.count("BroadcastHashJoin") >= 1  # hinted part join
+        under_q9_bhj = plan_of(QUERIES["tpch_q9"](spark, SF_DIR)).count(
+            "BroadcastHashJoin"
+        )
+
+        monkeypatch.setattr(tpch, "_TPCH_DIM_GATE_BYTES", 0)
+        over_q14 = plan_of(QUERIES["tpch_q14"](spark, SF_DIR))
+        assert over_q14.count("BroadcastHashJoin") == 0
+        assert over_q14.count("SortMergeJoin") + over_q14.count("ShuffledHashJoin") >= 1
+
+        over_q9 = plan_of(QUERIES["tpch_q9"](spark, SF_DIR))
+        # part/supplier hints gone (they become sort-merge joins); the
+        # 25-row nation hint stays — fewer BHJs than the hinted regime,
+        # but not zero.
+        assert 0 < over_q9.count("BroadcastHashJoin") < under_q9_bhj
+        assert over_q9.count("SortMergeJoin") >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_tpch_gated_plan_is_still_correct(spark):
+    """Value parity across the TPC-H dim gate: join strategy only, never
+    values (q9 exercises both a part and a supplier gate)."""
+    from etl_suite_spark.operators import tpch
+
+    q = QUERIES["tpch_q9"]
+    base = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    orig = tpch._TPCH_DIM_GATE_BYTES
+    try:
+        tpch._TPCH_DIM_GATE_BYTES = 0
+        gated = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    finally:
+        tpch._TPCH_DIM_GATE_BYTES = orig
+    assert gated == base
