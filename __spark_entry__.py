@@ -371,7 +371,10 @@ R8_WINDOW = R8_PLANNED + R8_RECHECKS
 # during round 8 queue here under the same contract (oracle-checked
 # locally on introduction; tests/test_entry_contract.py counts R9 toward
 # the every-query-has-a-driver-evidence-plan invariant).
-R9_PLANNED = []
+R9_PLANNED = [
+    # added in round 8 (oracle-checked locally on introduction):
+    "llm_bpe_train",
+]
 
 
 def _windowed(mapping: dict) -> dict:

@@ -1797,6 +1797,25 @@ def llm_emb_dim_stats(spark, sf_dir):
     ).orderBy("dim")
 
 
+# int64-exactness bound for the gram partials (ADVICE r7): each
+# accumulated term is |q_i * q_j| <= ~1.6e13 (|q| <= ~4e6 after 6-dp
+# quantization), so a batch of n rows accumulates at most n * 1.6e13 —
+# safe below 2^63 only while n < ~5.7e5. Arrow batch size is
+# config-controlled (spark.sql.execution.arrow.maxRecordsPerBatch,
+# default 10k → ~50x margin); fail loudly so raising that config past
+# the bound aborts the job instead of silently wrapping int64.
+_GRAM_BATCH_ROW_BOUND = 500_000
+
+
+def _assert_gram_batch_bound(n_rows: int) -> None:
+    if n_rows > _GRAM_BATCH_ROW_BOUND:
+        raise ValueError(
+            f"gram_partial batch of {n_rows} rows exceeds the int64-exact "
+            f"accumulation bound ({_GRAM_BATCH_ROW_BOUND}); lower "
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
+
+
 @query(
     "llm_emb_gram_matrix",
     oracle="""
@@ -1860,19 +1879,7 @@ def llm_emb_gram_matrix(spark, sf_dir):
         for pdf in batches:
             if pdf.empty:
                 continue
-            # int64-exactness bound (ADVICE r7): each accumulated term is
-            # |q_i * q_j| <= ~1.6e13 (|q| <= ~4e6), so a batch of n rows
-            # accumulates at most n * 1.6e13 — safe below 2^63 only while
-            # n < ~5.7e5. Arrow batch size is config-controlled
-            # (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k
-            # → ~900x margin); assert loudly so raising that config past
-            # the bound fails the job instead of silently wrapping int64.
-            if len(pdf) > 500_000:
-                raise ValueError(
-                    f"gram_partial batch of {len(pdf)} rows exceeds the "
-                    "int64-exact accumulation bound (~5e5 rows); lower "
-                    "spark.sql.execution.arrow.maxRecordsPerBatch"
-                )
+            _assert_gram_batch_bound(len(pdf))
             mat = np.array(pdf["q"].tolist(), dtype=np.int64)
             acc = mat.T @ mat  # exact: |q| <= ~4e6, batch partial << 2^63
             yield pd.DataFrame(

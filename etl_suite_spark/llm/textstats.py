@@ -1893,3 +1893,144 @@ def llm_lang_id_confusion(spark, sf_dir):
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full BPE training loop (VERDICT r7 "Next round" item 5 — the documented
+# driver-loop extension of llm_bpe_merge_candidates, SURVEY §2.10 notes).
+
+# Symbol separator inside the evolving segmentation strings: U+001F (unit
+# separator) never occurs in the fixture text, so `replace(tok_sep,
+# a||SEP||b, a||b)` can only match at genuine symbol boundaries.
+_BPE_SEP = "\x1f"
+_BPE_N_MERGES = 8
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled n-iteration BPE trainer in DuckDB SQL.
+
+    Every per-round CTE is AS MATERIALIZED — the kcore lesson: DuckDB
+    inlines multiply-referenced CTEs, and seg{i} is referenced by both
+    the pair-count and the re-segmentation of round i, so an un-hinted
+    unroll re-evaluates the whole prefix exponentially."""
+    sep = "chr(31)"
+    parts = [
+        f"""WITH wc AS MATERIALIZED (
+      SELECT tok, COUNT(*) AS wcount FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ), seg0 AS MATERIALIZED (
+      SELECT array_to_string(string_split_regex(tok, ''), {sep}) AS tok_sep,
+             wcount
+      FROM wc
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""", pc{i} AS MATERIALIZED (
+      SELECT u.a AS a, u.b AS b, CAST(SUM(wcount) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(s)),
+                 j -> struct_pack(a := s[CAST(j AS INTEGER)],
+                                  b := s[CAST(j AS INTEGER) + 1]))) AS u,
+               wcount
+        FROM (SELECT string_split(tok_sep, {sep}) AS s, wcount FROM seg{i})
+      )
+      GROUP BY u.a, u.b
+    ), best{i} AS MATERIALIZED (
+      SELECT a, b, cnt FROM pc{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ), seg{i + 1} AS MATERIALIZED (
+      SELECT replace(tok_sep,
+                     (SELECT a FROM best{i}) || {sep} || (SELECT b FROM best{i}),
+                     (SELECT a FROM best{i}) || (SELECT b FROM best{i})) AS tok_sep,
+             wcount
+      FROM seg{i}
+    )"""
+        )
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT CAST({i + 1} AS BIGINT) AS rank, a AS left_sym,"
+        f" b AS right_sym, a || b AS merged, cnt AS pair_count FROM best{i}"
+        for i in range(n_merges)
+    )
+    parts.append(f"\n    SELECT * FROM (\n{unions}\n    ) ORDER BY rank")
+    return "".join(parts)
+
+
+@query("llm_bpe_train", oracle=_bpe_oracle(_BPE_N_MERGES))
+def llm_bpe_train(spark, sf_dir):
+    """Full BPE tokenizer training (Sennrich, Haddow & Birch, ACL 2016):
+    a bounded driver loop of ``_BPE_N_MERGES`` merge rounds over an
+    evolving symbol table, returning the ordered merge table
+    (rank, left_sym, right_sym, merged, pair_count) — the artifact a
+    BPE tokenizer ships. Extends llm_bpe_merge_candidates (which is
+    exactly round 1's pair statistic) into the real training loop.
+
+    Spark-first shape, and why it scales: the corpus is touched ONCE —
+    the word-count aggregation (heavy-hitter shuffle collapsing ~Zipf
+    duplicate words). Everything after runs on the DISTINCT-WORD table:
+    Heaps-sized, far smaller than the corpus, and it stays a distributed
+    DataFrame throughout — the loop never collects it. Per round:
+    (1) adjacent-pair counts = one map-side-combined shuffle on (a, b)
+    over the word table, argmax via a 1-row TakeOrdered — the ONLY
+    driver-side collect is that single best-pair row (the watermark-read
+    pattern); (2) re-segmentation is a map-only literal string replace
+    (greedy left-to-right, exactly BPE's non-overlapping merge — both
+    engines' ``replace`` scans left to right); (3) localCheckpoint
+    truncates the 8-round lineage so round k's plan doesn't replay
+    rounds 0..k-1 (the pointer-jumping CC discipline). The merge table
+    itself is N rows — driver-sized by construction, like every real
+    BPE trainer (HuggingFace tokenizers holds word counts in memory;
+    this one distributes them).
+
+    Words shorter than 2 symbols are filtered per round (Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0] — without the size guard
+    it would fabricate null pairs; DuckDB's range(1, 1) is empty, so
+    the guard also keeps the engines aligned). Ties break on
+    (count DESC, a ASC, b ASC) — binary collation on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("wcount"))
+    )
+    seg = wc.select(
+        F.concat_ws(_BPE_SEP, F.split("tok", "")).alias("tok_sep"), "wcount"
+    ).localCheckpoint(eager=True)
+    merges = []
+    for rnd in range(_BPE_N_MERGES):
+        syms = seg.select(
+            F.split("tok_sep", _BPE_SEP).alias("s"), "wcount"
+        ).filter(F.size("s") >= 2)
+        pair_counts = (
+            syms.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " j -> struct(element_at(s, j) AS a,"
+                        " element_at(s, j + 1) AS b))"
+                    )
+                ).alias("p"),
+                "wcount",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wcount").cast("long").alias("cnt"))
+        )
+        best = (
+            pair_counts.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        )
+        if not best:
+            break  # vocabulary exhausted before the merge budget
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        merges.append((rnd + 1, a, b, a + b, cnt))
+        seg = seg.withColumn(
+            "tok_sep",
+            F.replace(
+                F.col("tok_sep"), F.lit(a + _BPE_SEP + b), F.lit(a + b)
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "rank BIGINT, left_sym STRING, right_sym STRING,"
+        " merged STRING, pair_count BIGINT",
+    ).orderBy("rank")

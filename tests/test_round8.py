@@ -1,0 +1,173 @@
+"""Round-8 regression tests.
+
+1. llm_bpe_train (the full BPE driver loop, VERDICT r7 item 5) must
+   reproduce a trusted pure-Python reference BPE trainer (Sennrich-style
+   get_stats + greedy non-overlapping merge) on the fixture corpus, and
+   on a planted overlap-heavy corpus that exercises the greedy
+   left-to-right merge semantics ("aaa" with merge (a,a) → [aa, a]).
+2. dq_duplicate_key_report's NULL-key semantics (ADVICE r7): a NULL in a
+   key column must count as a key on the Spark side — struct-wrapped
+   count_distinct — matching DuckDB's COUNT(DISTINCT ROW(...)).
+3. llm_emb_gram_matrix's int64-exactness batch bound (ADVICE r7): an
+   oversized Arrow batch must fail loudly, not wrap silently.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from etl_suite_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Trusted reference: Sennrich et al. 2016 BPE training over a
+    word-count table — pair stats over every adjacent position, argmax
+    with (count DESC, pair ASC) tie-break, greedy left-to-right
+    non-overlapping merge."""
+    segs = {w: [list(w), c] for w, c in word_counts.items()}
+    merges = []
+    for rnd in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, c in segs.values():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                stats[pair] = stats.get(pair, 0) + c
+        if not stats:
+            break
+        best_cnt = max(stats.values())
+        a, b = min(p for p, c in stats.items() if c == best_cnt)
+        merges.append((rnd + 1, a, b, a + b, best_cnt))
+        for entry in segs.values():
+            syms = entry[0]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[0] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference_on_fixture(spark):
+    from etl_suite_spark.llm.textstats import _BPE_N_MERGES
+
+    con = duckdb.connect()
+    wc = con.execute(
+        "SELECT tok, COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) AS tok"
+        f" FROM read_parquet('{SF_DIR}/documents.parquet'))"
+        " WHERE tok <> '' GROUP BY tok"
+    ).fetchall()
+    expected = _ref_bpe(dict(wc), _BPE_N_MERGES)
+    got = [tuple(r) for r in QUERIES["llm_bpe_train"](spark, SF_DIR).collect()]
+    assert got == expected
+    assert len(got) == _BPE_N_MERGES
+
+
+def test_bpe_train_greedy_overlap_semantics(spark, tmp_path):
+    """Planted corpus where the top pair overlaps itself: 'aaa' under
+    merge (a, a) must segment to [aa, a] (greedy left-to-right,
+    non-overlapping), and the NEXT round must then see (aa, a).  A
+    trainer that merged overlapping occurrences or re-merged within a
+    round would diverge from the reference here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = ["aaa aaa aaab", "aaa baa", "aaab aaab"]
+    corpus_dir = tmp_path / "bpe_planted"
+    corpus_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(docs))),
+                "text": docs,
+                "lang": ["en"] * len(docs),
+                "n_chars": [len(t) for t in docs],
+            }
+        ),
+        corpus_dir / "documents.parquet",
+    )
+    wc: dict[str, int] = {}
+    for d in docs:
+        for w in d.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    expected = _ref_bpe(wc, 4)
+    # sanity of the plant: round 1 must be the overlapping (a, a) pair
+    assert expected[0][1:3] == ("a", "a")
+
+    from etl_suite_spark.llm import textstats
+
+    orig = textstats._BPE_N_MERGES
+    try:
+        textstats._BPE_N_MERGES = 4
+        got = [
+            tuple(r)
+            for r in QUERIES["llm_bpe_train"](spark, str(corpus_dir)).collect()
+        ]
+    finally:
+        textstats._BPE_N_MERGES = orig
+    assert got == expected
+
+
+def test_duplicate_key_report_counts_null_keys(spark, tmp_path):
+    """ADVICE r7: Spark's bare multi-column count_distinct drops any row
+    with a NULL key column; the struct-wrapped form counts it, matching
+    DuckDB's COUNT(DISTINCT ROW(a, b)).  Probe the exact expression the
+    report uses against a frame with NULL-bearing composite keys."""
+    df = spark.createDataFrame(
+        [(1, 1), (1, None), (1, None), (None, None), (2, 3)],
+        "a INT, b INT",
+    )
+    n_keys = df.agg(
+        F.count_distinct(F.struct(F.col("a"), F.col("b"))).alias("k")
+    ).collect()[0]["k"]
+    # distinct tuples: (1,1), (1,NULL), (NULL,NULL), (2,3) → 4
+    assert n_keys == 4
+    duck_n = duckdb.connect().execute(
+        "SELECT COUNT(DISTINCT ROW(a, b)) FROM (VALUES (1, 1), (1, NULL),"
+        " (1, NULL), (NULL, NULL), (2, 3)) t(a, b)"
+    ).fetchone()[0]
+    assert duck_n == 4  # the oracle form agrees
+    # the old bare form undercounts — pin the divergence this fix closes
+    bare = df.agg(F.count_distinct(F.col("a"), F.col("b")).alias("k")).collect()[0]["k"]
+    assert bare == 2
+
+
+def test_gram_matrix_batch_bound_fails_loudly():
+    """ADVICE r7: the gram partial's int64-exactness depends on the Arrow
+    batch staying under ~5e5 rows; an oversized batch must raise, not
+    silently wrap."""
+    from etl_suite_spark.llm.similarity import (
+        _GRAM_BATCH_ROW_BOUND,
+        _assert_gram_batch_bound,
+    )
+
+    _assert_gram_batch_bound(_GRAM_BATCH_ROW_BOUND)  # at the bound: fine
+    with pytest.raises(ValueError, match="maxRecordsPerBatch"):
+        _assert_gram_batch_bound(_GRAM_BATCH_ROW_BOUND + 1)
+    # the bound itself must keep the accumulation exact: n * 1.6e13 < 2^63
+    assert _GRAM_BATCH_ROW_BOUND * 1.6e13 < 2**63
+
+
+def test_tfidf_value_unchanged_by_refactor(spark, duck):
+    """The byte-gate + one-row-N refactor of llm_text_tfidf must be
+    value-neutral: Spark output still matches the DuckDB oracle row for
+    row at sf0.001."""
+    import __spark_entry__ as entry
+
+    got = sorted(
+        map(tuple, QUERIES["llm_text_tfidf"](spark, SF_DIR).collect())
+    )
+    want = sorted(
+        map(tuple, duck.execute(entry.oracle_sql()["llm_text_tfidf"]).fetchall())
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        assert abs(float(g[2]) - float(w[2])) < 1e-9
