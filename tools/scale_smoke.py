@@ -92,6 +92,76 @@ GRAPH_OPS = [
 ]
 
 
+# ANN tier (--ann, VERDICT r7 item 4): addenda 22/23 measured the LM and
+# dedup/quality families at the 1500x corpus, but the persisted-index ANN
+# ops had no measurement past 10x. This tier replicates embeddings (with a
+# small per-copy DIRECTIONAL perturbation — identical copies would make
+# every query's true top-k a degenerate tie block, the fixture-degeneracy
+# trap) and documents copies-x, then times each index op COLD (build +
+# probe; materialize_once artifacts absent) and WARM (probe-only; artifacts
+# hit), so one run quantifies the index-build vs probe split a 100 TB
+# serving deployment plans around. The MinHash signature artifact is timed
+# the same way via _corpus_signatures. llm_dedup_minhash itself is
+# EXCLUDED: 1500 near-copies of every document is its adversarial input
+# (the true near-dup mass IS quadratic in copies — same reasoning that
+# excludes llm_dedup_substring from the uniform tier), and the band join's
+# output-bound behavior is already covered by the skew tier's viral-doc
+# shape. The recall honesty twins run against the warm index and their
+# gate flags are reported verbatim.
+ANN_INDEX_OPS = [
+    "llm_sim_ann_ivf",
+    "llm_sim_ann_pq",
+    "llm_sim_ann_ivfpq",
+]
+ANN_RECALL_OPS = [
+    "llm_sim_ann_ivf_recall",
+    "llm_sim_ann_pq_recall",
+    "llm_sim_ann_ivfpq_recall",
+]
+
+
+def build_ann(base: str, copies: int, out: str) -> None:
+    """Replicate embeddings+documents copies-x; embeddings get a tiny
+    deterministic per-(copy, dim) directional perturbation (~1e-3 of the
+    coordinate scale) so copies are NEAR neighbors, not exact ties."""
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    for t in [
+        "region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem", "events",
+    ]:
+        shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + 100000 * c AS doc_id,
+                 CASE WHEN (doc_id + c) % 10 < 3 AND c > 0
+                      THEN text || ' copytok' || c ELSE text END AS text,
+                 lang, source,
+                 CASE WHEN (doc_id + c) % 10 < 3 AND c > 0
+                      THEN n_chars + 9 ELSE n_chars END AS n_chars
+          FROM read_parquet('{base}/documents.parquet'),
+               unnest(range(0, {copies})) AS u(c)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + 100000 * c AS vec_id,
+                 list_transform(range(1, len(embedding) + 1),
+                   i -> CAST(embedding[CAST(i AS INTEGER)]
+                             + 0.001 * sin(c * 7 + i) AS FLOAT)) AS embedding,
+                 label
+          FROM read_parquet('{base}/embeddings.parquet'),
+               unnest(range(0, {copies})) AS u(c)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
 SKEW_OPS = [
     "llm_dedup_exact",
     "llm_dedup_paragraph",
@@ -257,6 +327,11 @@ def main() -> None:
         action="store_true",
         help="run the graph tier (edge side replicated copies-x; each op timed at 1x and copies-x)",
     )
+    ap.add_argument(
+        "--ann",
+        action="store_true",
+        help="run the ANN index tier (cold build vs warm probe split + recall gates; default --copies applies, 1500 recommended)",
+    )
     args = ap.parse_args()
 
     import etl_suite_spark  # noqa: F401
@@ -268,11 +343,65 @@ def main() -> None:
         build_skewed(args.base, out)
     elif args.graph:
         build_graph(args.base, args.copies, out)
+    elif args.ann:
+        build_ann(args.base, args.copies, out)
     else:
         build(args.base, args.copies, out)
 
     spark = get_spark("etl-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.ann:
+        from etl_suite_spark.llm.dedup import _corpus_signatures
+
+        QUERIES["llm_sim_cosine_topk"](spark, args.base).count()  # warmup
+        timings = {}
+        for name in ANN_INDEX_OPS:
+            t0 = time.perf_counter()
+            n = QUERIES[name](spark, out).count()
+            cold = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            QUERIES[name](spark, out).count()
+            warm = round(time.perf_counter() - t0, 3)
+            timings[name] = {
+                "cold_sec": cold,
+                "warm_probe_sec": warm,
+                "index_build_sec": round(cold - warm, 3),
+                "rows": n,
+            }
+        t0 = time.perf_counter()
+        nsig = _corpus_signatures(spark, out).count()
+        cold = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _corpus_signatures(spark, out).count()
+        warm = round(time.perf_counter() - t0, 3)
+        timings["minhash_signatures"] = {
+            "cold_sec": cold,
+            "warm_probe_sec": warm,
+            "index_build_sec": round(cold - warm, 3),
+            "rows": nsig,
+        }
+        for name in ANN_RECALL_OPS:
+            t0 = time.perf_counter()
+            row = QUERIES[name](spark, out).collect()[0].asDict()
+            timings[name] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "result": {k: (bool(v) if isinstance(v, bool) else v)
+                           for k, v in row.items()},
+            }
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_smoke_ann",
+                    "tier": "ann",
+                    "copies": args.copies,
+                    "base": args.base,
+                    "queries": timings,
+                }
+            )
+        )
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        return
 
     if args.graph:
         QUERIES[GRAPH_OPS[0]](spark, args.base).count()  # warmup
