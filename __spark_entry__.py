@@ -374,6 +374,8 @@ R8_WINDOW = R8_PLANNED + R8_RECHECKS
 R9_PLANNED = [
     # added in round 8 (oracle-checked locally on introduction):
     "llm_bpe_train",
+    "llm_bpe_encode",
+    "mm_shard_manifest",
 ]
 
 

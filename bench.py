@@ -133,6 +133,11 @@ HEADLINE = [
     # baselines under the checksum action.
     "graph_kcore",
     "agg_cms_heavy_hitters",
+    # appended in round 8: the full BPE training loop (8 driver-looped
+    # merge rounds over the distinct-word table — the iterate-with-
+    # evolving-state shape none of the other rows cover) — first-
+    # measurement baseline under the checksum action.
+    "llm_bpe_train",
 ]
 
 REPEATS = 3

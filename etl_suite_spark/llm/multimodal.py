@@ -439,3 +439,95 @@ def mm_byte_framing(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "mm_shard_manifest",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nbytes FROM documents
+    ), c AS (
+      SELECT doc_id, nbytes,
+             COALESCE(SUM(nbytes) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM b
+    )
+    SELECT CAST(cum_before // 4096 AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def mm_shard_manifest(spark, sf_dir):
+    """WebDataset-style training-shard manifest: assign every payload to
+    a ~4 KiB shard in deterministic doc_id order (shard = floor of the
+    running byte offset BEFORE the item / target), then emit the
+    per-shard manifest (item count, bytes, first/last key) that a
+    dataloader or tar-writer consumes. The policy is the manifest-planner
+    one — an item may straddle its shard's budget rather than opening a
+    new shard early — because it makes shard assignment a pure function
+    of the prefix sum, reproducible from any engine.
+
+    The scale trap this op exists to demonstrate AVOIDING: the naive
+    formulation is one global ORDER BY running sum — a single-partition
+    window over the whole corpus. This implementation is the two-phase
+    prefix sum (the llm_seq_packing discipline): (1) doc_ids bucket into
+    ordered BLOCKS (floor(doc_id/500)); per-block byte totals are a
+    block-count-sized table whose own prefix window is the only
+    single-partition step (bounded domain — thousands of rows at any
+    corpus size with a scale-appropriate block width); (2) each block's
+    starting offset broadcasts back and the running sum completes
+    WITHIN blocks — the corpus-sized window is partitioned by block, so
+    no executor ever sorts more than one block. The final manifest
+    rollup is a shard-keyed map-combined agg; oracle is the naive global
+    window (same values, fixture-checkable). floor-div parity: the
+    running offset is nonnegative, where Spark's div and DuckDB's //
+    agree (the sign-semantics trap only bites negatives)."""
+    target = 4096
+    block = 500
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("nbytes")
+    )
+    d = d.withColumn("blk", F.floor(F.col("doc_id") / block))
+    per_blk = d.groupBy("blk").agg(F.sum("nbytes").alias("blk_bytes"))
+    w_blk = (
+        Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_blk.withColumn(
+        "blk_off", F.coalesce(F.sum("blk_bytes").over(w_blk), F.lit(0))
+    ).select("blk", "blk_off")
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = (
+        d.join(F.broadcast(offs), "blk")
+        .withColumn(
+            "cum_before",
+            F.col("blk_off") + F.coalesce(F.sum("nbytes").over(w_in), F.lit(0)),
+        )
+        .withColumn("shard_id", F.floor(F.col("cum_before") / target))
+    )
+    return (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("nbytes").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "n_items",
+            "shard_bytes",
+            "first_doc",
+            "last_doc",
+        )
+        .orderBy("shard_id")
+    )

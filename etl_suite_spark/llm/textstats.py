@@ -1920,7 +1920,8 @@ def _bpe_oracle(n_merges: int) -> str:
         SELECT unnest(string_split(text, ' ')) AS tok FROM documents
       ) WHERE tok <> '' GROUP BY tok
     ), seg0 AS MATERIALIZED (
-      SELECT array_to_string(string_split_regex(tok, ''), {sep}) AS tok_sep,
+      SELECT tok,
+             array_to_string(string_split_regex(tok, ''), {sep}) AS tok_sep,
              wcount
       FROM wc
     )"""
@@ -1940,23 +1941,55 @@ def _bpe_oracle(n_merges: int) -> str:
     ), best{i} AS MATERIALIZED (
       SELECT a, b, cnt FROM pc{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
     ), seg{i + 1} AS MATERIALIZED (
-      SELECT replace(tok_sep,
+      SELECT tok,
+             replace(tok_sep,
                      (SELECT a FROM best{i}) || {sep} || (SELECT b FROM best{i}),
                      (SELECT a FROM best{i}) || (SELECT b FROM best{i})) AS tok_sep,
              wcount
       FROM seg{i}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
     unions = "\n      UNION ALL\n".join(
         f"      SELECT CAST({i + 1} AS BIGINT) AS rank, a AS left_sym,"
         f" b AS right_sym, a || b AS merged, cnt AS pair_count FROM best{i}"
         for i in range(n_merges)
     )
-    parts.append(f"\n    SELECT * FROM (\n{unions}\n    ) ORDER BY rank")
-    return "".join(parts)
+    return (
+        _bpe_oracle(n_merges)
+        + f"\n    SELECT * FROM (\n{unions}\n    ) ORDER BY rank"
+    )
 
 
-@query("llm_bpe_train", oracle=_bpe_oracle(_BPE_N_MERGES))
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Per-document tokenization stats under the trained merge table: the
+    final seg{n} CTE IS the tokenizer (word → symbol segmentation), so
+    encoding = re-tokenize the corpus by whitespace and join each word's
+    symbol count back on."""
+    return (
+        _bpe_oracle(n_merges)
+        + f""", wordtok AS MATERIALIZED (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE word <> ''
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(w.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(string_split(s.tok_sep, chr(31)))) AS BIGINT)
+             AS n_tokens,
+           round(SUM(len(w.word)) * 1.0
+                 / SUM(len(string_split(s.tok_sep, chr(31)))), 6)
+             AS chars_per_token
+    FROM wordtok w JOIN seg{n_merges} s ON w.word = s.tok
+    GROUP BY w.doc_id"""
+    )
+
+
+@query("llm_bpe_train", oracle=_bpe_train_oracle(_BPE_N_MERGES))
 def llm_bpe_train(spark, sf_dir):
     """Full BPE tokenizer training (Sennrich, Haddow & Birch, ACL 2016):
     a bounded driver loop of ``_BPE_N_MERGES`` merge rounds over an
@@ -1987,6 +2020,19 @@ def llm_bpe_train(spark, sf_dir):
     it would fabricate null pairs; DuckDB's range(1, 1) is empty, so
     the guard also keeps the engines aligned). Ties break on
     (count DESC, a ASC, b ASC) — binary collation on both engines."""
+    merges, _seg = _bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "rank BIGINT, left_sym STRING, right_sym STRING,"
+        " merged STRING, pair_count BIGINT",
+    ).orderBy("rank")
+
+
+def _bpe_fit(spark, sf_dir):
+    """Shared BPE training loop: returns (merge list, final segmented
+    DISTINCT-WORD DataFrame carrying (tok, tok_sep, wcount)).  The word
+    table keeps the original ``tok`` so downstream ops (llm_bpe_encode)
+    can join the trained segmentation back onto the token stream."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -1995,7 +2041,9 @@ def llm_bpe_train(spark, sf_dir):
         .agg(F.count("*").alias("wcount"))
     )
     seg = wc.select(
-        F.concat_ws(_BPE_SEP, F.split("tok", "")).alias("tok_sep"), "wcount"
+        "tok",
+        F.concat_ws(_BPE_SEP, F.split("tok", "")).alias("tok_sep"),
+        "wcount",
     ).localCheckpoint(eager=True)
     merges = []
     for rnd in range(_BPE_N_MERGES):
@@ -2029,8 +2077,53 @@ def llm_bpe_train(spark, sf_dir):
                 F.col("tok_sep"), F.lit(a + _BPE_SEP + b), F.lit(a + b)
             ),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        "rank BIGINT, left_sym STRING, right_sym STRING,"
-        " merged STRING, pair_count BIGINT",
-    ).orderBy("rank")
+    return merges, seg
+
+
+@query("llm_bpe_encode", oracle=_bpe_encode_oracle(_BPE_N_MERGES))
+def llm_bpe_encode(spark, sf_dir):
+    """Apply the trained BPE tokenizer to the corpus: per-document token
+    counts and chars-per-token compression under the merge table
+    llm_bpe_train produces — the tokenize-the-corpus half of the
+    tokenizer lifecycle (train → encode), and the statistic that decides
+    whether a vocab budget actually pays for itself on a given corpus
+    (chars/token is the fertility-style efficiency number; a merge table
+    that doesn't raise it is wasted vocab).
+
+    Spark-first shape: :func:`_bpe_fit` already leaves the trained
+    segmentation as a DISTINCT-WORD DataFrame (tok → tok_sep) — the
+    tokenizer artifact itself, never collected. Encoding is then one
+    whitespace re-tokenization of the corpus joined to that table on the
+    word, with the join side byte-gated exactly like every other
+    Heaps-sized table (``_lm_count_table_hint`` — the segmentation table
+    has one row per distinct word): under the gate it broadcasts, over
+    it the join shuffles co-partitioned with the word key. Per-doc
+    rollup is a single map-side-combined aggregation; nothing
+    corpus-sized shuffles twice."""
+    merges, seg = _bpe_fit(spark, sf_dir)
+    hint = _lm_count_table_hint(spark, sf_dir)
+    lexicon = seg.select(
+        "tok", F.size(F.split("tok_sep", _BPE_SEP)).alias("n_syms")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(hint(lexicon), words["word"] == lexicon["tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(
+                F.col("n_chars") * F.lit(1.0) / F.col("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )

@@ -171,3 +171,48 @@ def test_tfidf_value_unchanged_by_refactor(spark, duck):
     for g, w in zip(got, want):
         assert g[0] == w[0] and g[1] == w[1]
         assert abs(float(g[2]) - float(w[2])) < 1e-9
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """llm_bpe_encode's per-doc token counts must equal tokenizing every
+    document with the reference trainer's final segmentation."""
+    from etl_suite_spark.llm.textstats import _BPE_N_MERGES
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchall()
+    wc: dict[str, int] = {}
+    for _, text in rows:
+        for w in text.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    segs = {w: [list(w), c] for w, c in wc.items()}
+    # re-run the reference trainer but keep the final segmentation
+    merges = _ref_bpe(wc, _BPE_N_MERGES)
+    for _, a, b, _, _ in merges:
+        for entry in segs.values():
+            syms = entry[0]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[0] = out
+    expected = {}
+    for doc_id, text in rows:
+        words = [w for w in text.split(" ") if w]
+        n_chars = sum(len(w) for w in words)
+        n_tokens = sum(len(segs[w][0]) for w in words)
+        expected[doc_id] = (len(words), n_chars, n_tokens)
+    got = QUERIES["llm_bpe_encode"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        e = expected[r["doc_id"]]
+        assert (r["n_words"], r["n_chars"], r["n_tokens"]) == e
+        assert abs(float(r["chars_per_token"]) - round(e[1] / e[2], 6)) < 1e-9
+    # and the merges must compress: fewer tokens than characters overall
+    assert sum(v[2] for v in expected.values()) < sum(v[1] for v in expected.values())
