@@ -3723,14 +3723,18 @@ def agg_hhi_concentration(spark, sf_dir):
     DECIMAL(18) in int64 and overflows the raw 18×18 multiply, so the
     oracle widens ONE operand to 19,6 — same exact 37,12 product, but
     computed in int128.) At 100 TB: one
-    lineitem shuffle on l_suppkey with map-side combine (supplier is a
-    broadcast dim), then a 25-key nation rollup — the fact table is
+    lineitem shuffle on l_suppkey with map-side combine (supplier's
+    broadcast hint is byte-gated via operators/tpch._dim_hint — the dim
+    is sf-proportional at ~10k rows/sf), then a 25-key nation rollup —
+    the fact table is
     touched once."""
+    from .tpch import _dim_hint
+
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     rev = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(_dim_hint(spark, sf_dir, "supplier")(s), li["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.sum(

@@ -169,7 +169,15 @@ def join_anti(spark, sf_dir):
 def join_broadcast(spark, sf_dir):
     """Fact⋈dim with an explicit broadcast hint — the 100 TB pattern for
     dimension joins: no shuffle of the fact side at all (hint is physical-
-    only, so the oracle is the plain inner join)."""
+    only, so the oracle is the plain inner join).
+
+    The hint here is UNCONDITIONAL because demonstrating the hint IS this
+    op's declared §2 semantics (its plan test pins BroadcastHashJoin).
+    Size bound: part grows ~200k rows/sf (~a few MB/sf parquet), so the
+    hint is safe through sf≈100 but NOT at the 100 TB tier — production
+    dim joins route through the byte-gated form (operators/tpch._dim_hint,
+    gated on measured parquet bytes), which every TPC-H op and
+    agg_hhi_concentration use."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     return (
