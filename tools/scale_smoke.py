@@ -120,7 +120,7 @@ ANN_RECALL_OPS = [
 ]
 
 
-def build_ann(base: str, copies: int, out: str) -> None:
+def build_ann(base: str, copies: int, out: str, perturb: float = 0.001) -> None:
     """Replicate embeddings+documents copies-x; embeddings get a tiny
     deterministic per-(copy, dim) directional perturbation (~1e-3 of the
     coordinate scale) so copies are NEAR neighbors, not exact ties."""
@@ -153,7 +153,7 @@ def build_ann(base: str, copies: int, out: str) -> None:
           SELECT vec_id + 100000 * c AS vec_id,
                  list_transform(range(1, len(embedding) + 1),
                    i -> CAST(embedding[CAST(i AS INTEGER)]
-                             + 0.001 * sin(c * 7 + i) AS FLOAT)) AS embedding,
+                             + {perturb} * sin(c * 7 + i) AS FLOAT)) AS embedding,
                  label
           FROM read_parquet('{base}/embeddings.parquet'),
                unnest(range(0, {copies})) AS u(c)
@@ -332,6 +332,12 @@ def main() -> None:
         action="store_true",
         help="run the ANN index tier (cold build vs warm probe split + recall gates; default --copies applies, 1500 recommended)",
     )
+    ap.add_argument(
+        "--perturb",
+        type=float,
+        default=0.001,
+        help="ANN tier per-copy embedding perturbation amplitude (addendum 24: sweeping this separates quantizer code-collision recall floors from genuine index misses)",
+    )
     args = ap.parse_args()
 
     import etl_suite_spark  # noqa: F401
@@ -344,7 +350,7 @@ def main() -> None:
     elif args.graph:
         build_graph(args.base, args.copies, out)
     elif args.ann:
-        build_ann(args.base, args.copies, out)
+        build_ann(args.base, args.copies, out, perturb=args.perturb)
     else:
         build(args.base, args.copies, out)
 
