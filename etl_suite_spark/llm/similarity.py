@@ -1004,6 +1004,17 @@ def llm_sim_ann_pq(spark, sf_dir):
     llm_sim_ann_ivfpq). The top-32 ADC candidates are then re-ranked with
     the EXACT cosine (the standard re-rank stage) and the top-3 emitted.
 
+    Measured limitation (BASELINE addendum 24): on a DUPLICATE-HEAVY
+    corpus the flat global ADC pool degrades — at a 100×-copies tier
+    recall@3 fell to 3/30 while IVF-PQ held 25/30 and IVF-Flat 30/30,
+    and the 1500× recall gate fails outright. Near-identical candidates
+    sit inside the quantizer's resolution band, so aliased far vectors
+    flood the global top-32 pool before re-rank. The scale path is
+    therefore the IVF-PQ composition (exact coarse routing first), with
+    dedup-before-index and/or a duplicate-mass-sized re-rank pool as the
+    production remedies; this flat form remains the honest ADC
+    demonstration and is driver-green on the duplicate-light fixture.
+
     PQ quantizes L2 distance, but the ground truth here is COSINE — so
     vectors are L2-NORMALIZED before training/encoding (on the unit
     sphere ‖a−b‖² = 2−2·cos(a,b), making ADC's L2 ranking the cosine
