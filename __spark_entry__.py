@@ -376,6 +376,7 @@ R9_PLANNED = [
     "llm_bpe_train",
     "llm_bpe_encode",
     "mm_shard_manifest",
+    "llm_split_leakage",
 ]
 
 

@@ -1018,3 +1018,109 @@ def llm_sft_lint(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_split_leakage",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM t WHERE len(w) >= 3
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS shared,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ), leaks AS (
+      SELECT CASE WHEN doc_a % 10 = 0 THEN 'test'
+                  WHEN doc_a % 10 = 1 THEN 'val' ELSE 'train' END AS sa,
+             CASE WHEN doc_b % 10 = 0 THEN 'test'
+                  WHEN doc_b % 10 = 1 THEN 'val' ELSE 'train' END AS sb
+      FROM p WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+    ), classed AS (
+      SELECT least(sa, sb) || '-' || greatest(sa, sb) AS split_pair,
+             COUNT(*) AS n
+      FROM leaks GROUP BY 1
+    )
+    SELECT c.split_pair,
+           CAST(COALESCE(classed.n, 0) AS BIGINT) AS n_leaky_pairs
+    FROM (VALUES ('test-test'), ('test-train'), ('test-val'),
+                 ('train-train'), ('train-val'), ('val-val')) c(split_pair)
+    LEFT JOIN classed ON c.split_pair = classed.split_pair
+    ORDER BY c.split_pair
+    """,
+)
+def llm_split_leakage(spark, sf_dir):
+    """Train/val/test split-leakage audit: deterministic 80/10/10 split
+    by ``doc_id % 10`` (the heldout-LM convention — engine-portable, no
+    hash parity risk), then classify every NEAR-DUPLICATE pair (exact
+    3-gram Jaccard >= 0.8 — ``llm_dedup_ngram_jaccard``'s definition,
+    which subsumes exact duplicates at jaccard 1.0) by the unordered
+    split pair it straddles. A val/test document whose near-duplicate
+    sits in train is membership leakage — eval scores become
+    memorization scores — and this is the audit every split must pass
+    before training; within-split classes (train-train, ...) are
+    reported too so the readout doubles as a dup-mass census. All six
+    classes always emit (zero-leak corpora included) via a 6-row
+    literal class table LEFT JOIN — the llm_dedup_threshold_sweep
+    degenerate-corpus lesson.
+
+    Plan: the shingle-equality pair join (only docs SHARING a shingle
+    meet — never a cross join; on LSH band candidates at 100 TB, exactly
+    like the registered dedup ops), per-pair exact Jaccard, then a
+    6-row class rollup — pairs collapse to counts before anything
+    driver-sized. The split label is a pure projection of doc_id, so
+    the audit adds nothing to the dedup pass it rides on."""
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    def _split(col):
+        return (
+            F.when(F.col(col) % 10 == 0, "test")
+            .when(F.col(col) % 10 == 1, "val")
+            .otherwise("train")
+        )
+    leaks = (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .filter(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= 0.8
+        )
+        .select(_split("doc_a").alias("sa"), _split("doc_b").alias("sb"))
+        .select(
+            F.concat_ws(
+                "-", F.least("sa", "sb"), F.greatest("sa", "sb")
+            ).alias("split_pair")
+        )
+        .groupBy("split_pair")
+        .agg(F.count("*").alias("n"))
+    )
+    classes = spark.createDataFrame(
+        [("test-test",), ("test-train",), ("test-val",),
+         ("train-train",), ("train-val",), ("val-val",)],
+        "split_pair STRING",
+    )
+    return (
+        classes.join(leaks, "split_pair", "left")
+        .select(
+            "split_pair",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_leaky_pairs"),
+        )
+        .orderBy("split_pair")
+    )
