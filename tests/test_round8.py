@@ -216,3 +216,60 @@ def test_bpe_encode_matches_python_reference(spark):
         assert abs(float(r["chars_per_token"]) - round(e[1] / e[2], 6)) < 1e-9
     # and the merges must compress: fewer tokens than characters overall
     assert sum(v[2] for v in expected.values()) < sum(v[1] for v in expected.values())
+
+
+def test_shard_manifest_two_phase_equals_naive(spark):
+    """mm_shard_manifest's two-phase prefix sum (block offsets broadcast
+    back, within-block windows) must reproduce the naive global-window
+    assignment exactly — the decomposition is a plan optimization, never
+    a semantic change.  (The DuckDB oracle is the naive form, so the
+    driver gate checks this too; here the naive side runs in SPARK so a
+    Spark-specific window/ordering quirk can't hide behind the engine
+    difference.)"""
+    from pyspark.sql import Window
+
+    from etl_suite_spark.io import load_table
+
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("nbytes")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = (
+        d.withColumn(
+            "cum_before", F.coalesce(F.sum("nbytes").over(w), F.lit(0))
+        )
+        .withColumn("shard_id", F.floor(F.col("cum_before") / 4096))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("nbytes").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            "n_items",
+            "shard_bytes",
+            "first_doc",
+            "last_doc",
+        )
+        .orderBy("shard_id")
+    )
+    got = [tuple(r) for r in QUERIES["mm_shard_manifest"](spark, SF_DIR).collect()]
+    want = [tuple(r) for r in naive.collect()]
+    assert got == want
+    assert len(got) > 1  # fixture actually spans multiple shards
+
+
+def test_split_leakage_classes_always_emit(spark):
+    """All six split-pair classes must emit even when a class has zero
+    leaked pairs (the degenerate-corpus lesson — at sf0.001 the val-val
+    class is empty but its row must still exist)."""
+    rows = {r["split_pair"]: r["n_leaky_pairs"] for r in
+            QUERIES["llm_split_leakage"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "test-test", "test-train", "test-val",
+        "train-train", "train-val", "val-val",
+    }
+    # non-degenerate: the fixture really leaks across splits
+    assert rows["test-train"] + rows["train-val"] > 0
