@@ -377,6 +377,7 @@ R9_PLANNED = [
     "llm_bpe_encode",
     "mm_shard_manifest",
     "llm_split_leakage",
+    "llm_dsir_weights",
 ]
 
 

@@ -1124,3 +1124,106 @@ def llm_split_leakage(spark, sf_dir):
         )
         .orderBy("split_pair")
     )
+
+
+@query(
+    "llm_dsir_weights",
+    # Per-doc importance weight = Σ_tok round(ln(p_target/p_proposal), 6)
+    # accumulated as exact DECIMAL so the sum is merge-order-independent;
+    # the one non-correctly-rounded libm call (ln) is quantized before
+    # accumulation (the llm_unigram_logprob discipline).
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cs AS (SELECT tok, COUNT(*) AS cs FROM tok GROUP BY tok),
+    ct AS (SELECT tok, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY tok),
+    tot AS (
+      SELECT (SELECT SUM(cs) FROM cs) AS ns,
+             (SELECT COUNT(*) FROM cs) AS v,
+             (SELECT COALESCE(SUM(ct), 0) FROM ct) AS nt
+    ),
+    ratio AS (
+      SELECT cs.tok,
+             CAST(round(ln(
+               (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                  / CAST(t.nt + t.v AS DOUBLE))
+               / (CAST(cs.cs + 1 AS DOUBLE)
+                  / CAST(t.ns + t.v AS DOUBLE))
+             ), 6) AS DECIMAL(18,6)) AS lr
+      FROM cs LEFT JOIN ct USING (tok) CROSS JOIN tot t
+    ),
+    scored AS (
+      SELECT t.doc_id, t.lang, r.lr FROM tok t JOIN ratio r USING (tok)
+    )
+    SELECT doc_id, MAX(lang) AS lang, COUNT(*) AS n_tokens,
+           round(CAST(CAST(SUM(lr) AS VARCHAR) AS DOUBLE), 6) AS log_weight
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_dsir_weights(spark, sf_dir):
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by the log importance ratio of a TARGET unigram distribution (here the
+    English subset — the stand-in for "looks like the high-quality target
+    domain") over the PROPOSAL distribution (the whole corpus), both
+    add-1-smoothed over the shared vocabulary. Selecting top-weight docs
+    (or Gumbel-resampling on these weights) reproduces the paper's
+    pipeline; this op emits the per-doc weights that feed either policy.
+
+    Parity: p_t/p_s is computed as two correctly-rounded double divisions
+    over exact <2^53 integers (identical on any IEEE engine — integer
+    PRODUCTS would overflow int64 at 100 TB counts, so divide first);
+    ln() is the one libm call and is rounded to 6 dp THEN cast to exact
+    decimal before the per-doc sum, so accumulation is
+    merge-order-independent (core.py discipline).
+
+    Scale: both count tables are DISTINCT-TOKEN-sized (Heaps-law-linear in
+    corpus tokens — 100M+ rows at web scale), so the scoring join is
+    hinted via the byte-gated ``_lm_count_table_hint`` (broadcast under
+    256 MiB of source parquet, AQE-chosen shuffle join above); corpus
+    totals (N_t, N_s, V) fold in as a broadcast one-row aggregate — no
+    driver-side count() at plan construction. The per-doc sum is a
+    uniform-keyed hash agg with map-side partials. Nothing materializes
+    pairwise state; wall scales with corpus tokens."""
+    from .textstats import _lm_count_table_hint
+
+    docs = load_table(spark, sf_dir, "documents")
+    hint = _lm_count_table_hint(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cs = tok.groupBy("tok").agg(F.count("*").alias("cs"))
+    ct = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = cs.agg(F.sum("cs").alias("ns"), F.count("*").alias("v")).crossJoin(
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    )
+    p_t = (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / (
+        F.col("nt") + F.col("v")
+    ).cast("double")
+    p_s = (F.col("cs") + 1).cast("double") / (
+        F.col("ns") + F.col("v")
+    ).cast("double")
+    ratio = (
+        cs.join(ct, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.round(F.log(p_t / p_s), 6).cast("decimal(18,6)").alias("lr"),
+        )
+    )
+    return (
+        tok.join(hint(ratio), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.count("*").alias("n_tokens"),
+            F.round(d2d(F.sum("lr")), 6).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )

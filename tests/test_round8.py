@@ -273,3 +273,67 @@ def test_split_leakage_classes_always_emit(spark):
     }
     # non-degenerate: the fixture really leaks across splits
     assert rows["test-train"] + rows["train-val"] > 0
+
+
+def test_dsir_weights_match_python_reference(spark, tmp_path):
+    """llm_dsir_weights vs a trusted pure-Python DSIR scorer on a planted
+    corpus: add-1-smoothed unigram log importance ratios (target = 'en'
+    docs, proposal = whole corpus), quantized ROUND_HALF_UP to 6 dp per
+    token before the per-doc sum — exactly the op's contract.  Also pins
+    the direction: target-distinctive docs must out-weigh
+    proposal-distinctive ones."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        (0, "tgt tgt common", "en"),
+        (1, "tgt common common", "en"),
+        (2, "src src common", "de"),
+        (3, "src common", "de"),
+        (4, "tgt src", "fr"),
+    ]
+    corpus_dir = tmp_path / "dsir_planted"
+    corpus_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [d[0] for d in docs],
+                "text": [d[1] for d in docs],
+                "lang": [d[2] for d in docs],
+                "n_chars": [len(d[1]) for d in docs],
+            }
+        ),
+        corpus_dir / "documents.parquet",
+    )
+
+    toks = [(i, lang, t) for i, text, lang in docs for t in text.split(" ")]
+    cs = Counter(t for _, _, t in toks)
+    ct = Counter(t for _, lang, t in toks if lang == "en")
+    ns, v, nt = sum(cs.values()), len(cs), sum(ct.values())
+    q6 = Decimal("0.000001")
+    lr = {
+        t: Decimal(repr(
+            math.log(((ct.get(t, 0) + 1) / (nt + v)) / ((c + 1) / (ns + v)))
+        )).quantize(q6, ROUND_HALF_UP)
+        for t, c in cs.items()
+    }
+    expected = {
+        i: (
+            lang,
+            len(text.split(" ")),
+            float(sum(lr[t] for t in text.split(" "))),
+        )
+        for i, text, lang in docs
+    }
+
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["log_weight"])
+        for r in QUERIES["llm_dsir_weights"](spark, str(corpus_dir)).collect()
+    }
+    assert got == expected
+    # direction: the all-target doc beats the all-proposal doc
+    assert got[0][2] > got[2][2]
