@@ -378,6 +378,7 @@ R9_PLANNED = [
     "mm_shard_manifest",
     "llm_split_leakage",
     "llm_dsir_weights",
+    "pipeline_dag_resume",
 ]
 
 

@@ -444,3 +444,162 @@ def pipeline_dag_run(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- Checkpointed DAG runs (the reference's restartable scheduler) --------
+#
+# ``run_dag_checkpointed`` materializes every stage to a parquet checkpoint
+# keyed by a Merkle fingerprint of (stage spec, upstream fingerprints): a
+# finished run can be killed and re-launched and only the stages whose
+# checkpoint is missing OR whose spec/upstream lineage changed recompute.
+# This is the durability contrast to ``compile_dag`` (one lazy plan,
+# recompute-under-pushdown): a scheduler restarting a 40-stage nightly DAG
+# at 100 TB wants to pay for the 3 stages that died, not the 37 that
+# finished.
+
+# Test/observability hook: names of stages actually COMPUTED (not loaded
+# from checkpoint) in the most recent run_dag_checkpointed call.
+_LAST_COMPUTED: list[str] = []
+
+
+def _dag_fingerprints(dag: dict) -> dict[str, str]:
+    """Merkle fingerprint per stage: sha256 over the stage's own spec plus
+    its upstream stages' fingerprints — driver-side metadata only, no jobs.
+    A spec edit anywhere invalidates exactly its downstream cone."""
+    import hashlib
+    import json
+
+    stages = dag["stages"]
+    fps: dict[str, str] = {}
+
+    def fp(name: str, visiting: tuple[str, ...]) -> str:
+        if name in fps:
+            return fps[name]
+        if name in visiting:
+            raise ValueError(f"pipeline DAG cycle: {' -> '.join(visiting + (name,))}")
+        spec = stages[name]
+        ups = sorted(
+            ({spec["source"]["stage"]} if "stage" in spec["source"] else set())
+            | {t["stage"] for t in spec.get("transforms", ()) if t.get("op") == "join" and "stage" in t}
+        )
+        payload = json.dumps(
+            {"spec": spec, "up": {u: fp(u, visiting + (name,)) for u in ups}},
+            sort_keys=True,
+        )
+        h = hashlib.sha256(payload.encode()).hexdigest()[:16]
+        fps[name] = h
+        return h
+
+    fp(dag["output"], ())
+    return fps
+
+
+def run_dag_checkpointed(
+    spark: SparkSession, sf_dir: str, dag: dict, ckpt_root: str
+) -> DataFrame:
+    """Execute ``dag`` with per-stage parquet checkpoints under
+    ``ckpt_root``; return the output stage's frame READ FROM its
+    checkpoint (so the caller's plan is a plain scan, lineage-free).
+
+    Resume contract: a stage directory ``<root>/<name>-<fp>`` counts as
+    done only if its ``_COMPLETE`` marker exists — the marker is written
+    AFTER the parquet commit, so a job killed mid-write leaves no torn
+    checkpoint (on HDFS/S3A the final marker put is atomic; plain
+    ``_SUCCESS`` is not enough because a RERUN of a changed spec could
+    observe the old dir). Fingerprints chain Merkle-style, so editing one
+    stage recomputes exactly its downstream cone and nothing upstream.
+
+    Scale: checkpoint writes are ordinary distributed parquet sinks (the
+    stage's own partitioning, every executor writes); the fingerprint
+    pass is driver-side string hashing — no Spark job until a stage
+    actually computes. Resume cost is one metadata listing per stage plus
+    scans of only the reused outputs."""
+    import os
+
+    stages = dag["stages"]
+    fps = _dag_fingerprints(dag)
+    _LAST_COMPUTED.clear()
+    done: dict[str, DataFrame] = {}
+
+    def build(name: str) -> DataFrame:
+        if name in done:
+            return done[name]
+        path = os.path.join(ckpt_root, f"{name}-{fps[name]}")
+        marker = os.path.join(path, "_COMPLETE")
+        if not os.path.exists(marker):
+            spec = stages[name]
+            src = spec["source"]
+            df = (
+                build(src["stage"])
+                if "stage" in src
+                else load_table(spark, sf_dir, src["table"])
+            )
+            for t in spec.get("transforms", ()):
+                if t["op"] == "join" and "stage" in t:
+                    other = build(t["stage"])
+                    if t.get("broadcast"):
+                        other = F.broadcast(other)
+                    if "on_cols" in t:
+                        df = df.join(other, t["on_cols"], t.get("how", "inner"))
+                    else:
+                        df = df.join(other, F.expr(t["on"]), t.get("how", "inner"))
+                else:
+                    df = _apply_transform(spark, sf_dir, df, t)
+            df.write.mode("overwrite").parquet(path)
+            with open(marker, "w") as fh:
+                fh.write(fps[name])
+            _LAST_COMPUTED.append(name)
+        out = spark.read.parquet(path)
+        done[name] = out
+        return out
+
+    return build(dag["output"])
+
+
+@query(
+    "pipeline_dag_resume",
+    # Same values as pipeline_dag_run — the checkpointing layer must be
+    # value-neutral — but produced by a cold checkpointed run followed by
+    # a warm RESUME of the same DAG (the second pass recomputes nothing;
+    # the returned frame scans the output stage's checkpoint).
+    oracle="""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderstatus <> 'F'
+    ), hi AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_hi
+      FROM base WHERE o_totalprice >= 200000 GROUP BY 1
+    ), lo AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lo
+      FROM base WHERE o_totalprice < 200000 GROUP BY 1
+    )
+    SELECT hi.o_orderpriority, n_hi, n_lo,
+           round(n_hi * 1.0 / (n_hi + n_lo), 6) AS hi_share
+    FROM hi JOIN lo USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def pipeline_dag_resume(spark, sf_dir):
+    """Checkpointed + resumed run of the diamond DAG: pass 1 materializes
+    every stage to fingerprint-keyed parquet checkpoints (fresh temp
+    root), pass 2 re-launches the identical DAG against the same root and
+    must load every stage from checkpoint (pytest pins pass-2 computes
+    = 0, partial-state crash resume, and Merkle cone invalidation). The
+    returned frame is pass 2's output — a plain scan of the output
+    checkpoint, proving the restart path yields byte-identical results
+    to the lazy compiler (shared oracle with pipeline_dag_run)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="etl_dagckpt_")
+    run_dag_checkpointed(spark, sf_dir, _DAG, root)  # cold: computes all
+    out = run_dag_checkpointed(spark, sf_dir, _DAG, root)  # warm: resume
+    return (
+        out.select(
+            F.col("o_orderpriority"),
+            "n_hi",
+            "n_lo",
+            F.round(F.col("n_hi") / (F.col("n_hi") + F.col("n_lo")), 6).alias(
+                "hi_share"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -337,3 +337,47 @@ def test_dsir_weights_match_python_reference(spark, tmp_path):
     assert got == expected
     # direction: the all-target doc beats the all-proposal doc
     assert got[0][2] > got[2][2]
+
+
+def test_dag_checkpoint_resume_semantics(spark, tmp_path):
+    """pipeline_dag_resume's machinery: (a) a warm rerun computes ZERO
+    stages; (b) deleting one stage's checkpoint resumes exactly that
+    stage plus its downstream cone; (c) editing a stage's spec
+    Merkle-invalidates its cone and nothing upstream."""
+    import copy
+    import shutil
+
+    from etl_suite_spark.plans import pipeline as pl
+
+    root = str(tmp_path / "ckpt")
+    run = lambda dag: pl.run_dag_checkpointed(spark, SF_DIR, dag, root)
+
+    run(pl._DAG)
+    assert sorted(pl._LAST_COMPUTED) == ["base", "hi", "lo", "out"]
+    run(pl._DAG)
+    assert pl._LAST_COMPUTED == []  # warm resume: nothing recomputes
+
+    # crash-resume: a job that died during 'lo' never wrote lo or out →
+    # relaunch recomputes exactly those two, reusing base and hi
+    fps = pl._dag_fingerprints(pl._DAG)
+    shutil.rmtree(f"{root}/lo-{fps['lo']}")
+    shutil.rmtree(f"{root}/out-{fps['out']}")
+    run(pl._DAG)
+    assert sorted(pl._LAST_COMPUTED) == ["lo", "out"]
+    # a lost INTERMEDIATE under a still-complete output is NOT recomputed:
+    # out's checkpoint is the value contract, upstreams are only its cache
+    shutil.rmtree(f"{root}/hi-{fps['hi']}")
+    run(pl._DAG)
+    assert pl._LAST_COMPUTED == []
+
+    # spec edit on 'hi' → hi + out recompute; base/lo untouched
+    edited = copy.deepcopy(pl._DAG)
+    edited["stages"]["hi"]["transforms"][0]["predicate"] = "o_totalprice >= 250000"
+    run(edited)
+    assert sorted(pl._LAST_COMPUTED) == ["hi", "out"]
+
+    # edited run's values reflect the edit; original checkpoints intact
+    orig = {r["o_orderpriority"]: r["n_hi"] for r in run(pl._DAG).collect()}
+    assert pl._LAST_COMPUTED == []  # original cone still fully checkpointed
+    ed = {r["o_orderpriority"]: r["n_hi"] for r in run(edited).collect()}
+    assert all(ed[k] <= orig[k] for k in ed)  # tighter filter, fewer rows
