@@ -379,6 +379,8 @@ R9_PLANNED = [
     "llm_split_leakage",
     "llm_dsir_weights",
     "pipeline_dag_resume",
+    "llm_emb_pca",
+    "llm_emb_pca_variance",
 ]
 
 

@@ -1908,3 +1908,229 @@ def llm_emb_gram_matrix(spark, sf_dir):
         )
         .orderBy("i", "j")
     )
+
+
+def _emb_exact_moments(spark, sf_dir):
+    """(n, colsum[64] int, gram[64,64] int) of the 6-dp-quantized
+    embedding matrix — the exact integer sufficient statistics PCA needs.
+    One corpus pass each: colsums via posexplode into a 64-key hash agg,
+    the Gram via the mapInPandas int64 partials above. Driver collects
+    64 + 2080 rows — bounded by d and d², never by corpus size."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d38 = "decimal(38,0)"
+    cs_rows = (
+        e.select(
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, v -> CAST(round(v * 1000000, 0) AS BIGINT))"
+                )
+            ).alias("dim", "q")
+        )
+        .groupBy("dim")
+        .agg(F.count("*").alias("n"), F.sum(F.col("q").cast(d38)).alias("sq"))
+        .collect()
+    )
+    n = int(cs_rows[0]["n"])
+    colsum = np.zeros(64, dtype=np.float64)
+    for r in cs_rows:
+        colsum[int(r["dim"])] = float(r["sq"])
+
+    q = e.select(
+        F.expr(
+            "transform(embedding, v -> CAST(round(v * 1000000, 0) AS BIGINT))"
+        ).alias("q")
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("i", LongType()), StructField("j", LongType()),
+         StructField("s", LongType())]
+    )
+
+    def gram_partial(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        iu, ju = np.triu_indices(64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            _assert_gram_batch_bound(len(pdf))
+            mat = np.array(pdf["q"].tolist(), dtype=np.int64)
+            acc = mat.T @ mat
+            yield pd.DataFrame({"i": iu, "j": ju, "s": acc[iu, ju]})
+
+    g_rows = (
+        q.mapInPandas(gram_partial, schema)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast(d38)).alias("ss"))
+        .collect()
+    )
+    gram = np.zeros((64, 64), dtype=np.float64)
+    for r in g_rows:
+        gram[int(r["i"]), int(r["j"])] = float(r["ss"])
+        gram[int(r["j"]), int(r["i"])] = float(r["ss"])
+    return n, colsum, gram
+
+
+_PCA_K = 8
+
+
+def _pca_components(n, colsum, gram, k=_PCA_K):
+    """Top-k principal directions from the exact integer moments.
+    Population covariance C = Gram/n − μμᵀ (still in the 1e12-scaled
+    quantized space); eigh is the only float step, its input exact.
+    Deterministic sign convention: each component's largest-|entry|
+    coordinate (first index on ties) is made positive."""
+    import numpy as np
+
+    mu = colsum / n
+    cov = gram / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T.copy()  # k x 64
+    for row in comps:
+        pivot = int(np.argmax(np.abs(row)))
+        if row[pivot] < 0:
+            row *= -1
+    return comps, w[order], float(np.trace(cov))
+
+
+@query("llm_emb_pca")  # rows-only: eigendecomposition is float-iterative
+def llm_emb_pca(spark, sf_dir):
+    """PCA projection of every embedding onto the top-8 principal
+    components — the dimension-reduction / whitening stage between raw
+    embeddings and the PQ/IVF index family (an OPQ-style rotation is
+    this op with a per-subspace permutation on top). Rows-only (LAPACK
+    eigenvectors are engine-specific floats); pytest checks the
+    projection against numpy PCA on the same quantized matrix, and the
+    oracled twin llm_emb_pca_variance gates the explained-variance
+    claim cross-engine.
+
+    Scale: the sufficient statistics (64 colsums + 64×64 Gram) are
+    exact-integer tree-reduced corpus passes whose driver collect is
+    bounded by d² (2080 rows), NEVER corpus-sized; the eigh runs on a
+    64×64 driver-side matrix; the projection itself is a map-only
+    Arrow-batched matmul with the (8×64) component matrix shipped in
+    the task closure. Nothing corpus-proportional moves to the driver
+    or broadcasts."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    n, colsum, gram = _emb_exact_moments(spark, sf_dir)
+    comps, _, _ = _pca_components(n, colsum, gram)
+    mu = colsum / n  # quantized-space mean
+    w_t = comps.T  # 64 x 8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(round(v * 1000000, 0) AS BIGINT))"
+        ).alias("q"),
+    )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("pc", ArrayType(DoubleType())),
+        ]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["q"].tolist(), dtype=np.float64)
+            y = (mat - mu) @ w_t / 1e6  # back to embedding units
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "pc": [list(r) for r in np.round(y, 6)]}
+            )
+
+    return q.mapInPandas(project, schema).orderBy("vec_id")
+
+
+@query(
+    "llm_emb_pca_variance",
+    # Honesty twin (the ml_kmeans_quality pattern): total centered
+    # variance is EXACTLY computable on both engines from integer power
+    # sums — n·Σq²−(Σq)² per dim in 128-bit-capable arithmetic — while
+    # the top-8 eigenvalue mass is engine-float; the flag pins the
+    # genuinely computed explained ratio above 0.14 (measured: 0.2035 at
+    # 500 vecs, 0.1598 at 2000 — comfortably over the 8/64 = 0.125
+    # isotropic floor, i.e. PCA is extracting real structure).
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, u.i - 1 AS dim,
+             CAST(round(embedding[u.i] * 1000000) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, 65)) AS u(i)
+    ), per AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(q) AS HUGEINT) AS sq,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq
+      FROM q GROUP BY dim
+    ), terms AS (
+      SELECT n, CAST(CAST(n AS HUGEINT) * sqq - sq * sq AS DECIMAL(38,0)) AS term
+      FROM per
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+           8 AS n_components,
+           round(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+                 / MAX(n) / MAX(n) / 1e12, 6) AS total_variance,
+           TRUE AS explained_top8_ge_014
+    FROM terms
+    """,
+)
+def llm_emb_pca_variance(spark, sf_dir):
+    """Cross-engine gate for llm_emb_pca: the total (population) centered
+    variance of the quantized embedding matrix, computed EXACTLY via the
+    n·Σq²−(Σq)² power-sum identity in DECIMAL(38,0)/HUGEINT on both
+    engines, plus a genuinely computed flag that the top-8 eigenvalue
+    mass explains ≥ 14 % of it (vs the 12.5 % isotropic floor). Exact
+    trace == Σ eigenvalues is also asserted in pytest, so a Gram/colsum
+    bug breaks BOTH the driver hash (total_variance) and the flag."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d38 = "decimal(38,0)"
+    per = (
+        e.select(
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, v -> CAST(round(v * 1000000, 0) AS BIGINT))"
+                )
+            ).alias("dim", "q")
+        )
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("q").cast(d38)).alias("sq"),
+            F.sum(F.col("q").cast(d38) * F.col("q")).alias("sqq"),
+        )
+    )
+    terms = per.select(
+        "n",
+        (F.col("n").cast(d38) * F.col("sqq") - F.col("sq") * F.col("sq"))
+        .cast(d38)
+        .alias("term"),
+    )
+    tot = terms.agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum("term").alias("t"),
+        F.max("n").alias("nn"),
+    )
+    n, colsum, gram = _emb_exact_moments(spark, sf_dir)
+    _, eigvals, trace = _pca_components(n, colsum, gram)
+    ratio = float(np.sum(eigvals) / trace)
+    return tot.select(
+        "n_vectors",
+        F.lit(8).cast("int").alias("n_components"),
+        F.round(
+            d2d(F.col("t")) / F.col("nn") / F.col("nn") / F.lit(1e12), 6
+        ).alias("total_variance"),
+        F.lit(bool(ratio >= 0.14)).alias("explained_top8_ge_014"),
+    )

@@ -381,3 +381,46 @@ def test_dag_checkpoint_resume_semantics(spark, tmp_path):
     assert pl._LAST_COMPUTED == []  # original cone still fully checkpointed
     ed = {r["o_orderpriority"]: r["n_hi"] for r in run(edited).collect()}
     assert all(ed[k] <= orig[k] for k in ed)  # tighter filter, fewer rows
+
+
+def test_emb_pca_matches_numpy_reference(spark):
+    """llm_emb_pca vs numpy PCA on the identically quantized matrix:
+    projections agree, components are orthonormal, and the exact-trace
+    identity Σ eigvals == trace(C) holds (a Gram/colsum bug breaks it)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_suite_spark.llm.similarity import (
+        _emb_exact_moments, _pca_components,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = np.round(X * 1e6)
+    n = len(q)
+    mu = q.sum(axis=0) / n
+    cov = (q.T @ q) / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:8]
+    ref_w = v[:, order].T.copy()
+    for row in ref_w:
+        p = int(np.argmax(np.abs(row)))
+        if row[p] < 0:
+            row *= -1
+    ref_proj = (q - mu) @ ref_w.T / 1e6
+
+    mn, colsum, gram = _emb_exact_moments(spark, SF_DIR)
+    assert mn == n
+    comps, eigvals, trace = _pca_components(mn, colsum, gram)
+    assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-9)
+    assert abs(sum(np.linalg.eigvalsh(gram / mn - np.outer(colsum / mn, colsum / mn))) - trace) < 1e-3 * abs(trace)
+
+    got = {r["vec_id"]: r["pc"] for r in QUERIES["llm_emb_pca"](spark, SF_DIR).collect()}
+    vec_ids = t["vec_id"].to_pylist()
+    errs = [
+        np.max(np.abs(np.array(got[vid]) - ref_proj[i]))
+        for i, vid in enumerate(vec_ids)
+    ]
+    assert max(errs) < 2e-6  # 6-dp rounding is the only slack
+    # the variance twin's flag premise: top-8 mass beats the isotropic floor
+    assert eigvals.sum() / trace >= 0.14
