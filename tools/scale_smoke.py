@@ -70,6 +70,11 @@ OPS = [
     "llm_cross_entropy_heldout",
     "llm_emb_gram_matrix",
     "ml_confusion_metrics",
+    # round 8: DSIR reads documents (two Heaps-sized count tables through
+    # the byte gate at this tier); PCA reads embeddings (the d²-bounded
+    # moment collects + the Arrow-matmul projection over 3M vectors)
+    "llm_dsir_weights",
+    "llm_emb_pca",
 ]
 
 # Graph tier (--graph, VERDICT r5 item 4): the uniform tier replicates only
@@ -333,6 +338,11 @@ def main() -> None:
         help="run the ANN index tier (cold build vs warm probe split + recall gates; default --copies applies, 1500 recommended)",
     )
     ap.add_argument(
+        "--only",
+        default=None,
+        help="CSV of op names: restrict the selected tier's op list (ops must belong to that tier's list)",
+    )
+    ap.add_argument(
         "--perturb",
         type=float,
         default=0.001,
@@ -441,6 +451,12 @@ def main() -> None:
         return
 
     ops = SKEW_OPS if args.skew else OPS + (["llm_dedup_substring"] if args.all else [])
+    if args.only:
+        wanted = [s.strip() for s in args.only.split(",") if s.strip()]
+        unknown = sorted(set(wanted) - set(ops))
+        if unknown:
+            raise SystemExit(f"--only ops not in this tier's list: {unknown}")
+        ops = wanted
     QUERIES[ops[0]](spark, out).count()  # warmup
 
     timings = {}
@@ -448,7 +464,7 @@ def main() -> None:
         t0 = time.perf_counter()
         n = QUERIES[name](spark, out).count()
         timings[name] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
-    if not args.skew:
+    if not args.skew and "llm_ngram_kneser_ney" in ops:
         # VERDICT r6 item 3: time the Kneser-Ney scorer in BOTH broadcast
         # regimes — the gated-off form (broadcast_gate_bytes=0 → no hint,
         # AQE decides) is what a 100 TB corpus would plan.
