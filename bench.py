@@ -138,6 +138,13 @@ HEADLINE = [
     # evolving-state shape none of the other rows cover) — first-
     # measurement baseline under the checksum action.
     "llm_bpe_train",
+    # appended later in round 8: the two new corpus-pass families — DSIR
+    # importance scoring (two Heaps-sized count-table joins + per-doc
+    # decimal sum) and the PCA projection (integer moment passes +
+    # driver eigh + Arrow matmul) — first-measurement baselines under
+    # the checksum action.
+    "llm_dsir_weights",
+    "llm_emb_pca",
 ]
 
 REPEATS = 3
