@@ -381,6 +381,7 @@ R9_PLANNED = [
     "pipeline_dag_resume",
     "llm_emb_pca",
     "llm_emb_pca_variance",
+    "llm_dsir_resample",
 ]
 
 

@@ -1227,3 +1227,84 @@ def llm_dsir_weights(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_dsir_resample",
+    # Same scoring CTEs as llm_dsir_weights, then the deterministic
+    # hash-Gumbel key and the global top-50. The two ln() calls in the
+    # Gumbel are quantized to 6 dp (house libm containment); u is an
+    # exact rational of the Knuth doc_id hash, identical on any engine.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    cs AS (SELECT tok, COUNT(*) AS cs FROM tok GROUP BY tok),
+    ct AS (SELECT tok, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY tok),
+    tot AS (
+      SELECT (SELECT SUM(cs) FROM cs) AS ns,
+             (SELECT COUNT(*) FROM cs) AS v,
+             (SELECT COALESCE(SUM(ct), 0) FROM ct) AS nt
+    ),
+    ratio AS (
+      SELECT cs.tok,
+             CAST(round(ln(
+               (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                  / CAST(t.nt + t.v AS DOUBLE))
+               / (CAST(cs.cs + 1 AS DOUBLE)
+                  / CAST(t.ns + t.v AS DOUBLE))
+             ), 6) AS DECIMAL(18,6)) AS lr
+      FROM cs LEFT JOIN ct USING (tok) CROSS JOIN tot t
+    ),
+    scored AS (
+      SELECT t.doc_id, t.lang, r.lr FROM tok t JOIN ratio r USING (tok)
+    ),
+    w AS (
+      SELECT doc_id, MAX(lang) AS lang,
+             round(CAST(CAST(SUM(lr) AS VARCHAR) AS DOUBLE), 6) AS log_weight
+      FROM scored GROUP BY doc_id
+    ),
+    gk AS (
+      SELECT doc_id, lang, log_weight,
+             round(-ln(-ln((((doc_id * 2654435761) % 1000000) + 0.5)
+                           / 1000000.0)), 6) AS gumbel
+      FROM w
+    )
+    SELECT doc_id, lang, log_weight, gumbel,
+           round(log_weight + gumbel, 6) AS sample_key
+    FROM gk
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 50
+    """,
+)
+def llm_dsir_resample(spark, sf_dir):
+    """The selection half of DSIR: Gumbel-top-k resampling on the
+    importance weights. Adding an independent Gumbel(0,1) to each log
+    weight and taking the global top-k draws a WITHOUT-replacement
+    sample from the softmax of the weights (the Gumbel-max trick) — the
+    paper's resampling step, derandomized the repo way: the uniform is
+    an exact rational of the Knuth doc_id hash, so the "noise" is
+    reproducible on any engine, any partitioning (the sample_stratified
+    discipline applied to importance sampling).
+
+    Parity: u = ((doc_id·2654435761) mod 1e6 + 0.5)/1e6 is exact in
+    double; the two ln() calls are the only libm steps and are rounded
+    to 6 dp before the key sum, which then rounds once more — identical
+    cross-engine given identical inputs. Scale: rides llm_dsir_weights'
+    plan (byte-gated count joins), adds one map-only key projection and
+    a global top-50 = TakeOrderedAndProject (no full sort)."""
+    w = llm_dsir_weights(spark, sf_dir)
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % 1000000 + 0.5
+    ) / F.lit(1000000.0)
+    g = F.round(-F.log(-F.log(u)), 6)
+    return (
+        w.withColumn("gumbel", g)
+        .withColumn(
+            "sample_key", F.round(F.col("log_weight") + F.col("gumbel"), 6)
+        )
+        .select("doc_id", "lang", "log_weight", "gumbel", "sample_key")
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(50)
+    )

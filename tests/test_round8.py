@@ -424,3 +424,28 @@ def test_emb_pca_matches_numpy_reference(spark):
     assert max(errs) < 2e-6  # 6-dp rounding is the only slack
     # the variance twin's flag premise: top-8 mass beats the isotropic floor
     assert eigvals.sum() / trace >= 0.14
+
+
+def test_dsir_resample_gumbel_key_and_order(spark):
+    """llm_dsir_resample: the Gumbel term must equal the documented
+    hash formula, sample_key = round(log_weight + gumbel, 6), rows come
+    out in (key DESC, doc_id) order, and the selection is exactly the
+    top-50 of the full weight table under that key."""
+    import math
+
+    rows = QUERIES["llm_dsir_resample"](spark, SF_DIR).collect()
+    assert len(rows) == 50
+    for r in rows:
+        u = ((r["doc_id"] * 2654435761) % 1000000 + 0.5) / 1000000.0
+        g = round(-math.log(-math.log(u)), 6)
+        assert abs(r["gumbel"] - g) < 1e-9
+        assert abs(r["sample_key"] - round(r["log_weight"] + r["gumbel"], 6)) < 1e-9
+    keys = [(r["sample_key"], -r["doc_id"]) for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+    full = QUERIES["llm_dsir_weights"](spark, SF_DIR).collect()
+    def key(r):
+        u = ((r["doc_id"] * 2654435761) % 1000000 + 0.5) / 1000000.0
+        return (round(r["log_weight"] + round(-math.log(-math.log(u)), 6), 6), -r["doc_id"])
+    expect = {r["doc_id"] for r in sorted(full, key=key, reverse=True)[:50]}
+    assert {r["doc_id"] for r in rows} == expect
