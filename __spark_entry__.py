@@ -382,6 +382,7 @@ R9_PLANNED = [
     "llm_emb_pca",
     "llm_emb_pca_variance",
     "llm_dsir_resample",
+    "stream_checkpoint_resume",
 ]
 
 

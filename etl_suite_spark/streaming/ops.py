@@ -341,6 +341,33 @@ def stream_stateful_custom(spark, sf_dir):
     )
 
 
+def _upsert_batch(batch_df: DataFrame, batch_id: int, warehouse: str) -> None:
+    """Merge one micro-batch into a parquet warehouse by key: newest row
+    per event_id wins (ts DESC, event_type ASC tiebreak); the rewrite is
+    staged then renamed so a killed merge never leaves a torn warehouse."""
+    from pyspark.sql import Window
+
+    sess = batch_df.sparkSession
+    if os.path.exists(warehouse):
+        existing = sess.read.parquet(warehouse)
+        merged = existing.unionByName(batch_df)
+    else:
+        merged = batch_df
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("ts").desc(), F.col("event_type").asc()
+    )
+    final = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    staging = warehouse + f".b{batch_id}"
+    final.write.mode("overwrite").parquet(staging)
+    if os.path.exists(warehouse):
+        shutil.rmtree(warehouse)
+    os.rename(staging, warehouse)
+
+
 @query(
     "stream_foreachbatch_upsert",
     # idempotence: after merging re-delivered duplicates, the warehouse
@@ -362,25 +389,7 @@ def stream_foreachbatch_upsert(spark, sf_dir):
     warehouse = os.path.join(tempfile.mkdtemp(prefix="etl_wh_"), "events_merged")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        if os.path.exists(warehouse):
-            existing = sess.read.parquet(warehouse)
-            merged = existing.unionByName(batch_df)
-        else:
-            merged = batch_df
-        w = Window.partitionBy("event_id").orderBy(
-            F.col("ts").desc(), F.col("event_type").asc()
-        )
-        final = (
-            merged.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        staging = warehouse + f".b{batch_id}"
-        final.write.mode("overwrite").parquet(staging)
-        if os.path.exists(warehouse):
-            shutil.rmtree(warehouse)
-        os.rename(staging, warehouse)
+        _upsert_batch(batch_df, batch_id, warehouse)
 
     ckpt = tempfile.mkdtemp(prefix="etl_stream_ckpt_")
     q = (
@@ -835,3 +844,75 @@ def stream_content_dedup(spark, sf_dir):
     )
     out = _run_to_memory(deduped.select("event_id", "event_type"), "append")
     return out.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+
+
+# Test/observability ledger for stream_checkpoint_resume: one
+# (run_idx, batch_id, rows) tuple per micro-batch actually processed.
+_RESUME_LEDGER: list[tuple[int, int, int]] = []
+
+
+@query(
+    "stream_checkpoint_resume",
+    # After BOTH runs the warehouse holds every event exactly once: run 1
+    # processed the first two drop files, the relaunch read the source
+    # offsets back from the SAME checkpoint and processed only the third.
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_checkpoint_resume(spark, sf_dir):
+    """Kill-and-relaunch recovery from the streaming checkpoint — the
+    restart semantics the reference's checkpointed scheduler provides,
+    on the Structured Streaming side (the batch-DAG twin is
+    pipeline_dag_resume). Run 1 processes the first two drop files
+    AvailableNow and terminates; a third file lands; run 2 starts a NEW
+    query against the SAME checkpointLocation and warehouse — the file
+    source replays its committed offsets from the checkpoint, so run 2
+    processes ONLY the new file (pytest pins the per-run batch ledger:
+    run 1 = slices 1+2, run 2 = slice 3 alone) and upserts it into the
+    same parquet warehouse via the shared staged-rename merge.
+
+    At 100 TB this is the property that makes streaming restart O(new
+    data): offsets live in the checkpoint (HDFS-atomic commits per
+    micro-batch), the sink is idempotent by merge key, so a crashed or
+    redeployed job resumes without reprocessing — and without double
+    counting what the dead run already committed."""
+    ev = load_table(spark, sf_dir, "events")
+    drop = tempfile.mkdtemp(prefix="etl_stream_resume_")
+    slices = [
+        ev.filter(F.col("ts") < _CUTS[0]),
+        ev.filter((F.col("ts") >= _CUTS[0]) & (F.col("ts") < _CUTS[1])),
+        ev.filter(F.col("ts") >= _CUTS[1]),
+    ]
+    for i, s in enumerate(slices[:2]):
+        target = os.path.join(drop, f"data-{i:03d}.parquet")
+        _write_one_file(s, target)
+        os.utime(target, (1700000000 + i * 60, 1700000000 + i * 60))
+    warehouse = os.path.join(tempfile.mkdtemp(prefix="etl_wh_"), "events_resumed")
+    ckpt = tempfile.mkdtemp(prefix="etl_stream_ckpt_")
+    _RESUME_LEDGER.clear()
+
+    def run(run_idx: int) -> None:
+        def merge(batch_df: DataFrame, batch_id: int) -> None:
+            _RESUME_LEDGER.append((run_idx, batch_id, batch_df.count()))
+            _upsert_batch(batch_df, batch_id, warehouse)
+
+        q = (
+            _read_stream(spark, drop, schema=ev.schema)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(1)
+    target = os.path.join(drop, "data-002.parquet")
+    _write_one_file(slices[2], target)
+    os.utime(target, (1700000000 + 120, 1700000000 + 120))
+    run(2)
+    final = spark.read.parquet(warehouse)
+    return (
+        final.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+    )

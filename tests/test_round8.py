@@ -449,3 +449,28 @@ def test_dsir_resample_gumbel_key_and_order(spark):
         return (round(r["log_weight"] + round(-math.log(-math.log(u)), 6), 6), -r["doc_id"])
     expect = {r["doc_id"] for r in sorted(full, key=key, reverse=True)[:50]}
     assert {r["doc_id"] for r in rows} == expect
+
+
+def test_stream_checkpoint_resume_processes_only_new_files(spark):
+    """The relaunch must replay committed offsets from the checkpoint:
+    run 1's batches cover exactly slices 1+2, run 2's exactly slice 3 —
+    no reprocessing, no gaps — and the warehouse equals the full table."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.streaming import ops as so
+
+    out = {
+        r["event_type"]: r["n"]
+        for r in QUERIES["stream_checkpoint_resume"](spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    n1 = ev.filter(F.col("ts") < so._CUTS[0]).count()
+    n2 = ev.filter(
+        (F.col("ts") >= so._CUTS[0]) & (F.col("ts") < so._CUTS[1])
+    ).count()
+    n3 = ev.filter(F.col("ts") >= so._CUTS[1]).count()
+
+    run1 = sum(n for run, _, n in so._RESUME_LEDGER if run == 1)
+    run2 = sum(n for run, _, n in so._RESUME_LEDGER if run == 2)
+    assert run1 == n1 + n2
+    assert run2 == n3  # ONLY the post-restart file
+    assert sum(out.values()) == n1 + n2 + n3
