@@ -167,6 +167,46 @@ def build_ann(base: str, copies: int, out: str, perturb: float = 0.001) -> None:
     )
 
 
+def dedup_embeddings(out: str) -> tuple[int, int]:
+    """The addendum-24 remedy, applied: collapse near-duplicate vectors
+    BEFORE index build via a 32-bit sign signature (SimHash over
+    axis-difference hyperplanes — the llm_sim_ann_lsh projection family),
+    keeping the min-vec_id representative per signature. Near-identical
+    copies (perturbation ≪ typical coordinate gaps) share all 32 signs
+    unless a gap sits inside the perturbation band, so duplicate mass
+    collapses to a handful of representatives per base vector while
+    distinct vectors almost never collide at 32 bits. Returns
+    (rows_before, rows_after)."""
+    import duckdb
+
+    con = duckdb.connect()
+    src = f"{out}/embeddings.parquet"
+    before = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id, embedding, label FROM (
+            SELECT vec_id, embedding, label,
+                   row_number() OVER (
+                     PARTITION BY array_to_string(list_transform(range(1, 33),
+                       j -> CASE WHEN embedding[CAST(2*j-1 AS INTEGER)]
+                                      >= embedding[CAST(2*j AS INTEGER)]
+                            THEN '1' ELSE '0' END), '')
+                     ORDER BY vec_id) AS rn
+            FROM read_parquet('{src}')
+          ) WHERE rn = 1
+        ) TO '{src}.dedup.parquet' (FORMAT PARQUET)
+        """
+    )
+    shutil.move(f"{src}.dedup.parquet", src)
+    after = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    return before, after
+
+
 SKEW_OPS = [
     "llm_dedup_exact",
     "llm_dedup_paragraph",
@@ -338,6 +378,11 @@ def main() -> None:
         help="run the ANN index tier (cold build vs warm probe split + recall gates; default --copies applies, 1500 recommended)",
     )
     ap.add_argument(
+        "--dedup-first",
+        action="store_true",
+        help="ANN tier only: collapse near-dup vectors (32-bit sign signature) before index build — measures the addendum-24 remedy",
+    )
+    ap.add_argument(
         "--only",
         default=None,
         help="CSV of op names: restrict the selected tier's op list (ops must belong to that tier's list)",
@@ -361,6 +406,9 @@ def main() -> None:
         build_graph(args.base, args.copies, out)
     elif args.ann:
         build_ann(args.base, args.copies, out, perturb=args.perturb)
+        dedup_counts = None
+        if args.dedup_first:
+            dedup_counts = dedup_embeddings(out)
     else:
         build(args.base, args.copies, out)
 
@@ -412,6 +460,11 @@ def main() -> None:
                     "tier": "ann",
                     "copies": args.copies,
                     "base": args.base,
+                    "dedup_first": (
+                        {"rows_before": dedup_counts[0], "rows_after": dedup_counts[1]}
+                        if dedup_counts
+                        else None
+                    ),
                     "queries": timings,
                 }
             )
