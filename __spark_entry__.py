@@ -383,6 +383,7 @@ R9_PLANNED = [
     "llm_emb_pca_variance",
     "llm_dsir_resample",
     "stream_checkpoint_resume",
+    "inc_subject_erasure",
 ]
 
 

@@ -985,3 +985,99 @@ def dim_calendar_build(spark, sf_dir):
         F.trunc("day", "month").alias("month_start"),
         F.last_day("day").alias("month_end"),
     ).orderBy("day")
+
+
+# Test/observability hook: warehouse path of the most recent
+# inc_subject_erasure run (pytest checks untouched-bucket files survive).
+_LAST_ERASURE_WH: list[str] = []
+
+
+@query(
+    "inc_subject_erasure",
+    oracle="""
+    SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_deleted,
+           CAST(COUNT(*) - SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_after,
+           SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) > 0 AS rewritten
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def inc_subject_erasure(spark, sf_dir):
+    """Right-to-be-forgotten delete propagation (GDPR Art. 17) with a
+    per-partition audit — executed against a real warehouse, not just
+    planned. The warehouse is laid out SUBJECT-BUCKETED (partition =
+    user_id % 16): erasing a subject then touches exactly the buckets
+    that can contain them, which is the layout decision that makes
+    erasure O(subject's data) instead of O(corpus) at 100 TB (a
+    time-partitioned layout forces rewriting every partition the subject
+    ever appeared in — here, all of them). The erasure itself is a
+    DYNAMIC partition overwrite of the affected buckets' retained rows:
+    untouched buckets' files are not rewritten (pytest pins their file
+    list), and rows_after is read back from the REWRITTEN warehouse, so
+    the driver hash certifies the delete actually propagated.
+
+    Deterministic erasure set: user_id % 97 == 0 (the fixture's Knuth-
+    style arbitrary-subset idiom). Full-bucket erasure is handled
+    explicitly: a bucket whose rows are ALL erased emits zero rows into
+    the dynamic overwrite, which therefore leaves its stale files — so
+    those buckets get an explicit partition DROP (a filesystem delete of
+    the partition dir; fs.delete on HDFS/S3A — exactly what DELETE on a
+    partition boundary compiles to in table formats). The sf0.001
+    fixture genuinely exercises this path (one bucket holds only
+    subjects), and the audit reads rows_after back from the warehouse so
+    a missed drop breaks the driver hash.
+
+    Plan: one partitioned write (build), one semi-join-pruned filtered
+    write (erase — the affected-bucket list is a broadcast semi-join),
+    one partition-count-bounded driver read of the fully-erased bucket
+    list (the one collect, bounded by 16), two audit aggs."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 16).cast("long")
+    )
+    wh = os.path.join(tempfile.mkdtemp(prefix="etl_erasure_"), "events_by_subject")
+    _LAST_ERASURE_WH.clear()
+    _LAST_ERASURE_WH.append(wh)
+    ev.write.partitionBy("bucket").mode("overwrite").parquet(wh)
+
+    is_subject = (F.col("user_id") % 97) == 0
+    affected = ev.filter(is_subject).select("bucket").distinct()
+    retained = ev.join(F.broadcast(affected), "bucket", "left_semi").filter(
+        ~is_subject
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        retained.write.partitionBy("bucket").mode("overwrite").parquet(wh)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    stats = ev.groupBy("bucket").agg(
+        F.count("*").alias("rows_before"),
+        F.sum(F.when(is_subject, 1).otherwise(0)).alias("rows_deleted"),
+    )
+    # fully-erased buckets: zero retained rows → dynamic overwrite never
+    # touched them → explicit partition drop (≤16 buckets, bounded read)
+    import shutil
+
+    for r in stats.filter(F.col("rows_before") == F.col("rows_deleted")).collect():
+        shutil.rmtree(os.path.join(wh, f"bucket={int(r['bucket'])}"), ignore_errors=True)
+
+    after = (
+        spark.read.parquet(wh)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("rows_after"))
+    )
+    return (
+        stats.join(after, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("rows_before").cast("long").alias("rows_before"),
+            F.col("rows_deleted").cast("long").alias("rows_deleted"),
+            F.coalesce(F.col("rows_after"), F.lit(0)).cast("long").alias("rows_after"),
+            (F.col("rows_deleted") > 0).alias("rewritten"),
+        )
+        .orderBy("bucket")
+    )
