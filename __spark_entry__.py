@@ -384,6 +384,7 @@ R9_PLANNED = [
     "llm_dsir_resample",
     "stream_checkpoint_resume",
     "inc_subject_erasure",
+    "llm_dedup_softweight",
 ]
 
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..core import materialize_once
+from ..core import d2d, materialize_once
 from ..io import load_table, table_bytes
 from ..registry import query
 
@@ -1812,4 +1812,70 @@ def llm_dup_cluster_histogram(spark, sf_dir):
             F.round(F.col("n_chunks") / F.col("t"), 6).alias("pct_chunks"),
         )
         .orderBy("cluster_size")
+    )
+
+
+@query(
+    "llm_dedup_softweight",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, sha256({_NORM_SQL}) AS content_hash FROM documents
+    ), c AS (
+      SELECT content_hash, COUNT(*) AS cluster_size FROM h GROUP BY 1
+    ), w AS (
+      SELECT h.doc_id, c.cluster_size,
+             round(1.0 / c.cluster_size, 6) AS soft_weight
+      FROM h JOIN c USING (content_hash)
+    )
+    SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           soft_weight,
+           (SELECT round(CAST(CAST(SUM(CAST(round(1.0 / cluster_size, 6)
+                                           AS DECIMAL(18,6))) AS VARCHAR)
+                              AS DOUBLE), 6)
+            FROM w) AS effective_docs
+    FROM w ORDER BY doc_id
+    """,
+)
+def llm_dedup_softweight(spark, sf_dir):
+    """Soft deduplication: instead of DROPPING duplicates, every document
+    keeps a training weight 1/cluster_size (exact-content clusters — the
+    llm_dedup_exact hash), so each distinct content contributes unit mass
+    to the loss regardless of how many copies the crawl delivered. This
+    is the reweighting alternative to removal (SoftDeDup / D4-style):
+    it preserves natural distribution shape for mixture decisions while
+    killing the duplication gradient bias, and composes with
+    llm_data_mixture's quota logic (weight multiplies in). The
+    ``effective_docs`` column (Σ weights = number of distinct contents,
+    up to 6-dp rounding) is the dataset's deduplicated effective size —
+    the number a token-budget plan should use instead of raw row count.
+
+    Plan: one hash-shuffle on the 64-hex digest (uniform, no skew), one
+    count-sized self-join back on the digest (co-partitioned with the
+    agg that built it — one shuffle total), and a one-row broadcast sum
+    for effective_docs (decimal-summed, merge-order-independent). At
+    100 TB: identical shape to llm_dedup_exact plus a map-side joined
+    weight column; nothing new materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.sha2(_normalized_text(), 256).alias("content_hash"))
+    c = h.groupBy("content_hash").agg(F.count("*").alias("cluster_size"))
+    w = h.join(c, "content_hash").select(
+        "doc_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("soft_weight"),
+    )
+    eff = w.agg(
+        F.round(
+            d2d(F.sum(F.round(F.lit(1.0) / F.col("cluster_size"), 6).cast("decimal(18,6)"))),
+            6,
+        ).alias("effective_docs")
+    )
+    return (
+        w.crossJoin(F.broadcast(eff))
+        .select(
+            "doc_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "soft_weight",
+            "effective_docs",
+        )
+        .orderBy("doc_id")
     )

@@ -86,6 +86,7 @@ EXPECTED_NLJ = {
     "llm_charset_report",  # one-row corpus-total broadcast crossJoin (share denominator)
     "llm_unigram_logprob",  # one-row corpus-total broadcast crossJoin (LM denominator)
     "llm_dsir_weights",  # one-row (N_t, N_s, V) totals broadcast crossJoin (DSIR denominators)
+    "llm_dedup_softweight",  # one-row effective_docs broadcast crossJoin
     "llm_dsir_resample",  # composes llm_dsir_weights → inherits its one-row crossJoin
     "llm_bigram_logprob",  # one-row |V| broadcast crossJoin (Laplace denominator)
     "llm_ngram_kneser_ney",  # one-row |bigram types| broadcast crossJoin (KN T term)
