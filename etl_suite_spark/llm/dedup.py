@@ -1829,10 +1829,12 @@ def llm_dup_cluster_histogram(spark, sf_dir):
     )
     SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
            soft_weight,
-           (SELECT round(CAST(CAST(SUM(CAST(round(1.0 / cluster_size, 6)
-                                           AS DECIMAL(18,6))) AS VARCHAR)
+           (SELECT round(CAST(CAST(SUM(CAST(cluster_size AS DECIMAL(18,0))
+                                       * CAST(round(1.0 / cluster_size, 6)
+                                              AS DECIMAL(18,6)))
+                                   AS VARCHAR)
                               AS DOUBLE), 6)
-            FROM w) AS effective_docs
+            FROM c) AS effective_docs
     FROM w ORDER BY doc_id
     """,
 )
@@ -1850,11 +1852,12 @@ def llm_dedup_softweight(spark, sf_dir):
     the number a token-budget plan should use instead of raw row count.
 
     Plan: one hash-shuffle on the 64-hex digest (uniform, no skew), one
-    count-sized self-join back on the digest (co-partitioned with the
-    agg that built it — one shuffle total), and a one-row broadcast sum
-    for effective_docs (decimal-summed, merge-order-independent). At
-    100 TB: identical shape to llm_dedup_exact plus a map-side joined
-    weight column; nothing new materializes."""
+    count-sized join back on the digest (co-partitioned with the agg
+    that built it), and a one-row broadcast sum for effective_docs
+    computed from the COUNT-SIZED cluster table alone (decimal-summed,
+    merge-order-independent; ReuseExchange shares the digest agg's
+    shuffle between the join and the sum). At 100 TB: the dedup_exact
+    shape plus a map-side joined weight column."""
     d = load_table(spark, sf_dir, "documents")
     h = d.select("doc_id", F.sha2(_normalized_text(), 256).alias("content_hash"))
     c = h.groupBy("content_hash").agg(F.count("*").alias("cluster_size"))
@@ -1863,9 +1866,21 @@ def llm_dedup_softweight(spark, sf_dir):
         "cluster_size",
         F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("soft_weight"),
     )
-    eff = w.agg(
+    # effective_docs needs only the COUNT-SIZED cluster table — per-doc
+    # weights within a cluster are identical, so Σ_docs w = Σ_clusters
+    # n·round(1/n, 6); deriving it from ``c`` keeps the corpus lineage
+    # single-pass (code-review r8: the per-doc form re-ran the sha256 +
+    # count join a second time under the aggregate)
+    eff = c.agg(
         F.round(
-            d2d(F.sum(F.round(F.lit(1.0) / F.col("cluster_size"), 6).cast("decimal(18,6)"))),
+            d2d(
+                F.sum(
+                    F.col("cluster_size").cast("decimal(18,0)")
+                    * F.round(F.lit(1.0) / F.col("cluster_size"), 6).cast(
+                        "decimal(18,6)"
+                    )
+                )
+            ),
             6,
         ).alias("effective_docs")
     )

@@ -1866,6 +1866,34 @@ def llm_emb_gram_matrix(spark, sf_dir):
     this is the canonical tree-reduce: map-side 64x64 partials (2080
     rows per task) into one tiny hash agg; nothing corpus-sized ever
     shuffles."""
+    partials = _gram_moment_partials(spark, sf_dir).filter(F.col("i") >= 0)
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("ss"))
+        .select(
+            "i",
+            "j",
+            F.round(d2d(F.col("ss")) / F.lit(1e12), 6).alias("gram"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def _gram_moment_partials(spark, sf_dir):
+    """Per-Arrow-batch exact-integer moment partials of the quantized
+    embedding matrix, ONE corpus pass for all three statistics:
+
+    - ``(i, j, s)`` with 0 ≤ i ≤ j ≤ 63: upper-triangle QᵀQ Gram entries;
+    - ``(-1, dim, s)``: per-dim column sums (first moments);
+    - ``(-2, 0, rows)``: the batch row count.
+
+    Each batch's matmul/sums stay int64-exact (the
+    ``_assert_gram_batch_bound`` contract: |q| ≤ ~4e6, so the colsum
+    partial ≤ batch·4e6 — far inside the Gram term's own bound); the
+    cross-partition merge is a DECIMAL(38,0) hash agg downstream. Shared
+    by llm_emb_gram_matrix (which keeps only i ≥ 0) and the PCA moment
+    collector — ONE implementation of the overflow discipline to keep in
+    sync, not two (code-review r8 finding)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1894,84 +1922,49 @@ def llm_emb_gram_matrix(spark, sf_dir):
             mat = np.array(pdf["q"].tolist(), dtype=np.int64)
             acc = mat.T @ mat  # exact: |q| <= ~4e6, batch partial << 2^63
             yield pd.DataFrame(
-                {"i": iu, "j": ju, "s": acc[iu, ju]}
+                {
+                    "i": np.concatenate([iu, np.full(64, -1), [-2]]),
+                    "j": np.concatenate([ju, np.arange(64), [0]]),
+                    "s": np.concatenate(
+                        [acc[iu, ju], mat.sum(axis=0), [len(mat)]]
+                    ),
+                }
             )
 
-    partials = q.mapInPandas(gram_partial, schema)
-    return (
-        partials.groupBy("i", "j")
-        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("ss"))
-        .select(
-            "i",
-            "j",
-            F.round(d2d(F.col("ss")) / F.lit(1e12), 6).alias("gram"),
-        )
-        .orderBy("i", "j")
-    )
+    return q.mapInPandas(gram_partial, schema)
 
 
 def _emb_exact_moments(spark, sf_dir):
     """(n, colsum[64] int, gram[64,64] int) of the 6-dp-quantized
-    embedding matrix — the exact integer sufficient statistics PCA needs.
-    One corpus pass each: colsums via posexplode into a 64-key hash agg,
-    the Gram via the mapInPandas int64 partials above. Driver collects
-    64 + 2080 rows — bounded by d and d², never by corpus size."""
+    embedding matrix — the exact integer sufficient statistics PCA
+    needs, from ONE corpus pass (the shared moment partials above) and
+    one driver collect bounded by d² (2080 + 64 + 1 rows, never corpus-
+    sized). Raises on an empty table instead of mis-indexing; a ragged
+    embedding column fails loudly inside the partial's
+    np.array(dtype=int64) construction."""
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings")
-    d38 = "decimal(38,0)"
-    cs_rows = (
-        e.select(
-            F.posexplode(
-                F.expr(
-                    "transform(embedding, v -> CAST(round(v * 1000000, 0) AS BIGINT))"
-                )
-            ).alias("dim", "q")
-        )
-        .groupBy("dim")
-        .agg(F.count("*").alias("n"), F.sum(F.col("q").cast(d38)).alias("sq"))
-        .collect()
-    )
-    n = int(cs_rows[0]["n"])
-    colsum = np.zeros(64, dtype=np.float64)
-    for r in cs_rows:
-        colsum[int(r["dim"])] = float(r["sq"])
-
-    q = e.select(
-        F.expr(
-            "transform(embedding, v -> CAST(round(v * 1000000, 0) AS BIGINT))"
-        ).alias("q")
-    )
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    schema = StructType(
-        [StructField("i", LongType()), StructField("j", LongType()),
-         StructField("s", LongType())]
-    )
-
-    def gram_partial(batches):
-        import numpy as np  # noqa: PLC0415
-        import pandas as pd  # noqa: PLC0415
-
-        iu, ju = np.triu_indices(64)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            _assert_gram_batch_bound(len(pdf))
-            mat = np.array(pdf["q"].tolist(), dtype=np.int64)
-            acc = mat.T @ mat
-            yield pd.DataFrame({"i": iu, "j": ju, "s": acc[iu, ju]})
-
-    g_rows = (
-        q.mapInPandas(gram_partial, schema)
+    rows = (
+        _gram_moment_partials(spark, sf_dir)
         .groupBy("i", "j")
-        .agg(F.sum(F.col("s").cast(d38)).alias("ss"))
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("ss"))
         .collect()
     )
+    n = 0
+    colsum = np.zeros(64, dtype=np.float64)
     gram = np.zeros((64, 64), dtype=np.float64)
-    for r in g_rows:
-        gram[int(r["i"]), int(r["j"])] = float(r["ss"])
-        gram[int(r["j"]), int(r["i"])] = float(r["ss"])
+    for r in rows:
+        i, j = int(r["i"]), int(r["j"])
+        s = float(r["ss"])
+        if i == -2:
+            n = int(r["ss"])
+        elif i == -1:
+            colsum[j] = s
+        else:
+            gram[i, j] = s
+            gram[j, i] = s
+    if n <= 0:
+        raise ValueError("embeddings table is empty: PCA moments undefined")
     return n, colsum, gram
 
 

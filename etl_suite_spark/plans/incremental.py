@@ -987,9 +987,27 @@ def dim_calendar_build(spark, sf_dir):
     ).orderBy("day")
 
 
-# Test/observability hook: warehouse path of the most recent
-# inc_subject_erasure run (pytest checks untouched-bucket files survive).
-_LAST_ERASURE_WH: list[str] = []
+# Test/observability hook for inc_subject_erasure: [warehouse_path,
+# pre_erase_snapshot] of the most recent run, where the snapshot maps
+# bucket dir → {file: mtime} taken AFTER the build write and BEFORE the
+# erase pass — what pytest compares post-erase state against (a snapshot
+# taken after the op returns could never catch an erase that rewrites
+# everything; code-review r8 finding).
+_LAST_ERASURE_WH: list = []
+
+
+def _bucket_file_snapshot(wh: str) -> dict[str, dict[str, float]]:
+    snap: dict[str, dict[str, float]] = {}
+    for d in os.listdir(wh):
+        if not d.startswith("bucket="):
+            continue
+        full = os.path.join(wh, d)
+        snap[d] = {
+            f: os.path.getmtime(os.path.join(full, f))
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        }
+    return snap
 
 
 @query(
@@ -1038,9 +1056,9 @@ def inc_subject_erasure(spark, sf_dir):
         "bucket", (F.col("user_id") % 16).cast("long")
     )
     wh = os.path.join(tempfile.mkdtemp(prefix="etl_erasure_"), "events_by_subject")
-    _LAST_ERASURE_WH.clear()
-    _LAST_ERASURE_WH.append(wh)
     ev.write.partitionBy("bucket").mode("overwrite").parquet(wh)
+    _LAST_ERASURE_WH.clear()
+    _LAST_ERASURE_WH.extend([wh, _bucket_file_snapshot(wh)])
 
     is_subject = (F.col("user_id") % 97) == 0
     affected = ev.filter(is_subject).select("bucket").distinct()

@@ -382,8 +382,6 @@ def stream_foreachbatch_upsert(spark, sf_dir):
     parquet warehouse via the dedup-latest idiom (newest row per event_id
     wins), so re-delivery and window re-runs are idempotent — the
     reference's delete-then-reload recovery model, Spark-side."""
-    from pyspark.sql import Window
-
     dups = _dup_sample(spark, sf_dir)
     drop, schema = _drop_dir(spark, sf_dir, extra=dups)
     warehouse = os.path.join(tempfile.mkdtemp(prefix="etl_wh_"), "events_merged")

@@ -509,15 +509,14 @@ def test_subject_erasure_rewrites_only_affected_buckets(spark):
     )
     assert remaining == 0
 
-    # rerun: the erase pass must leave untouched buckets' files alone
-    snapshot = {b: files(b) for b in untouched}
-    QUERIES["inc_subject_erasure"](spark, SF_DIR).collect()
-    wh2 = inc._LAST_ERASURE_WH[0]
-    assert wh2 != wh  # fresh warehouse per run (the op is self-contained)
-    # within THIS run's warehouse, prove preservation by comparing the
-    # build-pass vs post-erase state is not possible after the fact, so
-    # instead assert directly on the first warehouse: its untouched
-    # buckets still carry the pre-erase snapshot (the erase pass never
-    # rewrote them)
+    # file preservation, for real: compare post-erase state against the
+    # PRE-ERASE snapshot the op recorded between its build write and its
+    # erase pass — untouched buckets must carry identical files, touched
+    # ones must NOT (an erase that rewrote everything, or nothing, fails)
+    pre = inc._LAST_ERASURE_WH[1]
     for b in untouched:
-        assert files(b) == snapshot[b]
+        assert files(b) == pre[f"bucket={b}"]
+    for b in touched:
+        d = os.path.join(wh, f"bucket={b}")
+        post = files(b) if os.path.isdir(d) else {}
+        assert post != pre[f"bucket={b}"]

@@ -399,6 +399,20 @@ def main() -> None:
     from etl_suite_spark.registry import QUERIES
     from etl_suite_spark.session import get_spark
 
+    def restrict(ops: list[str], tier: str) -> list[str]:
+        """Apply --only to a tier's op list (every tier honors it)."""
+        if not args.only:
+            return ops
+        wanted = [s.strip() for s in args.only.split(",") if s.strip()]
+        if not wanted:
+            raise SystemExit("--only given but no op names parsed from it")
+        unknown = sorted(set(wanted) - set(ops))
+        if unknown:
+            raise SystemExit(
+                f"--only ops not in the {tier} tier's list {ops}: {unknown}"
+            )
+        return wanted
+
     out = os.path.join(tempfile.mkdtemp(prefix="etl_scale_"), "sfx")
     if args.skew:
         build_skewed(args.base, out)
@@ -419,8 +433,11 @@ def main() -> None:
         from etl_suite_spark.llm.dedup import _corpus_signatures
 
         QUERIES["llm_sim_cosine_topk"](spark, args.base).count()  # warmup
+        ann_ops = restrict(
+            ANN_INDEX_OPS + ["minhash_signatures"] + ANN_RECALL_OPS, "ann"
+        )
         timings = {}
-        for name in ANN_INDEX_OPS:
+        for name in [n for n in ANN_INDEX_OPS if n in ann_ops]:
             t0 = time.perf_counter()
             n = QUERIES[name](spark, out).count()
             cold = round(time.perf_counter() - t0, 3)
@@ -433,19 +450,20 @@ def main() -> None:
                 "index_build_sec": round(cold - warm, 3),
                 "rows": n,
             }
-        t0 = time.perf_counter()
-        nsig = _corpus_signatures(spark, out).count()
-        cold = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        _corpus_signatures(spark, out).count()
-        warm = round(time.perf_counter() - t0, 3)
-        timings["minhash_signatures"] = {
-            "cold_sec": cold,
-            "warm_probe_sec": warm,
-            "index_build_sec": round(cold - warm, 3),
-            "rows": nsig,
-        }
-        for name in ANN_RECALL_OPS:
+        if "minhash_signatures" in ann_ops:
+            t0 = time.perf_counter()
+            nsig = _corpus_signatures(spark, out).count()
+            cold = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            _corpus_signatures(spark, out).count()
+            warm = round(time.perf_counter() - t0, 3)
+            timings["minhash_signatures"] = {
+                "cold_sec": cold,
+                "warm_probe_sec": warm,
+                "index_build_sec": round(cold - warm, 3),
+                "rows": nsig,
+            }
+        for name in [n for n in ANN_RECALL_OPS if n in ann_ops]:
             t0 = time.perf_counter()
             row = QUERIES[name](spark, out).collect()[0].asDict()
             timings[name] = {
@@ -473,9 +491,10 @@ def main() -> None:
         return
 
     if args.graph:
-        QUERIES[GRAPH_OPS[0]](spark, args.base).count()  # warmup
+        graph_ops = restrict(GRAPH_OPS, "graph")
+        QUERIES[graph_ops[0]](spark, args.base).count()  # warmup
         timings = {}
-        for name in GRAPH_OPS:
+        for name in graph_ops:
             t0 = time.perf_counter()
             n1 = QUERIES[name](spark, args.base).count()
             base_sec = round(time.perf_counter() - t0, 3)
@@ -504,12 +523,7 @@ def main() -> None:
         return
 
     ops = SKEW_OPS if args.skew else OPS + (["llm_dedup_substring"] if args.all else [])
-    if args.only:
-        wanted = [s.strip() for s in args.only.split(",") if s.strip()]
-        unknown = sorted(set(wanted) - set(ops))
-        if unknown:
-            raise SystemExit(f"--only ops not in this tier's list: {unknown}")
-        ops = wanted
+    ops = restrict(ops, "skew" if args.skew else "uniform")
     QUERIES[ops[0]](spark, out).count()  # warmup
 
     timings = {}
