@@ -82,3 +82,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for the SQL entry point."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def byte_gated_broadcast(spark: SparkSession, sf_dir: str, name: str, gate_bytes: int):
+    """Shared core of every byte-gated broadcast hint (code-review r8:
+    three near-identical copies had grown — the LM count tables, the
+    embedding docvec table, the TPC-H dims). Under the gate: return
+    ``F.broadcast`` (the hint is strictly best). At or over it: return
+    identity — no hint is planted and AQE picks the join strategy from
+    runtime sizes. The gate reads FILE bytes via :func:`table_bytes`
+    (no Spark job at plan-construction time); callers keep their own
+    per-family gate constants and monkeypatch points."""
+    from pyspark.sql import functions as F
+
+    if table_bytes(spark, sf_dir, name) < gate_bytes:
+        return F.broadcast
+    return lambda df: df

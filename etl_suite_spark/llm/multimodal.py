@@ -486,12 +486,37 @@ def mm_shard_manifest(spark, sf_dir):
     rollup is a shard-keyed map-combined agg; oracle is the naive global
     window (same values, fixture-checkable). floor-div parity: the
     running offset is nonnegative, where Spark's div and DuckDB's //
-    agree (the sign-semantics trap only bites negatives)."""
-    target = 4096
-    block = 500
+    agree (the sign-semantics trap only bites negatives).
+
+    Block width is ENFORCED scale-appropriate, not promised (code-review
+    r8: a literal 500 made the offset table corpus-proportional — the
+    ungated-broadcast class this repo eliminates): both costs are
+    balanced at √n — the offset table has ~n/block rows (its broadcast +
+    single-partition window) and each within-block sort is ~block rows —
+    so block = max(500, isqrt(n_est)) with n_est from the table's FILE
+    BYTES via the Hadoop FS metadata (≥256 bytes/doc assumed; an
+    overestimate only shifts the balance, never unbounds either side;
+    no Spark job at plan construction). At 100 TB: block ≈ 6e5, offset
+    table ≈ 6e5 rows (~15 MB broadcast), within-block sorts ≈ 6e5 rows —
+    both bounded. Shard values are block-INDEPENDENT (the two-phase sum
+    equals the naive prefix sum for any width — pytest shards a planted
+    corpus at several widths), so the sizing cannot flap the oracle."""
+    from math import isqrt
+
+    from ..io import table_bytes
+
+    block = max(500, isqrt(table_bytes(spark, sf_dir, "documents") // 256))
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.octet_length("text").cast("long").alias("nbytes")
     )
+    return _shard_manifest_from(d, target=4096, block=block)
+
+
+def _shard_manifest_from(d, target: int, block: int):
+    """Two-phase shard assignment over (doc_id, nbytes) — see
+    mm_shard_manifest. Split out so pytest can prove the result is
+    block-width-INDEPENDENT (equal to the naive global prefix sum at
+    several widths)."""
     d = d.withColumn("blk", F.floor(F.col("doc_id") / block))
     per_blk = d.groupBy("blk").agg(F.sum("nbytes").alias("blk_bytes"))
     w_blk = (

@@ -28,7 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core import as_long, d2d, davg, sql_davg
-from ..io import load_table, table_bytes
+from ..io import byte_gated_broadcast, load_table
 from ..registry import query
 
 
@@ -569,9 +569,7 @@ def _lm_count_table_hint(spark, sf_dir, gate_bytes=None):
     build (plan_audit, driver walks) just to pick a join strategy."""
     if gate_bytes is None:
         gate_bytes = _LM_BROADCAST_GATE_BYTES  # late-bound: tests repoint it
-    if table_bytes(spark, sf_dir, "documents") < gate_bytes:
-        return F.broadcast
-    return lambda df: df
+    return byte_gated_broadcast(spark, sf_dir, "documents", gate_bytes)
 
 
 @query(
@@ -1906,6 +1904,14 @@ _BPE_SEP = "\x1f"
 _BPE_N_MERGES = 8
 
 
+def _bpe_symbols_expr():
+    """Column expr: the symbol array of a wrapped tok_sep (strip the one
+    leading + one trailing separator, split on the double separator)."""
+    from pyspark.sql import functions as F
+
+    return F.expr("substring(tok_sep, 2, length(tok_sep) - 2)")
+
+
 def _bpe_oracle(n_merges: int) -> str:
     """Unrolled n-iteration BPE trainer in DuckDB SQL.
 
@@ -1914,6 +1920,16 @@ def _bpe_oracle(n_merges: int) -> str:
     the pair-count and the re-segmentation of round i, so an un-hinted
     unroll re-evaluates the whole prefix exponentially."""
     sep = "chr(31)"
+    # Every symbol is wrapped INDIVIDUALLY (␟sym␟ concatenated, so the
+    # string is ␟a␟␟b␟…): the merge pattern ␟a␟␟b␟ is then anchored at
+    # both symbol boundaries, and a symbol merely ENDING in `a` (or
+    # starting with `b`) cannot false-match — with the bare a␟b pattern
+    # it did (code-review r8: 'abcd' as [ab,c,d] glued to [abc,d] when
+    # (b,c) merged, because 'ab' ends in 'b'). Plain replace stays
+    # greedy-left-to-right non-overlapping — exactly Sennrich's merge —
+    # and consecutive occurrences still both merge (␟a␟␟a␟␟a␟␟a␟ →
+    # ␟aa␟␟aa␟) because the pattern consumes whole wrapped symbols.
+    # Lookaround regexes would also fix it but DuckDB's RE2 has none.
     parts = [
         f"""WITH wc AS MATERIALIZED (
       SELECT tok, COUNT(*) AS wcount FROM (
@@ -1921,7 +1937,8 @@ def _bpe_oracle(n_merges: int) -> str:
       ) WHERE tok <> '' GROUP BY tok
     ), seg0 AS MATERIALIZED (
       SELECT tok,
-             array_to_string(string_split_regex(tok, ''), {sep}) AS tok_sep,
+             {sep} || array_to_string(string_split_regex(tok, ''),
+                                      {sep} || {sep}) || {sep} AS tok_sep,
              wcount
       FROM wc
     )"""
@@ -1935,7 +1952,8 @@ def _bpe_oracle(n_merges: int) -> str:
                  j -> struct_pack(a := s[CAST(j AS INTEGER)],
                                   b := s[CAST(j AS INTEGER) + 1]))) AS u,
                wcount
-        FROM (SELECT string_split(tok_sep, {sep}) AS s, wcount FROM seg{i})
+        FROM (SELECT string_split(trim(tok_sep, {sep}), {sep} || {sep}) AS s,
+                     wcount FROM seg{i})
       )
       GROUP BY u.a, u.b
     ), best{i} AS MATERIALIZED (
@@ -1943,8 +1961,10 @@ def _bpe_oracle(n_merges: int) -> str:
     ), seg{i + 1} AS MATERIALIZED (
       SELECT tok,
              replace(tok_sep,
-                     (SELECT a FROM best{i}) || {sep} || (SELECT b FROM best{i}),
-                     (SELECT a FROM best{i}) || (SELECT b FROM best{i})) AS tok_sep,
+                     {sep} || (SELECT a FROM best{i}) || {sep} || {sep}
+                           || (SELECT b FROM best{i}) || {sep},
+                     {sep} || (SELECT a FROM best{i})
+                           || (SELECT b FROM best{i}) || {sep}) AS tok_sep,
              wcount
       FROM seg{i}
     )"""
@@ -1979,10 +1999,12 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     SELECT w.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(len(w.word)) AS BIGINT) AS n_chars,
-           CAST(SUM(len(string_split(s.tok_sep, chr(31)))) AS BIGINT)
+           CAST(SUM(len(string_split(trim(s.tok_sep, chr(31)),
+                                     chr(31) || chr(31)))) AS BIGINT)
              AS n_tokens,
            round(SUM(len(w.word)) * 1.0
-                 / SUM(len(string_split(s.tok_sep, chr(31)))), 6)
+                 / SUM(len(string_split(trim(s.tok_sep, chr(31)),
+                                        chr(31) || chr(31)))), 6)
              AS chars_per_token
     FROM wordtok w JOIN seg{n_merges} s ON w.word = s.tok
     GROUP BY w.doc_id"""
@@ -2040,15 +2062,25 @@ def _bpe_fit(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("wcount"))
     )
+    # wrapped representation (see _bpe_oracle): each symbol is ␟sym␟, so
+    # the literal merge pattern ␟a␟␟b␟ anchors BOTH symbol boundaries —
+    # a bare a␟b pattern false-matched symbols merely ending in a /
+    # starting with b (code-review r8 finding, repro in
+    # test_bpe_train_boundary_anchoring)
     seg = wc.select(
         "tok",
-        F.concat_ws(_BPE_SEP, F.split("tok", "")).alias("tok_sep"),
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.concat_ws(_BPE_SEP + _BPE_SEP, F.split("tok", "")),
+            F.lit(_BPE_SEP),
+        ).alias("tok_sep"),
         "wcount",
     ).localCheckpoint(eager=True)
     merges = []
     for rnd in range(_BPE_N_MERGES):
         syms = seg.select(
-            F.split("tok_sep", _BPE_SEP).alias("s"), "wcount"
+            F.split(_bpe_symbols_expr(), _BPE_SEP + _BPE_SEP).alias("s"),
+            "wcount",
         ).filter(F.size("s") >= 2)
         pair_counts = (
             syms.select(
@@ -2074,7 +2106,9 @@ def _bpe_fit(spark, sf_dir):
         seg = seg.withColumn(
             "tok_sep",
             F.replace(
-                F.col("tok_sep"), F.lit(a + _BPE_SEP + b), F.lit(a + b)
+                F.col("tok_sep"),
+                F.lit(_BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP),
+                F.lit(_BPE_SEP + a + b + _BPE_SEP),
             ),
         ).localCheckpoint(eager=True)
     return merges, seg
@@ -2103,7 +2137,10 @@ def llm_bpe_encode(spark, sf_dir):
     merges, seg = _bpe_fit(spark, sf_dir)
     hint = _lm_count_table_hint(spark, sf_dir)
     lexicon = seg.select(
-        "tok", F.size(F.split("tok_sep", _BPE_SEP)).alias("n_syms")
+        "tok",
+        F.size(
+            F.split(_bpe_symbols_expr(), _BPE_SEP + _BPE_SEP)
+        ).alias("n_syms"),
     )
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(

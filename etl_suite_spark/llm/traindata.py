@@ -1074,21 +1074,13 @@ def llm_split_leakage(spark, sf_dir):
     like the registered dedup ops), per-pair exact Jaccard, then a
     6-row class rollup — pairs collapse to counts before anything
     driver-sized. The split label is a pure projection of doc_id, so
-    the audit adds nothing to the dedup pass it rides on."""
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("shared"))
-    )
+    the audit adds nothing to the dedup pass it rides on — literally:
+    the pair stage IS llm_dedup_ngram_jaccard (code-review r8 folded a
+    line-for-line copy back into the one definition)."""
+    from .dedup import llm_dedup_ngram_jaccard
+
+    pairs = llm_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+
     def _split(col):
         return (
             F.when(F.col(col) % 10 == 0, "test")
@@ -1096,13 +1088,7 @@ def llm_split_leakage(spark, sf_dir):
             .otherwise("train")
         )
     leaks = (
-        shared.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
-        .filter(
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-            >= 0.8
-        )
-        .select(_split("doc_a").alias("sa"), _split("doc_b").alias("sb"))
+        pairs.select(_split("doc_a").alias("sa"), _split("doc_b").alias("sb"))
         .select(
             F.concat_ws(
                 "-", F.least("sa", "sb"), F.greatest("sa", "sb")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..core import d2d, dec, sql_d2d
-from ..io import load_table, table_bytes
+from ..io import byte_gated_broadcast, load_table
 from ..registry import query
 
 _ONE = "CAST(1 AS DECIMAL(18,4))"
@@ -43,12 +43,17 @@ _TPCH_DIM_GATE_BYTES = 256 << 20
 
 
 def _dim_hint(spark, sf_dir, table, gate_bytes=None):
-    """Byte-gated broadcast hint for an sf-proportional TPC-H dimension."""
+    """Byte-gated broadcast hint for an sf-proportional TPC-H dimension.
+
+    Deliberately conservative: the gate reads the FULL base table's
+    bytes even where the call site joins a heavily filtered/projected
+    slice (q17's one-brand partkey list is ~4% of part) — over the gate
+    the hint is merely absent, and AQE recovers the broadcast at runtime
+    from the post-filter size, so conservatism costs at most the first
+    planned stage, never correctness (code-review r8 note)."""
     if gate_bytes is None:
         gate_bytes = _TPCH_DIM_GATE_BYTES  # late-bound: tests repoint it
-    if table_bytes(spark, sf_dir, table) < gate_bytes:
-        return F.broadcast
-    return lambda df: df
+    return byte_gated_broadcast(spark, sf_dir, table, gate_bytes)
 
 
 @query(

@@ -260,6 +260,18 @@ def test_shard_manifest_two_phase_equals_naive(spark):
     assert got == want
     assert len(got) > 1  # fixture actually spans multiple shards
 
+    # block-width independence: the √n-sized width the op now derives
+    # from file bytes must not matter — any width reproduces the naive
+    # assignment (so the scale-sizing can never flap the oracle)
+    from etl_suite_spark.llm.multimodal import _shard_manifest_from
+
+    for block in (7, 123, 5000):
+        alt = [
+            tuple(r)
+            for r in _shard_manifest_from(d, target=4096, block=block).collect()
+        ]
+        assert alt == want, f"block={block} diverged from naive"
+
 
 def test_split_leakage_classes_always_emit(spark):
     """All six split-pair classes must emit even when a class has zero
@@ -520,3 +532,38 @@ def test_subject_erasure_rewrites_only_affected_buckets(spark):
         d = os.path.join(wh, f"bucket={b}")
         post = files(b) if os.path.isdir(d) else {}
         assert post != pre[f"bucket={b}"]
+
+
+def test_bpe_train_boundary_anchoring(spark, tmp_path):
+    """Code-review r8 regression: a symbol merely ENDING in `a` (or
+    starting with `b`) must not false-match the (a, b) merge pattern.
+    Planted corpus: after (b, c) merges, 'abcd' segmented [ab, c, d]
+    used to glue to [abc, d] because 'ab' ends in 'b' and the bare
+    a\\x1fb replace anchored only the separator; the wrapped ␟a␟␟b␟
+    representation anchors both symbol edges.  Diverged at merge rank 4
+    before the fix (and the oracle shared the bug, so only a reference
+    check can see it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text = ("xab " * 10 + "ab " * 5 + "zbc " * 8 + "bc " * 6 + "abcd " * 9).strip()
+    corpus_dir = tmp_path / "bpe_boundary"
+    corpus_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {"doc_id": [0], "text": [text], "lang": ["en"], "n_chars": [len(text)]}
+        ),
+        corpus_dir / "documents.parquet",
+    )
+    wc: dict[str, int] = {}
+    for w in text.split(" "):
+        if w:
+            wc[w] = wc.get(w, 0) + 1
+    expected = _ref_bpe(wc, 8)
+    # the plant is live: the reference's rank-4 merge is (ab, c) — the
+    # one the boundary-glued trainer replaced with (abc, d)
+    assert expected[3][1:3] == ("ab", "c")
+    got = [
+        tuple(r) for r in QUERIES["llm_bpe_train"](spark, str(corpus_dir)).collect()
+    ]
+    assert got == expected

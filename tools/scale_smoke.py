@@ -146,7 +146,8 @@ def build_ann(base: str, copies: int, out: str, perturb: float = 0.001) -> None:
                       THEN text || ' copytok' || c ELSE text END AS text,
                  lang, source,
                  CASE WHEN (doc_id + c) % 10 < 3 AND c > 0
-                      THEN n_chars + 9 ELSE n_chars END AS n_chars
+                      THEN n_chars + 8 + strlen(CAST(c AS VARCHAR))
+                      ELSE n_chars END AS n_chars
           FROM read_parquet('{base}/documents.parquet'),
                unnest(range(0, {copies})) AS u(c)
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
@@ -340,7 +341,8 @@ def build(base: str, copies: int, out: str) -> None:
                       THEN text || ' copytok' || c ELSE text END AS text,
                  lang, source,
                  CASE WHEN (doc_id + c) % 10 < 3 AND c > 0
-                      THEN n_chars + 9 ELSE n_chars END AS n_chars
+                      THEN n_chars + 8 + strlen(CAST(c AS VARCHAR))
+                      ELSE n_chars END AS n_chars
           FROM read_parquet('{base}/documents.parquet'),
                unnest(range(0, {copies})) AS u(c)
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
@@ -468,8 +470,7 @@ def main() -> None:
             row = QUERIES[name](spark, out).collect()[0].asDict()
             timings[name] = {
                 "sec": round(time.perf_counter() - t0, 3),
-                "result": {k: (bool(v) if isinstance(v, bool) else v)
-                           for k, v in row.items()},
+                "result": dict(row),
             }
         print(
             json.dumps(
