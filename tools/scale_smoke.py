@@ -75,6 +75,11 @@ OPS = [
     # moment collects + the Arrow-matmul projection over 3M vectors)
     "llm_dsir_weights",
     "llm_emb_pca",
+    # the BPE trainer: corpus touched once (word-count agg), then 8
+    # driver-looped rounds over the DISTINCT-WORD table — the tier's
+    # replicated docs stress the word-count shuffle and the Heaps-sized
+    # per-round pair aggs
+    "llm_bpe_train",
 ]
 
 # Graph tier (--graph, VERDICT r5 item 4): the uniform tier replicates only
