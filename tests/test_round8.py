@@ -567,3 +567,58 @@ def test_bpe_train_boundary_anchoring(spark, tmp_path):
         tuple(r) for r in QUERIES["llm_bpe_train"](spark, str(corpus_dir)).collect()
     ]
     assert got == expected
+
+
+def test_bpe_train_fuzz_vs_reference(spark, tmp_path):
+    """Hypothesis fuzz of the BPE trainer against the pure-Python
+    reference — the guard for the bug class the boundary-anchoring fix
+    closed (mirrored-oracle algorithm bugs are invisible to the parity
+    gate, so only reference fuzzing patrols this edge).  Words drawn
+    from a 3-letter alphabet maximize symbol-boundary collisions
+    (suffix-of-a meets prefix-of-b constantly)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_suite_spark.llm import textstats
+
+    words = st.text(alphabet="abc", min_size=1, max_size=6)
+    corpora = st.lists(words, min_size=1, max_size=30)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus=corpora)
+    def run(corpus):
+        run.n += 1
+        text = " ".join(corpus)
+        d = tmp_path / f"bpe_fuzz_{run.n}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {"doc_id": [0], "text": [text], "lang": ["en"],
+                 "n_chars": [len(text)]}
+            ),
+            d / "documents.parquet",
+        )
+        wc: dict[str, int] = {}
+        for w in corpus:
+            wc[w] = wc.get(w, 0) + 1
+        expected = _ref_bpe(wc, 4)
+        orig = textstats._BPE_N_MERGES
+        try:
+            textstats._BPE_N_MERGES = 4
+            got = [
+                tuple(r)
+                for r in QUERIES["llm_bpe_train"](spark, str(d)).collect()
+            ]
+        finally:
+            textstats._BPE_N_MERGES = orig
+        assert got == expected, f"corpus={corpus!r}"
+
+    run.n = 0
+    run()
