@@ -130,6 +130,52 @@ ANN_RECALL_OPS = [
 ]
 
 
+# Events tier (--events, added r8): no other tier replicates the events
+# table, so the incremental/CDC/SCD2/sessionization family — the
+# reference's defining capability — had no measurement past sf0.1.
+# Replicates events copies-x with DISJOINT per-copy user_id/event_id
+# offsets (each copy is a fresh population: session counts and SCD2
+# interval counts scale linearly, per-user history depth is unchanged —
+# so near-linear wall at fixed per-key work is the pass criterion).
+# Each op is timed at 1x AND copies-x like the graph tier.
+EVENTS_OPS = [
+    "dim_scd2_build",
+    "dim_scd2_lookup",
+    "inc_scd2_apply",
+    "inc_snapshot_expire",
+    "win_sessionize",
+    "agg_session_stats",
+    # round-8 addition: the bucket-pruned GDPR erasure — build write +
+    # dynamic-overwrite erase + readback audit, all events-sized
+    "inc_subject_erasure",
+]
+
+
+def build_events(base: str, copies: int, out: str) -> None:
+    """Replicate events copies-x with disjoint user/event id offsets;
+    every other table copies as-is."""
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    for t in [
+        "region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem", "documents", "embeddings",
+    ]:
+        shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + 10000000 * c AS event_id, ts,
+                 user_id + 100000 * c AS user_id,
+                 event_type, value, props
+          FROM read_parquet('{base}/events.parquet'),
+               unnest(range(0, {copies})) AS u(c)
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
 def build_ann(base: str, copies: int, out: str, perturb: float = 0.001) -> None:
     """Replicate embeddings+documents copies-x; embeddings get a tiny
     deterministic per-(copy, dim) directional perturbation (~1e-3 of the
@@ -385,6 +431,11 @@ def main() -> None:
         help="run the ANN index tier (cold build vs warm probe split + recall gates; default --copies applies, 1500 recommended)",
     )
     ap.add_argument(
+        "--events",
+        action="store_true",
+        help="run the events tier (incremental/CDC/SCD2/sessionization ops timed at 1x and copies-x; no other tier replicates events)",
+    )
+    ap.add_argument(
         "--dedup-first",
         action="store_true",
         help="ANN tier only: collapse near-dup vectors (32-bit sign signature) before index build — measures the addendum-24 remedy",
@@ -423,6 +474,8 @@ def main() -> None:
     out = os.path.join(tempfile.mkdtemp(prefix="etl_scale_"), "sfx")
     if args.skew:
         build_skewed(args.base, out)
+    elif args.events:
+        build_events(args.base, args.copies, out)
     elif args.graph:
         build_graph(args.base, args.copies, out)
     elif args.ann:
@@ -489,6 +542,38 @@ def main() -> None:
                         if dedup_counts
                         else None
                     ),
+                    "queries": timings,
+                }
+            )
+        )
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        return
+
+    if args.events:
+        events_ops = restrict(EVENTS_OPS, "events")
+        QUERIES[events_ops[0]](spark, args.base).count()  # warmup
+        timings = {}
+        for name in events_ops:
+            t0 = time.perf_counter()
+            n1 = QUERIES[name](spark, args.base).count()
+            base_sec = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            nx = QUERIES[name](spark, out).count()
+            scaled_sec = round(time.perf_counter() - t0, 3)
+            timings[name] = {
+                "base_sec": base_sec,
+                "scaled_sec": scaled_sec,
+                "ratio": round(scaled_sec / base_sec, 2) if base_sec else None,
+                "base_rows": n1,
+                "scaled_rows": nx,
+            }
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_smoke_events_ratio",
+                    "tier": "events",
+                    "copies": args.copies,
+                    "base": args.base,
                     "queries": timings,
                 }
             )
