@@ -385,6 +385,7 @@ R9_PLANNED = [
     "stream_checkpoint_resume",
     "inc_subject_erasure",
     "llm_dedup_softweight",
+    "pipeline_run_report",
 ]
 
 # Round-9 rotation plan (computed at r8 close from the cumulative driver

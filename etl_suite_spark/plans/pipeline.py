@@ -603,3 +603,67 @@ def pipeline_dag_resume(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "pipeline_run_report",
+    # Per-stage job stats of a cold checkpointed run followed by a warm
+    # resume: row counts are engine-checkable facts of the DAG's stages;
+    # computed_cold / reused_warm encode the runner's contract (every
+    # stage computes exactly once, then every stage is reused).
+    oracle="""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderstatus <> 'F'
+    ), hi AS (
+      SELECT o_orderpriority, COUNT(*) AS n FROM base
+      WHERE o_totalprice >= 200000 GROUP BY 1
+    ), lo AS (
+      SELECT o_orderpriority, COUNT(*) AS n FROM base
+      WHERE o_totalprice < 200000 GROUP BY 1
+    ), counts(stage, n_rows) AS (
+      SELECT 'base', CAST(COUNT(*) AS BIGINT) FROM base
+      UNION ALL SELECT 'hi', CAST(COUNT(*) AS BIGINT) FROM hi
+      UNION ALL SELECT 'lo', CAST(COUNT(*) AS BIGINT) FROM lo
+      UNION ALL SELECT 'out', CAST(COUNT(*) AS BIGINT)
+        FROM hi JOIN lo USING (o_orderpriority)
+    )
+    SELECT stage, n_rows,
+           TRUE AS computed_cold, TRUE AS reused_warm
+    FROM counts ORDER BY stage
+    """,
+)
+def pipeline_run_report(spark, sf_dir):
+    """Per-stage run report of the checkpointed diamond DAG — the
+    reference's scheduler persists job stats alongside its checkpoint
+    documents [K], and this is that readout Spark-side: after a cold
+    checkpointed run and a warm resume of the same DAG, emit one row per
+    stage with its materialized row count (counted FROM the stage's
+    checkpoint parquet — the number a downstream consumer actually
+    gets), whether the cold pass computed it, and whether the warm pass
+    reused it. Both flags are genuinely computed from the runner's
+    ``_LAST_COMPUTED`` ledger, so a resume regression (a stage that
+    recomputes warm, or never computes cold) breaks the driver hash —
+    pipeline_dag_resume certifies the VALUES survive the restart path,
+    this op certifies the SCHEDULE.
+
+    Plan: the report is stage-count-sized (4 rows); each count is a scan
+    of that stage's checkpoint (metadata-cheap on parquet footers)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="etl_dagreport_")
+    run_dag_checkpointed(spark, sf_dir, _DAG, root)
+    cold = set(_LAST_COMPUTED)
+    run_dag_checkpointed(spark, sf_dir, _DAG, root)
+    warm_recomputed = set(_LAST_COMPUTED)
+    fps = _dag_fingerprints(_DAG)
+    import os
+
+    rows = []
+    for name in sorted(_DAG["stages"]):
+        n = spark.read.parquet(os.path.join(root, f"{name}-{fps[name]}")).count()
+        rows.append(
+            (name, n, name in cold, name not in warm_recomputed)
+        )
+    return spark.createDataFrame(
+        rows, "stage STRING, n_rows BIGINT, computed_cold BOOLEAN, reused_warm BOOLEAN"
+    ).orderBy("stage")
