@@ -1312,19 +1312,20 @@ def llm_dedup_embedding_recall(spark, sf_dir):
     llm_dedup_embedding's docstring for the measured numbers and the
     characterization of the one sf0.1 miss)."""
     docs = load_table(spark, sf_dir, "documents")
+    hint = _emb_docvec_hint(spark, sf_dir)  # one FS-metadata walk, both branches
     truth = _hashed_tf_neardup_pairs(
         spark,
         docs,
         tau=_EMB_TAU,
         token="v1:hashed_tf:" + sf_dir,
-        hint=_emb_docvec_hint(spark, sf_dir),
+        hint=hint,
     ).select("doc_a", "doc_b")
     cand = _band_candidates(_corpus_signatures(spark, sf_dir))
     routed = _score_candidate_pairs(
         cand,
         _hashed_tf(spark, docs, token="v1:hashed_tf:" + sf_dir),
         _EMB_TAU,
-        hint=_emb_docvec_hint(spark, sf_dir),
+        hint=hint,
     ).select("doc_a", "doc_b")
     found = truth.join(routed, ["doc_a", "doc_b"], "left_semi")
     return truth.agg(F.count("*").alias("n_true")).join(

@@ -589,9 +589,16 @@ def pipeline_dag_resume(spark, sf_dir):
     to the lazy compiler (shared oracle with pipeline_dag_run)."""
     import tempfile
 
+    import shutil
+
     root = tempfile.mkdtemp(prefix="etl_dagckpt_")
     run_dag_checkpointed(spark, sf_dir, _DAG, root)  # cold: computes all
     out = run_dag_checkpointed(spark, sf_dir, _DAG, root)  # warm: resume
+    # pin the output stage into the block manager so the checkpoint root
+    # can be reclaimed before returning (each invocation otherwise leaks
+    # a materialized copy of the base stage under /tmp)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
     return (
         out.select(
             F.col("o_orderpriority"),
@@ -664,6 +671,12 @@ def pipeline_run_report(spark, sf_dir):
         rows.append(
             (name, n, name in cold, name not in warm_recomputed)
         )
+    # the report is built from already-collected counts, so the
+    # checkpoint root can be reclaimed before returning (no lazy scan
+    # depends on it — unlike pipeline_dag_resume's returned frame)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "stage STRING, n_rows BIGINT, computed_cold BOOLEAN, reused_warm BOOLEAN"
     ).orderBy("stage")

@@ -163,6 +163,18 @@ def build_events(base: str, copies: int, out: str) -> None:
     ]:
         shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     con = duckdb.connect()
+    # disjointness is the tier's pass criterion — ENFORCE the offsets
+    # instead of assuming the base fixture's id ranges (code-review r8:
+    # a wider future fixture would silently alias copies into each other
+    # and merge cross-copy sessions with no error)
+    mx_e, mx_u = con.execute(
+        f"SELECT MAX(event_id), MAX(user_id) FROM read_parquet('{base}/events.parquet')"
+    ).fetchone()
+    if mx_e >= 10000000 or mx_u >= 100000:
+        raise SystemExit(
+            f"events id ranges (max event_id {mx_e}, max user_id {mx_u}) "
+            "exceed the tier's per-copy offsets (1e7 / 1e5): copies would alias"
+        )
     con.execute(
         f"""
         COPY (
