@@ -386,11 +386,12 @@ R9_PLANNED = [
     "inc_subject_erasure",
     "llm_dedup_softweight",
     "pipeline_run_report",
+    "agg_sketch_overlap",
 ]
 
 # Round-9 rotation plan (computed at r8 close from the cumulative driver
 # ledger, assuming R8_WINDOW lands r8 evidence): the 50-slot R9 window
-# should be R9_PLANNED (the 13 above) + the 27 r1-era stragglers
+# should be R9_PLANNED (the 14 above) + the 27 r1-era stragglers
 #   fn_array_setops fn_bitwise fn_encode fn_format fn_interval_arith
 #   fn_struct_nested fn_surrogate_key fn_trig fn_url fn_xml
 #   llm_dedup_editdist llm_dedup_embcos llm_dedup_ngram_jaccard
@@ -398,9 +399,9 @@ R9_PLANNED = [
 #   llm_sim_ann_ivf llm_sim_ann_lsh llm_sim_ann_multiprobe
 #   llm_sim_ann_recall llm_sim_knn_classify ml_kmeans_tiers
 #   ml_kmeanspp_tiers ml_linear_scoring mm_binary_features mm_frame_sample
-# + the 10 oldest r2-era core aggs (agg_collect agg_count_distinct
+# + the 9 oldest r2-era core aggs (agg_collect agg_count_distinct
 #   agg_cube agg_first_last agg_group_basic agg_grouping_sets agg_having
-#   agg_histogram agg_mode_per_group agg_percentile) = exactly 50.
+#   agg_histogram agg_mode_per_group) = exactly 50.
 # After that window executes, no registered query's evidence is older
 # than r2, and the r2/r3 tail clears fully by r10.
 

@@ -1323,3 +1323,123 @@ def agg_partial_final(spark, sf_dir):
         F.round(d2d(F.col("m_sum")) / F.col("n_rows"), 6).alias("avg_qty"),
         F.col("m_max").cast("double").alias("max_qty"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@query(
+    "agg_sketch_overlap",
+    # Exact pairwise overlaps are engine-checkable; the HLL
+    # inclusion-exclusion estimate is Spark-internal (same reason
+    # agg_sketch_rollup is rows-only) so it surfaces only through a
+    # genuinely computed within-tolerance flag — the ml_kmeans_quality
+    # honesty pattern. Audience sets are per-type (user, day) activity
+    # pairs: per-type USER sets are fixture-degenerate (every type sees
+    # all users), user-days vary (~1600 per type, overlaps 555-599 at
+    # sf0.01).
+    oracle="""
+    WITH s AS (
+      SELECT DISTINCT event_type,
+             user_id * 100 + date_part('day', ts) AS ud
+      FROM events
+    ), sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM s GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS exact_overlap
+      FROM s a JOIN s b ON a.ud = b.ud AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(na.n AS BIGINT) AS n_a,
+           CAST(nb.n AS BIGINT) AS n_b,
+           CAST(exact_overlap AS BIGINT) AS exact_overlap,
+           TRUE AS approx_within_15pct
+    FROM pairs
+    JOIN sizes na ON na.event_type = type_a
+    JOIN sizes nb ON nb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def agg_sketch_overlap(spark, sf_dir):
+    """Sketch-based audience-overlap estimation: |A∩B| via HLL
+    inclusion-exclusion (|A| + |B| − |A∪B|, each term a mergeable
+    Datasketches HLL estimate) for every unordered pair of event-type
+    activity sets — the overlap analysis that at 100 TB runs on persisted
+    per-segment sketches (KBs each) instead of re-shuffling raw id sets
+    per pair. The union of two sketches is F.hll_union on the
+    type-count-sized sketch table; nothing corpus-sized moves after the
+    one distinct-set aggregation pass.
+
+    Honesty: inclusion-exclusion AMPLIFIES HLL error (three ±1.6%-σ
+    estimates of ~1600-2600-element sets land on an overlap of ~570), so
+    the flag asserts |approx − exact| ≤ 15% of exact — MEASURED worst
+    pair error: 0.0% at sf0.001 (sets small enough that the sketch is
+    exact), 8.96% at sf0.01, 6.81% at sf0.1; deterministic (HLL sketches
+    of fixed input are reproducible), so the flag cannot flap, and the
+    1.7× margin over the worst measured point is real headroom, not a
+    guess. The exact overlaps ride along as the driver-hash-checked
+    columns, so the oracle certifies the exact side AND the flag
+    certifies the sketch side."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("ud"),
+    ).distinct()
+    sizes = s.groupBy("event_type").agg(F.count("*").alias("n"))
+    sketches = s.groupBy("event_type").agg(F.hll_sketch_agg("ud").alias("sk"))
+    a = sketches.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sketches.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    est = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            ).alias("est_union"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "approx_overlap"
+            ),
+        )
+    )
+    sa, sb = s.alias("sa"), s.alias("sb")
+    exact = (
+        sa.join(
+            sb,
+            (F.col("sa.ud") == F.col("sb.ud"))
+            & (F.col("sa.event_type") < F.col("sb.event_type")),
+        )
+        .groupBy(
+            F.col("sa.event_type").alias("type_a"),
+            F.col("sb.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    na = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        exact.join(est, ["type_a", "type_b"])
+        .join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("exact_overlap").cast("long").alias("exact_overlap"),
+            (
+                F.abs(F.col("approx_overlap") - F.col("exact_overlap"))
+                <= 0.15 * F.col("exact_overlap")
+            ).alias("approx_within_15pct"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -56,6 +56,7 @@ EXPECTED_NLJ = {
     "llm_sim_ann_ivfpq",  # coarse-centroid broadcast + broadcast probe tables
     "llm_sim_ann_ivfpq_recall",  # same + one-row metric join
     "agg_aqp_estimate",  # two one-row aggregates joined (estimate vs exact)
+    "agg_sketch_overlap",  # 5-row sketch table pair self-join (type-count-sized by design)
     "graph_triangle_count",  # four one-row metric aggregates joined
     "agg_market_basket",  # one-row n_orders broadcast crossJoin (lazy denominator, r5)
     "agg_dau_wau_stickiness",  # broadcast day-grid theta-join (<=7x bounded fanout)
