@@ -389,25 +389,66 @@ R9_PLANNED = [
     "agg_sketch_overlap",
 ]
 
-# Round-9 rotation plan (computed at r8 close from the cumulative driver
-# ledger, assuming R8_WINDOW lands r8 evidence): the 50-slot R9 window
-# should be R9_PLANNED (the 14 above) + the 27 r1-era stragglers
-#   fn_array_setops fn_bitwise fn_encode fn_format fn_interval_arith
-#   fn_struct_nested fn_surrogate_key fn_trig fn_url fn_xml
-#   llm_dedup_editdist llm_dedup_embcos llm_dedup_ngram_jaccard
-#   llm_dedup_simhash llm_dedup_url llm_lang_id llm_quality_score
-#   llm_sim_ann_ivf llm_sim_ann_lsh llm_sim_ann_multiprobe
-#   llm_sim_ann_recall llm_sim_knn_classify ml_kmeans_tiers
-#   ml_kmeanspp_tiers ml_linear_scoring mm_binary_features mm_frame_sample
-# + the 9 oldest r2-era core aggs (agg_collect agg_count_distinct
-#   agg_cube agg_first_last agg_group_basic agg_grouping_sets agg_having
-#   agg_histogram agg_mode_per_group) = exactly 50.
-# After that window executes, no registered query's evidence is older
-# than r2, and the r2/r3 tail clears fully by r10.
+# Round-9 ACTIVE window (VERDICT r8 "Next round" item 1, staged at r8
+# close): R9_PLANNED (the 14 round-8 additions above — after this window
+# executes the never-checked backlog is 0) + the oldest-evidence
+# re-checks: the 27 r1-era extended-inventory stragglers and the 9
+# oldest r2-era core aggs = exactly 50.  CORRECTNESS_r08 landed 50/50
+# green (49 hash + the rows-only-by-design llm_dedup_minhash), so there
+# are no red re-checks.  After this window executes, no registered
+# query's evidence is older than r2.
+R9_RECHECKS = [
+    # r1-era extended-inventory stragglers (latest driver record r1):
+    "fn_array_setops",
+    "fn_bitwise",
+    "fn_encode",
+    "fn_format",
+    "fn_interval_arith",
+    "fn_struct_nested",
+    "fn_surrogate_key",
+    "fn_trig",
+    "fn_url",
+    "fn_xml",
+    "llm_dedup_editdist",
+    "llm_dedup_embcos",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash",  # rows-only by design; `_recall` twin oracled
+    "llm_dedup_url",
+    "llm_lang_id",
+    "llm_quality_score",
+    "llm_sim_ann_ivf",  # rows-only by design; `_recall` twin oracled
+    "llm_sim_ann_lsh",
+    "llm_sim_ann_multiprobe",
+    "llm_sim_ann_recall",
+    "llm_sim_knn_classify",
+    "ml_kmeans_tiers",  # rows-only by design; ml_kmeans_quality oracled
+    "ml_kmeanspp_tiers",  # rows-only by design; quality twin oracled
+    "ml_linear_scoring",
+    "mm_binary_features",
+    "mm_frame_sample",
+    # oldest r2-era core aggs:
+    "agg_collect",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_first_last",
+    "agg_group_basic",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram",
+    "agg_mode_per_group",
+]
+
+R9_WINDOW = R9_PLANNED + R9_RECHECKS
+
+# Round-10 overflow plan: queries added during round 9 queue here under
+# the same contract (oracle-checked locally on introduction;
+# tests/test_entry_contract.py counts R10 toward the
+# every-query-has-a-driver-evidence-plan invariant).
+R10_PLANNED: list[str] = []
 
 
 def _windowed(mapping: dict) -> dict:
-    ordered = {k: mapping[k] for k in R8_WINDOW if k in mapping}
+    ordered = {k: mapping[k] for k in R9_WINDOW if k in mapping}
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
     return ordered
 

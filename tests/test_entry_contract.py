@@ -6,14 +6,16 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-8 window composition (VERDICT r7 "Next round" item 1): the 25
-queries queued in R8_PLANNED across rounds 6-7 + the 25 oldest-evidence
-re-checks (all 13 core SURVEY §2 IDs whose latest driver record dates to
-r1, including the rows-only-by-design llm_dedup_minhash, plus the 12
-r2-era core joins).  After R8 executes, every pre-r8 registered query
-has driver evidence no older than r2 and the never-checked backlog is
-exactly R9_PLANNED — the strict-ledger test below enforces that from the
-committed CORRECTNESS files.
+Round-9 window composition (VERDICT r8 "Next round" item 1): the 14
+queries queued in R9_PLANNED during round 8 (clearing the never-checked
+backlog to zero) + the 36 oldest-evidence re-checks (27 r1-era
+extended-inventory stragglers and the 9 oldest r2-era core aggs).
+CORRECTNESS_r08 landed 50/50 green so there are no red re-checks.
+After R9 executes, every registered query has driver evidence no older
+than r2 — the strict-ledger test below enforces the endgame form
+(VERDICT r8 item 4): NO registered query may lack a committed driver
+record unless it sits in the active window or is a round-9 addition in
+R10_PLANNED.
 """
 
 from __future__ import annotations
@@ -23,69 +25,73 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R8_WINDOW = [
-    # --- R8_PLANNED: the two round-6 carryovers... ---
-    "ts_rolling_slope",
-    "graph_label_propagation",
-    # --- ...plus the round-7 additions (oracle-checked locally then) ---
-    "agg_hhi_concentration",
-    "ts_cross_correlation",
-    "agg_cms_heavy_hitters",
-    "llm_cross_entropy_heldout",
-    "llm_bigram_pmi_top20",
-    "llm_dup_cluster_histogram",
-    "llm_emb_dim_stats",
-    "dq_duplicate_key_report",
-    "ml_gradient_step_linear",
-    "graph_kcore",
-    "ml_auc_roc",
-    "ml_calibration_bins",
-    "ml_confusion_metrics",
-    "llm_ngram_coverage_curve",
-    "agg_session_stats",
-    "llm_emb_gram_matrix",
-    "llm_lang_id_confusion",
-    "llm_sft_lint",
-    "stream_content_dedup",
-    "agg_ship_latency",
-    "ts_sma_crossover",
-    "agg_partial_final",
-    "dim_calendar_build",
-    # --- re-checks: r1-era core §2 IDs ---
-    "fn_regexp",
-    "fn_math",
-    "fn_array",
-    "fn_explode",
-    "fn_hash",
-    "fn_conditional",
-    "llm_dedup_exact",
-    "llm_dedup_minhash",  # rows-only by design (engine-specific seeds)
-    "llm_sim_cosine_topk",
-    "llm_sim_centroid",
-    "llm_text_stats",
-    "llm_text_tfidf",  # byte-gated dfreq broadcast this round
-    "llm_multimodal_join",
-    # --- re-checks: r2-era core joins ---
-    "join_inner_equi",
-    "join_multiway",
-    "join_semi",
-    "join_anti",
-    "join_broadcast",
-    "join_cross",
-    "join_theta_range",
-    "join_asof",
-    "join_self_agg",
-    "join_left",
-    "join_right",
-    "join_full",
+EXPECTED_R9_WINDOW = [
+    # --- R9_PLANNED: round-8 additions (oracle-checked locally on intro) ---
+    "llm_bpe_train",
+    "llm_bpe_encode",
+    "mm_shard_manifest",
+    "llm_split_leakage",
+    "llm_dsir_weights",
+    "pipeline_dag_resume",
+    "llm_emb_pca",  # rows-only by design (LAPACK floats; variance twin oracled)
+    "llm_emb_pca_variance",
+    "llm_dsir_resample",
+    "stream_checkpoint_resume",
+    "inc_subject_erasure",
+    "llm_dedup_softweight",
+    "pipeline_run_report",
+    "agg_sketch_overlap",
+    # --- re-checks: r1-era extended-inventory stragglers ---
+    "fn_array_setops",
+    "fn_bitwise",
+    "fn_encode",
+    "fn_format",
+    "fn_interval_arith",
+    "fn_struct_nested",
+    "fn_surrogate_key",
+    "fn_trig",
+    "fn_url",
+    "fn_xml",
+    "llm_dedup_editdist",
+    "llm_dedup_embcos",
+    "llm_dedup_ngram_jaccard",
+    "llm_dedup_simhash",  # rows-only by design; `_recall` twin oracled
+    "llm_dedup_url",
+    "llm_lang_id",
+    "llm_quality_score",
+    "llm_sim_ann_ivf",  # rows-only by design; `_recall` twin oracled
+    "llm_sim_ann_lsh",
+    "llm_sim_ann_multiprobe",
+    "llm_sim_ann_recall",
+    "llm_sim_knn_classify",
+    "ml_kmeans_tiers",  # rows-only by design; ml_kmeans_quality oracled
+    "ml_kmeanspp_tiers",  # rows-only by design; quality twin oracled
+    "ml_linear_scoring",
+    "mm_binary_features",
+    "mm_frame_sample",
+    # --- re-checks: oldest r2-era core aggs ---
+    "agg_collect",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_first_last",
+    "agg_group_basic",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_histogram",
+    "agg_mode_per_group",
 ]
 
-# The single window slot without an oracle: llm_dedup_minhash's sketch
-# buckets depend on engine-specific xxhash64 seeds; its `_recall` /
-# `_precision` honesty twins ARE oracle-checked (driver-green r4/r5).
-ROWS_ONLY_IN_WINDOW = {"llm_dedup_minhash"}
+# Window slots without an oracle, each rows-only BY DESIGN with an
+# oracle-checked honesty twin (see the per-slot comments above).
+ROWS_ONLY_IN_WINDOW = {
+    "llm_emb_pca",
+    "llm_dedup_simhash",
+    "llm_sim_ann_ivf",
+    "ml_kmeans_tiers",
+    "ml_kmeanspp_tiers",
+}
 
-_DRIVER_ROUNDS = tuple(range(1, 9))
+_DRIVER_ROUNDS = tuple(range(1, 10))
 
 
 def _driver_history() -> dict[str, dict]:
@@ -99,44 +105,48 @@ def _driver_history() -> dict[str, dict]:
 
 
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R8_WINDOW) == 50
-    assert len(set(EXPECTED_R8_WINDOW)) == 50
+    assert len(EXPECTED_R9_WINDOW) == 50
+    assert len(set(EXPECTED_R9_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R8_WINDOW
-    assert entry_mod.R8_WINDOW == EXPECTED_R8_WINDOW
+    assert qs[:50] == EXPECTED_R9_WINDOW
+    assert entry_mod.R9_WINDOW == EXPECTED_R9_WINDOW
 
 
 def test_window_composition():
-    """The window is exactly R8_PLANNED followed by the re-check block,
-    and the re-checks only contain queries whose latest driver record is
-    r1/r2 (recomputed from the committed CORRECTNESS files)."""
-    assert entry_mod.R8_WINDOW == entry_mod.R8_PLANNED + entry_mod.R8_RECHECKS
+    """The window is exactly R9_PLANNED followed by the re-check block;
+    the planned block is exactly the never-driver-checked queries and the
+    re-checks only contain queries whose latest driver record is r1/r2
+    (recomputed from the committed CORRECTNESS files)."""
+    assert entry_mod.R9_WINDOW == entry_mod.R9_PLANNED + entry_mod.R9_RECHECKS
     root = pathlib.Path(__file__).resolve().parent.parent
     latest_round: dict[str, int] = {}
-    for n in (1, 2, 3, 4, 5, 6, 7):
-        path = root / f"CORRECTNESS_r0{n}.json"
+    for n in range(1, 9):
+        path = root / f"CORRECTNESS_r{n:02d}.json"
         if path.exists():
             for name in json.loads(path.read_text()):
                 latest_round[name] = n
-    stale = {n: latest_round.get(n) for n in entry_mod.R8_RECHECKS}
+    never_checked = {n for n in entry_mod.R9_PLANNED if n in latest_round}
+    assert not never_checked, f"R9_PLANNED slots already evidenced: {never_checked}"
+    stale = {n: latest_round.get(n) for n in entry_mod.R9_RECHECKS}
     too_fresh = {n: r for n, r in stale.items() if r is None or r > 2}
     assert not too_fresh, f"re-check slots with fresh evidence: {too_fresh}"
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R8_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R9_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
 def test_window_oracle_coverage():
-    # Exactly one rows-only slot this round (llm_dedup_minhash); every
-    # other window entry carries a DuckDB oracle.
+    # Exactly five rows-only slots this round (each by design, with an
+    # oracled honesty twin); every other window entry carries a DuckDB
+    # oracle.
     oracles = entry_mod.oracle_sql()
-    missing = {n for n in EXPECTED_R8_WINDOW if n not in oracles}
+    missing = {n for n in EXPECTED_R9_WINDOW if n not in oracles}
     assert missing == ROWS_ONLY_IN_WINDOW, (
         f"unexpected rows-only window slots: {missing ^ ROWS_ONLY_IN_WINDOW}"
     )
@@ -151,7 +161,7 @@ def test_oracle_keys_subset_of_queries():
 def test_no_stale_red_left_outside_window():
     """Any query whose LATEST driver record is red (oracle-able but not
     fully green) must sit inside the active window for a re-check.
-    Recomputed from the committed CORRECTNESS files; r1-r7 ended 50/50
+    Recomputed from the committed CORRECTNESS files; r1-r8 ended 50/50
     green so this is expected vacuous — it exists to catch a regression
     being planned around rather than re-checked."""
     latest = _driver_history()
@@ -164,7 +174,7 @@ def test_no_stale_red_left_outside_window():
             rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
         )
     ]
-    outside = sorted(set(red) - set(EXPECTED_R8_WINDOW))
+    outside = sorted(set(red) - set(EXPECTED_R9_WINDOW))
     assert not outside, f"stale-red oracle-able queries not in window: {outside}"
 
 
@@ -175,38 +185,32 @@ def _is_green_or_rows_only(rec: dict) -> bool:
     return rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
 
 
-def test_evidence_ledger_covers_every_query():
-    """Every registered query must have a green-or-rows-only driver
-    record in the committed CORRECTNESS files, OR a pinned slot in the
-    active window / R9_PLANNED.  A future query added with no
-    driver-evidence plan fails here immediately."""
+def test_strict_ledger_endgame():
+    """VERDICT r8 item 4 (the endgame flip): EVERY registered query must
+    have a committed green/rows-only driver record, or sit in the active
+    R9 window, or be a round-9 addition pinned in R10_PLANNED.  There is
+    no other escape — a query added with no driver-evidence plan fails
+    here immediately."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    planned = set(EXPECTED_R8_WINDOW) | set(entry_mod.R9_PLANNED)
+    planned = set(EXPECTED_R9_WINDOW) | set(entry_mod.R10_PLANNED)
     uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
 
-def test_strict_ledger_pre_r8_backlog_is_empty():
-    """VERDICT r7 item 6 (tightened ledger, endgame form): every query
-    registered BEFORE round 8 must either have a committed driver record
-    or sit in the active R8 window — there is NO plan-list escape for
-    pre-r8 queries.  Only round-8 additions (R9_PLANNED) may wait."""
-    latest = _driver_history()
-    evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    pre_r8 = set(entry_mod.queries()) - set(entry_mod.R9_PLANNED)
-    uncovered = sorted(pre_r8 - evidenced - set(EXPECTED_R8_WINDOW))
-    assert not uncovered, f"pre-r8 queries with no driver record: {uncovered}"
-
-
-def test_r9_overflow_plan_is_well_formed():
-    assert len(entry_mod.R9_PLANNED) <= 50
-    assert len(set(entry_mod.R9_PLANNED)) == len(entry_mod.R9_PLANNED)
-    overlap = set(entry_mod.R9_PLANNED) & set(EXPECTED_R8_WINDOW)
-    assert not overlap, f"R9 entries already in the R8 window: {overlap}"
+def test_r10_overflow_plan_is_well_formed():
+    assert len(entry_mod.R10_PLANNED) <= 50
+    assert len(set(entry_mod.R10_PLANNED)) == len(entry_mod.R10_PLANNED)
+    overlap = set(entry_mod.R10_PLANNED) & set(EXPECTED_R9_WINDOW)
+    assert not overlap, f"R10 entries already in the R9 window: {overlap}"
     registered = set(entry_mod.queries())
-    ghosts = sorted(set(entry_mod.R9_PLANNED) - registered)
-    assert not ghosts, f"R9-planned names not registered: {ghosts}"
+    ghosts = sorted(set(entry_mod.R10_PLANNED) - registered)
+    assert not ghosts, f"R10-planned names not registered: {ghosts}"
+    # R10_PLANNED is only for NEW (round-9) queries: none may already
+    # hold driver evidence.
+    latest = _driver_history()
+    stale = sorted(set(entry_mod.R10_PLANNED) & set(latest))
+    assert not stale, f"R10-planned names already evidenced: {stale}"
 
 
 def test_bench_headline_queries_registered():
