@@ -1935,15 +1935,18 @@ def _gram_moment_partials(spark, sf_dir):
 
 
 def _emb_exact_moments(spark, sf_dir):
-    """(n, colsum[64] int, gram[64,64] int) of the 6-dp-quantized
-    embedding matrix — the exact integer sufficient statistics PCA
-    needs, from ONE corpus pass (the shared moment partials above) and
-    one driver collect bounded by d² (2080 + 64 + 1 rows, never corpus-
-    sized). Raises on an empty table instead of mis-indexing; a ragged
-    embedding column fails loudly inside the partial's
-    np.array(dtype=int64) construction."""
-    import numpy as np
-
+    """(n, colsum[64], gram[64,64]) of the 6-dp-quantized embedding
+    matrix as EXACT Python ints (arbitrary precision — Gram/colsum
+    entries exceed 2^53 at the 3M-vector scale tier, so a float64
+    conversion at the collect step would silently round them; ADVICE r8
+    item 1) — the exact integer sufficient statistics PCA needs, from
+    ONE corpus pass (the shared moment partials above) and one driver
+    collect bounded by d² (2080 + 64 + 1 rows, never corpus-sized).
+    Exactness holds end-to-end: DECIMAL(38,0) in the distributed
+    aggregation, int(Decimal) here; the single float rounding per
+    covariance entry happens in _pca_components. Raises on an empty
+    table instead of mis-indexing; a ragged embedding column fails
+    loudly inside the partial's np.array(dtype=int64) construction."""
     rows = (
         _gram_moment_partials(spark, sf_dir)
         .groupBy("i", "j")
@@ -1951,18 +1954,18 @@ def _emb_exact_moments(spark, sf_dir):
         .collect()
     )
     n = 0
-    colsum = np.zeros(64, dtype=np.float64)
-    gram = np.zeros((64, 64), dtype=np.float64)
+    colsum = [0] * 64
+    gram = [[0] * 64 for _ in range(64)]
     for r in rows:
         i, j = int(r["i"]), int(r["j"])
-        s = float(r["ss"])
+        s = int(r["ss"])
         if i == -2:
-            n = int(r["ss"])
+            n = s
         elif i == -1:
             colsum[j] = s
         else:
-            gram[i, j] = s
-            gram[j, i] = s
+            gram[i][j] = s
+            gram[j][i] = s
     if n <= 0:
         raise ValueError("embeddings table is empty: PCA moments undefined")
     return n, colsum, gram
@@ -1973,14 +1976,24 @@ _PCA_K = 8
 
 def _pca_components(n, colsum, gram, k=_PCA_K):
     """Top-k principal directions from the exact integer moments.
-    Population covariance C = Gram/n − μμᵀ (still in the 1e12-scaled
-    quantized space); eigh is the only float step, its input exact.
+    Population covariance C = (n·Gram − colsumᵀcolsum)/n² is formed per
+    entry as float(exact-int numerator)/n² — ONE correctly-rounded float
+    operation per entry, after all integer arithmetic runs at arbitrary
+    precision (so >2^53 Gram entries are not pre-truncated); eigh is the
+    only iterative float step. trace(C) uses the same exact numerator.
     Deterministic sign convention: each component's largest-|entry|
     coordinate (first index on ties) is made positive."""
     import numpy as np
 
-    mu = colsum / n
-    cov = gram / n - np.outer(mu, mu)
+    d = len(colsum)
+    cs = [int(c) for c in colsum]
+    nn = n * n
+    cov = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        gi, ci = gram[i], cs[i]
+        for j in range(i, d):
+            cov[i, j] = cov[j, i] = float(n * int(gi[j]) - ci * cs[j]) / nn
+    trace = float(sum(n * int(gram[i][i]) - cs[i] * cs[i] for i in range(d))) / nn
     w, v = np.linalg.eigh(cov)  # ascending
     order = np.argsort(w)[::-1][:k]
     comps = v[:, order].T.copy()  # k x 64
@@ -1988,7 +2001,7 @@ def _pca_components(n, colsum, gram, k=_PCA_K):
         pivot = int(np.argmax(np.abs(row)))
         if row[pivot] < 0:
             row *= -1
-    return comps, w[order], float(np.trace(cov))
+    return comps, w[order], trace
 
 
 @query("llm_emb_pca")  # rows-only: eigendecomposition is float-iterative
@@ -2017,7 +2030,7 @@ def llm_emb_pca(spark, sf_dir):
 
     n, colsum, gram = _emb_exact_moments(spark, sf_dir)
     comps, _, _ = _pca_components(n, colsum, gram)
-    mu = colsum / n  # quantized-space mean
+    mu = np.asarray(colsum, dtype=np.float64) / n  # quantized-space mean
     w_t = comps.T  # 64 x 8
 
     e = load_table(spark, sf_dir, "embeddings")

@@ -1338,7 +1338,7 @@ def agg_partial_final(spark, sf_dir):
     oracle="""
     WITH s AS (
       SELECT DISTINCT event_type,
-             user_id * 100 + date_part('day', ts) AS ud
+             user_id * 100000 + datediff('day', DATE '2024-01-01', ts) AS ud
       FROM events
     ), sizes AS (
       SELECT event_type, COUNT(*) AS n FROM s GROUP BY 1
@@ -1372,17 +1372,24 @@ def agg_sketch_overlap(spark, sf_dir):
     Honesty: inclusion-exclusion AMPLIFIES HLL error (three ±1.6%-σ
     estimates of ~1600-2600-element sets land on an overlap of ~570), so
     the flag asserts |approx − exact| ≤ 15% of exact — MEASURED worst
-    pair error: 0.0% at sf0.001 (sets small enough that the sketch is
-    exact), 8.96% at sf0.01, 6.81% at sf0.1; deterministic (HLL sketches
-    of fixed input are reproducible), so the flag cannot flap, and the
-    1.7× margin over the worst measured point is real headroom, not a
-    guess. The exact overlaps ride along as the driver-hash-checked
-    columns, so the oracle certifies the exact side AND the flag
-    certifies the sketch side."""
+    pair error with the epoch-day key: 0.0% at sf0.001 (sets small
+    enough that the sketch is exact), 8.18% at sf0.01, 10.98% at sf0.1;
+    deterministic (HLL sketches of fixed input are reproducible), so the
+    flag cannot flap, and the 1.37× margin over the worst measured point
+    is real headroom, not a guess. The exact overlaps ride along as the
+    driver-hash-checked columns, so the oracle certifies the exact side
+    AND the flag certifies the sketch side."""
     ev = load_table(spark, sf_dir, "events")
+    # unambiguous epoch-day key: user_id * 100000 + days-since-2024-01-01
+    # (a day-of-month key would alias Jan 5 and Feb 5 once a fixture
+    # spans months; ADVICE r8 item 3 — |day offset| stays ≪ 50000 for
+    # any realistic timestamp so the key never crosses user blocks)
     s = ev.select(
         "event_type",
-        (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("ud"),
+        (
+            F.col("user_id") * 100000
+            + F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date"))
+        ).alias("ud"),
     ).distinct()
     sizes = s.groupBy("event_type").agg(F.count("*").alias("n"))
     sketches = s.groupBy("event_type").agg(F.hll_sketch_agg("ud").alias("sk"))

@@ -995,6 +995,14 @@ def dim_calendar_build(spark, sf_dir):
 # everything; code-review r8 finding).
 _LAST_ERASURE_WH: list = []
 
+# Pytest sets this True to keep the temp warehouse on disk for file-level
+# inspection (and reclaims it itself). Default False: the op eagerly
+# materializes its audit result and rmtrees the warehouse before
+# returning — each invocation otherwise leaks an events-sized parquet
+# copy under /tmp, gigabytes per run at the 50M-row scale tier
+# (ADVICE r8 item 2; same reclamation the DAG checkpoint ops do).
+_KEEP_ERASURE_WH = False
+
 
 def _bucket_file_snapshot(wh: str) -> dict[str, dict[str, float]]:
     snap: dict[str, dict[str, float]] = {}
@@ -1088,7 +1096,7 @@ def inc_subject_erasure(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count("*").alias("rows_after"))
     )
-    return (
+    audit = (
         stats.join(after, "bucket", "left")
         .select(
             F.col("bucket").cast("long").alias("bucket"),
@@ -1099,3 +1107,10 @@ def inc_subject_erasure(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+    if _KEEP_ERASURE_WH:
+        return audit  # pytest inspects (and reclaims) the warehouse
+    # pin the ≤16-row audit into the block manager, then reclaim the
+    # events-sized temp warehouse its lazy plan would otherwise scan
+    audit = audit.localCheckpoint(eager=True)
+    shutil.rmtree(os.path.dirname(wh), ignore_errors=True)
+    return audit

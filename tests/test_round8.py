@@ -408,7 +408,30 @@ def test_emb_pca_matches_numpy_reference(spark):
 
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
     X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    q = np.round(X * 1e6)
+    # Quantize EXACTLY like the engines: `embedding[i] * 1000000` is
+    # float32 * int, which BOTH Spark and DuckDB coerce to a FLOAT32
+    # multiply (so the product snaps to float32 grid — e.g.
+    # -0.15661649…*1e6 lands on exactly -156616.5), and Spark's round()
+    # is then decimal HALF_UP on that value's shortest repr — not
+    # numpy's half-even, and not floor(x+0.5) (which mis-rounds when
+    # x+0.5 crosses an integer in float arithmetic).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    prod = (X.astype(np.float32) * np.float32(1e6)).astype(np.float64)
+    q = np.array(
+        [
+            [
+                float(
+                    Decimal(repr(v)).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+                for v in row
+            ]
+            for row in prod
+        ],
+        dtype=np.float64,
+    )
     n = len(q)
     mu = q.sum(axis=0) / n
     cov = (q.T @ q) / n - np.outer(mu, mu)
@@ -423,9 +446,17 @@ def test_emb_pca_matches_numpy_reference(spark):
 
     mn, colsum, gram = _emb_exact_moments(spark, SF_DIR)
     assert mn == n
+    # moments are exact Python ints end-to-end (ADVICE r8 item 1): no
+    # 2^53 truncation can have happened at the collect step
+    assert all(isinstance(c, int) for c in colsum)
+    assert all(isinstance(g, int) for row in gram for g in row)
+    assert colsum == [int(c) for c in q.sum(axis=0)]
+    assert gram == [[int(v) for v in row] for row in (q.T @ q).astype(np.int64)]
     comps, eigvals, trace = _pca_components(mn, colsum, gram)
     assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-9)
-    assert abs(sum(np.linalg.eigvalsh(gram / mn - np.outer(colsum / mn, colsum / mn))) - trace) < 1e-3 * abs(trace)
+    gram_f = np.asarray(gram, dtype=np.float64)
+    colsum_f = np.asarray(colsum, dtype=np.float64)
+    assert abs(sum(np.linalg.eigvalsh(gram_f / mn - np.outer(colsum_f / mn, colsum_f / mn))) - trace) < 1e-3 * abs(trace)
 
     got = {r["vec_id"]: r["pc"] for r in QUERIES["llm_emb_pca"](spark, SF_DIR).collect()}
     vec_ids = t["vec_id"].to_pylist()
@@ -493,45 +524,79 @@ def test_subject_erasure_rewrites_only_affected_buckets(spark):
     files (names + mtimes); affected buckets are rewritten; the warehouse
     holds zero subject rows afterward."""
     import os
+    import shutil
 
     from etl_suite_spark.plans import incremental as inc
 
-    rows = {
-        r["bucket"]: r
-        for r in QUERIES["inc_subject_erasure"](spark, SF_DIR).collect()
-    }
-    wh = inc._LAST_ERASURE_WH[0]
-
-    def files(bucket):
-        d = os.path.join(wh, f"bucket={bucket}")
-        return {
-            f: os.path.getmtime(os.path.join(d, f))
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
+    inc._KEEP_ERASURE_WH = True  # keep the temp warehouse for inspection
+    try:
+        rows = {
+            r["bucket"]: r
+            for r in QUERIES["inc_subject_erasure"](spark, SF_DIR).collect()
         }
+        wh = inc._LAST_ERASURE_WH[0]
 
-    touched = [b for b, r in rows.items() if r["rewritten"]]
-    untouched = [b for b, r in rows.items() if not r["rewritten"]]
-    assert touched and untouched  # both classes exercised on the fixture
-    # the audit's arithmetic holds and the subjects are really gone
-    for r in rows.values():
-        assert r["rows_after"] == r["rows_before"] - r["rows_deleted"]
-    remaining = (
-        spark.read.parquet(wh).filter((F.col("user_id") % 97) == 0).count()
+        def files(bucket):
+            d = os.path.join(wh, f"bucket={bucket}")
+            return {
+                f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+
+        touched = [b for b, r in rows.items() if r["rewritten"]]
+        untouched = [b for b, r in rows.items() if not r["rewritten"]]
+        assert touched and untouched  # both classes exercised on the fixture
+        # the audit's arithmetic holds and the subjects are really gone
+        for r in rows.values():
+            assert r["rows_after"] == r["rows_before"] - r["rows_deleted"]
+        remaining = (
+            spark.read.parquet(wh).filter((F.col("user_id") % 97) == 0).count()
+        )
+        assert remaining == 0
+
+        # file preservation, for real: compare post-erase state against the
+        # PRE-ERASE snapshot the op recorded between its build write and its
+        # erase pass — untouched buckets must carry identical files, touched
+        # ones must NOT (an erase that rewrote everything, or nothing, fails)
+        pre = inc._LAST_ERASURE_WH[1]
+        for b in untouched:
+            assert files(b) == pre[f"bucket={b}"]
+        for b in touched:
+            d = os.path.join(wh, f"bucket={b}")
+            post = files(b) if os.path.isdir(d) else {}
+            assert post != pre[f"bucket={b}"]
+    finally:
+        inc._KEEP_ERASURE_WH = False
+        if inc._LAST_ERASURE_WH:
+            shutil.rmtree(
+                os.path.dirname(inc._LAST_ERASURE_WH[0]), ignore_errors=True
+            )
+
+
+def test_subject_erasure_reclaims_warehouse(spark):
+    """Default (driver) path: the op eagerly materializes its audit and
+    removes the temp warehouse before returning (ADVICE r8 item 2) —
+    the result stays collectable after the reclaim."""
+    import os
+
+    from etl_suite_spark.plans import incremental as inc
+
+    assert inc._KEEP_ERASURE_WH is False
+    df = QUERIES["inc_subject_erasure"](spark, SF_DIR)
+    wh = inc._LAST_ERASURE_WH[0]
+    assert not os.path.exists(os.path.dirname(wh))
+    rows = df.collect()  # still answerable: audit was checkpointed
+    from etl_suite_spark.io import load_table
+
+    n_buckets = (
+        load_table(spark, SF_DIR, "events")
+        .select((F.col("user_id") % 16).alias("b"))
+        .distinct()
+        .count()
     )
-    assert remaining == 0
-
-    # file preservation, for real: compare post-erase state against the
-    # PRE-ERASE snapshot the op recorded between its build write and its
-    # erase pass — untouched buckets must carry identical files, touched
-    # ones must NOT (an erase that rewrote everything, or nothing, fails)
-    pre = inc._LAST_ERASURE_WH[1]
-    for b in untouched:
-        assert files(b) == pre[f"bucket={b}"]
-    for b in touched:
-        d = os.path.join(wh, f"bucket={b}")
-        post = files(b) if os.path.isdir(d) else {}
-        assert post != pre[f"bucket={b}"]
+    assert len(rows) == n_buckets
+    assert all(r["rows_after"] == r["rows_before"] - r["rows_deleted"] for r in rows)
 
 
 def test_bpe_train_boundary_anchoring(spark, tmp_path):

@@ -201,6 +201,18 @@ def build_ann(base: str, copies: int, out: str, perturb: float = 0.001) -> None:
     ]:
         shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     con = duckdb.connect()
+    # same preflight build_events has (ADVICE r8 item 4): a wider future
+    # fixture would silently alias copies and corrupt the ANN recall
+    # measurements — enforce the per-copy offset instead of assuming it
+    mx_d, mx_v = con.execute(
+        f"SELECT (SELECT MAX(doc_id) FROM read_parquet('{base}/documents.parquet')),"
+        f" (SELECT MAX(vec_id) FROM read_parquet('{base}/embeddings.parquet'))"
+    ).fetchone()
+    if mx_d >= 100000 or mx_v >= 100000:
+        raise SystemExit(
+            f"id ranges (max doc_id {mx_d}, max vec_id {mx_v}) exceed the "
+            "ANN tier's per-copy offset (1e5): copies would alias"
+        )
     con.execute(
         f"""
         COPY (
