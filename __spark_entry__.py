@@ -444,7 +444,11 @@ R9_WINDOW = R9_PLANNED + R9_RECHECKS
 # the same contract (oracle-checked locally on introduction;
 # tests/test_entry_contract.py counts R10 toward the
 # every-query-has-a-driver-evidence-plan invariant).
-R10_PLANNED: list[str] = []
+R10_PLANNED: list[str] = [
+    # added in round 9 (oracle-checked locally on introduction):
+    "llm_index_build_pipeline",  # rows-only by design (iterative k-means)
+    "llm_index_build_pipeline_recall",
+]
 
 
 def _windowed(mapping: dict) -> dict:

@@ -2050,11 +2050,14 @@ def llm_bpe_train(spark, sf_dir):
     ).orderBy("rank")
 
 
-def _bpe_fit(spark, sf_dir):
-    """Shared BPE training loop: returns (merge list, final segmented
-    DISTINCT-WORD DataFrame carrying (tok, tok_sep, wcount)).  The word
-    table keeps the original ``tok`` so downstream ops (llm_bpe_encode)
-    can join the trained segmentation back onto the token stream."""
+def _bpe_word_seg(spark, sf_dir):
+    """Initial wrapped segmentation of the DISTINCT-WORD table — the
+    shared starting state of both BPE trainers. Wrapped representation
+    (see _bpe_oracle): each symbol is ␟sym␟, so the literal merge
+    pattern ␟a␟␟b␟ anchors BOTH symbol boundaries — a bare a␟b pattern
+    false-matched symbols merely ending in a / starting with b
+    (code-review r8 finding, repro in test_bpe_train_boundary_anchoring).
+    """
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -2062,12 +2065,7 @@ def _bpe_fit(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("wcount"))
     )
-    # wrapped representation (see _bpe_oracle): each symbol is ␟sym␟, so
-    # the literal merge pattern ␟a␟␟b␟ anchors BOTH symbol boundaries —
-    # a bare a␟b pattern false-matched symbols merely ending in a /
-    # starting with b (code-review r8 finding, repro in
-    # test_bpe_train_boundary_anchoring)
-    seg = wc.select(
+    return wc.select(
         "tok",
         F.concat(
             F.lit(_BPE_SEP),
@@ -2076,26 +2074,40 @@ def _bpe_fit(spark, sf_dir):
         ).alias("tok_sep"),
         "wcount",
     ).localCheckpoint(eager=True)
-    merges = []
-    for rnd in range(_BPE_N_MERGES):
-        syms = seg.select(
-            F.split(_bpe_symbols_expr(), _BPE_SEP + _BPE_SEP).alias("s"),
+
+
+def _bpe_pair_counts(seg):
+    """Adjacent-pair counts over a segmented word table: one map-side-
+    combined shuffle on (a, b)."""
+    syms = seg.select(
+        F.split(_bpe_symbols_expr(), _BPE_SEP + _BPE_SEP).alias("s"),
+        "wcount",
+    ).filter(F.size("s") >= 2)
+    return (
+        syms.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1),"
+                    " j -> struct(element_at(s, j) AS a,"
+                    " element_at(s, j + 1) AS b))"
+                )
+            ).alias("p"),
             "wcount",
-        ).filter(F.size("s") >= 2)
-        pair_counts = (
-            syms.select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(s) - 1),"
-                        " j -> struct(element_at(s, j) AS a,"
-                        " element_at(s, j + 1) AS b))"
-                    )
-                ).alias("p"),
-                "wcount",
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("wcount").cast("long").alias("cnt"))
         )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wcount").cast("long").alias("cnt"))
+    )
+
+
+def _bpe_fit(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
+    """Shared BPE training loop: returns (merge list, final segmented
+    DISTINCT-WORD DataFrame carrying (tok, tok_sep, wcount)).  The word
+    table keeps the original ``tok`` so downstream ops (llm_bpe_encode)
+    can join the trained segmentation back onto the token stream."""
+    seg = _bpe_word_seg(spark, sf_dir)
+    merges = []
+    for rnd in range(n_merges):
+        pair_counts = _bpe_pair_counts(seg)
         best = (
             pair_counts.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
         )
@@ -2164,3 +2176,172 @@ def llm_bpe_encode(spark, sf_dir):
             ).alias("chars_per_token"),
         )
     )
+
+
+_BPE_BATCH_K = 4
+_BPE_BATCH_ROUNDS = 4
+
+
+def _bpe_batched_oracle(k: int, rounds: int) -> str:
+    """Unrolled batched BPE trainer in DuckDB SQL: per round, the top-k
+    pair candidates are filtered to a mutually non-interfering set (a
+    candidate is dropped if ANY higher-ranked candidate shares a symbol
+    with it — comparing {a, b, a||b} on both sides, so a pair can
+    neither consume another kept pair's symbols nor collide with its
+    merged output), and all kept pairs apply in one re-segmentation
+    pass.  The declarative drop rule (blocked by any higher-ranked
+    CANDIDATE, kept or not) is deliberately more conservative than
+    greedy-over-kept: it needs no sequential state, so both engines can
+    express it identically.  Unused replace slots fall back to a
+    three-separator pattern, which cannot occur (symbols are never
+    empty, so separators come at most two in a row)."""
+    sep = "chr(31)"
+    imp = f"{sep} || {sep} || {sep}"
+    parts = [
+        f"""WITH wc AS MATERIALIZED (
+      SELECT tok, COUNT(*) AS wcount FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ), bseg0 AS MATERIALIZED (
+      SELECT tok,
+             {sep} || array_to_string(string_split_regex(tok, ''),
+                                      {sep} || {sep}) || {sep} AS tok_sep,
+             wcount
+      FROM wc
+    )"""
+    ]
+    for i in range(rounds):
+        repl = "tok_sep"
+        for s in range(1, k + 1):
+            pat = (
+                f"COALESCE((SELECT {sep} || a || {sep} || {sep} || b || {sep}"
+                f" FROM keep{i} WHERE slot = {s}), {imp})"
+            )
+            rep = (
+                f"COALESCE((SELECT {sep} || a || b || {sep}"
+                f" FROM keep{i} WHERE slot = {s}), '')"
+            )
+            repl = f"replace({repl},\n                     {pat},\n                     {rep})"
+        parts.append(
+            f""", bpc{i} AS MATERIALIZED (
+      SELECT u.a AS a, u.b AS b, CAST(SUM(wcount) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(s)),
+                 j -> struct_pack(a := s[CAST(j AS INTEGER)],
+                                  b := s[CAST(j AS INTEGER) + 1]))) AS u,
+               wcount
+        FROM (SELECT string_split(trim(tok_sep, {sep}), {sep} || {sep}) AS s,
+                     wcount FROM bseg{i})
+      )
+      GROUP BY u.a, u.b
+    ), cand{i} AS MATERIALIZED (
+      SELECT a, b, cnt,
+             row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rk
+      FROM bpc{i} QUALIFY rk <= {k}
+    ), keep{i} AS MATERIALIZED (
+      SELECT a, b, cnt, row_number() OVER (ORDER BY rk) AS slot
+      FROM cand{i} c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cand{i} h
+        WHERE h.rk < c.rk AND (
+          h.a IN (c.a, c.b, c.a || c.b) OR
+          h.b IN (c.a, c.b, c.a || c.b) OR
+          (h.a || h.b) IN (c.a, c.b, c.a || c.b))
+      )
+    ), bseg{i + 1} AS MATERIALIZED (
+      SELECT tok, {repl} AS tok_sep, wcount
+      FROM bseg{i}
+    )"""
+        )
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS rnd, slot, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt AS pair_count FROM keep{i}"
+        for i in range(rounds)
+    )
+    return (
+        "".join(parts)
+        + f"""
+    SELECT CAST(row_number() OVER (ORDER BY rnd, slot) AS BIGINT) AS rank,
+           left_sym, right_sym, merged, pair_count
+    FROM (
+{unions}
+    ) ORDER BY rank"""
+    )
+
+
+def _bpe_fit_batched(spark, sf_dir, k: int = _BPE_BATCH_K,
+                     rounds: int = _BPE_BATCH_ROUNDS):
+    """Batched BPE training loop (merge up to k non-interfering pairs
+    per round): returns (merge list, final segmented word table). The
+    driver-side state per round is ONE k-row collect; the interference
+    filter mirrors _bpe_batched_oracle's declarative rule exactly."""
+    seg = _bpe_word_seg(spark, sf_dir)
+    merges = []
+    for _rnd in range(rounds):
+        cand = (
+            _bpe_pair_counts(seg)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(k)
+            .collect()
+        )
+        if not cand:
+            break  # vocabulary exhausted before the merge budget
+        kept = []
+        for i, c in enumerate(cand):
+            csyms = {c["a"], c["b"], c["a"] + c["b"]}
+            blocked = any(
+                h["a"] in csyms or h["b"] in csyms or (h["a"] + h["b"]) in csyms
+                for h in cand[:i]
+            )
+            if not blocked:
+                kept.append(c)
+        col = F.col("tok_sep")
+        for c in kept:
+            a, b = c["a"], c["b"]
+            col = F.replace(
+                col,
+                F.lit(_BPE_SEP + a + _BPE_SEP + _BPE_SEP + b + _BPE_SEP),
+                F.lit(_BPE_SEP + a + b + _BPE_SEP),
+            )
+            merges.append((len(merges) + 1, a, b, a + b, c["cnt"]))
+        seg = seg.withColumn("tok_sep", col).localCheckpoint(eager=True)
+    return merges, seg
+
+
+@query(
+    "llm_bpe_train_batched",
+    oracle=_bpe_batched_oracle(_BPE_BATCH_K, _BPE_BATCH_ROUNDS),
+)
+def llm_bpe_train_batched(spark, sf_dir):
+    """Batched-merge BPE training — the production-scale variant of
+    llm_bpe_train (VERDICT r8 item 5): per round, the top-k candidate
+    pairs are filtered to a mutually NON-INTERFERING set (no symbol of a
+    kept pair may appear among a higher-ranked candidate's {left, right,
+    merged} symbols — so one replace pass applies them all, order-free)
+    and merged together.  The sequential trainer's scale axis is the
+    DRIVER LOOP, not the corpus: a 32k-merge production vocab means 32k
+    Spark jobs of (pair-count shuffle + 1-row argmax collect +
+    checkpoint).  Batching divides that round count by ~k at the cost of
+    a mild greedy approximation (pair counts within a batch are
+    selection-time statistics, exactly like HuggingFace tokenizers'
+    max-heap batching) — with k=256 a 32k vocab is ~125 rounds, which is
+    the difference between a training job and a scheduler stress test.
+    Demonstrated here at k=4 × 4 rounds so the DuckDB oracle stays an
+    unrollable 4-CTE-per-round pipeline; the merge table matches the
+    oracle value-for-value, and the per-merge cost curve vs the
+    sequential trainer is measured in BASELINE addendum 30.
+
+    Interference rule: candidate c is dropped when ANY higher-ranked
+    candidate h (kept or not) has {h.a, h.b, h.merged} ∩ {c.a, c.b,
+    c.merged} ≠ ∅.  Checking h.merged matters: merging (a,b) can create
+    new adjacencies only INVOLVING the merged symbol ab, so excluding it
+    from every other kept pair's symbols guarantees each replace neither
+    consumes nor creates matches of the others — the batch is
+    order-independent, and the wrapped ␟a␟␟b␟ representation keeps each
+    individual replace boundary-anchored (addendum 27)."""
+    merges, _seg = _bpe_fit_batched(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "rank BIGINT, left_sym STRING, right_sym STRING,"
+        " merged STRING, pair_count BIGINT",
+    ).orderBy("rank")

@@ -122,12 +122,40 @@ ANN_INDEX_OPS = [
     "llm_sim_ann_ivf",
     "llm_sim_ann_pq",
     "llm_sim_ann_ivfpq",
+    # round 9: dedup-before-index composed pipeline (addendum 26's
+    # remedy as a registered operator — dedup runs INSIDE the op, so it
+    # must hold its gate on the raw duplicate-heavy corpus)
+    "llm_index_build_pipeline",
 ]
 ANN_RECALL_OPS = [
     "llm_sim_ann_ivf_recall",
     "llm_sim_ann_pq_recall",
     "llm_sim_ann_ivfpq_recall",
+    "llm_index_build_pipeline_recall",
 ]
+
+# Permanent regression sentinel (VERDICT r8 item 3): the recall-gate
+# outcomes MEASURED in BASELINE addenda 24/26 at the two pinned
+# duplicate-heavy tiers, asserted on every un-restricted --ann run at
+# those exact (copies, perturb) coordinates (without --dedup-first —
+# the corpus-level dedup flag would mask exactly what the matrix pins).
+# A deviation in EITHER direction exits nonzero: IVF routing silently
+# degrading, flat PQ silently "fixed" by a weakened gate, or the
+# composed dedup-before-index pipeline losing the remedy it exists for.
+ANN_RECALL_SENTINEL = {
+    (100, 0.05): {
+        "llm_sim_ann_ivf_recall": ("recall_ge_40", True),
+        "llm_sim_ann_pq_recall": ("recall_ge_40", False),
+        "llm_sim_ann_ivfpq_recall": ("recall_ge_30", True),
+        "llm_index_build_pipeline_recall": ("recall_ge_40", True),
+    },
+    (1500, 0.001): {
+        "llm_sim_ann_ivf_recall": ("recall_ge_40", True),
+        "llm_sim_ann_pq_recall": ("recall_ge_40", False),
+        "llm_sim_ann_ivfpq_recall": ("recall_ge_30", True),
+        "llm_index_build_pipeline_recall": ("recall_ge_40", True),
+    },
+}
 
 
 # Events tier (--events, added r8): no other tier replicates the events
@@ -554,6 +582,15 @@ def main() -> None:
                 "sec": round(time.perf_counter() - t0, 3),
                 "result": dict(row),
             }
+        sentinel = ANN_RECALL_SENTINEL.get((args.copies, args.perturb))
+        sentinel_failures = []
+        if sentinel and not args.dedup_first and not args.only:
+            for name, (flag, expect) in sentinel.items():
+                got = timings.get(name, {}).get("result", {}).get(flag)
+                if got is not expect:
+                    sentinel_failures.append(
+                        f"{name}.{flag}: expected {expect}, got {got}"
+                    )
         print(
             json.dumps(
                 {
@@ -566,11 +603,21 @@ def main() -> None:
                         if dedup_counts
                         else None
                     ),
+                    "recall_sentinel": (
+                        ("FAIL: " + "; ".join(sentinel_failures))
+                        if sentinel_failures
+                        else ("pass" if sentinel and not args.dedup_first and not args.only else None)
+                    ),
                     "queries": timings,
                 }
             )
         )
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        if sentinel_failures:
+            raise SystemExit(
+                "ANN recall sentinel deviation (addenda 24/26 pinned matrix): "
+                + "; ".join(sentinel_failures)
+            )
         return
 
     if args.events:
