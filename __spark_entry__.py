@@ -448,6 +448,7 @@ R10_PLANNED: list[str] = [
     # added in round 9 (oracle-checked locally on introduction):
     "llm_index_build_pipeline",  # rows-only by design (iterative k-means)
     "llm_index_build_pipeline_recall",
+    "llm_bpe_train_batched",
 ]
 
 

@@ -145,6 +145,13 @@ HEADLINE = [
     # the checksum action.
     "llm_dsir_weights",
     "llm_emb_pca",
+    # appended in round 9: the dedup-before-index ANN pipeline (the
+    # composed remedy operator — dedup shuffle + PQ train/encode on
+    # representatives + ADC probe + exact re-rank) and the batched BPE
+    # trainer (k merges per driver round) — first-measurement baselines
+    # under the checksum action.
+    "llm_index_build_pipeline",
+    "llm_bpe_train_batched",
 ]
 
 REPEATS = 3

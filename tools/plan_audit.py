@@ -55,6 +55,8 @@ EXPECTED_NLJ = {
     "llm_sim_ann_pq_recall",  # same ADC broadcast + one-row metric join
     "llm_sim_ann_ivfpq",  # coarse-centroid broadcast + broadcast probe tables
     "llm_sim_ann_ivfpq_recall",  # same + one-row metric join
+    "llm_index_build_pipeline",  # same 10-query ADC broadcast as ann_pq
+    "llm_index_build_pipeline_recall",  # same + one-row metric join
     "agg_aqp_estimate",  # two one-row aggregates joined (estimate vs exact)
     "agg_sketch_overlap",  # 5-row sketch table pair self-join (type-count-sized by design)
     "graph_triangle_count",  # four one-row metric aggregates joined

@@ -179,9 +179,14 @@ EVENTS_OPS = [
 ]
 
 
-def build_events(base: str, copies: int, out: str) -> None:
+def build_events(base: str, copies: int, out: str,
+                 hot_subject: bool = False) -> None:
     """Replicate events copies-x with disjoint user/event id offsets;
-    every other table copies as-is."""
+    every other table copies as-is.  With ``hot_subject`` (VERDICT r8
+    item 7), 1% of ALL rows are reassigned to the single erasure subject
+    user_id = 97 000 000 (divisible by 97, above every per-copy range) —
+    the hot-subject skew shape for inc_subject_erasure: one bucket's
+    rewrite carries ~1% of the corpus instead of ~1/97 of one bucket."""
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -203,11 +208,17 @@ def build_events(base: str, copies: int, out: str) -> None:
             f"events id ranges (max event_id {mx_e}, max user_id {mx_u}) "
             "exceed the tier's per-copy offsets (1e7 / 1e5): copies would alias"
         )
+    uid = (
+        "CASE WHEN (event_id + 10000000 * c) % 100 = 0 THEN 97000000"
+        " ELSE user_id + 100000 * c END"
+        if hot_subject
+        else "user_id + 100000 * c"
+    )
     con.execute(
         f"""
         COPY (
           SELECT event_id + 10000000 * c AS event_id, ts,
-                 user_id + 100000 * c AS user_id,
+                 {uid} AS user_id,
                  event_type, value, props
           FROM read_parquet('{base}/events.parquet'),
                unnest(range(0, {copies})) AS u(c)
@@ -488,6 +499,16 @@ def main() -> None:
         help="run the events tier (incremental/CDC/SCD2/sessionization ops timed at 1x and copies-x; no other tier replicates events)",
     )
     ap.add_argument(
+        "--hot-subject",
+        action="store_true",
+        help="events tier only: reassign 1%% of all rows to one erasure subject (hot-subject skew for inc_subject_erasure)",
+    )
+    ap.add_argument(
+        "--bpe",
+        action="store_true",
+        help="run the BPE trainer cost-curve tier (sequential at 8/32/128 merges + batched k=8 at a 128-merge budget, uniform corpus at --copies)",
+    )
+    ap.add_argument(
         "--dedup-first",
         action="store_true",
         help="ANN tier only: collapse near-dup vectors (32-bit sign signature) before index build — measures the addendum-24 remedy",
@@ -527,7 +548,7 @@ def main() -> None:
     if args.skew:
         build_skewed(args.base, out)
     elif args.events:
-        build_events(args.base, args.copies, out)
+        build_events(args.base, args.copies, out, hot_subject=args.hot_subject)
     elif args.graph:
         build_graph(args.base, args.copies, out)
     elif args.ann:
@@ -645,6 +666,52 @@ def main() -> None:
                     "tier": "events",
                     "copies": args.copies,
                     "base": args.base,
+                    "queries": timings,
+                }
+            )
+        )
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        return
+
+    if args.bpe:
+        # VERDICT r8 item 5: the sequential trainer's scale axis is the
+        # DRIVER LOOP (merge count), not the corpus — measure the
+        # merge-count cost curve at this corpus tier, plus the batched
+        # trainer at an equivalent 128-merge budget.
+        from etl_suite_spark.llm.textstats import _bpe_fit, _bpe_fit_batched
+
+        QUERIES["llm_bpe_train"](spark, args.base).count()  # warmup
+        timings = {}
+        for n in (8, 32, 128):
+            t0 = time.perf_counter()
+            merges, _seg = _bpe_fit(spark, out, n_merges=n)
+            timings[f"sequential_{n}"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "merges": len(merges),
+            }
+        t0 = time.perf_counter()
+        merges, _seg = _bpe_fit_batched(spark, out, k=8, rounds=16)
+        timings["batched_k8_x16rounds"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "merges": len(merges),
+        }
+        s8, s32, s128 = (timings[f"sequential_{n}"]["sec"] for n in (8, 32, 128))
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_smoke_bpe_cost_curve",
+                    "tier": "bpe",
+                    "copies": args.copies,
+                    "base": args.base,
+                    "per_merge_marginal_sec": {
+                        "seq_8_to_32": round((s32 - s8) / 24, 4),
+                        "seq_32_to_128": round((s128 - s32) / 96, 4),
+                        "batched_total_per_merge": round(
+                            timings["batched_k8_x16rounds"]["sec"]
+                            / max(1, timings["batched_k8_x16rounds"]["merges"]),
+                            4,
+                        ),
+                    },
                     "queries": timings,
                 }
             )
