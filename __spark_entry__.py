@@ -449,6 +449,9 @@ R10_PLANNED: list[str] = [
     "llm_index_build_pipeline",  # rows-only by design (iterative k-means)
     "llm_index_build_pipeline_recall",
     "llm_bpe_train_batched",
+    "llm_rare_token_docs",
+    "inc_subject_export",
+    "mm_modality_balance",
 ]
 
 

@@ -556,3 +556,79 @@ def _shard_manifest_from(d, target: int, block: int):
         )
         .orderBy("shard_id")
     )
+
+
+@query(
+    "mm_modality_balance",
+    oracle="""
+    WITH typed AS (
+      SELECT doc_id,
+             ['text', 'image', 'audio', 'video'][CAST(doc_id % 4 AS INTEGER) + 1]
+               AS modality,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ), per AS (
+      SELECT modality,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+             CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+      FROM typed GROUP BY modality
+    )
+    SELECT modality, n_items, total_bytes,
+           round(total_bytes * 1.0
+                 / (SELECT SUM(total_bytes) FROM per), 6) AS byte_share,
+           round(total_bytes * 1.0 / n_items, 6) AS avg_bytes,
+           max_bytes
+    FROM per ORDER BY modality
+    """,
+)
+def mm_modality_balance(spark, sf_dir):
+    """Multimodal dataset-composition audit: per-modality item count,
+    byte mass, byte share, and payload-size profile — the dataset-card
+    table every multimodal training mixture is planned from (text/image
+    interleaving ratios, per-modality byte budgets). The modality tag is
+    the typed-metadata column of the binary-column model (stand-in:
+    doc_id % 4, exactly the deterministic-fake discipline of
+    mm_binary_features' fake_width — production swaps it for the real
+    metadata column; payload = utf-8 text bytes stands in for the blob).
+
+    Scale shape: one map-side-combined aggregation over the corpus to a
+    MODALITY-COUNT-sized table (4 rows); the byte-share normalizer is a
+    one-row aggregate broadcast back by crossJoin — nothing
+    corpus-proportional shuffles twice, and the share arithmetic runs on
+    exact integer byte sums (the only float step is the final 6-dp
+    division, identical on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    typed = d.select(
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 4).cast("int") + 1,
+        ).alias("modality"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+    )
+    per = typed.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+    )
+    total = per.agg(F.sum("total_bytes").cast("long").alias("corpus_bytes"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "modality",
+            "n_items",
+            "total_bytes",
+            F.round(
+                F.col("total_bytes").cast("double")
+                / F.col("corpus_bytes").cast("double"),
+                6,
+            ).alias("byte_share"),
+            F.round(
+                F.col("total_bytes").cast("double")
+                / F.col("n_items").cast("double"),
+                6,
+            ).alias("avg_bytes"),
+            "max_bytes",
+        )
+        .orderBy("modality")
+    )

@@ -1294,3 +1294,68 @@ def llm_dsir_resample(spark, sf_dir):
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "llm_rare_token_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.freq <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           round(SUM(CASE WHEN c.freq <= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS rare_share,
+           CAST(MIN(c.freq) AS BIGINT) AS min_tok_freq
+    FROM tok t JOIN cnt c USING (tok)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def llm_rare_token_docs(spark, sf_dir):
+    """Tail-vocabulary mining: per-document rare-token statistics under
+    the whole-corpus unigram frequency table — n_rare (tokens whose
+    corpus frequency ≤ 2), rare share, and the document's minimum token
+    frequency. This is the data-selection signal complementary to
+    llm_dsir_weights: DSIR upsamples *distribution-matched* documents,
+    rare-token mining upsamples documents that carry the vocabulary TAIL
+    (the rows a frequency-pruned tokenizer or a dedup-heavy mixture
+    silently starves) — and conversely flags gibberish (rare_share ≈ 1,
+    every token a hapax).
+
+    Scale shape (the llm_dsir_weights discipline): the corpus is touched
+    twice — once for the token stream, once collapsed into the
+    Heaps-sized count table — and the scoring join back onto the token
+    stream is byte-gated via _lm_count_table_hint: broadcast under the
+    gate, AQE shuffle join over it, where it co-partitions with the
+    aggregation that BUILT the count table (no fresh corpus shuffle).
+    The per-doc rollup is map-side combined on doc_id."""
+    from .textstats import _lm_count_table_hint
+
+    hint = _lm_count_table_hint(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cnt = tok.groupBy("tok").agg(F.count("*").cast("long").alias("freq"))
+    rare = F.when(F.col("freq") <= 2, 1).otherwise(0)
+    return (
+        tok.join(hint(cnt), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(rare).cast("long").alias("n_rare"),
+            F.round(
+                F.sum(rare).cast("double") / F.count("*").cast("double"), 6
+            ).alias("rare_share"),
+            F.min("freq").cast("long").alias("min_tok_freq"),
+        )
+        .orderBy("doc_id")
+    )

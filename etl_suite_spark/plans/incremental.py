@@ -1114,3 +1114,93 @@ def inc_subject_erasure(spark, sf_dir):
     audit = audit.localCheckpoint(eager=True)
     shutil.rmtree(os.path.dirname(wh), ignore_errors=True)
     return audit
+
+
+# Pytest hook for inc_subject_export: [warehouse_path, pruned_input_files]
+# of the most recent run. _KEEP_EXPORT_WH=True keeps the temp warehouse
+# for inspection (pytest reclaims it); default False reclaims before
+# returning, same discipline as inc_subject_erasure.
+_LAST_EXPORT_WH: list = []
+_KEEP_EXPORT_WH = False
+
+
+@query(
+    "inc_subject_export",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           """ + sql_dsum("value", 4) + """ AS total_value
+    FROM events WHERE user_id % 97 = 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def inc_subject_export(spark, sf_dir):
+    """Subject-access-request export (GDPR Art. 15) — the READ twin of
+    inc_subject_erasure, against the same SUBJECT-BUCKETED warehouse
+    (partition = user_id % 16): exporting a subject's history touches
+    exactly the buckets that can contain them, so the scan is O(subject's
+    data) at 100 TB, not a corpus scan. The bucket list is a bounded
+    driver read (≤16 distinct residues of the subject set), pushed into
+    the scan as a PARTITION filter — `.explain` shows PartitionFilters on
+    the bucket directory column, and pytest pins that the pruned scan's
+    inputFiles contain ONLY subject-bucket files. Per-subject export
+    row: event count, distinct types, first/last activity, exact-decimal
+    value total (the dsum discipline).
+
+    Same reclamation as erasure: the export result (subject-count-sized)
+    is eagerly checkpointed and the events-sized temp warehouse removed
+    before returning, unless pytest keeps it for file-level inspection."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 16).cast("long")
+    )
+    wh = os.path.join(tempfile.mkdtemp(prefix="etl_export_"), "events_by_subject")
+    ev.write.partitionBy("bucket").mode("overwrite").parquet(wh)
+
+    is_subject = (F.col("user_id") % 97) == 0
+    buckets = sorted(
+        int(r["bucket"])
+        for r in ev.filter(is_subject).select("bucket").distinct().collect()
+    )  # bounded by 16 — the watermark-read pattern
+    # explicit partition-directory selection (manifest-level pruning):
+    # only subject buckets are even LISTED — the structural form of the
+    # O(subject) scan; basePath keeps the bucket partition column.
+    # (A filter on the partition column prunes identically in the
+    # physical scan, but inputFiles() reports the pre-pruning relation,
+    # so the explicit form is also the testable one.)
+    pruned = (
+        spark.read.option("basePath", wh)
+        .parquet(*[os.path.join(wh, f"bucket={b}") for b in buckets])
+    )
+    _LAST_EXPORT_WH.clear()
+    _LAST_EXPORT_WH.extend([wh, list(pruned.inputFiles())])
+
+    export = (
+        pruned.filter(is_subject)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_distinct("event_type").cast("long").alias("n_event_types"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            dsum("value", 4).alias("total_value"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_events",
+            "n_event_types",
+            "first_ts",
+            "last_ts",
+            "total_value",
+        )
+        .orderBy("user_id")
+    )
+    if _KEEP_EXPORT_WH:
+        return export
+    export = export.localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(os.path.dirname(wh), ignore_errors=True)
+    return export

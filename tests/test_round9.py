@@ -270,3 +270,74 @@ def test_checkpoint_resume_midbatch_kill(spark):
     shutil.rmtree(drop, ignore_errors=True)
     shutil.rmtree(os.path.dirname(warehouse), ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_subject_export_prunes_to_subject_buckets(spark):
+    """inc_subject_export: the pruned scan's input files lie ONLY in
+    subject buckets (partition pruning reached the directory listing),
+    the export matches a direct full-scan computation, and the default
+    path reclaims the temp warehouse."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.plans import incremental as inc
+
+    inc._KEEP_EXPORT_WH = True
+    try:
+        rows = {
+            r["user_id"]: r
+            for r in QUERIES["inc_subject_export"](spark, SF_DIR).collect()
+        }
+        wh, input_files = inc._LAST_EXPORT_WH
+        ev = load_table(spark, SF_DIR, "events")
+        subject_buckets = {
+            int(r["b"])
+            for r in ev.filter((F.col("user_id") % 97) == 0)
+            .select((F.col("user_id") % 16).alias("b"))
+            .distinct()
+            .collect()
+        }
+        all_buckets = {
+            int(d.split("=")[1])
+            for d in os.listdir(wh)
+            if d.startswith("bucket=")
+        }
+        assert subject_buckets < all_buckets  # pruning is non-vacuous
+        scanned = {
+            int(p.split("bucket=")[1].split("/")[0])
+            for p in input_files
+            if "bucket=" in p
+        }
+        assert scanned == subject_buckets
+        # export values match a direct computation on the raw table
+        direct = {
+            r["user_id"]: r
+            for r in ev.filter((F.col("user_id") % 97) == 0)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+            .collect()
+        }
+        assert set(rows) == set(direct)
+        for uid, r in rows.items():
+            assert r["n_events"] == direct[uid]["n_events"]
+            assert r["first_ts"] == direct[uid]["first_ts"]
+            assert r["last_ts"] == direct[uid]["last_ts"]
+    finally:
+        inc._KEEP_EXPORT_WH = False
+        if inc._LAST_EXPORT_WH:
+            shutil.rmtree(
+                os.path.dirname(inc._LAST_EXPORT_WH[0]), ignore_errors=True
+            )
+
+    # default path reclaims
+    df = QUERIES["inc_subject_export"](spark, SF_DIR)
+    wh = inc._LAST_EXPORT_WH[0]
+    assert not os.path.exists(os.path.dirname(wh))
+    assert df.count() == len(rows)
