@@ -2041,7 +2041,15 @@ def llm_bpe_train(spark, sf_dir):
     sequence(1, 0) yields a DESCENDING [1, 0] — without the size guard
     it would fabricate null pairs; DuckDB's range(1, 1) is empty, so
     the guard also keeps the engines aligned). Ties break on
-    (count DESC, a ASC, b ASC) — binary collation on both engines."""
+    (count DESC, a ASC, b ASC) — binary collation on both engines.
+
+    MEASURED BOUND (BASELINE addendum 31): the per-merge marginal cost
+    is ~0.17 s of corpus-INDEPENDENT driver-loop overhead (0.174 s at a
+    7.5 M-doc corpus, 0.086 s at the sf0.001 fixture — job latency, not
+    data), so this sequential form is sound up to ~hundreds of merges; a
+    32k-merge production vocab would cost ≈90 minutes of pure round
+    overhead. Past that, use llm_bpe_train_batched (k merges per round,
+    same per-ROUND cost: a 32k vocab at k=256 is ~125 rounds)."""
     merges, _seg = _bpe_fit(spark, sf_dir)
     return spark.createDataFrame(
         merges,
