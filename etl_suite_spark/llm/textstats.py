@@ -2107,11 +2107,14 @@ def _bpe_pair_counts(seg):
     )
 
 
-def _bpe_fit(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
+def _bpe_fit(spark, sf_dir, n_merges: int | None = None):
     """Shared BPE training loop: returns (merge list, final segmented
     DISTINCT-WORD DataFrame carrying (tok, tok_sep, wcount)).  The word
     table keeps the original ``tok`` so downstream ops (llm_bpe_encode)
-    can join the trained segmentation back onto the token stream."""
+    can join the trained segmentation back onto the token stream.
+    ``n_merges`` late-binds to the module global (tests repoint it)."""
+    if n_merges is None:
+        n_merges = _BPE_N_MERGES
     seg = _bpe_word_seg(spark, sf_dir)
     merges = []
     for rnd in range(n_merges):
