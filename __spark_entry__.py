@@ -454,6 +454,27 @@ R10_PLANNED: list[str] = [
     "mm_modality_balance",
 ]
 
+# Round-10 rotation plan (computed at r9 close from the cumulative
+# driver ledger, assuming R9_WINDOW lands r9 evidence): the 50-slot R10
+# window should be R10_PLANNED (the 6 above) + ALL 26 remaining r2-era
+# queries
+#   agg_percentile agg_pivot agg_rollup agg_stats agg_time_rollup_multi
+#   join_exists_correlated limit_n limit_offset_page set_except
+#   set_except_all set_intersect set_intersect_all set_union_all
+#   set_union_distinct sort_multikey topk_global win_first_last_value
+#   win_lag_lead win_moving_avg win_ntile win_pattern_adjacent
+#   win_percent_rank_cume win_rank_dense win_row_number win_running_sum
+#   win_topk_per_group
+# + the first 18 (alphabetically) of the 50 r3-era queries
+#   dedup_by_key_latest dedup_distinct dim_scd2_build filter_between_dates
+#   filter_like_regex filter_null_handling filter_null_safe_eq filter_pred
+#   inc_backfill_window inc_batch_watermark inc_cdc_apply
+#   inc_state_merge_stats join_dpp_partition_pruned llm_data_mixture
+#   llm_quality_gopher llm_seq_packing pipeline_sink_jdbc pipeline_spec_run
+# = exactly 50.  After that window executes, no registered query's
+# evidence is older than r3, and the remaining 32 r3-era queries clear
+# in r11.
+
 
 def _windowed(mapping: dict) -> dict:
     ordered = {k: mapping[k] for k in R9_WINDOW if k in mapping}
