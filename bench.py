@@ -181,6 +181,31 @@ def _checksum(df) -> None:
     df.select(F.xxhash64(*cols).alias("h")).agg(F.sum("h")).collect()
 
 
+def measure_sched(spark, probes: int = 3) -> tuple[float, list[float]]:
+    """The 1k-empty-task scheduler calibration (median of ``probes``).
+    Shared with tools/bench_ab.py so the A/B tool measures the EXACT
+    bench protocol — a drift between the two would silently invalidate
+    its within-session comparison (code-review r9 finding #6)."""
+    runs = []
+    for _ in range(probes):
+        t0 = time.perf_counter()
+        spark.sparkContext.parallelize(range(1000), 1000).count()
+        runs.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(runs), 3), runs
+
+
+def time_queries(spark, names, sf_dir, repeats) -> dict[str, list[float]]:
+    """The interleaved repeat/checksum timing loop (shared with
+    tools/bench_ab.py, same rationale as measure_sched)."""
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(repeats):
+        for name in names:
+            t0 = time.perf_counter()
+            _checksum(QUERIES[name](spark, sf_dir))
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    return runs
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -208,19 +233,9 @@ def main() -> None:
         cal_runs.append(round(time.perf_counter() - t0, 3))
     calibration = round(statistics.median(cal_runs), 3)
 
-    sched_runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.sparkContext.parallelize(range(1000), 1000).count()
-        sched_runs.append(round(time.perf_counter() - t0, 3))
-    sched = round(statistics.median(sched_runs), 3)
+    sched, sched_runs = measure_sched(spark)
 
-    runs: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(repeats):
-        for name in names:
-            t0 = time.perf_counter()
-            _checksum(QUERIES[name](spark, sf_dir))
-            runs[name].append(round(time.perf_counter() - t0, 3))
+    runs = time_queries(spark, names, sf_dir, repeats)
 
     timings = {n: round(statistics.median(r), 3) for n, r in runs.items()}
     total = round(sum(timings.values()), 3)

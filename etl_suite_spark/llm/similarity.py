@@ -791,13 +791,21 @@ def _subvectors(vec_df, vec_col, m, subdim):
     )
 
 
-def _pq_train_encode(vec_df, m=8, ksub=16, subdim=8, vec_col="unit"):
+def _pq_train_encode(vec_df, m=8, ksub=16, subdim=8, vec_col="unit",
+                     seed_ids=None):
     """Train per-subspace codebooks (one multi-key k-means over ALL
     subspaces at once, 2 Lloyd iterations) and encode every vector.
     Returns (cent, codes): cent = (subspace, cluster, centroid), codes =
     (vec_id, codes array ordered by subspace). ``vec_df`` needs
     (vec_id, <vec_col>) — raw unit vectors for flat PQ, cell residuals
-    for IVF-PQ."""
+    for IVF-PQ.  Default init seeds each subspace's codebook from the
+    rows with vec_id < ksub — valid ONLY when those ids are guaranteed
+    present (the raw-corpus paths).  Callers whose input may lack low
+    ids (the deduped-representative path: a corpus whose vectors
+    0..15 are near-duplicates keeps just one of them) pass ``seed_ids``,
+    the explicit list of ksub-or-fewer vec_ids to seed from
+    (code-review r9 finding #1 — without it the init could degenerate
+    to a near-single-cluster codebook and collapse recall)."""
     from .clustering import _DIST_SQ
 
     sub = _subvectors(vec_df, vec_col, m, subdim)
@@ -825,10 +833,25 @@ def _pq_train_encode(vec_df, m=8, ksub=16, subdim=8, vec_col="unit"):
         )
 
     # init: the first k vectors' sub-slices seed every subspace's codebook
-    cent = sub.filter(F.col("vec_id") < ksub).select(
-        "subspace", F.col("vec_id").cast("int").alias("cluster"),
-        F.col("sv").alias("centroid"),
-    )
+    if seed_ids is None:
+        cent = sub.filter(F.col("vec_id") < ksub).select(
+            "subspace", F.col("vec_id").cast("int").alias("cluster"),
+            F.col("sv").alias("centroid"),
+        )
+    else:
+        # explicit seeds: cluster id = dense rank of the seed id, so the
+        # codebook always starts with len(seed_ids) distinct centroids
+        seed_cluster = {int(v): i for i, v in enumerate(sorted(seed_ids))}
+        mapping = F.create_map(
+            *[F.lit(x) for kv in seed_cluster.items() for x in kv]
+        )
+        cent = sub.filter(
+            F.col("vec_id").isin([int(v) for v in seed_ids])
+        ).select(
+            "subspace",
+            mapping[F.col("vec_id")].cast("int").alias("cluster"),
+            F.col("sv").alias("centroid"),
+        )
     for _ in range(2):
         upd = assign(cent).select(
             "subspace", "cluster", F.posexplode("sv").alias("pos", "x")
@@ -2180,15 +2203,37 @@ def _dedup_reps(spark, sf_dir):
     )
 
 
+def _dedup_reps_materialized(spark, sf_dir):
+    """The representative set, PERSISTED once per corpus (write-once):
+    the dedup shuffle would otherwise re-run in every plan branch that
+    needs the reps — index build, exact re-rank, and the recall twin's
+    ground truth each scan it (code-review r9 finding #3: three
+    corpus-wide shuffles per recall run at the 3 M-vector tier).
+    Partitioned on vec_id so downstream joins start co-located."""
+    from ..core import materialize_once
+
+    return materialize_once(
+        spark,
+        _dedup_reps(spark, sf_dir),
+        f"v1:dedup_reps:{sf_dir}",
+        partition_col="vec_id",
+        n_partitions=8,
+    )
+
+
 def _pq_dedup_index(spark, sf_dir, m=8, ksub=16, subdim=8):
     """(cent, codes) of the flat-PQ index built over the DEDUPED corpus,
     persisted once per corpus (same write-once serving-layout rationale
-    as :func:`_pq_index`, distinct cache token)."""
+    as :func:`_pq_index`, distinct cache token). The k-means init seeds
+    from the ksub SMALLEST representative ids (a bounded TakeOrdered) —
+    the raw-path `vec_id < ksub` filter would silently under-seed when
+    the corpus's low ids are near-duplicates of each other (code-review
+    r9 finding #1)."""
     from ..core import mat_exists, mat_path, materialize_once
 
-    tok = f"v1:pq_dedup_index:{sf_dir}:m{m}k{ksub}"
+    tok = f"v2:pq_dedup_index:{sf_dir}:m{m}k{ksub}"
     if not (mat_exists(tok + ":cent") and mat_exists(tok + ":codes")):
-        reps = _dedup_reps(spark, sf_dir).withColumn(
+        reps = _dedup_reps_materialized(spark, sf_dir).withColumn(
             "nsq", dot("embedding", "embedding")
         )
         en = (
@@ -2198,7 +2243,13 @@ def _pq_dedup_index(spark, sf_dir, m=8, ksub=16, subdim=8):
             .repartition(spark.sparkContext.defaultParallelism, "vec_id")
             .localCheckpoint(eager=True)  # same inlining barrier as _pq_normalize
         )
-        cent, codes = _pq_train_encode(en, m=m, ksub=ksub, subdim=subdim)
+        seed_ids = [
+            int(r["vec_id"])
+            for r in en.select("vec_id").orderBy("vec_id").limit(ksub).collect()
+        ]  # ksub-row TakeOrdered — bounded driver read
+        cent, codes = _pq_train_encode(
+            en, m=m, ksub=ksub, subdim=subdim, seed_ids=seed_ids
+        )
         cent = materialize_once(spark, cent, tok + ":cent", n_partitions=1)
         codes = materialize_once(
             spark, codes, tok + ":codes", partition_col="vec_id", n_partitions=8
@@ -2235,7 +2286,7 @@ def llm_index_build_pipeline(spark, sf_dir):
     re-rank scores original representative vectors."""
     m, ksub, pool = 8, 16, 32
     cent, codes = _pq_dedup_index(spark, sf_dir, m=m, ksub=ksub)
-    reps = _dedup_reps(spark, sf_dir).withColumn(
+    reps = _dedup_reps_materialized(spark, sf_dir).withColumn(
         "nsq", dot("embedding", "embedding")
     )
     q = _raw_queries(
@@ -2300,7 +2351,7 @@ def llm_index_build_pipeline_recall(spark, sf_dir):
     exact top-3 over the deduped representatives — the driver-checkable
     form of the addendum-26 remedy measurement."""
     ann = llm_index_build_pipeline(spark, sf_dir).select("query_id", "neighbor_id")
-    reps = _dedup_reps(spark, sf_dir).withColumn(
+    reps = _dedup_reps_materialized(spark, sf_dir).withColumn(
         "nsq", dot("embedding", "embedding")
     )
     q = (

@@ -2340,7 +2340,7 @@ def llm_bpe_train_batched(spark, sf_dir):
     Demonstrated here at k=4 × 4 rounds so the DuckDB oracle stays an
     unrollable 4-CTE-per-round pipeline; the merge table matches the
     oracle value-for-value, and the per-merge cost curve vs the
-    sequential trainer is measured in BASELINE addendum 30.
+    sequential trainer is measured in BASELINE addendum 31.
 
     Interference rule: candidate c is dropped when ANY higher-ranked
     candidate h (kept or not) has {h.a, h.b, h.merged} ∩ {c.a, c.b,

@@ -54,7 +54,8 @@ def _ref_merge_word(syms: tuple, a: str, b: str) -> tuple:
     return tuple(out)
 
 
-def _ref_bpe_batched(corpus: list[str], k: int, rounds: int):
+def _ref_bpe_batched(corpus: list[str], k: int, rounds: int,
+                     with_batches: bool = False):
     words: dict[tuple, int] = collections.Counter()
     for text in corpus:
         for w in text.split(" "):
@@ -62,6 +63,7 @@ def _ref_bpe_batched(corpus: list[str], k: int, rounds: int):
                 words[tuple(w)] += 1
     words = dict(words)
     merges = []
+    batches = []
     for _ in range(rounds):
         pc = _ref_pair_counts(words)
         cand = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:k]
@@ -76,14 +78,17 @@ def _ref_bpe_batched(corpus: list[str], k: int, rounds: int):
             )
             if not blocked:
                 kept.append((a, b, cnt))
+        batch = []
         for a, b, cnt in kept:
             merges.append((len(merges) + 1, a, b, a + b, cnt))
+            batch.append((a, b, a + b))
             words = {
                 _ref_merge_word(syms, a, b): c for syms, c in words.items()
             }
+        batches.append(batch)
         # kept pairs are symbol-disjoint, so per-pair application order
         # cannot matter; applying them sequentially here is safe
-    return merges
+    return (merges, batches) if with_batches else merges
 
 
 def _spark_batched_table(spark, sf_dir):
@@ -189,15 +194,32 @@ def test_bpe_batched_fuzz_sweep(spark, tmp_path):
 
 
 def test_bpe_batched_never_interferes(spark):
-    """Structural invariant on the fixture's merge table: within each
-    batch (maximal rank runs produced by one round) no two merges share
-    any of {left, right, merged} symbols. Weaker than the full reference
-    check but catches a broken filter even if both implementations drift
-    together."""
+    """Structural invariant: within each BATCH (round) no two kept
+    merges share any of {left, right, merged} symbols — asserted on the
+    reference's per-round batches (which got==ref ties the Spark table
+    to, merge-for-merge), plus rank contiguity on the Spark output.
+    Deleting or inverting the interference filter breaks the pairwise
+    disjointness assertion here (code-review r9 finding #2: the earlier
+    form only checked rank contiguity and was vacuous)."""
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet")["text"].to_pylist()
+    ref, batches = _ref_bpe_batched(texts, 4, 4, with_batches=True)
     got = _spark_batched_table(spark, SF_DIR)
     assert got, "empty merge table"
-    ranks = [m[0] for m in got]
-    assert ranks == list(range(1, len(got) + 1))
+    assert got == ref  # the Spark table IS the reference's batches, flat
+    assert [m[0] for m in got] == list(range(1, len(got) + 1))
+    multi = 0
+    for batch in batches:
+        syms = [set(t) for t in batch]
+        for i in range(len(syms)):
+            for j in range(i + 1, len(syms)):
+                assert not (syms[i] & syms[j]), (
+                    f"batch merges {batch[i]} and {batch[j]} share symbols"
+                )
+        if len(batch) > 1:
+            multi += 1
+    assert multi, "no multi-merge batch: the invariant was never exercised"
 
 
 def test_checkpoint_resume_midbatch_kill(spark):
@@ -341,3 +363,61 @@ def test_subject_export_prunes_to_subject_buckets(spark):
     wh = inc._LAST_EXPORT_WH[0]
     assert not os.path.exists(os.path.dirname(wh))
     assert df.count() == len(rows)
+
+
+def test_pq_dedup_index_seeds_survive_lowid_duplicates(spark, tmp_path):
+    """Code-review r9 finding #1 regression: a corpus whose vec_ids 0..15
+    are near-duplicates of ONE vector keeps a single representative of
+    them — the raw-path `vec_id < ksub` init would then seed ~1 centroid
+    per subspace and degenerate the quantizer. The explicit-seed init
+    must still produce a wide codebook."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_suite_spark.llm.similarity import _pq_dedup_index
+
+    def vec(seed):
+        return [
+            round(math.sin(seed * 7.3 + i * 1.7), 6) for i in range(64)
+        ]
+
+    rows = []
+    base = vec(999)
+    for vid in range(16):  # low ids: all the SAME vector (one signature)
+        rows.append((vid, base, "dup"))
+    for vid in range(16, 128):  # the rest: distinct vectors
+        rows.append((vid, vec(vid), "x"))
+    d = tmp_path / "lowdup"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": pa.array(
+                    [r[1] for r in rows], type=pa.list_(pa.float32())
+                ),
+                "label": [r[2] for r in rows],
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    cent, codes = _pq_dedup_index(spark, str(d))
+    from pyspark.sql import functions as F
+
+    widths = [
+        r["w"]
+        for r in cent.groupBy("subspace")
+        .agg(F.count_distinct("cluster").alias("w"))
+        .collect()
+    ]
+    assert widths and min(widths) >= 8, (
+        f"codebook degenerated: per-subspace widths {sorted(widths)}"
+    )
+    # the dedup really collapsed the low-id duplicate block to ONE rep
+    # (other sine-family vectors may also share signatures — the point
+    # is that ids 1..15 are gone, so `vec_id < ksub` would under-seed)
+    low_reps = codes.filter(F.col("vec_id") < 16).count()
+    assert low_reps == 1
+    assert codes.count() >= 16  # enough reps to fill the seed list

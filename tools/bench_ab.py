@@ -19,7 +19,6 @@ import json
 import os
 import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,18 +37,9 @@ def main() -> None:
 
     passes = []
     for p in range(2):
-        sched_runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            spark.sparkContext.parallelize(range(1000), 1000).count()
-            sched_runs.append(round(time.perf_counter() - t0, 3))
-        sched = round(statistics.median(sched_runs), 3)
-        runs: dict[str, list[float]] = {n: [] for n in names}
-        for _ in range(3):
-            for name in names:
-                t0 = time.perf_counter()
-                bench._checksum(QUERIES[name](spark, sf_dir))
-                runs[name].append(round(time.perf_counter() - t0, 3))
+        # the EXACT bench protocol, via bench.py's own shared helpers
+        sched, _sched_runs = bench.measure_sched(spark)
+        runs = bench.time_queries(spark, names, sf_dir, repeats=3)
         timings = {n: round(statistics.median(r), 3) for n, r in runs.items()}
         subtotal = round(sum(timings.values()), 3)
         passes.append(

@@ -208,6 +208,14 @@ def build_events(base: str, copies: int, out: str,
             f"events id ranges (max event_id {mx_e}, max user_id {mx_u}) "
             "exceed the tier's per-copy offsets (1e7 / 1e5): copies would alias"
         )
+    if hot_subject and 100000 * copies > 97000000:
+        # same anti-aliasing class: copy c=970's uid range reaches the
+        # planted subject id, merging a real user into it and corrupting
+        # the skew measurement (code-review r9 finding #4)
+        raise SystemExit(
+            f"--hot-subject with copies={copies}: per-copy uid ranges reach "
+            "the planted subject id 97000000 (needs copies <= 970)"
+        )
     uid = (
         "CASE WHEN (event_id + 10000000 * c) % 100 = 0 THEN 97000000"
         " ELSE user_id + 100000 * c END"
