@@ -452,11 +452,12 @@ R10_PLANNED: list[str] = [
     "llm_rare_token_docs",
     "inc_subject_export",
     "mm_modality_balance",
+    "stream_progress_report",
 ]
 
 # Round-10 rotation plan (computed at r9 close from the cumulative
 # driver ledger, assuming R9_WINDOW lands r9 evidence): the 50-slot R10
-# window should be R10_PLANNED (the 6 above) + ALL 26 remaining r2-era
+# window should be R10_PLANNED (the 7 above) + ALL 26 remaining r2-era
 # queries
 #   agg_percentile agg_pivot agg_rollup agg_stats agg_time_rollup_multi
 #   join_exists_correlated limit_n limit_offset_page set_except
@@ -465,14 +466,14 @@ R10_PLANNED: list[str] = [
 #   win_lag_lead win_moving_avg win_ntile win_pattern_adjacent
 #   win_percent_rank_cume win_rank_dense win_row_number win_running_sum
 #   win_topk_per_group
-# + the first 18 (alphabetically) of the 50 r3-era queries
+# + the first 17 (alphabetically) of the 50 r3-era queries
 #   dedup_by_key_latest dedup_distinct dim_scd2_build filter_between_dates
 #   filter_like_regex filter_null_handling filter_null_safe_eq filter_pred
 #   inc_backfill_window inc_batch_watermark inc_cdc_apply
 #   inc_state_merge_stats join_dpp_partition_pruned llm_data_mixture
-#   llm_quality_gopher llm_seq_packing pipeline_sink_jdbc pipeline_spec_run
+#   llm_quality_gopher llm_seq_packing pipeline_sink_jdbc
 # = exactly 50.  After that window executes, no registered query's
-# evidence is older than r3, and the remaining 32 r3-era queries clear
+# evidence is older than r3, and the remaining 33 r3-era queries clear
 # in r11.
 
 

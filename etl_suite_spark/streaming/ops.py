@@ -914,3 +914,85 @@ def stream_checkpoint_resume(spark, sf_dir):
     return (
         final.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
     )
+
+
+@query(
+    "stream_progress_report",
+    # Deterministic engine telemetry: with the 3 time-sliced drop files
+    # and maxFilesPerTrigger=1, batch i is exactly slice i, so
+    # numInputRows / state numRowsTotal / numRowsUpdated are replayable
+    # in SQL from events + the fixed cuts.
+    oracle=f"""
+    WITH sliced AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{_CUTS[0]}' THEN 0
+                  WHEN ts < TIMESTAMP '{_CUTS[1]}' THEN 1
+                  ELSE 2 END AS batch_id,
+             event_type
+      FROM events
+    ), per AS (
+      SELECT batch_id,
+             CAST(COUNT(*) AS BIGINT) AS num_input_rows,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS state_rows_updated
+      FROM sliced GROUP BY batch_id
+    )
+    SELECT p.batch_id,
+           p.num_input_rows,
+           (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM sliced s
+            WHERE s.batch_id <= p.batch_id) AS state_rows_total,
+           p.state_rows_updated
+    FROM per p ORDER BY p.batch_id
+    """,
+)
+def stream_progress_report(spark, sf_dir):
+    """Per-micro-batch job stats harvested from the ENGINE's own
+    StreamingQueryProgress telemetry — the streaming twin of
+    pipeline_run_report (the reference persists per-job stats with its
+    checkpoint documents [K]; Structured Streaming emits them per batch).
+    A stateful per-type running count consumes the three time-sliced
+    drop files (maxFilesPerTrigger=1 → batch i IS slice i), and the
+    report reads numInputRows plus the state store's numRowsTotal /
+    numRowsUpdated from query.recentProgress — all deterministic for
+    AvailableNow over fixed slices, so the driver hash certifies that
+    the engine actually processed each batch with exactly the expected
+    row and state cardinalities (a silently dropped batch, a state leak,
+    or double processing all break it).
+
+    Scale shape: the streaming plan is ONE hash aggregation (update
+    mode); the report itself is batch-count-sized driver telemetry —
+    this is the observability surface a 100 TB streaming deployment
+    alarms on (rows/batch, state growth), not a data-plane operator."""
+    import json as _json
+
+    drop, schema = _drop_dir(spark, sf_dir)
+    sdf = _read_stream(spark, drop, schema)
+    agg = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="etl_stream_prog_")
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        if int(d.get("numInputRows", 0)) <= 0:
+            continue  # trailing no-data commit batch
+        st = (d.get("stateOperators") or [{}])[0]
+        rows.append(
+            (
+                int(d["batchId"]),
+                int(d["numInputRows"]),
+                int(st.get("numRowsTotal", 0)),
+                int(st.get("numRowsUpdated", 0)),
+            )
+        )
+    shutil.rmtree(drop, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_id BIGINT, num_input_rows BIGINT,"
+        " state_rows_total BIGINT, state_rows_updated BIGINT",
+    ).orderBy("batch_id")
