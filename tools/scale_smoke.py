@@ -80,6 +80,10 @@ OPS = [
     # replicated docs stress the word-count shuffle and the Heaps-sized
     # per-round pair aggs
     "llm_bpe_train",
+    # round 9: rare-token mining reads documents — at the big tiers its
+    # Heaps-sized count join crosses the byte gate and must run as a
+    # co-partitioned AQE shuffle join (the DSIR discipline)
+    "llm_rare_token_docs",
 ]
 
 # Graph tier (--graph, VERDICT r5 item 4): the uniform tier replicates only
@@ -176,6 +180,9 @@ EVENTS_OPS = [
     # round-8 addition: the bucket-pruned GDPR erasure — build write +
     # dynamic-overwrite erase + readback audit, all events-sized
     "inc_subject_erasure",
+    # round-9 addition: the GDPR read twin — warehouse build write +
+    # subject-bucket-pruned export scan, both events-sized
+    "inc_subject_export",
 ]
 
 
