@@ -130,12 +130,17 @@ ANN_INDEX_OPS = [
     # remedy as a registered operator — dedup runs INSIDE the op, so it
     # must hold its gate on the raw duplicate-heavy corpus)
     "llm_index_build_pipeline",
+    # round 9: the LSH bucket family (deterministic projections, no
+    # training — "cold" here is bucket assignment, not k-means)
+    "llm_sim_ann_lsh",
+    "llm_sim_ann_multiprobe",
 ]
 ANN_RECALL_OPS = [
     "llm_sim_ann_ivf_recall",
     "llm_sim_ann_pq_recall",
     "llm_sim_ann_ivfpq_recall",
     "llm_index_build_pipeline_recall",
+    "llm_sim_ann_recall",  # the LSH twin
 ]
 
 # Permanent regression sentinel (VERDICT r8 item 3): the recall-gate
