@@ -421,3 +421,56 @@ def test_pq_dedup_index_seeds_survive_lowid_duplicates(spark, tmp_path):
     low_reps = codes.filter(F.col("vec_id") < 16).count()
     assert low_reps == 1
     assert codes.count() >= 16  # enough reps to fill the seed list
+
+
+def test_ann_recall_sentinel_logic():
+    """The sentinel's comparison function itself (tools/scale_smoke
+    check_recall_sentinel): a bug here would make the pinned recall
+    matrix silently always-pass. Exercises: matching matrix → pass;
+    flipped expected-fail → failure; missing result row → failure (not a
+    skip); restricted/deduped/non-pinned runs → does not apply."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.scale_smoke import ANN_RECALL_SENTINEL, check_recall_sentinel
+
+    def timings_for(matrix, flip=None, drop=None):
+        t = {}
+        for name, (flag, expect) in matrix.items():
+            if name == drop:
+                continue
+            val = (not expect) if name == flip else expect
+            t[name] = {"sec": 1.0, "result": {flag: val}}
+        return t
+
+    coords = (100, 0.05)
+    matrix = ANN_RECALL_SENTINEL[coords]
+
+    applies, fails = check_recall_sentinel(
+        *coords, False, None, timings_for(matrix)
+    )
+    assert applies and fails == []
+
+    # flat PQ silently "fixed" (gate weakened) must FAIL the sentinel
+    applies, fails = check_recall_sentinel(
+        *coords, False, None, timings_for(matrix, flip="llm_sim_ann_pq_recall")
+    )
+    assert applies and len(fails) == 1 and "llm_sim_ann_pq_recall" in fails[0]
+
+    # IVF silently degrading must FAIL
+    applies, fails = check_recall_sentinel(
+        *coords, False, None, timings_for(matrix, flip="llm_sim_ann_ivf_recall")
+    )
+    assert applies and len(fails) == 1 and "expected True, got False" in fails[0]
+
+    # a MISSING result row is a failure, never a skip
+    applies, fails = check_recall_sentinel(
+        *coords, False, None,
+        timings_for(matrix, drop="llm_index_build_pipeline_recall"),
+    )
+    assert applies and len(fails) == 1 and "got None" in fails[0]
+
+    # restricted / corpus-deduped / non-pinned runs do not apply
+    for args in ((100, 0.05, True, None), (100, 0.05, False, "x,y"), (7, 0.5, False, None)):
+        applies, fails = check_recall_sentinel(*args, timings_for(matrix))
+        assert not applies and fails == []

@@ -167,6 +167,23 @@ ANN_RECALL_SENTINEL = {
 }
 
 
+def check_recall_sentinel(copies, perturb, dedup_first, only, timings):
+    """(applies, failures) for the pinned recall matrix — extracted so
+    the comparison logic itself is pytest-checked (a bug here would make
+    the sentinel silently always-pass, defeating its purpose).  Applies
+    only to un-restricted, un-deduped runs at a pinned (copies, perturb)
+    coordinate; a MISSING result row is a failure, not a skip."""
+    sentinel = ANN_RECALL_SENTINEL.get((copies, perturb))
+    if not sentinel or dedup_first or only:
+        return False, []
+    failures = []
+    for name, (flag, expect) in sentinel.items():
+        got = timings.get(name, {}).get("result", {}).get(flag)
+        if got is not expect:
+            failures.append(f"{name}.{flag}: expected {expect}, got {got}")
+    return True, failures
+
+
 # Events tier (--events, added r8): no other tier replicates the events
 # table, so the incremental/CDC/SCD2/sessionization family — the
 # reference's defining capability — had no measurement past sf0.1.
@@ -623,15 +640,9 @@ def main() -> None:
                 "sec": round(time.perf_counter() - t0, 3),
                 "result": dict(row),
             }
-        sentinel = ANN_RECALL_SENTINEL.get((args.copies, args.perturb))
-        sentinel_failures = []
-        if sentinel and not args.dedup_first and not args.only:
-            for name, (flag, expect) in sentinel.items():
-                got = timings.get(name, {}).get("result", {}).get(flag)
-                if got is not expect:
-                    sentinel_failures.append(
-                        f"{name}.{flag}: expected {expect}, got {got}"
-                    )
+        sentinel_applies, sentinel_failures = check_recall_sentinel(
+            args.copies, args.perturb, args.dedup_first, args.only, timings
+        )
         print(
             json.dumps(
                 {
@@ -647,7 +658,7 @@ def main() -> None:
                     "recall_sentinel": (
                         ("FAIL: " + "; ".join(sentinel_failures))
                         if sentinel_failures
-                        else ("pass" if sentinel and not args.dedup_first and not args.only else None)
+                        else ("pass" if sentinel_applies else None)
                     ),
                     "queries": timings,
                 }
