@@ -474,3 +474,63 @@ def test_ann_recall_sentinel_logic():
     for args in ((100, 0.05, True, None), (100, 0.05, False, "x,y"), (7, 0.5, False, None)):
         applies, fails = check_recall_sentinel(*args, timings_for(matrix))
         assert not applies and fails == []
+
+
+def test_sign_signature_cross_engine_parity(spark, tmp_path):
+    """The 32-bit sign signature (_SIGN_SIG vs _SQL_SIGN_SIG) must be
+    bit-identical across engines — it is the dedup KEY of the composed
+    index pipeline, so a single diverging comparison silently changes
+    the representative set and the recall twin's ground truth. Random
+    float32 vectors, including planted exact ties (embedding[2j-1] ==
+    embedding[2j], where >= must agree on both engines)."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from etl_suite_spark.llm.similarity import _SIGN_SIG, _SQL_SIGN_SIG
+
+    rng = random.Random(909)
+    vecs = []
+    for vid in range(300):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        if vid % 7 == 0:  # planted ties on some compared pairs
+            for j in range(0, 64, 16):
+                v[j + 1] = v[j]
+        vecs.append((vid, v))
+    d = tmp_path / "sig_parity"
+    d.mkdir()
+    path = str(d / "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [v[0] for v in vecs],
+                "embedding": pa.array(
+                    [v[1] for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        path,
+    )
+    got_spark = {
+        r["vec_id"]: r["sig"]
+        for r in spark.read.parquet(path)
+        .select("vec_id", F.expr(_SIGN_SIG).alias("sig"))
+        .collect()
+    }
+    got_duck = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT vec_id, {_SQL_SIGN_SIG} AS sig"
+            f" FROM read_parquet('{path}')"
+        )
+        .fetchall()
+    )
+    assert got_spark == got_duck
+    assert all(len(s) == 32 and set(s) <= {"0", "1"} for s in got_spark.values())
+    # the tie plants actually exercised the >= edge
+    tied = [v for v in vecs if v[0] % 7 == 0]
+    assert tied
