@@ -581,6 +581,25 @@ def main() -> None:
             )
         return wanted
 
+    # Reclaim materialize_once artifacts minted DURING this run: they are
+    # keyed on the throwaway temp-corpus path, so no later process can
+    # ever hit them — without this each ANN/graph smoke run leaves
+    # ~0.5-1.5 GB of dead index/edge artifacts under /tmp forever (a
+    # 100x-tier run filled the sandbox disk mid-shuffle; addendum 38).
+    # Fixture-keyed artifacts recreated during the run are also swept —
+    # they are caches and rebuild on next use.
+    import atexit
+    import glob as _glob
+
+    _pre_mats = set(_glob.glob(os.path.join(tempfile.gettempdir(), "etl_mat_*")))
+
+    @atexit.register
+    def _sweep_run_minted_artifacts():
+        for d in set(
+            _glob.glob(os.path.join(tempfile.gettempdir(), "etl_mat_*"))
+        ) - _pre_mats:
+            shutil.rmtree(d, ignore_errors=True)
+
     out = os.path.join(tempfile.mkdtemp(prefix="etl_scale_"), "sfx")
     if args.skew:
         build_skewed(args.base, out)
@@ -753,11 +772,29 @@ def main() -> None:
     if args.graph:
         graph_ops = restrict(GRAPH_OPS, "graph")
         QUERIES[graph_ops[0]](spark, args.base).count()  # warmup
+
+        def reclaim_blocks():
+            """Free superseded localCheckpoint blocks between ops.
+            Each iterative graph op checkpoints per-round state; the
+            blocks are reclaimed by ContextCleaner only after BOTH the
+            Python references and the JVM RDDs are garbage-collected,
+            which lags under pressure — at 100 copies the five ops'
+            accumulated blocks OOM'd a shared session that each op
+            passes alone (addendum 38). Separate applications get this
+            isolation for free; a shared measurement session forces it."""
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1)  # let ContextCleaner drain its reference queue
+
         timings = {}
         for name in graph_ops:
+            reclaim_blocks()
             t0 = time.perf_counter()
             n1 = QUERIES[name](spark, args.base).count()
             base_sec = round(time.perf_counter() - t0, 3)
+            reclaim_blocks()
             t0 = time.perf_counter()
             nx = QUERIES[name](spark, out).count()
             scaled_sec = round(time.perf_counter() - t0, 3)
