@@ -45,7 +45,12 @@ from ..registry import query
            left(p_name, 3) AS first3,
            right(p_name, 3) AS last3,
            repeat(p_brand, 2) AS doubled,
-           reverse(p_name) AS reversed,
+           -- codepoint-true reverse: DuckDB reverse() works on grapheme
+           -- clusters, Spark on codepoints; identical on this ASCII
+           -- fixture column but the oracle is spelled to the bridge's
+           -- verified codepoint domain (test_differential PAIRS)
+           array_to_string(list_reverse(regexp_split_to_array(p_name, '')), '')
+             AS reversed,
            translate(p_name, 'el', 'ip') AS translated
     FROM part
     """,

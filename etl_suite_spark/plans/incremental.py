@@ -1170,12 +1170,21 @@ def inc_subject_export(spark, sf_dir):
     # (A filter on the partition column prunes identically in the
     # physical scan, but inputFiles() reports the pre-pruning relation,
     # so the explicit form is also the testable one.)
-    pruned = (
-        spark.read.option("basePath", wh)
-        .parquet(*[os.path.join(wh, f"bucket={b}") for b in buckets])
-    )
+    if buckets:
+        pruned = (
+            spark.read.option("basePath", wh)
+            .parquet(*[os.path.join(wh, f"bucket={b}") for b in buckets])
+        )
+        scanned = list(pruned.inputFiles())
+    else:
+        # zero-subject corpus (ADVICE r9): `.parquet(*[])` raises, and
+        # there is nothing to list — an empty frame with the warehouse
+        # schema preserves the export contract, scans no files, and the
+        # temp-warehouse reclamation below still runs.
+        pruned = ev.limit(0)
+        scanned = []
     _LAST_EXPORT_WH.clear()
-    _LAST_EXPORT_WH.extend([wh, list(pruned.inputFiles())])
+    _LAST_EXPORT_WH.extend([wh, scanned])
 
     export = (
         pruned.filter(is_subject)

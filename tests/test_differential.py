@@ -33,7 +33,18 @@ PAIRS = [
     ("substr", "substring(s, 2, 3)", "substring(s, 2, 3)"),
     ("concat_ws", "concat_ws('|', s, s)", "concat_ws('|', s, s)"),
     ("lpad", "lpad(s, 12, '_')", "lpad(s, 12, '_')"),
-    ("reverse", "reverse(s)", "reverse(s)"),
+    # reverse bridge: Spark reverses CODEPOINTS (surrogate-safe Java
+    # reverse); DuckDB reverse() reverses GRAPHEME CLUSTERS — this suite's
+    # own fuzz found '0' + U+E0020 (TAG SPACE) combines into one grapheme,
+    # making DuckDB's reverse the identity there. The oracle side is
+    # therefore spelled codepoint-true: DuckDB's empty-regex split yields
+    # one element per codepoint (verified incl. astral plane / empty /
+    # tag-sequence inputs), so list_reverse over it reverses codepoints.
+    (
+        "reverse",
+        "reverse(s)",
+        "array_to_string(list_reverse(regexp_split_to_array(s, '')), '')",
+    ),
     ("replace", "replace(s, 'a', 'Z')", "replace(s, 'a', 'Z')"),
     # regexp_replace: Spark replaces all by default; DuckDB needs 'g'.
     # Whitespace via explicit class — Java \s includes \x0B, RE2's doesn't.

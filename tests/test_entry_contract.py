@@ -6,16 +6,19 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-9 window composition (VERDICT r8 "Next round" item 1): the 14
-queries queued in R9_PLANNED during round 8 (clearing the never-checked
-backlog to zero) + the 36 oldest-evidence re-checks (27 r1-era
-extended-inventory stragglers and the 9 oldest r2-era core aggs).
-CORRECTNESS_r08 landed 50/50 green so there are no red re-checks.
-After R9 executes, every registered query has driver evidence no older
-than r2 — the strict-ledger test below enforces the endgame form
-(VERDICT r8 item 4): NO registered query may lack a committed driver
-record unless it sits in the active window or is a round-9 addition in
-R10_PLANNED.
+Round-10 window composition (VERDICT r9 items 1 + 4): the 7 queries
+queued in R10_PLANNED during round 9 (clearing the never-checked backlog
+to zero) + 43 re-checks led by ``llm_emb_pca`` — the ledger's ONLY red
+driver record (CORRECTNESS_r09 err: its former `pc` array column broke
+the driver's pandas canonicalization; now scalar pc_0..pc_7, with the
+driver-shape gate in tools/plan_audit pinning the discipline) — then the
+26 remaining r2-era queries and the first 16 r3-era queries
+alphabetically (``pipeline_sink_jdbc`` bumps to the staged r11 tail to
+keep the 50-slot arithmetic).  After R10 executes, the ledger holds zero
+red records and no registered query's evidence is older than r3 except
+that staged tail.  The strict-ledger endgame test enforces: NO
+registered query may lack a committed driver record unless it sits in
+the active window or is a round-10 addition in R11_PLANNED.
 """
 
 from __future__ import annotations
@@ -25,73 +28,72 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R9_WINDOW = [
-    # --- R9_PLANNED: round-8 additions (oracle-checked locally on intro) ---
-    "llm_bpe_train",
-    "llm_bpe_encode",
-    "mm_shard_manifest",
-    "llm_split_leakage",
-    "llm_dsir_weights",
-    "pipeline_dag_resume",
-    "llm_emb_pca",  # rows-only by design (LAPACK floats; variance twin oracled)
-    "llm_emb_pca_variance",
-    "llm_dsir_resample",
-    "stream_checkpoint_resume",
-    "inc_subject_erasure",
-    "llm_dedup_softweight",
-    "pipeline_run_report",
-    "agg_sketch_overlap",
-    # --- re-checks: r1-era extended-inventory stragglers ---
-    "fn_array_setops",
-    "fn_bitwise",
-    "fn_encode",
-    "fn_format",
-    "fn_interval_arith",
-    "fn_struct_nested",
-    "fn_surrogate_key",
-    "fn_trig",
-    "fn_url",
-    "fn_xml",
-    "llm_dedup_editdist",
-    "llm_dedup_embcos",
-    "llm_dedup_ngram_jaccard",
-    "llm_dedup_simhash",  # rows-only by design; `_recall` twin oracled
-    "llm_dedup_url",
-    "llm_lang_id",
-    "llm_quality_score",
-    "llm_sim_ann_ivf",  # rows-only by design; `_recall` twin oracled
-    "llm_sim_ann_lsh",
-    "llm_sim_ann_multiprobe",
-    "llm_sim_ann_recall",
-    "llm_sim_knn_classify",
-    "ml_kmeans_tiers",  # rows-only by design; ml_kmeans_quality oracled
-    "ml_kmeanspp_tiers",  # rows-only by design; quality twin oracled
-    "ml_linear_scoring",
-    "mm_binary_features",
-    "mm_frame_sample",
-    # --- re-checks: oldest r2-era core aggs ---
-    "agg_collect",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_first_last",
-    "agg_group_basic",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_histogram",
-    "agg_mode_per_group",
+EXPECTED_R10_WINDOW = [
+    # --- R10_PLANNED: round-9 additions (oracle-checked locally on intro) ---
+    "llm_index_build_pipeline",  # rows-only by design (iterative k-means)
+    "llm_index_build_pipeline_recall",
+    "llm_bpe_train_batched",
+    "llm_rare_token_docs",
+    "inc_subject_export",
+    "mm_modality_balance",
+    "stream_progress_report",
+    # --- THE red re-check (r9 driver err; rows-only by design with the
+    #     oracled llm_emb_pca_variance twin driver-green r9) ---
+    "llm_emb_pca",
+    # --- re-checks: all 26 remaining r2-era queries ---
+    "agg_percentile",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "agg_time_rollup_multi",
+    "join_exists_correlated",
+    "limit_n",
+    "limit_offset_page",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multikey",
+    "topk_global",
+    "win_first_last_value",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_ntile",
+    "win_pattern_adjacent",
+    "win_percent_rank_cume",
+    "win_rank_dense",
+    "win_row_number",
+    "win_running_sum",
+    "win_topk_per_group",
+    # --- re-checks: first 16 r3-era queries (alphabetical) ---
+    "dedup_by_key_latest",
+    "dedup_distinct",
+    "dim_scd2_build",
+    "filter_between_dates",
+    "filter_like_regex",
+    "filter_null_handling",
+    "filter_null_safe_eq",
+    "filter_pred",
+    "inc_backfill_window",
+    "inc_batch_watermark",
+    "inc_cdc_apply",
+    "inc_state_merge_stats",
+    "join_dpp_partition_pruned",
+    "llm_data_mixture",
+    "llm_quality_gopher",
+    "llm_seq_packing",
 ]
 
 # Window slots without an oracle, each rows-only BY DESIGN with an
 # oracle-checked honesty twin (see the per-slot comments above).
 ROWS_ONLY_IN_WINDOW = {
+    "llm_index_build_pipeline",
     "llm_emb_pca",
-    "llm_dedup_simhash",
-    "llm_sim_ann_ivf",
-    "ml_kmeans_tiers",
-    "ml_kmeanspp_tiers",
 }
 
-_DRIVER_ROUNDS = tuple(range(1, 10))
+_DRIVER_ROUNDS = tuple(range(1, 11))
 
 
 def _driver_history() -> dict[str, dict]:
@@ -104,49 +106,57 @@ def _driver_history() -> dict[str, dict]:
     return latest
 
 
+def _latest_round() -> dict[str, int]:
+    root = pathlib.Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    for n in _DRIVER_ROUNDS:
+        path = root / f"CORRECTNESS_r{n:02d}.json"
+        if path.exists():
+            for name in json.loads(path.read_text()):
+                latest[name] = n
+    return latest
+
+
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R9_WINDOW) == 50
-    assert len(set(EXPECTED_R9_WINDOW)) == 50
+    assert len(EXPECTED_R10_WINDOW) == 50
+    assert len(set(EXPECTED_R10_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R9_WINDOW
-    assert entry_mod.R9_WINDOW == EXPECTED_R9_WINDOW
+    assert qs[:50] == EXPECTED_R10_WINDOW
+    assert entry_mod.R10_WINDOW == EXPECTED_R10_WINDOW
 
 
 def test_window_composition():
-    """The window is exactly R9_PLANNED followed by the re-check block;
-    the planned block is exactly the never-driver-checked queries and the
-    re-checks only contain queries whose latest driver record is r1/r2
-    (recomputed from the committed CORRECTNESS files)."""
-    assert entry_mod.R9_WINDOW == entry_mod.R9_PLANNED + entry_mod.R9_RECHECKS
-    root = pathlib.Path(__file__).resolve().parent.parent
-    latest_round: dict[str, int] = {}
-    for n in range(1, 9):
-        path = root / f"CORRECTNESS_r{n:02d}.json"
-        if path.exists():
-            for name in json.loads(path.read_text()):
-                latest_round[name] = n
-    never_checked = {n for n in entry_mod.R9_PLANNED if n in latest_round}
-    assert not never_checked, f"R9_PLANNED slots already evidenced: {never_checked}"
-    stale = {n: latest_round.get(n) for n in entry_mod.R9_RECHECKS}
-    too_fresh = {n: r for n, r in stale.items() if r is None or r > 2}
+    """The window is exactly R10_PLANNED followed by the re-check block;
+    the planned block is exactly the never-driver-checked queries, the
+    red llm_emb_pca re-check leads the re-check block, and every other
+    re-check's latest driver record is r2/r3 (recomputed from the
+    committed CORRECTNESS files)."""
+    assert entry_mod.R10_WINDOW == entry_mod.R10_PLANNED + entry_mod.R10_RECHECKS
+    latest_round = _latest_round()
+    already = {n for n in entry_mod.R10_PLANNED if n in latest_round}
+    assert not already, f"R10_PLANNED slots already evidenced: {already}"
+    assert entry_mod.R10_RECHECKS[0] == "llm_emb_pca"  # the red record
+    assert latest_round["llm_emb_pca"] == 9
+    stale = {n: latest_round.get(n) for n in entry_mod.R10_RECHECKS[1:]}
+    too_fresh = {n: r for n, r in stale.items() if r is None or r > 3}
     assert not too_fresh, f"re-check slots with fresh evidence: {too_fresh}"
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R9_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R10_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
 def test_window_oracle_coverage():
-    # Exactly five rows-only slots this round (each by design, with an
+    # Exactly two rows-only slots this round (each by design, with an
     # oracled honesty twin); every other window entry carries a DuckDB
     # oracle.
     oracles = entry_mod.oracle_sql()
-    missing = {n for n in EXPECTED_R9_WINDOW if n not in oracles}
+    missing = {n for n in EXPECTED_R10_WINDOW if n not in oracles}
     assert missing == ROWS_ONLY_IN_WINDOW, (
         f"unexpected rows-only window slots: {missing ^ ROWS_ONLY_IN_WINDOW}"
     )
@@ -159,23 +169,20 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_no_stale_red_left_outside_window():
-    """Any query whose LATEST driver record is red (oracle-able but not
-    fully green) must sit inside the active window for a re-check.
-    Recomputed from the committed CORRECTNESS files; r1-r8 ended 50/50
-    green so this is expected vacuous — it exists to catch a regression
-    being planned around rather than re-checked."""
+    """Any query whose LATEST driver record is not fully green (including
+    an err record like llm_emb_pca's r9 TypeError) must sit inside the
+    active window for a re-check.  Recomputed from the committed
+    CORRECTNESS files — this is the test that forces a red record to be
+    re-checked rather than planned around."""
     latest = _driver_history()
-    oracles = entry_mod.oracle_sql()
     red = [
         name
         for name, rec in latest.items()
-        if name in oracles
-        and not (
-            rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
-        )
+        if name in entry_mod.queries() and not _is_green_or_rows_only(rec)
     ]
-    outside = sorted(set(red) - set(EXPECTED_R9_WINDOW))
-    assert not outside, f"stale-red oracle-able queries not in window: {outside}"
+    assert red == ["llm_emb_pca"]  # the one known red (r9); drop when r10 lands
+    outside = sorted(set(red) - set(EXPECTED_R10_WINDOW))
+    assert not outside, f"stale-red queries not in window: {outside}"
 
 
 def _is_green_or_rows_only(rec: dict) -> bool:
@@ -186,31 +193,31 @@ def _is_green_or_rows_only(rec: dict) -> bool:
 
 
 def test_strict_ledger_endgame():
-    """VERDICT r8 item 4 (the endgame flip): EVERY registered query must
-    have a committed green/rows-only driver record, or sit in the active
-    R9 window, or be a round-9 addition pinned in R10_PLANNED.  There is
-    no other escape — a query added with no driver-evidence plan fails
-    here immediately."""
+    """The endgame invariant (VERDICT r8 item 4, kept since): EVERY
+    registered query must have a committed green/rows-only driver record,
+    or sit in the active R10 window, or be a round-10 addition pinned in
+    R11_PLANNED.  There is no other escape — a query added with no
+    driver-evidence plan fails here immediately."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    planned = set(EXPECTED_R9_WINDOW) | set(entry_mod.R10_PLANNED)
+    planned = set(EXPECTED_R10_WINDOW) | set(entry_mod.R11_PLANNED)
     uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
 
-def test_r10_overflow_plan_is_well_formed():
-    assert len(entry_mod.R10_PLANNED) <= 50
-    assert len(set(entry_mod.R10_PLANNED)) == len(entry_mod.R10_PLANNED)
-    overlap = set(entry_mod.R10_PLANNED) & set(EXPECTED_R9_WINDOW)
-    assert not overlap, f"R10 entries already in the R9 window: {overlap}"
+def test_r11_overflow_plan_is_well_formed():
+    assert len(entry_mod.R11_PLANNED) <= 50
+    assert len(set(entry_mod.R11_PLANNED)) == len(entry_mod.R11_PLANNED)
+    overlap = set(entry_mod.R11_PLANNED) & set(EXPECTED_R10_WINDOW)
+    assert not overlap, f"R11 entries already in the R10 window: {overlap}"
     registered = set(entry_mod.queries())
-    ghosts = sorted(set(entry_mod.R10_PLANNED) - registered)
-    assert not ghosts, f"R10-planned names not registered: {ghosts}"
-    # R10_PLANNED is only for NEW (round-9) queries: none may already
+    ghosts = sorted(set(entry_mod.R11_PLANNED) - registered)
+    assert not ghosts, f"R11-planned names not registered: {ghosts}"
+    # R11_PLANNED is only for NEW (round-10) queries: none may already
     # hold driver evidence.
     latest = _driver_history()
-    stale = sorted(set(entry_mod.R10_PLANNED) & set(latest))
-    assert not stale, f"R10-planned names already evidenced: {stale}"
+    stale = sorted(set(entry_mod.R11_PLANNED) & set(latest))
+    assert not stale, f"R11-planned names already evidenced: {stale}"
 
 
 def test_bench_headline_queries_registered():

@@ -458,7 +458,10 @@ def test_emb_pca_matches_numpy_reference(spark):
     colsum_f = np.asarray(colsum, dtype=np.float64)
     assert abs(sum(np.linalg.eigvalsh(gram_f / mn - np.outer(colsum_f / mn, colsum_f / mn))) - trace) < 1e-3 * abs(trace)
 
-    got = {r["vec_id"]: r["pc"] for r in QUERIES["llm_emb_pca"](spark, SF_DIR).collect()}
+    got = {
+        r["vec_id"]: [r[f"pc_{i}"] for i in range(8)]
+        for r in QUERIES["llm_emb_pca"](spark, SF_DIR).collect()
+    }
     vec_ids = t["vec_id"].to_pylist()
     errs = [
         np.max(np.abs(np.array(got[vid]) - ref_proj[i]))

@@ -71,7 +71,20 @@ def main() -> None:
     for name in window:
         t0 = time.time()
         try:
-            sc, sr = canon_spark(qs[name](spark, args.sf))
+            df = qs[name](spark, args.sf).persist()
+            try:
+                # driver-shape probe (VERDICT r9 item 2): the real driver
+                # canonicalizes via toPandas().sort_values — literal replay
+                # here, so an output shape pandas cannot factorize (ndarray
+                # cells from array columns) fails HERE, not in the round's
+                # CORRECTNESS record. persist() makes collect() below reuse
+                # the same computed result instead of re-executing.
+                pdf = df.toPandas()
+                if len(pdf.columns):
+                    pdf.sort_values(by=sorted(pdf.columns), kind="mergesort")
+                sc, sr = canon_spark(df)
+            finally:
+                df.unpersist()
         except Exception as e:  # noqa: BLE001 — report like the driver does
             failed.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error: {e}")

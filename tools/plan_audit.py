@@ -112,6 +112,31 @@ EXPECTED_NLJ = {
 # audit their batch analogues instead (they're pinned in pytest goldens).
 SKIP = {name for name in QUERIES if name.startswith("stream_")}
 
+# Driver-shape gate (VERDICT r9 item 2): the real driver canonicalizes
+# EVERY query's output via toPandas().sort_values(...) before branching on
+# oracle presence, and Arrow-backed toPandas renders Array/Map/Struct cells
+# as numpy.ndarray / dict objects that pandas cannot factorize — the exact
+# failure that turned llm_emb_pca red in CORRECTNESS_r09 while collect()-
+# based local verification stayed green. Every registered query must
+# therefore emit ATOMIC-typed columns only. The whitelist is for a future
+# op that genuinely needs a nested output AND ships its own driver-shape
+# evidence; it is intentionally empty today.
+NESTED_OUTPUT_OK: set[str] = set()
+
+
+def shape_violations(name: str, schema) -> list[str]:
+    """Column names in `schema` whose type the driver's pandas
+    canonicalization cannot ingest (Array/Map/Struct), unless whitelisted."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if name in NESTED_OUTPUT_OK:
+        return []
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -128,10 +153,17 @@ def main() -> None:
             rows.append((name, "-", "-", "-", "-", "streaming (pytest-pinned)"))
             continue
         try:
-            plan = QUERIES[name](spark, args.sf)._jdf.queryExecution().executedPlan().toString()
+            df = QUERIES[name](spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # pragma: no cover
             rows.append((name, "?", "?", "?", "?", f"PLAN ERROR {type(e).__name__}"))
             violations.append((name, str(e)[:120]))
+            continue
+        bad_cols = shape_violations(name, df.schema)
+        if bad_cols:
+            note = f"NON-ATOMIC OUTPUT {bad_cols}"
+            violations.append((name, note))
+            rows.append((name, "?", "?", "?", "?", note))
             continue
         shuffles = len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan))
         bcasts = plan.count("BroadcastExchange")

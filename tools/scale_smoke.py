@@ -130,6 +130,10 @@ ANN_INDEX_OPS = [
     # remedy as a registered operator — dedup runs INSIDE the op, so it
     # must hold its gate on the raw duplicate-heavy corpus)
     "llm_index_build_pipeline",
+    # round 10: dedup-before-index extended to the IVF-PQ composite
+    # (VERDICT r9 item 5 — addendum 30 measured raw IVF-PQ as the one
+    # expensive build left; both quantizers now train on representatives)
+    "llm_index_build_pipeline_ivfpq",
     # round 9: the LSH bucket family (deterministic projections, no
     # training — "cold" here is bucket assignment, not k-means)
     "llm_sim_ann_lsh",
@@ -140,6 +144,7 @@ ANN_RECALL_OPS = [
     "llm_sim_ann_pq_recall",
     "llm_sim_ann_ivfpq_recall",
     "llm_index_build_pipeline_recall",
+    "llm_index_build_pipeline_ivfpq_recall",
     "llm_sim_ann_recall",  # the LSH twin
 ]
 
@@ -157,12 +162,16 @@ ANN_RECALL_SENTINEL = {
         "llm_sim_ann_pq_recall": ("recall_ge_40", False),
         "llm_sim_ann_ivfpq_recall": ("recall_ge_30", True),
         "llm_index_build_pipeline_recall": ("recall_ge_40", True),
+        # round 10 (measured this round, BASELINE addendum 39):
+        "llm_index_build_pipeline_ivfpq_recall": ("recall_ge_30", True),
     },
     (1500, 0.001): {
         "llm_sim_ann_ivf_recall": ("recall_ge_40", True),
         "llm_sim_ann_pq_recall": ("recall_ge_40", False),
         "llm_sim_ann_ivfpq_recall": ("recall_ge_30", True),
         "llm_index_build_pipeline_recall": ("recall_ge_40", True),
+        # round 10 (measured this round, BASELINE addendum 39):
+        "llm_index_build_pipeline_ivfpq_recall": ("recall_ge_30", True),
     },
 }
 
@@ -179,7 +188,12 @@ def check_recall_sentinel(copies, perturb, dedup_first, only, timings):
     failures = []
     for name, (flag, expect) in sentinel.items():
         got = timings.get(name, {}).get("result", {}).get(flag)
-        if got is not expect:
+        # normalize before comparing (ADVICE r9): a truthy non-bool flag
+        # (e.g. numpy.bool_ from a future result path) must not spuriously
+        # fail the sentinel via identity comparison; None (missing row)
+        # stays a failure.
+        got = bool(got) if got is not None else None
+        if got != expect:
             failures.append(f"{name}.{flag}: expected {expect}, got {got}")
     return True, failures
 

@@ -152,6 +152,11 @@ def main():
 
     import __spark_entry__ as mod
 
+    # driver-shape gate (VERDICT r9 item 2) — checked here too because
+    # plan_audit SKIPs stream_* queries (plan construction executes jobs)
+    # while this tool runs them; the gate must cover every registered query.
+    from tools.plan_audit import shape_violations
+
     qs, oracles = mod.queries(), mod.oracle_sql()
     names = list(qs) if not args.only else [n.strip() for n in args.only.split(",")]
 
@@ -167,6 +172,11 @@ def main():
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
+            bad_cols = shape_violations(name, sdf.schema)
+            if bad_cols:
+                failed.append((name, f"NON-ATOMIC OUTPUT (driver-shape gate): {bad_cols}"))
+                print(f"FAIL {name}: non-atomic output columns {bad_cols}")
+                continue
             sc, sr, st = canon_spark(sdf, with_types=True)
         except Exception as e:
             failed.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
