@@ -461,15 +461,20 @@ R10_PLANNED: list[str] = [
 # (CORRECTNESS_r09 err: its former `pc` array column broke the driver's
 # pandas canonicalization; the op now emits scalar pc_0..pc_7 and the
 # driver-shape gate in tools/plan_audit pins the discipline repo-wide).
-# The 50-slot arithmetic is kept by taking only the first 16 (of 17
-# staged) r3-era re-checks alphabetically — `pipeline_sink_jdbc` bumps to
-# the r11 tail.  After this window executes, no registered query's
-# evidence is older than r3 except that staged tail, and the ledger holds
-# zero red records.
+# The 50-slot arithmetic is kept by taking only the first 15 (of 17
+# staged) r3-era re-checks alphabetically — `llm_seq_packing` and
+# `pipeline_sink_jdbc` bump to the r11 tail.  After this window executes,
+# no registered query's evidence is older than r3 except that staged
+# tail, and the ledger holds zero red records.
 R10_RECHECKS = [
     # THE red re-check (r9 driver err; rows-only by design — LAPACK
     # floats — with the oracled llm_emb_pca_variance twin driver-green):
     "llm_emb_pca",
+    # bridge-change re-check (VERDICT r9 item 3): fn_string's oracle now
+    # spells DuckDB reverse codepoint-true (the grapheme-vs-codepoint
+    # divergence found by the repo's own fuzz), so its r4 record predates
+    # the oracle text — re-verify under the driver:
+    "fn_string",
     # all 26 remaining r2-era queries:
     "agg_percentile",
     "agg_pivot",
@@ -513,7 +518,6 @@ R10_RECHECKS = [
     "join_dpp_partition_pruned",
     "llm_data_mixture",
     "llm_quality_gopher",
-    "llm_seq_packing",
 ]
 
 R10_WINDOW = R10_PLANNED + R10_RECHECKS
@@ -522,13 +526,16 @@ R10_WINDOW = R10_PLANNED + R10_RECHECKS
 # the same contract (oracle-checked locally on introduction;
 # tests/test_entry_contract.py counts R11 toward the
 # every-query-has-a-driver-evidence-plan invariant).  The staged r11
-# rotation: R11_PLANNED + `pipeline_sink_jdbc` (bumped from the staged
-# r10 list, see above) + the remaining 33 r3-era queries, topped up with
-# the oldest r4-era re-checks to 50.
+# rotation: R11_PLANNED + `llm_seq_packing` and `pipeline_sink_jdbc`
+# (bumped from the staged r10 list, see above) + the remaining 33 r3-era
+# queries, topped up with the oldest r4-era re-checks to 50.
 R11_PLANNED: list[str] = [
     # added in round 10 (oracle-checked locally on introduction):
     "llm_index_build_pipeline_ivfpq",  # rows-only by design (iterative quantizers)
     "llm_index_build_pipeline_ivfpq_recall",
+    "llm_emb_matryoshka_recall",
+    "llm_index_incremental_add",  # rows-only by design (frozen k-means); recall twin oracled
+    "llm_index_incremental_add_recall",
 ]
 
 

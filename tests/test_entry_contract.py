@@ -40,6 +40,10 @@ EXPECTED_R10_WINDOW = [
     # --- THE red re-check (r9 driver err; rows-only by design with the
     #     oracled llm_emb_pca_variance twin driver-green r9) ---
     "llm_emb_pca",
+    # --- bridge-change re-check (VERDICT r9 item 3): fn_string's oracle
+    #     changed to codepoint-true reverse, so its r8 record predates
+    #     the oracle text ---
+    "fn_string",
     # --- re-checks: all 26 remaining r2-era queries ---
     "agg_percentile",
     "agg_pivot",
@@ -83,7 +87,6 @@ EXPECTED_R10_WINDOW = [
     "join_dpp_partition_pruned",
     "llm_data_mixture",
     "llm_quality_gopher",
-    "llm_seq_packing",
 ]
 
 # Window slots without an oracle, each rows-only BY DESIGN with an
@@ -131,16 +134,20 @@ def test_first_50_match_pinned_window():
 def test_window_composition():
     """The window is exactly R10_PLANNED followed by the re-check block;
     the planned block is exactly the never-driver-checked queries, the
-    red llm_emb_pca re-check leads the re-check block, and every other
-    re-check's latest driver record is r2/r3 (recomputed from the
-    committed CORRECTNESS files)."""
+    red llm_emb_pca re-check and the bridge-change fn_string re-check
+    lead the re-check block, and every other re-check's latest driver
+    record is r2/r3 (recomputed from the committed CORRECTNESS files)."""
     assert entry_mod.R10_WINDOW == entry_mod.R10_PLANNED + entry_mod.R10_RECHECKS
     latest_round = _latest_round()
     already = {n for n in entry_mod.R10_PLANNED if n in latest_round}
     assert not already, f"R10_PLANNED slots already evidenced: {already}"
     assert entry_mod.R10_RECHECKS[0] == "llm_emb_pca"  # the red record
     assert latest_round["llm_emb_pca"] == 9
-    stale = {n: latest_round.get(n) for n in entry_mod.R10_RECHECKS[1:]}
+    # fn_string: green r4 record, but its ORACLE changed in r10 (the
+    # codepoint-true reverse bridge) — the record predates the oracle text
+    assert entry_mod.R10_RECHECKS[1] == "fn_string"
+    assert latest_round["fn_string"] == 4
+    stale = {n: latest_round.get(n) for n in entry_mod.R10_RECHECKS[2:]}
     too_fresh = {n: r for n, r in stale.items() if r is None or r > 3}
     assert not too_fresh, f"re-check slots with fresh evidence: {too_fresh}"
 

@@ -203,3 +203,133 @@ def test_subject_export_zero_subject_corpus(spark, tmp_path):
     wh, scanned = inc._LAST_EXPORT_WH
     assert scanned == []  # nothing listed, let alone read
     assert not os.path.exists(os.path.dirname(wh))  # reclaimed
+
+
+def _quantize_matrix(X):
+    """The engines' exact quantization of embedding components: float32
+    multiply by 1e6 (both Spark and DuckDB coerce FLOAT * INT to a
+    float32 product), then decimal HALF_UP on the shortest repr — the
+    test_round8 PCA recipe."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    prod = (X.astype(np.float32) * np.float32(1e6)).astype(np.float64)
+    return np.array(
+        [
+            [
+                int(Decimal(repr(v)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+                for v in row
+            ]
+            for row in prod
+        ],
+        dtype=object,  # exact int products below
+    )
+
+
+def test_matryoshka_recall_matches_numpy_reference(spark):
+    """llm_emb_matryoshka_recall vs an independent numpy implementation
+    of the same semantics (exact integer quantized dots, 6-dp cosine,
+    neighbor-id tiebreak): per-dim n_found must match EXACTLY — the
+    addendum-27 discipline of not trusting a mirrored representation.
+    Also pins the self-test row: d=64 recall is 1.0 by construction."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    vec_ids = t["vec_id"].to_pylist()
+    Q = _quantize_matrix(X)
+    n = len(Q)
+    qidx = [i for i, v in enumerate(vec_ids) if v < 10]
+
+    def top3(d):
+        out = {}
+        for qi in qidx:
+            scores = []
+            for ci in range(n):
+                if vec_ids[ci] == vec_ids[qi]:
+                    continue
+                dp = sum(int(a) * int(b) for a, b in zip(Q[qi][:d], Q[ci][:d]))
+                nq = sum(int(a) * int(a) for a in Q[qi][:d])
+                nc = sum(int(a) * int(a) for a in Q[ci][:d])
+                cos = round(
+                    (dp / 1e12) / ((nq / 1e12 * nc / 1e12) ** 0.5), 6
+                )
+                scores.append((-cos, vec_ids[ci]))
+            scores.sort()
+            out[vec_ids[qi]] = {vid for _, vid in scores[:3]}
+        return out
+
+    full = top3(64)
+    rows = {
+        r["dim"]: r
+        for r in QUERIES["llm_emb_matryoshka_recall"](spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [8, 16, 32, 64]
+    for d in (8, 16, 32, 64):
+        trunc = top3(d)
+        ref_found = sum(len(trunc[k] & full[k]) for k in full)
+        r = rows[d]
+        assert r["n_exact_pairs"] == 30
+        assert r["n_found"] == ref_found, (d, r["n_found"], ref_found)
+        assert abs(r["recall"] - round(ref_found / 30, 4)) < 1e-9
+    assert rows[64]["n_found"] == 30 and rows[64]["recall"] == 1.0
+
+
+def test_incremental_add_conservation_and_frozen_assignment(spark):
+    """llm_index_incremental_add: per-cell counts conserve the corpus
+    split exactly (base = vec_id>=100, delta = vec_id<100), and every
+    delta vector's cell equals the argmin over the FROZEN persisted
+    centroids recomputed independently in numpy — i.e. the delta path
+    really is assignment-only, no retrain."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_suite_spark.llm.similarity import _ivf_incr_parts
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vec_ids = t["vec_id"].to_pylist()
+    n_delta = sum(1 for v in vec_ids if v < 100)
+    n_base = len(vec_ids) - n_delta
+
+    rows = QUERIES["llm_index_incremental_add"](spark, SF_DIR).collect()
+    assert sum(r["n_base"] for r in rows) == n_base
+    assert sum(r["n_added"] for r in rows) == n_delta
+    for r in rows:
+        assert r["n_total"] == r["n_base"] + r["n_added"]
+        assert abs(r["delta_share"] - round(r["n_added"] / r["n_total"], 4)) < 1e-9
+
+    base_cells, delta_cells, centroids = _ivf_incr_parts(spark, SF_DIR)
+    cent = {
+        r["cluster"]: np.array(r["centroid"], dtype=np.float64)
+        for r in centroids.collect()
+    }
+    emb = {
+        v: np.array(e, dtype=np.float64)
+        for v, e in zip(vec_ids, t["embedding"].to_pylist())
+        if v < 100
+    }
+    got = {r["vec_id"]: r["cell"] for r in delta_cells.collect()}
+    assert set(got) == set(emb)
+    from etl_suite_spark.llm.clustering import _DIST_SQ  # noqa: F401 — doc ref
+
+    def q6(x):
+        # _DIST_SQ quantizes components like the dot fold: round(x*1e6)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        p = float(np.float32(x) * np.float32(1e6))
+        return int(Decimal(repr(p)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    mism = 0
+    for vid, e in emb.items():
+        eq = np.array([q6(x) for x in e], dtype=np.float64)
+        best = min(
+            (
+                (float(np.sum((eq - np.array([q6(c) for c in cv])) ** 2)), cl)
+                for cl, cv in cent.items()
+            )
+        )[1]
+        if got[vid] != best:
+            mism += 1
+    assert mism == 0, f"{mism} delta vectors not assigned to nearest frozen centroid"

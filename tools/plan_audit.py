@@ -57,6 +57,11 @@ EXPECTED_NLJ = {
     "llm_sim_ann_ivfpq_recall",  # same + one-row metric join
     "llm_index_build_pipeline",  # same 10-query ADC broadcast as ann_pq
     "llm_index_build_pipeline_recall",  # same + one-row metric join
+    "llm_index_build_pipeline_ivfpq",  # coarse-centroid + per-cell ADC broadcasts
+    "llm_index_build_pipeline_ivfpq_recall",  # same + one-row metric join
+    "llm_emb_matryoshka_recall",  # broadcast 10-query set × bounded dim grid
+    "llm_index_incremental_add",  # k-centroid broadcast argmin (frozen quantizer)
+    "llm_index_incremental_add_recall",  # same + broadcast probes + 1-row metric join
     "mm_modality_balance",  # one-row corpus-bytes normalizer broadcast
     "agg_aqp_estimate",  # two one-row aggregates joined (estimate vs exact)
     "agg_sketch_overlap",  # 5-row sketch table pair self-join (type-count-sized by design)

@@ -134,6 +134,12 @@ ANN_INDEX_OPS = [
     # (VERDICT r9 item 5 — addendum 30 measured raw IVF-PQ as the one
     # expensive build left; both quantizers now train on representatives)
     "llm_index_build_pipeline_ivfpq",
+    # round 10: incremental IVF maintenance — here the cold/warm split is
+    # the claim itself: cold = one-time base train + first delta ingest,
+    # warm = the recurring per-batch cost (frozen-centroid assign + audit,
+    # no retrain). Not in the sentinel matrix (addenda 24/26 pin the
+    # build-family recall outcomes; this op's gate is its own recall twin).
+    "llm_index_incremental_add",
     # round 9: the LSH bucket family (deterministic projections, no
     # training — "cold" here is bucket assignment, not k-means)
     "llm_sim_ann_lsh",
@@ -145,6 +151,7 @@ ANN_RECALL_OPS = [
     "llm_sim_ann_ivfpq_recall",
     "llm_index_build_pipeline_recall",
     "llm_index_build_pipeline_ivfpq_recall",
+    "llm_index_incremental_add_recall",
     "llm_sim_ann_recall",  # the LSH twin
 ]
 
