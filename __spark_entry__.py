@@ -502,7 +502,8 @@ R10_RECHECKS = [
     "win_row_number",
     "win_running_sum",
     "win_topk_per_group",
-    # first 16 (alphabetically) of the 50 r3-era queries:
+    # first 15 (alphabetically) of the 50 r3-era queries
+    # (llm_seq_packing and pipeline_sink_jdbc bumped to the r11 tail):
     "dedup_by_key_latest",
     "dedup_distinct",
     "dim_scd2_build",

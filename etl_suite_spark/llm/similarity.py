@@ -1086,49 +1086,111 @@ def llm_sim_ann_pq(spark, sf_dir):
     return _rerank_top3(cand, e, q)
 
 
+def _ivfpq_build(spark, en, tok, m=8, ksub=16, subdim=8, seed_ids=None):
+    """Train the IVF-PQ index over ``en`` (vec_id + `unit` normalized
+    vectors) and persist (coded, cent, coarse) under ``tok`` — the
+    SHARED build body of :func:`_ivfpq_index` (raw corpus, default
+    low-id codebook seeding) and :func:`_ivfpq_dedup_index`
+    (representatives, explicit seeds) so a quantizer change cannot
+    silently diverge between the raw and dedup families (code-review
+    r10 finding #3). Coarse quantizer: 8 cells, 3 Lloyd iterations, pp
+    init; PQ trains and encodes each vector's RESIDUAL from its cell
+    centroid; ``coded`` is written PARTITIONED ON CELL ID so a probe's
+    cell equi-join starts co-located with the storage layout."""
+    from ..core import materialize_once
+    from .clustering import kmeans_fit
+
+    assigned, coarse = kmeans_fit(
+        spark, en.select("vec_id", F.col("unit").alias("embedding")),
+        k=8, iters=3, init="pp",
+    )
+    cells = en.join(
+        assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
+    ).join(
+        F.broadcast(coarse.select(F.col("cluster").alias("cell"), "centroid")),
+        "cell",
+    )
+    # residual = unit − cell centroid; PQ trains and encodes on these
+    resid = cells.select(
+        "vec_id",
+        "cell",
+        F.expr(
+            "zip_with(unit, centroid, (x, c) -> CAST(x - c AS FLOAT))"
+        ).alias("runit"),
+    ).localCheckpoint(eager=True)  # reused by 3 assign passes + encode
+    cent, codes = _pq_train_encode(
+        resid, m=m, ksub=ksub, subdim=subdim, vec_col="runit",
+        seed_ids=seed_ids,
+    )
+    coded = codes.join(resid.select("vec_id", "cell"), "vec_id")
+    coded = materialize_once(
+        spark, coded, tok + ":coded", partition_col="cell", n_partitions=8
+    )
+    cent = materialize_once(spark, cent, tok + ":cent", n_partitions=1)
+    coarse = materialize_once(spark, coarse, tok + ":coarse", n_partitions=1)
+    return coded, cent, coarse
+
+
+def _ivfpq_probe(coded, cent, coarse, rerank_e, q,
+                 m=8, ksub=16, subdim=8, pool=32, nprobe=2):
+    """The SHARED IVF-PQ serving path (code-review r10 finding #3):
+    coarse-route each broadcast query to its ``nprobe`` nearest cells,
+    build one ADC table per probed cell from the query's PER-CELL
+    residual, equi-join the cell-partitioned code table against the
+    broadcast probe tables, keep the ``pool`` best ADC candidates per
+    query, and exact-cosine re-rank them against ``rerank_e`` (the raw
+    corpus for llm_sim_ann_ivfpq; the representative set for
+    llm_index_build_pipeline_ivfpq)."""
+    from .clustering import _DIST_SQ
+
+    qc = q.crossJoin(
+        F.broadcast(coarse.select(F.col("cluster").alias("p_cell"), "centroid"))
+    ).withColumn("cdist", F.expr(_DIST_SQ.format(a="q_unit", b="centroid")))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("p_cell").asc()
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "p_cell",
+            F.expr(
+                "zip_with(q_unit, centroid, (x, c) -> CAST(x - c AS FLOAT))"
+            ).alias("q_res"),
+        )
+    )
+    ptab = _adc_table(
+        probes, cent, ["query_id", "p_cell"], "q_res",
+        m=m, ksub=ksub, subdim=subdim,
+    )
+    adc = coded.join(
+        F.broadcast(ptab),
+        (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_expr(m, ksub).alias("approx_dsq"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dsq").asc(), F.col("neighbor_id").asc()
+    )
+    cand = adc.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") <= pool)
+    return _rerank_top3(cand, rerank_e, q)
+
+
 def _ivfpq_index(spark, sf_dir, m=8, ksub=16, subdim=8):
     """(coded, cent, coarse) of the IVF-PQ index, PERSISTED once per
     corpus (same rationale as :func:`_pq_index`; the cache check runs
     before plan construction because both quantizers train eagerly).
-    ``coded`` is written PARTITIONED ON CELL ID — the layout claim in
-    llm_sim_ann_ivfpq's docstring made literal: a probe's cell equi-join
-    starts co-located with the storage partitioning."""
-    from ..core import mat_exists, mat_path, materialize_once
-    from .clustering import kmeans_fit
+    Build body shared with the dedup variant via :func:`_ivfpq_build`."""
+    from ..core import mat_exists, mat_path
 
     tok = f"v1:ivfpq_index:{sf_dir}:m{m}k{ksub}"
     names = (":coded", ":cent", ":coarse")
     if not all(mat_exists(tok + n) for n in names):
         _, en = _pq_normalize(spark, sf_dir)
-        # coarse quantizer over the normalized vectors (8 cells)
-        assigned, coarse = kmeans_fit(
-            spark, en.select("vec_id", F.col("unit").alias("embedding")),
-            k=8, iters=3, init="pp",
-        )
-        cells = en.join(
-            assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
-        ).join(
-            F.broadcast(coarse.select(F.col("cluster").alias("cell"), "centroid")),
-            "cell",
-        )
-        # residual = unit − cell centroid; PQ trains and encodes on these
-        resid = cells.select(
-            "vec_id",
-            "cell",
-            F.expr(
-                "zip_with(unit, centroid, (x, c) -> CAST(x - c AS FLOAT))"
-            ).alias("runit"),
-        ).localCheckpoint(eager=True)  # reused by 3 assign passes + encode
-        cent, codes = _pq_train_encode(
-            resid, m=m, ksub=ksub, subdim=subdim, vec_col="runit"
-        )
-        coded = codes.join(resid.select("vec_id", "cell"), "vec_id")
-        coded = materialize_once(
-            spark, coded, tok + ":coded", partition_col="cell", n_partitions=8
-        )
-        cent = materialize_once(spark, cent, tok + ":cent", n_partitions=1)
-        coarse = materialize_once(spark, coarse, tok + ":coarse", n_partitions=1)
-        return coded, cent, coarse
+        return _ivfpq_build(spark, en, tok, m=m, ksub=ksub, subdim=subdim)
     return tuple(spark.read.parquet(mat_path(tok + n)) for n in names)
 
 
@@ -1167,53 +1229,13 @@ def llm_sim_ann_ivfpq(spark, sf_dir):
     map-only on the pruned partitions. The index is built once per
     corpus and cached (measured at sf0.1: 6.19 s retrain-per-call →
     0.83-0.86 s warm probe; cold build 7.2 s in pass 1 / scale smoke)."""
-    from .clustering import _DIST_SQ
-
-    m, ksub, subdim, pool, nprobe = 8, 16, 8, 32, 2
+    m, ksub, subdim = 8, 16, 8
     coded, cent, coarse = _ivfpq_index(spark, sf_dir, m=m, ksub=ksub, subdim=subdim)
-
-    # each query keeps its nprobe nearest cells; its ADC table is built
-    # from its PER-CELL residual (query − that cell's centroid)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     ).withColumn("nsq", dot("embedding", "embedding"))
     q = _raw_queries(e)
-    qc = q.crossJoin(
-        F.broadcast(coarse.select(F.col("cluster").alias("p_cell"), "centroid"))
-    ).withColumn("cdist", F.expr(_DIST_SQ.format(a="q_unit", b="centroid")))
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").asc(), F.col("p_cell").asc()
-    )
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select(
-            "query_id",
-            "p_cell",
-            F.expr(
-                "zip_with(q_unit, centroid, (x, c) -> CAST(x - c AS FLOAT))"
-            ).alias("q_res"),
-        )
-    )
-    ptab = _adc_table(
-        probes, cent, ["query_id", "p_cell"], "q_res",
-        m=m, ksub=ksub, subdim=subdim,
-    )
-
-    # probe: equi-join on cell id; ADC-score only in-cell candidates
-    adc = coded.join(
-        F.broadcast(ptab),
-        (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        _adc_expr(m, ksub).alias("approx_dsq"),
-    )
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dsq").asc(), F.col("neighbor_id").asc()
-    )
-    cand = adc.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") <= pool)
-    return _rerank_top3(cand, e, q)
+    return _ivfpq_probe(coded, cent, coarse, e, q, m=m, ksub=ksub, subdim=subdim)
 
 
 def _exact_top3(e, q):
@@ -2391,8 +2413,7 @@ def _ivfpq_dedup_index(spark, sf_dir, m=8, ksub=16, subdim=8):
     REPRESENTATIVE ids (the `vec_id < ksub` default would under-seed
     when low ids dedup away — the same code-review r9 finding #1 that
     bit the flat dedup path)."""
-    from ..core import mat_exists, mat_path, materialize_once
-    from .clustering import kmeans_fit
+    from ..core import mat_exists, mat_path
 
     tok = f"v1:ivfpq_dedup_index:{sf_dir}:m{m}k{ksub}"
     names = (":coded", ":cent", ":coarse")
@@ -2407,39 +2428,13 @@ def _ivfpq_dedup_index(spark, sf_dir, m=8, ksub=16, subdim=8):
             .repartition(spark.sparkContext.defaultParallelism, "vec_id")
             .localCheckpoint(eager=True)  # same inlining barrier as _pq_normalize
         )
-        # coarse quantizer over the normalized representatives (8 cells)
-        assigned, coarse = kmeans_fit(
-            spark, en.select("vec_id", F.col("unit").alias("embedding")),
-            k=8, iters=3, init="pp",
-        )
-        cells = en.join(
-            assigned.select("vec_id", F.col("cluster").alias("cell")), "vec_id"
-        ).join(
-            F.broadcast(coarse.select(F.col("cluster").alias("cell"), "centroid")),
-            "cell",
-        )
-        resid = cells.select(
-            "vec_id",
-            "cell",
-            F.expr(
-                "zip_with(unit, centroid, (x, c) -> CAST(x - c AS FLOAT))"
-            ).alias("runit"),
-        ).localCheckpoint(eager=True)  # reused by 3 assign passes + encode
         seed_ids = [
             int(r["vec_id"])
             for r in en.select("vec_id").orderBy("vec_id").limit(ksub).collect()
         ]  # ksub-row TakeOrdered — bounded driver read
-        cent, codes = _pq_train_encode(
-            resid, m=m, ksub=ksub, subdim=subdim, vec_col="runit",
-            seed_ids=seed_ids,
+        return _ivfpq_build(
+            spark, en, tok, m=m, ksub=ksub, subdim=subdim, seed_ids=seed_ids
         )
-        coded = codes.join(resid.select("vec_id", "cell"), "vec_id")
-        coded = materialize_once(
-            spark, coded, tok + ":coded", partition_col="cell", n_partitions=8
-        )
-        cent = materialize_once(spark, cent, tok + ":cent", n_partitions=1)
-        coarse = materialize_once(spark, coarse, tok + ":coarse", n_partitions=1)
-        return coded, cent, coarse
     return tuple(spark.read.parquet(mat_path(tok + n)) for n in names)
 
 
@@ -2461,9 +2456,7 @@ def llm_index_build_pipeline_ivfpq(spark, sf_dir):
     an equi-join on cell id against broadcast per-cell ADC tables, and
     queries still come from the RAW corpus (a deduped-away query finds
     its representative unless it IS the representative)."""
-    from .clustering import _DIST_SQ
-
-    m, ksub, subdim, pool, nprobe = 8, 16, 8, 32, 2
+    m, ksub, subdim = 8, 16, 8
     coded, cent, coarse = _ivfpq_dedup_index(
         spark, sf_dir, m=m, ksub=ksub, subdim=subdim
     )
@@ -2475,40 +2468,7 @@ def llm_index_build_pipeline_ivfpq(spark, sf_dir):
         .select("vec_id", "embedding")
         .withColumn("nsq", dot("embedding", "embedding"))
     )
-    qc = q.crossJoin(
-        F.broadcast(coarse.select(F.col("cluster").alias("p_cell"), "centroid"))
-    ).withColumn("cdist", F.expr(_DIST_SQ.format(a="q_unit", b="centroid")))
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").asc(), F.col("p_cell").asc()
-    )
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select(
-            "query_id",
-            "p_cell",
-            F.expr(
-                "zip_with(q_unit, centroid, (x, c) -> CAST(x - c AS FLOAT))"
-            ).alias("q_res"),
-        )
-    )
-    ptab = _adc_table(
-        probes, cent, ["query_id", "p_cell"], "q_res",
-        m=m, ksub=ksub, subdim=subdim,
-    )
-    adc = coded.join(
-        F.broadcast(ptab),
-        (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        _adc_expr(m, ksub).alias("approx_dsq"),
-    )
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dsq").asc(), F.col("neighbor_id").asc()
-    )
-    cand = adc.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") <= pool)
-    return _rerank_top3(cand, reps, q)
+    return _ivfpq_probe(coded, cent, coarse, reps, q, m=m, ksub=ksub, subdim=subdim)
 
 
 @query(

@@ -333,3 +333,69 @@ def test_incremental_add_conservation_and_frozen_assignment(spark):
         if got[vid] != best:
             mism += 1
     assert mism == 0, f"{mism} delta vectors not assigned to nearest frozen centroid"
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _vec = st.lists(
+        st.floats(
+            min_value=-1.0, max_value=1.0, allow_nan=False, width=32
+        ),
+        min_size=64,
+        max_size=64,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(st.tuples(_vec, _vec), min_size=1, max_size=12))
+    def test_prefix_dot_bridge_agrees(spark, duck, rows):
+        """The PREFIX-truncated quantized dot fold (_dot_d vs _sql_dot_d)
+        — the dialect bridge llm_emb_matryoshka_recall's every ranking
+        comparison rests on — must agree cell-for-cell across engines
+        for every truncation length, on adversarial float32 inputs.
+        Spark slices the array then folds; DuckDB folds over an
+        end-exclusive range — an off-by-one in either direction changes
+        d and breaks this for some random vector."""
+        import pyarrow as pa
+
+        from etl_suite_spark.llm.similarity import _dot_d, _sql_dot_d
+
+        # BOTH sides must see FLOAT32 lists, like the parquet fixtures do:
+        # a pandas registration would infer DOUBLE[] on the DuckDB side and
+        # compute round(x*1e6) on the double grid, while Spark's FLOAT
+        # column snaps the product to the float32 grid — a harness-made
+        # ±1-quantum divergence, not a bridge defect (the test's first run
+        # caught exactly that).
+        atab = pa.table(
+            {
+                "a": pa.array([r[0] for r in rows], type=pa.list_(pa.float32())),
+                "b": pa.array([r[1] for r in rows], type=pa.list_(pa.float32())),
+            }
+        )
+        schema = "a array<float>, b array<float>"
+        sdf = spark.createDataFrame(
+            [(list(map(float, r[0])), list(map(float, r[1]))) for r in rows],
+            schema=schema,
+        )
+
+        dims = (1, 8, 16, 33, 64)
+        s_rows = sdf.select(
+            *[_dot_d("a", "b", d).alias(f"d{d}") for d in dims]
+        ).collect()
+        duck.register("_mat_t_duck", atab)
+        sel = ", ".join(f"{_sql_dot_d('a', 'b', d)} AS d{d}" for d in dims)
+        d_rows = duck.execute(f"SELECT {sel} FROM _mat_t_duck").fetchall()
+        duck.unregister("_mat_t_duck")
+        assert len(s_rows) == len(d_rows)
+        for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+            for j, d in enumerate(dims):
+                assert sr[j] == dr[j], (
+                    f"row {i} dim {d}: spark={sr[j]!r} duck={dr[j]!r}"
+                )
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass

@@ -30,7 +30,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.verify_local import canon_duck, canon_spark  # noqa: E402
+from tools.verify_local import canon_duck, canon_frame  # noqa: E402
 
 
 def main() -> None:
@@ -71,20 +71,19 @@ def main() -> None:
     for name in window:
         t0 = time.time()
         try:
-            df = qs[name](spark, args.sf).persist()
-            try:
-                # driver-shape probe (VERDICT r9 item 2): the real driver
-                # canonicalizes via toPandas().sort_values — literal replay
-                # here, so an output shape pandas cannot factorize (ndarray
-                # cells from array columns) fails HERE, not in the round's
-                # CORRECTNESS record. persist() makes collect() below reuse
-                # the same computed result instead of re-executing.
-                pdf = df.toPandas()
-                if len(pdf.columns):
-                    pdf.sort_values(by=sorted(pdf.columns), kind="mergesort")
-                sc, sr = canon_spark(df)
-            finally:
-                df.unpersist()
+            # Driver-shape probe + canonicalization IN ONE (VERDICT r9
+            # item 2, tightened by code-review r10 finding #4): the real
+            # driver ingests every result via toPandas() then sort_values,
+            # so this sim does literally that — an output shape pandas
+            # cannot factorize (ndarray cells from array columns) fails
+            # HERE, not in the round's CORRECTNESS record, and the values
+            # compared below are the PANDAS-COERCED objects the driver
+            # hashes (higher fidelity than a collect()-side canon, and one
+            # JVM→Python transfer instead of two).
+            pdf = qs[name](spark, args.sf).toPandas()
+            if len(pdf.columns):
+                pdf.sort_values(by=sorted(pdf.columns), kind="mergesort")
+            sc, sr = canon_frame(pdf)
         except Exception as e:  # noqa: BLE001 — report like the driver does
             failed.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error: {e}")
