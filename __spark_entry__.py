@@ -537,6 +537,8 @@ R11_PLANNED: list[str] = [
     "llm_emb_matryoshka_recall",
     "llm_index_incremental_add",  # rows-only by design (frozen k-means); recall twin oracled
     "llm_index_incremental_add_recall",
+    "llm_index_build_pipeline_ivf",  # rows-only by design (iterative k-means)
+    "llm_index_build_pipeline_ivf_recall",
 ]
 
 

@@ -60,6 +60,8 @@ EXPECTED_NLJ = {
     "llm_index_build_pipeline_ivfpq",  # coarse-centroid + per-cell ADC broadcasts
     "llm_index_build_pipeline_ivfpq_recall",  # same + one-row metric join
     "llm_emb_matryoshka_recall",  # broadcast 10-query set × bounded dim grid
+    "llm_index_build_pipeline_ivf",  # 8-centroid broadcast for query-side cell probe
+    "llm_index_build_pipeline_ivf_recall",  # same + one-row metric join
     "llm_index_incremental_add",  # k-centroid broadcast argmin (frozen quantizer)
     "llm_index_incremental_add_recall",  # same + broadcast probes + 1-row metric join
     "mm_modality_balance",  # one-row corpus-bytes normalizer broadcast

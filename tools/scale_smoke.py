@@ -134,6 +134,9 @@ ANN_INDEX_OPS = [
     # (VERDICT r9 item 5 — addendum 30 measured raw IVF-PQ as the one
     # expensive build left; both quantizers now train on representatives)
     "llm_index_build_pipeline_ivfpq",
+    # round 10: dedup-before-index over IVF-Flat (completes the matrix:
+    # every celled/quantized family has a representative-sized build)
+    "llm_index_build_pipeline_ivf",
     # round 10: incremental IVF maintenance — here the cold/warm split is
     # the claim itself: cold = one-time base train + first delta ingest,
     # warm = the recurring per-batch cost (frozen-centroid assign + audit,
@@ -151,6 +154,7 @@ ANN_RECALL_OPS = [
     "llm_sim_ann_ivfpq_recall",
     "llm_index_build_pipeline_recall",
     "llm_index_build_pipeline_ivfpq_recall",
+    "llm_index_build_pipeline_ivf_recall",
     "llm_index_incremental_add_recall",
     "llm_sim_ann_recall",  # the LSH twin
 ]
@@ -169,16 +173,18 @@ ANN_RECALL_SENTINEL = {
         "llm_sim_ann_pq_recall": ("recall_ge_40", False),
         "llm_sim_ann_ivfpq_recall": ("recall_ge_30", True),
         "llm_index_build_pipeline_recall": ("recall_ge_40", True),
-        # round 10 (measured this round, BASELINE addendum 39):
+        # round 10 (measured this round, BASELINE addenda 39/41):
         "llm_index_build_pipeline_ivfpq_recall": ("recall_ge_30", True),
+        "llm_index_build_pipeline_ivf_recall": ("recall_ge_40", True),
     },
     (1500, 0.001): {
         "llm_sim_ann_ivf_recall": ("recall_ge_40", True),
         "llm_sim_ann_pq_recall": ("recall_ge_40", False),
         "llm_sim_ann_ivfpq_recall": ("recall_ge_30", True),
         "llm_index_build_pipeline_recall": ("recall_ge_40", True),
-        # round 10 (measured this round, BASELINE addendum 39):
+        # round 10 (measured this round, BASELINE addenda 39/41):
         "llm_index_build_pipeline_ivfpq_recall": ("recall_ge_30", True),
+        "llm_index_build_pipeline_ivf_recall": ("recall_ge_40", True),
     },
 }
 
