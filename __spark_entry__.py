@@ -541,9 +541,76 @@ R11_PLANNED: list[str] = [
     "llm_index_build_pipeline_ivf_recall",
 ]
 
+# Round-11 ACTIVE window (VERDICT r10 item 1): R11_PLANNED (the 7 round-10
+# index ops above — after this window executes the never-checked backlog
+# is again zero) + the staged re-checks: `llm_seq_packing` and
+# `pipeline_sink_jdbc` (bumped from the r10 window, see above), the 33
+# remaining r3-era queries, and the first 8 r4-era queries alphabetically
+# = exactly 50.  After this window executes, no registered query's
+# evidence is older than r4.
+R11_RECHECKS = [
+    # the two re-checks bumped from the staged r10 list:
+    "llm_seq_packing",
+    "pipeline_sink_jdbc",
+    # all 33 remaining r3-era queries (latest driver record r3):
+    "pipeline_spec_run",
+    "pipeline_spec_stream",
+    "project_alias_cast",
+    "project_case_when",
+    "project_compute",
+    "sample_fraction",
+    "scan_csv_badrecords",
+    "scan_csv_roundtrip",
+    "scan_jdbc",
+    "scan_json_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_parquet",
+    "scan_parquet_schema_evolution",
+    "scan_projected",
+    "scan_text_roundtrip",
+    "sink_compact_small_files",
+    "sink_parquet_partitioned",
+    "sink_sorted_layout",
+    "stream_dedup",
+    "stream_foreachbatch_upsert",
+    "stream_late_data",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_stateful_custom",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_tumbling_agg",
+    "udaf_pandas_grouped_agg",
+    "udf_pandas_scalar",
+    "udf_python_scalar",
+    "udtf_grouped_map",
+    "udtf_python",
+    "win_sessionize",
+    # first 8 (alphabetically) of the 49 r4-era queries:
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "agg_funnel",
+    "agg_heavy_hitters",
+    "agg_retention_cohort",
+    "fn_date",
+    "fn_datetime_tz",
+    "fn_json",
+]
+
+R11_WINDOW = R11_PLANNED + R11_RECHECKS
+
+# Round-12 overflow plan: queries added during round 11 queue here under
+# the same contract (oracle-checked locally on introduction;
+# tests/test_entry_contract.py counts R12 toward the
+# every-query-has-a-driver-evidence-plan invariant).
+R12_PLANNED: list[str] = [
+    # added in round 11 (oracle-checked locally on introduction):
+    "stream_restart_backlog_drain",
+]
+
 
 def _windowed(mapping: dict) -> dict:
-    ordered = {k: mapping[k] for k in R10_WINDOW if k in mapping}
+    ordered = {k: mapping[k] for k in R11_WINDOW if k in mapping}
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
     return ordered
 

@@ -406,7 +406,7 @@ def _ivf_index(spark, sf_dir, k=8, iters=3):
     from ..core import mat_exists, mat_path, materialize_once
     from .clustering import kmeans_fit
 
-    tok = f"v1:ivf_index:{sf_dir}:k{k}"
+    tok = f"v1:ivf_index:{sf_dir}:k{k}i{iters}"
     if not (mat_exists(tok + ":cells") and mat_exists(tok + ":centroids")):
         e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         # train the coarse quantizer: 8 cells, 3 Lloyd iterations, pp init
@@ -952,7 +952,7 @@ def _pq_index(spark, sf_dir, m=8, ksub=16, subdim=8):
     fixed init + fixed seeds ⇒ the rebuilt index is byte-identical."""
     from ..core import mat_exists, mat_path, materialize_once
 
-    tok = f"v1:pq_index:{sf_dir}:m{m}k{ksub}"
+    tok = f"v1:pq_index:{sf_dir}:m{m}k{ksub}d{subdim}"
     if not (mat_exists(tok + ":cent") and mat_exists(tok + ":codes")):
         _, en = _pq_normalize(spark, sf_dir)
         cent, codes = _pq_train_encode(en, m=m, ksub=ksub, subdim=subdim)
@@ -1191,7 +1191,7 @@ def _ivfpq_index(spark, sf_dir, m=8, ksub=16, subdim=8):
     Build body shared with the dedup variant via :func:`_ivfpq_build`."""
     from ..core import mat_exists, mat_path
 
-    tok = f"v1:ivfpq_index:{sf_dir}:m{m}k{ksub}"
+    tok = f"v1:ivfpq_index:{sf_dir}:m{m}k{ksub}d{subdim}"
     names = (":coded", ":cent", ":coarse")
     if not all(mat_exists(tok + n) for n in names):
         _, en = _pq_normalize(spark, sf_dir)
@@ -2270,7 +2270,7 @@ def _pq_dedup_index(spark, sf_dir, m=8, ksub=16, subdim=8):
     r9 finding #1)."""
     from ..core import mat_exists, mat_path, materialize_once
 
-    tok = f"v2:pq_dedup_index:{sf_dir}:m{m}k{ksub}"
+    tok = f"v2:pq_dedup_index:{sf_dir}:m{m}k{ksub}d{subdim}"
     if not (mat_exists(tok + ":cent") and mat_exists(tok + ":codes")):
         reps = _dedup_reps_materialized(spark, sf_dir).withColumn(
             "nsq", dot("embedding", "embedding")
@@ -2420,7 +2420,7 @@ def _ivfpq_dedup_index(spark, sf_dir, m=8, ksub=16, subdim=8):
     bit the flat dedup path)."""
     from ..core import mat_exists, mat_path
 
-    tok = f"v1:ivfpq_dedup_index:{sf_dir}:m{m}k{ksub}"
+    tok = f"v1:ivfpq_dedup_index:{sf_dir}:m{m}k{ksub}d{subdim}"
     names = (":coded", ":cent", ":coarse")
     if not all(mat_exists(tok + n) for n in names):
         reps = _dedup_reps_materialized(spark, sf_dir).withColumn(
@@ -2706,7 +2706,7 @@ def _ivf_incr_parts(spark, sf_dir, k=8, iters=3, split=100):
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = e.filter(F.col("vec_id") >= split)
-    tok = f"v1:ivf_incr_index:{sf_dir}:k{k}s{split}"
+    tok = f"v1:ivf_incr_index:{sf_dir}:k{k}i{iters}s{split}"
     if not (mat_exists(tok + ":cells") and mat_exists(tok + ":centroids")):
         assigned, centroids = kmeans_fit(spark, base, k=k, iters=iters, init="pp")
         base_cells = materialize_once(
@@ -2867,7 +2867,7 @@ def _ivf_dedup_index(spark, sf_dir, k=8, iters=3):
     from ..core import mat_exists, mat_path, materialize_once
     from .clustering import kmeans_fit
 
-    tok = f"v1:ivf_dedup_index:{sf_dir}:k{k}"
+    tok = f"v1:ivf_dedup_index:{sf_dir}:k{k}i{iters}"
     if not (mat_exists(tok + ":cells") and mat_exists(tok + ":centroids")):
         reps = _dedup_reps_materialized(spark, sf_dir)
         assigned, centroids = kmeans_fit(

@@ -996,3 +996,95 @@ def stream_progress_report(spark, sf_dir):
         "batch_id BIGINT, num_input_rows BIGINT,"
         " state_rows_total BIGINT, state_rows_updated BIGINT",
     ).orderBy("batch_id")
+
+
+# Test/observability ledger for stream_restart_backlog_drain: one
+# (run_idx, batch_id, rows) tuple per micro-batch actually processed.
+_BACKLOG_LEDGER: list[tuple[int, int, int]] = []
+
+# Day boundaries that split the post-outage events into the 6-file
+# backlog (the January 2024 fixture spans the whole month; slice 1 is
+# everything before _CUTS[0] = Jan 11).
+_BACKLOG_CUTS = (
+    "2024-01-14 00:00:00",
+    "2024-01-17 00:00:00",
+    "2024-01-20 00:00:00",
+    "2024-01-23 00:00:00",
+    "2024-01-27 00:00:00",
+)
+
+
+@query(
+    "stream_restart_backlog_drain",
+    # After the throttled drain the warehouse holds every event exactly
+    # once — run 1 processed the pre-outage file, run 2 drained the
+    # 6-file backlog one micro-batch per file without reprocessing run
+    # 1's offsets or dropping any backlog file.
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_restart_backlog_drain(spark, sf_dir):
+    """Restart against an ACCUMULATED BACKLOG — the scheduler-outage
+    recovery shape (VERDICT r10 item 2): stream_checkpoint_resume proves
+    offsets survive a kill when ONE new file landed; this op proves the
+    drain side — the job is down while 6 files accumulate, and the
+    relaunch consumes them THROTTLED (maxFilesPerTrigger=1 → one
+    micro-batch per file, so no single recovery batch has to absorb the
+    whole outage) while upserting into the same parquet warehouse via
+    the shared staged-rename merge. The per-run batch ledger is pinned
+    in pytest: run 1 = the pre-outage slice alone; run 2 = exactly
+    len(backlog) batches whose row counts sum to the backlog, with no
+    re-delivery of run 1's rows.
+
+    At 100 TB this is the property that makes an outage recoverable at
+    all: drain cost is O(backlog) spread over bounded micro-batches
+    (state / sink pressure per batch stays flat no matter how long the
+    job was down), offsets come back from the checkpoint so nothing is
+    reprocessed, and the idempotent merge sink means a crash DURING the
+    drain is just another restart. Throttle knob transfers verbatim to
+    Kafka (maxOffsetsPerTrigger) on a cluster."""
+    ev = load_table(spark, sf_dir, "events")
+    drop = tempfile.mkdtemp(prefix="etl_stream_backlog_")
+    pre_outage = ev.filter(F.col("ts") < _CUTS[0])
+    bounds = (_CUTS[0], *_BACKLOG_CUTS, None)
+    backlog = [
+        ev.filter(
+            (F.col("ts") >= bounds[i])
+            & ((F.col("ts") < bounds[i + 1]) if bounds[i + 1] else F.lit(True))
+        )
+        for i in range(len(bounds) - 1)
+    ]
+    target = os.path.join(drop, "data-000.parquet")
+    _write_one_file(pre_outage, target)
+    os.utime(target, (1700000000, 1700000000))
+    warehouse = os.path.join(tempfile.mkdtemp(prefix="etl_wh_"), "events_drained")
+    ckpt = tempfile.mkdtemp(prefix="etl_stream_ckpt_")
+    _BACKLOG_LEDGER.clear()
+
+    def run(run_idx: int) -> None:
+        def merge(batch_df: DataFrame, batch_id: int) -> None:
+            _BACKLOG_LEDGER.append((run_idx, batch_id, batch_df.count()))
+            _upsert_batch(batch_df, batch_id, warehouse)
+
+        q = (
+            _read_stream(spark, drop, schema=ev.schema)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(1)
+    # outage: the job is down while the whole backlog lands
+    for i, s in enumerate(backlog):
+        t = os.path.join(drop, f"data-{i + 1:03d}.parquet")
+        _write_one_file(s, t)
+        os.utime(t, (1700000000 + 60 * (i + 1), 1700000000 + 60 * (i + 1)))
+    run(2)
+    final = spark.read.parquet(warehouse)
+    return (
+        final.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
+    )

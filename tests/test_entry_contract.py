@@ -6,19 +6,16 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-10 window composition (VERDICT r9 items 1 + 4): the 7 queries
-queued in R10_PLANNED during round 9 (clearing the never-checked backlog
-to zero) + 43 re-checks led by ``llm_emb_pca`` — the ledger's ONLY red
-driver record (CORRECTNESS_r09 err: its former `pc` array column broke
-the driver's pandas canonicalization; now scalar pc_0..pc_7, with the
-driver-shape gate in tools/plan_audit pinning the discipline) — then the
-26 remaining r2-era queries and the first 15 r3-era queries
-alphabetically (``llm_seq_packing`` and ``pipeline_sink_jdbc`` bump to
-the staged r11 tail to keep the 50-slot arithmetic).  After R10 executes, the ledger holds zero
-red records and no registered query's evidence is older than r3 except
-that staged tail.  The strict-ledger endgame test enforces: NO
-registered query may lack a committed driver record unless it sits in
-the active window or is a round-10 addition in R11_PLANNED.
+Round-11 window composition (VERDICT r10 item 1): the 7 queries queued
+in R11_PLANNED during round 10 (the ivfpq/ivf pipelines, matryoshka
+sweep, and incremental-add + twins — clearing the never-checked backlog
+to zero) + 43 re-checks: the two queries bumped from the staged r10
+list (``llm_seq_packing``, ``pipeline_sink_jdbc``), the 33 remaining
+r3-era queries, and the first 8 r4-era queries alphabetically.  After
+R11 executes, no registered query's evidence is older than r4.  The
+strict-ledger endgame test enforces: NO registered query may lack a
+committed driver record unless it sits in the active window or is a
+round-11 addition in R12_PLANNED.
 """
 
 from __future__ import annotations
@@ -28,76 +25,73 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R10_WINDOW = [
-    # --- R10_PLANNED: round-9 additions (oracle-checked locally on intro) ---
-    "llm_index_build_pipeline",  # rows-only by design (iterative k-means)
-    "llm_index_build_pipeline_recall",
-    "llm_bpe_train_batched",
-    "llm_rare_token_docs",
-    "inc_subject_export",
-    "mm_modality_balance",
-    "stream_progress_report",
-    # --- THE red re-check (r9 driver err; rows-only by design with the
-    #     oracled llm_emb_pca_variance twin driver-green r9) ---
-    "llm_emb_pca",
-    # --- bridge-change re-check (VERDICT r9 item 3): fn_string's oracle
-    #     changed to codepoint-true reverse, so its r8 record predates
-    #     the oracle text ---
-    "fn_string",
-    # --- re-checks: all 26 remaining r2-era queries ---
-    "agg_percentile",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "agg_time_rollup_multi",
-    "join_exists_correlated",
-    "limit_n",
-    "limit_offset_page",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union_all",
-    "set_union_distinct",
-    "sort_multikey",
-    "topk_global",
-    "win_first_last_value",
-    "win_lag_lead",
-    "win_moving_avg",
-    "win_ntile",
-    "win_pattern_adjacent",
-    "win_percent_rank_cume",
-    "win_rank_dense",
-    "win_row_number",
-    "win_running_sum",
-    "win_topk_per_group",
-    # --- re-checks: first 15 r3-era queries (alphabetical; seq_packing
-    #     and sink_jdbc bumped to the r11 tail) ---
-    "dedup_by_key_latest",
-    "dedup_distinct",
-    "dim_scd2_build",
-    "filter_between_dates",
-    "filter_like_regex",
-    "filter_null_handling",
-    "filter_null_safe_eq",
-    "filter_pred",
-    "inc_backfill_window",
-    "inc_batch_watermark",
-    "inc_cdc_apply",
-    "inc_state_merge_stats",
-    "join_dpp_partition_pruned",
-    "llm_data_mixture",
-    "llm_quality_gopher",
+EXPECTED_R11_WINDOW = [
+    # --- R11_PLANNED: round-10 additions (oracle-checked locally on intro) ---
+    "llm_index_build_pipeline_ivfpq",  # rows-only by design (iterative quantizers)
+    "llm_index_build_pipeline_ivfpq_recall",
+    "llm_emb_matryoshka_recall",
+    "llm_index_incremental_add",  # rows-only by design (frozen k-means)
+    "llm_index_incremental_add_recall",
+    "llm_index_build_pipeline_ivf",  # rows-only by design (iterative k-means)
+    "llm_index_build_pipeline_ivf_recall",
+    # --- the two re-checks bumped from the staged r10 window ---
+    "llm_seq_packing",
+    "pipeline_sink_jdbc",
+    # --- re-checks: all 33 remaining r3-era queries ---
+    "pipeline_spec_run",
+    "pipeline_spec_stream",
+    "project_alias_cast",
+    "project_case_when",
+    "project_compute",
+    "sample_fraction",
+    "scan_csv_badrecords",
+    "scan_csv_roundtrip",
+    "scan_jdbc",
+    "scan_json_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_parquet",
+    "scan_parquet_schema_evolution",
+    "scan_projected",
+    "scan_text_roundtrip",
+    "sink_compact_small_files",
+    "sink_parquet_partitioned",
+    "sink_sorted_layout",
+    "stream_dedup",
+    "stream_foreachbatch_upsert",
+    "stream_late_data",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_stateful_custom",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_tumbling_agg",
+    "udaf_pandas_grouped_agg",
+    "udf_pandas_scalar",
+    "udf_python_scalar",
+    "udtf_grouped_map",
+    "udtf_python",
+    "win_sessionize",
+    # --- re-checks: first 8 r4-era queries (alphabetical) ---
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "agg_funnel",
+    "agg_heavy_hitters",
+    "agg_retention_cohort",
+    "fn_date",
+    "fn_datetime_tz",
+    "fn_json",
 ]
 
 # Window slots without an oracle, each rows-only BY DESIGN with an
-# oracle-checked honesty twin (see the per-slot comments above).
+# oracle-checked honesty twin adjacent in the same window (the `_recall`
+# twins of all three quantized-index ops are oracled and hash-checked).
 ROWS_ONLY_IN_WINDOW = {
-    "llm_index_build_pipeline",
-    "llm_emb_pca",
+    "llm_index_build_pipeline_ivfpq",
+    "llm_index_incremental_add",
+    "llm_index_build_pipeline_ivf",
 }
 
-_DRIVER_ROUNDS = tuple(range(1, 11))
+_DRIVER_ROUNDS = tuple(range(1, 12))
 
 
 def _driver_history() -> dict[str, dict]:
@@ -110,12 +104,12 @@ def _driver_history() -> dict[str, dict]:
     return latest
 
 
-def _latest_round(before: int = 10) -> dict[str, int]:
+def _latest_round(before: int = 11) -> dict[str, int]:
     """Latest driver-record round per query over rounds STRICTLY BEFORE
     ``before`` — the window-composition tests must read the evidence
-    state the R10 window was PLANNED against, not the state after the
+    state the R11 window was PLANNED against, not the state after the
     driver executes it (code-review r10 finding #1: including the active
-    round would break these pins the moment CORRECTNESS_r10.json lands)."""
+    round would break these pins the moment CORRECTNESS_r11.json lands)."""
     root = pathlib.Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
     for n in range(1, before):
@@ -127,49 +121,48 @@ def _latest_round(before: int = 10) -> dict[str, int]:
 
 
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R10_WINDOW) == 50
-    assert len(set(EXPECTED_R10_WINDOW)) == 50
+    assert len(EXPECTED_R11_WINDOW) == 50
+    assert len(set(EXPECTED_R11_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R10_WINDOW
-    assert entry_mod.R10_WINDOW == EXPECTED_R10_WINDOW
+    assert qs[:50] == EXPECTED_R11_WINDOW
+    assert entry_mod.R11_WINDOW == EXPECTED_R11_WINDOW
 
 
 def test_window_composition():
-    """The window is exactly R10_PLANNED followed by the re-check block;
+    """The window is exactly R11_PLANNED followed by the re-check block;
     the planned block is exactly the never-driver-checked queries, the
-    red llm_emb_pca re-check and the bridge-change fn_string re-check
-    lead the re-check block, and every other re-check's latest driver
-    record is r2/r3 (recomputed from the committed CORRECTNESS files)."""
-    assert entry_mod.R10_WINDOW == entry_mod.R10_PLANNED + entry_mod.R10_RECHECKS
+    two bumped r10-tail re-checks lead the re-check block, and every
+    other re-check's latest driver record is r3/r4 (recomputed from the
+    committed CORRECTNESS files)."""
+    assert entry_mod.R11_WINDOW == entry_mod.R11_PLANNED + entry_mod.R11_RECHECKS
     latest_round = _latest_round()
-    already = {n for n in entry_mod.R10_PLANNED if n in latest_round}
-    assert not already, f"R10_PLANNED slots already evidenced: {already}"
-    assert entry_mod.R10_RECHECKS[0] == "llm_emb_pca"  # the red record
-    assert latest_round["llm_emb_pca"] == 9
-    # fn_string: green r4 record, but its ORACLE changed in r10 (the
-    # codepoint-true reverse bridge) — the record predates the oracle text
-    assert entry_mod.R10_RECHECKS[1] == "fn_string"
-    assert latest_round["fn_string"] == 4
-    stale = {n: latest_round.get(n) for n in entry_mod.R10_RECHECKS[2:]}
-    too_fresh = {n: r for n, r in stale.items() if r is None or r > 3}
+    already = {n for n in entry_mod.R11_PLANNED if n in latest_round}
+    assert not already, f"R11_PLANNED slots already evidenced: {already}"
+    # the two queries bumped out of the staged r10 window lead the block
+    assert entry_mod.R11_RECHECKS[0] == "llm_seq_packing"
+    assert entry_mod.R11_RECHECKS[1] == "pipeline_sink_jdbc"
+    assert latest_round["llm_seq_packing"] == 3
+    assert latest_round["pipeline_sink_jdbc"] == 3
+    stale = {n: latest_round.get(n) for n in entry_mod.R11_RECHECKS[2:]}
+    too_fresh = {n: r for n, r in stale.items() if r is None or r > 4}
     assert not too_fresh, f"re-check slots with fresh evidence: {too_fresh}"
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R10_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R11_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
 def test_window_oracle_coverage():
-    # Exactly two rows-only slots this round (each by design, with an
+    # Exactly three rows-only slots this round (each by design, with an
     # oracled honesty twin); every other window entry carries a DuckDB
     # oracle.
     oracles = entry_mod.oracle_sql()
-    missing = {n for n in EXPECTED_R10_WINDOW if n not in oracles}
+    missing = {n for n in EXPECTED_R11_WINDOW if n not in oracles}
     assert missing == ROWS_ONLY_IN_WINDOW, (
         f"unexpected rows-only window slots: {missing ^ ROWS_ONLY_IN_WINDOW}"
     )
@@ -182,24 +175,19 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_no_stale_red_left_outside_window():
-    """Any query whose LATEST driver record is not fully green (including
-    an err record like llm_emb_pca's r9 TypeError) must sit inside the
-    active window for a re-check.  Recomputed from the committed
-    CORRECTNESS files — this is the test that forces a red record to be
-    re-checked rather than planned around.  The exact red list is pinned
-    only while the r10 evidence hasn't landed (code-review r10 finding
-    #2: a hard pin would fail the suite the moment the driver commits a
-    green CORRECTNESS_r10.json); the in-window invariant is permanent."""
+    """Any query whose LATEST driver record is not fully green must sit
+    inside the active window for a re-check.  Recomputed from the
+    committed CORRECTNESS files — this is the test that forces a red
+    record to be re-checked rather than planned around.  As of the r10
+    evidence the cumulative ledger holds zero red records; the
+    in-window invariant is permanent either way."""
     latest = _driver_history()
     red = [
         name
         for name, rec in latest.items()
         if name in entry_mod.queries() and not _is_green_or_rows_only(rec)
     ]
-    root = pathlib.Path(__file__).resolve().parent.parent
-    if not (root / "CORRECTNESS_r10.json").exists():
-        assert red == ["llm_emb_pca"]  # the one known red (r9)
-    outside = sorted(set(red) - set(EXPECTED_R10_WINDOW))
+    outside = sorted(set(red) - set(EXPECTED_R11_WINDOW))
     assert not outside, f"stale-red queries not in window: {outside}"
 
 
@@ -213,29 +201,29 @@ def _is_green_or_rows_only(rec: dict) -> bool:
 def test_strict_ledger_endgame():
     """The endgame invariant (VERDICT r8 item 4, kept since): EVERY
     registered query must have a committed green/rows-only driver record,
-    or sit in the active R10 window, or be a round-10 addition pinned in
-    R11_PLANNED.  There is no other escape — a query added with no
+    or sit in the active R11 window, or be a round-11 addition pinned in
+    R12_PLANNED.  There is no other escape — a query added with no
     driver-evidence plan fails here immediately."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    planned = set(EXPECTED_R10_WINDOW) | set(entry_mod.R11_PLANNED)
+    planned = set(EXPECTED_R11_WINDOW) | set(entry_mod.R12_PLANNED)
     uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
 
-def test_r11_overflow_plan_is_well_formed():
-    assert len(entry_mod.R11_PLANNED) <= 50
-    assert len(set(entry_mod.R11_PLANNED)) == len(entry_mod.R11_PLANNED)
-    overlap = set(entry_mod.R11_PLANNED) & set(EXPECTED_R10_WINDOW)
-    assert not overlap, f"R11 entries already in the R10 window: {overlap}"
+def test_r12_overflow_plan_is_well_formed():
+    assert len(entry_mod.R12_PLANNED) <= 50
+    assert len(set(entry_mod.R12_PLANNED)) == len(entry_mod.R12_PLANNED)
+    overlap = set(entry_mod.R12_PLANNED) & set(EXPECTED_R11_WINDOW)
+    assert not overlap, f"R12 entries already in the R11 window: {overlap}"
     registered = set(entry_mod.queries())
-    ghosts = sorted(set(entry_mod.R11_PLANNED) - registered)
-    assert not ghosts, f"R11-planned names not registered: {ghosts}"
-    # R11_PLANNED is only for NEW (round-10) queries: none may already
+    ghosts = sorted(set(entry_mod.R12_PLANNED) - registered)
+    assert not ghosts, f"R12-planned names not registered: {ghosts}"
+    # R12_PLANNED is only for NEW (round-11) queries: none may already
     # hold driver evidence.
     latest = _driver_history()
-    stale = sorted(set(entry_mod.R11_PLANNED) & set(latest))
-    assert not stale, f"R11-planned names already evidenced: {stale}"
+    stale = sorted(set(entry_mod.R12_PLANNED) & set(latest))
+    assert not stale, f"R12-planned names already evidenced: {stale}"
 
 
 def test_bench_headline_queries_registered():

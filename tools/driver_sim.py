@@ -82,7 +82,11 @@ def main() -> None:
             # JVM→Python transfer instead of two).
             pdf = qs[name](spark, args.sf).toPandas()
             if len(pdf.columns):
-                pdf.sort_values(by=sorted(pdf.columns), kind="mergesort")
+                # ADVICE r10 item 1: assign the result so the frame really
+                # is driver-order-sorted (the unassigned call was only an
+                # ndarray-cell exception probe; canon_frame re-sorts rows
+                # regardless, so this is fidelity, not correctness).
+                pdf = pdf.sort_values(by=sorted(pdf.columns), kind="mergesort")
             sc, sr = canon_frame(pdf)
         except Exception as e:  # noqa: BLE001 — report like the driver does
             failed.append((name, f"SPARK ERROR: {e}"))
@@ -94,6 +98,12 @@ def main() -> None:
             print(f"{status} {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
+            # ADVICE r10 item 2 is fixed one level down: canon_cell now
+            # renders integer-valued floats/decimals as plain ints, so the
+            # pandas NULL-coercion asymmetry (toPandas turns a nullable
+            # BIGINT with NULLs into float64 → '5.0' vs DuckDB's raw '5')
+            # can no longer produce a spurious sim FAIL.  fetchall is kept
+            # here (not fetchdf) to preserve Decimal fidelity.
             oc, orr = canon_duck(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failed.append((name, f"DUCKDB ERROR: {e}"))

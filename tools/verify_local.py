@@ -41,7 +41,17 @@ def canon_cell(v):
         pass
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        return "NULL" if math.isnan(f) else repr(f)
+        if math.isnan(f):
+            return "NULL"
+        # ADVICE r10 item 2: integer-valued floats render as plain ints so
+        # pandas NULL-coercion (toPandas turns nullable BIGINT with NULLs
+        # into float64: 5 → 5.0 → '5.0') canonicalizes the same as the raw
+        # DuckDB int '5'.  Monotone: only numerically-equal-integer pairs
+        # change, and both sides change identically.  2**53 bound keeps
+        # the int() round-trip exact.
+        if f.is_integer() and abs(f) < 2**53:
+            return repr(int(f))
+        return repr(f)
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return repr(int(v))
     if isinstance(v, (np.bool_, bool)):
@@ -58,6 +68,15 @@ def canon_cell(v):
         return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # Mirror of the integral-float rule above: Decimal('5.0') must
+        # render like float 5.0 and int 5 ('5'), else the float fix would
+        # break today's float-vs-DECIMAL '5.0'=='5.0' matches.
+        if v.is_finite() and v == v.to_integral_value():
+            return repr(int(v))
+        return str(v)
     return str(v)
 
 
