@@ -606,6 +606,10 @@ R11_WINDOW = R11_PLANNED + R11_RECHECKS
 R12_PLANNED: list[str] = [
     # added in round 11 (oracle-checked locally on introduction):
     "stream_restart_backlog_drain",
+    "llm_index_tombstone_probe",  # rows-only by design (k-means cells); recall twin oracled
+    "llm_index_tombstone_probe_recall",
+    "llm_index_compact_cells",  # rows-only by design (k-means cells); recall twin oracled
+    "llm_index_compact_cells_recall",
 ]
 
 

@@ -159,6 +159,14 @@ HEADLINE = [
     # first-measurement baselines under the checksum action.
     "llm_index_build_pipeline_ivfpq",
     "llm_emb_matryoshka_recall",
+    # appended in round 11: the throttled backlog drain (two checkpointed
+    # AvailableNow runs + 7 foreachBatch warehouse merges — the restart-
+    # recovery shape, state-store/commit-floor bound like the other
+    # streaming row) and the tombstone-filtered IVF probe + survivor
+    # ground truth (the index-delete serving path) — first-measurement
+    # baselines under the checksum action.
+    "stream_restart_backlog_drain",
+    "llm_index_tombstone_probe_recall",
 ]
 
 REPEATS = 3

@@ -8,6 +8,13 @@
    item 6): a corpus where NO user is in the subject set must give the
    export its empty shape and the erasure its all-buckets-untouched
    audit, and both must still reclaim their temp warehouses.
+3. ANN deletes (VERDICT r10 item 3): a tombstoned id PLANTED as a
+   query's exact nearest neighbor must surface in the unfiltered probe
+   and never in the filtered one; the per-cell audit partitions the
+   corpus exactly.
+4. Cell compaction: the physical-delete form — affected cell
+   partitions rewritten live-only, untouched cells keep their exact
+   files, zero dead ids remain.
 """
 
 from __future__ import annotations
@@ -114,3 +121,110 @@ def test_subject_erasure_zero_subject_corpus(spark, zero_subject_sf):
         assert r["rows_after"] == r["rows_before"] > 0
     wh = inc._LAST_ERASURE_WH[0]
     assert not os.path.exists(os.path.dirname(wh))  # warehouse reclaimed
+
+
+@pytest.fixture(scope="module")
+def planted_delete_sf(tmp_path_factory):
+    """An embeddings fixture where a TOMBSTONED id (97) is planted as
+    the exact nearest neighbor of query 1 (its embedding is replaced
+    with a copy of vec_id 1's vector) — the delete sits INSIDE the eval
+    set, so the tombstone filter is load-bearing, not vacuous."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("planted_delete_sf")
+    pdf = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    src = pdf.loc[pdf.vec_id == 1, "embedding"].iloc[0]
+    pdf.loc[pdf.vec_id == 97, "embedding"] = pd.Series(
+        [src], index=pdf.index[pdf.vec_id == 97]
+    )
+    pdf.to_parquet(f"{d}/embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_tombstone_filter_is_load_bearing(spark, planted_delete_sf):
+    """Without the tombstone filter the planted dead id DOES surface
+    (it is query 1's nearest neighbor by construction); with it, the
+    probe surfaces zero deleted ids and still clears the recall gate."""
+    # the unfiltered probe over the same corpus must find the plant —
+    # proving the planted delete really is inside the eval surface
+    raw = QUERIES["llm_sim_ann_ivf"](spark, planted_delete_sf).collect()
+    raw_pairs = {(r["query_id"], r["neighbor_id"]) for r in raw}
+    assert (1, 97) in raw_pairs
+
+    row = QUERIES["llm_index_tombstone_probe_recall"](
+        spark, planted_delete_sf
+    ).collect()[0]
+    assert row["n_deleted_surfaced"] == 0
+    assert row["recall_ge_30"] is True
+    assert row["n_queries"] == 9  # vec_id 0 is tombstoned, never queries
+
+
+def test_tombstone_audit_counts(spark):
+    """The per-cell audit partitions the corpus exactly: totals sum to
+    the corpus, tombstoned sum to the residue-set size, live = rest."""
+    from etl_suite_spark.io import load_table
+
+    rows = QUERIES["llm_index_tombstone_probe"](spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    n_dead = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % 97 == 0)
+        .count()
+    )
+    assert sum(r["n_total"] for r in rows) == n
+    assert sum(r["n_tombstoned"] for r in rows) == n_dead
+    assert all(r["n_live"] + r["n_tombstoned"] == r["n_total"] for r in rows)
+
+
+def test_compact_cells_rewrites_only_affected_partitions(spark):
+    """llm_index_compact_cells: cells without dead rows keep their exact
+    original files; cells with dead rows are rewritten and hold zero
+    tombstoned ids afterward; audit n_after matches the rewritten
+    warehouse exactly."""
+    import shutil
+
+    from etl_suite_spark.llm import similarity as sim
+
+    sim._KEEP_COMPACT_WH = True
+    try:
+        rows = {
+            r["cell"]: r
+            for r in QUERIES["llm_index_compact_cells"](spark, SF_DIR).collect()
+        }
+        wh, snap = sim._LAST_COMPACT_WH
+        for cell, r in rows.items():
+            d = f"cell={cell}"
+            exists = os.path.isdir(os.path.join(wh, d))
+            if r["n_tombstoned"] == 0:
+                # untouched partition: identical file list survives
+                now = sorted(
+                    f
+                    for f in os.listdir(os.path.join(wh, d))
+                    if f.endswith(".parquet")
+                )
+                assert now == snap[d], f"untouched cell {cell} was rewritten"
+                assert r["n_after"] == r["n_before"]
+                assert r["compacted"] is False
+            elif r["n_before"] == r["n_tombstoned"]:
+                assert not exists  # fully-dead cell dropped
+                assert r["n_after"] == 0
+            else:
+                assert r["compacted"] is True
+                assert r["n_after"] == r["n_before"] - r["n_tombstoned"]
+        # at least one cell must have genuinely compacted at this fixture
+        assert any(r["compacted"] for r in rows.values())
+        assert any(not r["compacted"] for r in rows.values())
+        # zero tombstoned ids anywhere in the rewritten warehouse
+        left = (
+            spark.read.option("basePath", wh)
+            .parquet(wh)
+            .filter(F.col("vec_id") % 97 == 0)
+            .count()
+        )
+        assert left == 0
+    finally:
+        sim._KEEP_COMPACT_WH = False
+        wh = sim._LAST_COMPACT_WH[0] if sim._LAST_COMPACT_WH else None
+        if wh:
+            shutil.rmtree(os.path.dirname(wh), ignore_errors=True)

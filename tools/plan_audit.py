@@ -64,6 +64,8 @@ EXPECTED_NLJ = {
     "llm_index_build_pipeline_ivf_recall",  # same + one-row metric join
     "llm_index_incremental_add",  # k-centroid broadcast argmin (frozen quantizer)
     "llm_index_incremental_add_recall",  # same + broadcast probes + 1-row metric join
+    "llm_index_tombstone_probe_recall",  # bounded 10-query ground-truth broadcast + 1-row metric joins (incl. the surfaced-deleted scalar)
+    "llm_index_compact_cells_recall",  # same shape: bounded query broadcast + 1-row metric joins
     "mm_modality_balance",  # one-row corpus-bytes normalizer broadcast
     "agg_aqp_estimate",  # two one-row aggregates joined (estimate vs exact)
     "agg_sketch_overlap",  # 5-row sketch table pair self-join (type-count-sized by design)

@@ -189,14 +189,17 @@ ANN_RECALL_SENTINEL = {
 }
 
 
-def check_recall_sentinel(copies, perturb, dedup_first, only, timings):
+def check_recall_sentinel(copies, perturb, dedup_first, only, timings,
+                          dup_fraction=1.0):
     """(applies, failures) for the pinned recall matrix — extracted so
     the comparison logic itself is pytest-checked (a bug here would make
     the sentinel silently always-pass, defeating its purpose).  Applies
-    only to un-restricted, un-deduped runs at a pinned (copies, perturb)
-    coordinate; a MISSING result row is a failure, not a skip."""
+    only to un-restricted, un-deduped, FULL-duplication runs at a pinned
+    (copies, perturb) coordinate (a --dup-fraction corpus has different
+    duplicate mass than the matrix was pinned on); a MISSING result row
+    is a failure, not a skip."""
     sentinel = ANN_RECALL_SENTINEL.get((copies, perturb))
-    if not sentinel or dedup_first or only:
+    if not sentinel or dedup_first or only or dup_fraction < 1.0:
         return False, []
     failures = []
     for name, (flag, expect) in sentinel.items():
@@ -291,10 +294,25 @@ def build_events(base: str, copies: int, out: str,
     )
 
 
-def build_ann(base: str, copies: int, out: str, perturb: float = 0.001) -> None:
+def build_ann(
+    base: str,
+    copies: int,
+    out: str,
+    perturb: float = 0.001,
+    dup_fraction: float = 1.0,
+) -> None:
     """Replicate embeddings+documents copies-x; embeddings get a tiny
     deterministic per-(copy, dim) directional perturbation (~1e-3 of the
-    coordinate scale) so copies are NEAR neighbors, not exact ties."""
+    coordinate scale) so copies are NEAR neighbors, not exact ties.
+
+    ``dup_fraction`` < 1 builds a LOW-DUPLICATION regime (VERDICT r10
+    item 4): only copies with c % round(1/dup_fraction) == 0 stay inside
+    the near-dup band (amplitude ``perturb``); every other copy gets a
+    0.5-amplitude perturbation — far outside the 32-bit sign-signature
+    collapse band, so the dedup stage keeps it as a UNIQUE vector. The
+    corpus is still copies-x rows, but duplicate mass is ~dup_fraction
+    of it, which is the regime where dedup-before-index does NOT pay
+    its shuffle back."""
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -331,13 +349,34 @@ def build_ann(base: str, copies: int, out: str, perturb: float = 0.001) -> None:
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """
     )
+    if dup_fraction >= 1.0:
+        pert_expr = f"{perturb} * sin(c * 7 + i)"
+    else:
+        mod = max(1, round(1.0 / dup_fraction))
+        # c=0 (the base copy) always stays in-band so queries (vec_id<10)
+        # keep their identity; other copies are near-dups only when
+        # c % mod == 0.  The out-of-band perturbation must be HASH-driven
+        # per (vec, copy, dim) — two cheaper constructions measurably
+        # over-collapse under the 32-bit sign signature: a per-copy
+        # direction (every vector of a copy shares one signature) and a
+        # smooth per-vector sine phase (sign(sin(a+i)) takes only ~2·dim
+        # distinct patterns as the phase varies, so 600 k vectors landed
+        # in a few hundred buckets — both caught because the first runs
+        # showed a 1.7x build gain this regime by construction cannot
+        # have).  hash() gives i.i.d.-ish signs, so "unique" copies
+        # genuinely survive dedup.
+        pert_expr = (
+            f"(CASE WHEN c % {mod} = 0 THEN {perturb} * sin(c * 7 + i) "
+            f"ELSE 0.5 * (CAST(hash(vec_id * 131071 + c * 8191 + i) % 2001 "
+            f"AS DOUBLE) / 1000.0 - 1.0) END)"
+        )
     con.execute(
         f"""
         COPY (
           SELECT vec_id + 100000 * c AS vec_id,
                  list_transform(range(1, len(embedding) + 1),
                    i -> CAST(embedding[CAST(i AS INTEGER)]
-                             + {perturb} * sin(c * 7 + i) AS FLOAT)) AS embedding,
+                             + {pert_expr} AS FLOAT)) AS embedding,
                  label
           FROM read_parquet('{base}/embeddings.parquet'),
                unnest(range(0, {copies})) AS u(c)
@@ -583,6 +622,12 @@ def main() -> None:
         help="CSV of op names: restrict the selected tier's op list (ops must belong to that tier's list)",
     )
     ap.add_argument(
+        "--dup-fraction",
+        type=float,
+        default=1.0,
+        help="ANN tier only: fraction of copies kept inside the near-dup band (VERDICT r10 item 4 low-dup regime); others get 0.5-amplitude perturbation and survive dedup as unique vectors",
+    )
+    ap.add_argument(
         "--perturb",
         type=float,
         default=0.001,
@@ -635,7 +680,8 @@ def main() -> None:
     elif args.graph:
         build_graph(args.base, args.copies, out)
     elif args.ann:
-        build_ann(args.base, args.copies, out, perturb=args.perturb)
+        build_ann(args.base, args.copies, out, perturb=args.perturb,
+                  dup_fraction=args.dup_fraction)
         dedup_counts = None
         if args.dedup_first:
             dedup_counts = dedup_embeddings(out)
@@ -687,7 +733,8 @@ def main() -> None:
                 "result": dict(row),
             }
         sentinel_applies, sentinel_failures = check_recall_sentinel(
-            args.copies, args.perturb, args.dedup_first, args.only, timings
+            args.copies, args.perturb, args.dedup_first, args.only, timings,
+            dup_fraction=args.dup_fraction,
         )
         print(
             json.dumps(
