@@ -228,3 +228,26 @@ def test_compact_cells_rewrites_only_affected_partitions(spark):
         wh = sim._LAST_COMPACT_WH[0] if sim._LAST_COMPACT_WH else None
         if wh:
             shutil.rmtree(os.path.dirname(wh), ignore_errors=True)
+
+
+def test_recall_sentinel_skips_dup_fraction_runs():
+    """The pinned recall matrix was measured at FULL duplication; a
+    --dup-fraction corpus has different duplicate mass, so the sentinel
+    must not apply there (addendum 44) — but still applies at the same
+    coordinates when dup_fraction is 1.0."""
+    from tools.scale_smoke import ANN_RECALL_SENTINEL, check_recall_sentinel
+
+    coords = (100, 0.05)
+    matrix = ANN_RECALL_SENTINEL[coords]
+    timings = {
+        name: {"sec": 1.0, "result": {flag: expect}}
+        for name, (flag, expect) in matrix.items()
+    }
+    applies, fails = check_recall_sentinel(
+        *coords, False, None, timings, dup_fraction=0.1
+    )
+    assert not applies and fails == []
+    applies, fails = check_recall_sentinel(
+        *coords, False, None, timings, dup_fraction=1.0
+    )
+    assert applies and fails == []

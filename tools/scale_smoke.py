@@ -235,6 +235,11 @@ EVENTS_OPS = [
     # round-9 addition: the GDPR read twin — warehouse build write +
     # subject-bucket-pruned export scan, both events-sized
     "inc_subject_export",
+    # round-11 addition: the throttled outage-backlog drain — both
+    # checkpointed runs + 7 foreachBatch warehouse merges are
+    # events-sized, so this tier measures drain wall vs backlog size
+    # (the backlog is the post-outage ~2/3 of the corpus)
+    "stream_restart_backlog_drain",
 ]
 
 
