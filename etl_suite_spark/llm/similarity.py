@@ -3059,10 +3059,13 @@ def llm_index_compact_cells(spark, sf_dir):
     # compaction policy: rewrite any cell holding dead rows (threshold 0 —
     # production would gate on dead_share; the audit is the same either way)
     affected = before.filter(F.col("n_tombstoned") > 0).select("cell")
+    # live rows come from the PERSISTED assignment (a different path),
+    # never from re-reading `wh` itself — overwriting a path that is
+    # also the plan's input is the classic torn-rewrite hazard, and the
+    # erasure op's discipline (rewrite from source, read back only to
+    # audit) applies verbatim here
     live = (
-        spark.read.option("basePath", wh)
-        .parquet(wh)
-        .join(F.broadcast(affected), "cell", "left_semi")
+        assigned.join(F.broadcast(affected), "cell", "left_semi")
         .filter(~_is_tombstoned())
         .select("vec_id", "cell")
     )

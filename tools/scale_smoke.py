@@ -147,6 +147,14 @@ ANN_INDEX_OPS = [
     # training — "cold" here is bucket assignment, not k-means)
     "llm_sim_ann_lsh",
     "llm_sim_ann_multiprobe",
+    # round 11: the delete/compaction lifecycle — tombstone audit is a
+    # k-row agg over the persisted assignment; compaction rewrites the
+    # affected cell partitions of a corpus-sized serving table (cold =
+    # index train + warehouse build + rewrite, warm = the recurring
+    # audit/rewrite against the persisted index). Not sentinel-pinned
+    # (their gates are their own recall twins).
+    "llm_index_tombstone_probe",
+    "llm_index_compact_cells",
 ]
 ANN_RECALL_OPS = [
     "llm_sim_ann_ivf_recall",
@@ -157,6 +165,9 @@ ANN_RECALL_OPS = [
     "llm_index_build_pipeline_ivf_recall",
     "llm_index_incremental_add_recall",
     "llm_sim_ann_recall",  # the LSH twin
+    # round 11: the delete-serving honesty twins (logical + physical)
+    "llm_index_tombstone_probe_recall",
+    "llm_index_compact_cells_recall",
 ]
 
 # Permanent regression sentinel (VERDICT r8 item 3): the recall-gate
