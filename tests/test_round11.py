@@ -251,3 +251,67 @@ def test_recall_sentinel_skips_dup_fraction_runs():
         *coords, False, None, timings, dup_fraction=1.0
     )
     assert applies and fails == []
+
+
+def test_canon_cell_integer_rendering_is_type_uniform():
+    """ADVICE r10 item 2: the same integral value must canonicalize
+    identically whatever numeric object carries it — int, float (the
+    pandas NULL-coercion artifact), numpy scalars, or Decimal — while
+    non-integral values keep their distinct renderings."""
+    import decimal
+
+    import numpy as np
+
+    from tools.verify_local import canon_cell
+
+    for v in (0, 5, -3, 2**52):
+        forms = [
+            v,
+            float(v),
+            np.int64(v),
+            np.float64(v),
+            decimal.Decimal(v),
+            decimal.Decimal(f"{v}.0"),
+        ]
+        rendered = {canon_cell(f) for f in forms}
+        assert rendered == {repr(int(v))}, (v, rendered)
+    assert canon_cell(5.5) == "5.5"
+    assert canon_cell(decimal.Decimal("5.50")) == "5.50"  # unchanged path
+    assert canon_cell(float("nan")) == "NULL"
+    # beyond the exact-int float range the float keeps its repr
+    big = float(2**53) * 3
+    assert canon_cell(big) == repr(big)
+
+
+def test_driver_sim_null_int_column_parity(spark, duck):
+    """The ADVICE r10 scenario end-to-end: a windowed query emitting
+    NULLs in a BIGINT column goes through the driver's literal pandas
+    ingest (toPandas coerces the column to float64, so 5 becomes 5.0)
+    and must still canonicalize equal to DuckDB's raw-int fetchall."""
+    from pyspark.sql import Window
+
+    from tools.verify_local import canon_duck, canon_frame
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("user_id") % 50 == 0  # bounded deterministic subset, no LIMIT
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = ev.select(
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),  # NULL per first row
+    )
+    pdf = df.toPandas()
+    assert str(pdf["prev_event_id"].dtype) == "float64"  # the coercion is real
+    sc, sr = canon_frame(pdf)
+    oc, orr = canon_duck(
+        duck,
+        f"""
+        SELECT user_id,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_event_id
+        FROM read_parquet('{SF_DIR}/events.parquet')
+        WHERE user_id % 50 = 0
+        """,
+    )
+    assert sc == oc
+    assert sr == orr
