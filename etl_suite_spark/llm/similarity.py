@@ -2878,6 +2878,55 @@ def _is_tombstoned():
     return (F.col("vec_id") % _TOMBSTONE_RESIDUE) == 0
 
 
+def _survivor_recall_metric(ann, survivors, q):
+    """(n_exact_pairs, n_queries, n_deleted_surfaced, recall_ge_30) of
+    tombstone-aware ANN results against exact top-3 over the SURVIVOR
+    corpus — shared by the logical (filtered-probe) and physical
+    (compacted-cells) delete twins so the metric contract cannot
+    diverge between them (code-review r11)."""
+    exact3 = _exact_top3(survivors, q)
+    found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    surfaced = ann.filter((F.col("neighbor_id") % _TOMBSTONE_RESIDUE) == 0)
+    return (
+        exact3.agg(
+            F.count("*").alias("n_exact_pairs"),
+            F.count_distinct("query_id").alias("n_queries"),
+        )
+        .join(found.agg(F.count("*").alias("n_found")))
+        .join(surfaced.agg(F.count("*").cast("long").alias("n_deleted_surfaced")))
+        .select(
+            "n_exact_pairs",
+            "n_queries",
+            "n_deleted_surfaced",
+            (F.col("n_found") >= 0.3 * F.col("n_exact_pairs")).alias(
+                "recall_ge_30"
+            ),
+        )
+    )
+
+
+# One oracle text for both delete twins — exact top-3 over survivors,
+# structural zero for surfaced-deleted, measured-flag TRUE expectation.
+_SURVIVOR_RECALL_ORACLE = f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings WHERE vec_id % 97 <> 0
+    ), q AS (SELECT * FROM n WHERE vec_id < 10), exact3 AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM q JOIN n e ON e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                   DESC, e.vec_id ASC) <= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(0 AS BIGINT) AS n_deleted_surfaced,
+           TRUE AS recall_ge_30
+    FROM exact3
+    """
+
+
 @query("llm_index_tombstone_probe")  # rows-only: k-means cells are iterative
 def llm_index_tombstone_probe(spark, sf_dir):
     """Index DELETES without a rebuild — the per-cell tombstone audit
@@ -2938,24 +2987,7 @@ def llm_index_tombstone_probe(spark, sf_dir):
     # margin (ADVICE r3 discipline): recall@3 = 0.444 at sf0.001 (12/27)
     # / 0.481 at sf0.01 (13/27) vs the 0.30 threshold — ~1.5× headroom,
     # in line with the undeleted IVF twin's nprobe=2-of-8 ≈ 0.5.
-    oracle=f"""
-    WITH n AS (
-      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
-      FROM embeddings WHERE vec_id % 97 <> 0
-    ), q AS (SELECT * FROM n WHERE vec_id < 10), exact3 AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
-      FROM q JOIN n e ON e.vec_id <> q.vec_id
-      QUALIFY row_number() OVER (
-          PARTITION BY q.vec_id
-          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
-                   DESC, e.vec_id ASC) <= 3
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
-           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
-           CAST(0 AS BIGINT) AS n_deleted_surfaced,
-           TRUE AS recall_ge_30
-    FROM exact3
-    """,
+    oracle=_SURVIVOR_RECALL_ORACLE,
 )
 def llm_index_tombstone_probe_recall(spark, sf_dir):
     """Recall@3 of the tombstone-filtered IVF probe against brute-force
@@ -2981,26 +3013,7 @@ def llm_index_tombstone_probe_recall(spark, sf_dir):
         F.col("nsq").alias("q_nsq"),
     )
     ann = _ivf_probe(live_cells, centroids, q).select("query_id", "neighbor_id")
-
-    exact3 = _exact_top3(survivors, q)
-    found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
-    surfaced = ann.filter((F.col("neighbor_id") % _TOMBSTONE_RESIDUE) == 0)
-    return (
-        exact3.agg(
-            F.count("*").alias("n_exact_pairs"),
-            F.count_distinct("query_id").alias("n_queries"),
-        )
-        .join(found.agg(F.count("*").alias("n_found")))
-        .join(surfaced.agg(F.count("*").cast("long").alias("n_deleted_surfaced")))
-        .select(
-            "n_exact_pairs",
-            "n_queries",
-            "n_deleted_surfaced",
-            (F.col("n_found") >= 0.3 * F.col("n_exact_pairs")).alias(
-                "recall_ge_30"
-            ),
-        )
-    )
+    return _survivor_recall_metric(ann, survivors, q)
 
 
 # Pytest hooks for llm_index_compact_cells: [warehouse, pre-compaction
@@ -3112,24 +3125,7 @@ def llm_index_compact_cells(spark, sf_dir):
     # vs the survivor exact top-3 must hold. Identical candidate set to
     # the filtered probe ⇒ same measured recall (0.444/0.481 at
     # sf0.001/0.01 vs the 0.30 gate).
-    oracle=f"""
-    WITH n AS (
-      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
-      FROM embeddings WHERE vec_id % 97 <> 0
-    ), q AS (SELECT * FROM n WHERE vec_id < 10), exact3 AS (
-      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
-      FROM q JOIN n e ON e.vec_id <> q.vec_id
-      QUALIFY row_number() OVER (
-          PARTITION BY q.vec_id
-          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
-                   DESC, e.vec_id ASC) <= 3
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
-           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
-           CAST(0 AS BIGINT) AS n_deleted_surfaced,
-           TRUE AS recall_ge_30
-    FROM exact3
-    """,
+    oracle=_SURVIVOR_RECALL_ORACLE,
 )
 def llm_index_compact_cells_recall(spark, sf_dir):
     """Recall@3 of a probe over the PHYSICALLY COMPACTED cells — no
@@ -3158,26 +3154,7 @@ def llm_index_compact_cells_recall(spark, sf_dir):
         )
     )
     ann = _ivf_probe(cells, centroids, q).select("query_id", "neighbor_id")
-    survivors = e.filter(~_is_tombstoned())
-    exact3 = _exact_top3(survivors, q)
-    found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
-    surfaced = ann.filter((F.col("neighbor_id") % _TOMBSTONE_RESIDUE) == 0)
-    return (
-        exact3.agg(
-            F.count("*").alias("n_exact_pairs"),
-            F.count_distinct("query_id").alias("n_queries"),
-        )
-        .join(found.agg(F.count("*").alias("n_found")))
-        .join(surfaced.agg(F.count("*").cast("long").alias("n_deleted_surfaced")))
-        .select(
-            "n_exact_pairs",
-            "n_queries",
-            "n_deleted_surfaced",
-            (F.col("n_found") >= 0.3 * F.col("n_exact_pairs")).alias(
-                "recall_ge_30"
-            ),
-        )
-    )
+    return _survivor_recall_metric(ann, e.filter(~_is_tombstoned()), q)
 
 
 def _ivf_dedup_index(spark, sf_dir, k=8, iters=3):

@@ -911,9 +911,16 @@ def stream_checkpoint_resume(spark, sf_dir):
     os.utime(target, (1700000000 + 120, 1700000000 + 120))
     run(2)
     final = spark.read.parquet(warehouse)
-    return (
+    out = (
         final.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
     )
+    # same corpus-sized reclamation as stream_restart_backlog_drain
+    # (this op predates the discipline; code-review r11 applied it here)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(drop, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(warehouse), ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 @query(
@@ -1085,6 +1092,15 @@ def stream_restart_backlog_drain(spark, sf_dir):
         os.utime(t, (1700000000 + 60 * (i + 1), 1700000000 + 60 * (i + 1)))
     run(2)
     final = spark.read.parquet(warehouse)
-    return (
+    out = (
         final.groupBy("event_type").agg(F.count("*").alias("n")).orderBy("event_type")
     )
+    # pin the event-type-sized result, then reclaim the two corpus-sized
+    # temp copies (drop dir + merged warehouse) and the checkpoint — at
+    # the 500x events tier each leaked pair is ~a full corpus on /tmp
+    # (code-review r11; same discipline as inc_subject_erasure)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(drop, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(warehouse), ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

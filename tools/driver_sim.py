@@ -104,6 +104,14 @@ def main() -> None:
             # BIGINT with NULLs into float64 → '5.0' vs DuckDB's raw '5')
             # can no longer produce a spurious sim FAIL.  fetchall is kept
             # here (not fetchdf) to preserve Decimal fidelity.
+            # DELIBERATELY no type_sig gate here (code-review r11 asked):
+            # the pandas side legitimately carries float64 for any
+            # nullable int column, so a value-object type comparison
+            # would false-fail exactly the queries this sim exists to
+            # green-light (win_lag_lead et al. are driver-hash-green on
+            # record).  Genuine DOUBLE-vs-BIGINT column drift stays
+            # covered by the STRICTER collect()-side gate: verify_local
+            # compares type_sig on every oracled query each round.
             oc, orr = canon_duck(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failed.append((name, f"DUCKDB ERROR: {e}"))

@@ -368,7 +368,18 @@ def build_ann(
     if dup_fraction >= 1.0:
         pert_expr = f"{perturb} * sin(c * 7 + i)"
     else:
-        mod = max(1, round(1.0 / dup_fraction))
+        # code-review r11: guard the derivation — dup_fraction <= 0 has
+        # no meaning here (a zero-dup corpus can't be built by copying),
+        # and anything above 0.5 rounds mod to 1, which silently
+        # rebuilds the FULL-duplication corpus while the run is labeled
+        # (and sentinel-skipped) as low-dup: mislabeled measurements.
+        if not 0.0 < dup_fraction <= 0.5:
+            raise SystemExit(
+                f"--dup-fraction {dup_fraction} unsupported: must be in (0, 0.5] "
+                "(mod = round(1/dup_fraction) needs >= 2 so out-of-band copies "
+                "exist; use the default 1.0 for the full-duplication tiers)"
+            )
+        mod = round(1.0 / dup_fraction)
         # c=0 (the base copy) always stays in-band so queries (vec_id<10)
         # keep their identity; other copies are near-dups only when
         # c % mod == 0.  The out-of-band perturbation must be HASH-driven
