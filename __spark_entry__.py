@@ -603,6 +603,13 @@ R11_WINDOW = R11_PLANNED + R11_RECHECKS
 # the same contract (oracle-checked locally on introduction;
 # tests/test_entry_contract.py counts R12 toward the
 # every-query-has-a-driver-evidence-plan invariant).
+# Staged r12 rotation (computed from the ledger at r11 close): after the
+# R11 window executes, the oldest evidence is the 41 remaining r4-era
+# queries (fn_map fn_variant graph_pagerank llm_bm25_search ... the 21
+# TPC-H rows ... win_cumulative_distinct) — so R12_WINDOW = R12_PLANNED
+# (5) + those 41 + the first 4 r5-era queries alphabetically
+# (agg_aqp_estimate agg_conditional agg_gini agg_higher_moments) = 50.
+# After IT executes, no registered query's evidence is older than r5.
 R12_PLANNED: list[str] = [
     # added in round 11 (oracle-checked locally on introduction):
     "stream_restart_backlog_drain",

@@ -344,7 +344,18 @@ def stream_stateful_custom(spark, sf_dir):
 def _upsert_batch(batch_df: DataFrame, batch_id: int, warehouse: str) -> None:
     """Merge one micro-batch into a parquet warehouse by key: newest row
     per event_id wins (ts DESC, event_type ASC tiebreak); the rewrite is
-    staged then renamed so a killed merge never leaves a torn warehouse."""
+    staged then renamed so a killed merge never leaves a torn warehouse.
+
+    Scale note (measured, addendum 50): this demo sink rewrites the FULL
+    cumulative warehouse per batch, so an N-batch drain writes ~N/2
+    corpus copies — 177 s for a 33 M-row backlog at the 500× events
+    tier, vs 42 s at 100×. That is the price of plain parquet, not of
+    the upsert semantics: at 100 TB this callsite is a table-format
+    MERGE INTO on a key-bucketed layout (cost O(batch + affected file
+    groups)). A hash-bucketed parquet variant was considered and
+    rejected here — these workloads' batches are TIME slices with
+    uniformly distributed event_ids, so every batch touches every
+    bucket and a bucketed rewrite prunes nothing."""
     from pyspark.sql import Window
 
     sess = batch_df.sparkSession
