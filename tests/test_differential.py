@@ -292,6 +292,16 @@ _json_ints = st.integers(min_value=-10_000, max_value=10_000)
     )
 )
 def test_scalar_dialect_bridges_agree(spark, duck, rows):
+    compare_bridge_batch(spark, duck, rows)
+
+
+def compare_bridge_batch(spark, duck, rows):
+    """Run one (s, sa, x, ts, k) batch through every PAIRS expression on
+    both engines and canon-compare cell-for-cell.  SHARED with
+    tools/fuzz_differential.py (code-review r11 finding #3) so the long
+    fuzz and this pytest gate can never drift to testing different
+    contracts.  Raises AssertionError with the offending expression and
+    input row on the first divergent cell."""
     pdf = pd.DataFrame(rows, columns=["s", "sa", "x", "ts", "k"])
     pdf["ts"] = pd.to_datetime(pdf["ts"])
     pdf["j"] = pdf["k"].map(lambda v: f'{{"k": {v}}}')
@@ -299,18 +309,27 @@ def test_scalar_dialect_bridges_agree(spark, duck, rows):
     sdf = spark.createDataFrame(pdf)
     sdf.createOrReplaceTempView("_diff_t")
     duck.register("_diff_t_duck", pdf)
-
-    spark_sel = ", ".join(f"{e} AS {n}" for n, e, _ in PAIRS)
-    duck_sel = ", ".join(f"{e} AS {n}" for n, _, e in PAIRS)
-    s_rows = spark.sql(f"SELECT {spark_sel} FROM _diff_t").collect()
-    d_rows = duck.execute(f"SELECT {duck_sel} FROM _diff_t_duck").fetchall()
-
-    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
-        for (name, _, _), sv, dv in zip(PAIRS, sr, dr):
-            assert canon_cell(sv) == canon_cell(dv), (
-                f"row {i} expr {name}: spark={sv!r} duck={dv!r} input={rows[i]!r}"
-            )
-    duck.unregister("_diff_t_duck")
+    try:
+        spark_sel = ", ".join(f"{e} AS {n}" for n, e, _ in PAIRS)
+        duck_sel = ", ".join(f"{e} AS {n}" for n, _, e in PAIRS)
+        s_rows = spark.sql(f"SELECT {spark_sel} FROM _diff_t").collect()
+        d_rows = duck.execute(f"SELECT {duck_sel} FROM _diff_t_duck").fetchall()
+        # a cardinality divergence must FAIL, not silently truncate the
+        # zip (code-review r11 finding #4)
+        assert len(s_rows) == len(d_rows) == len(rows), (
+            f"row-count divergence: spark {len(s_rows)} duck {len(d_rows)} "
+            f"input {len(rows)}"
+        )
+        checked = 0
+        for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+            for (name, _, _), sv, dv in zip(PAIRS, sr, dr):
+                assert canon_cell(sv) == canon_cell(dv), (
+                    f"row {i} expr {name}: spark={sv!r} duck={dv!r} input={rows[i]!r}"
+                )
+                checked += 1
+        return checked
+    finally:
+        duck.unregister("_diff_t_duck")
 
 
 def test_engine_facade(spark):

@@ -4,16 +4,18 @@ The pytest sweep (tests/test_differential.py) runs 5 hypothesis examples
 per suite pass — enough to keep the persisted falsifying examples honest,
 cheap enough for the round-close gate. This tool is the LONG version of
 the same oracle: N seeded random batches through every PAIRS expression
-on Spark AND DuckDB, canon-compared cell-for-cell. This family of sweep
-is what found the grapheme-vs-codepoint `reverse` divergence (VERDICT r9
-item 3), so keeping a deep version runnable on demand is standing value.
+on Spark AND DuckDB via the SHARED ``compare_bridge_batch`` helper (one
+implementation, so the fuzz and the pytest gate cannot drift to testing
+different contracts). This family of sweep is what found the
+grapheme-vs-codepoint ``reverse`` divergence (VERDICT r9 item 3), so
+keeping a deep version runnable on demand is standing value.
 
 Usage::
 
     python tools/fuzz_differential.py [--iters 200] [--rows 40] [--seed 11]
 
 Exits nonzero on the first divergent cell, printing the offending
-expression and input row.
+expression and input row (the AssertionError from the shared helper).
 """
 
 from __future__ import annotations
@@ -27,6 +29,16 @@ import sys
 import time
 import unicodedata
 
+# Pin the PROCESS timezone to UTC before the JVM or DuckDB start:
+# PySpark renders TimestampType via the Python process's local zone on
+# collect(), and DuckDB follows the system zone for TIMESTAMPTZ casts,
+# so an un-pinned non-UTC machine reports false day_trunc "divergences"
+# on the very first batch (code-review r11 finding #1, reproduced with
+# TZ=America/Chicago).  The pytest gate inherits the container's UTC;
+# this tool must work on any dev machine.
+os.environ["TZ"] = "UTC"
+time.tzset()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
@@ -37,16 +49,19 @@ sys.path.insert(
 
 
 def _rand_string(rng: random.Random, char_ok, max_len: int = 24) -> str:
-    # Bias toward the nasty regions: ASCII, Latin-1, combining marks,
-    # astral plane, tag characters, zero-width — the same shapes the
-    # hypothesis sweep draws, just more of them.
+    # Bias toward the nasty regions the bridges must survive: ASCII,
+    # Latin-1, CJK, astral emoji, tag characters, zero-width.  Combining
+    # marks (Mn/Mc/Me) and U+FE0F are deliberately ABSENT: _char_ok
+    # excludes those categories because the engines legitimately
+    # disagree on grapheme-cluster handling there (the same exclusion
+    # the pytest strategy applies — a pool drawing them would be dead
+    # code, code-review r11 finding #2).
     pools = [
         lambda: chr(rng.randint(32, 126)),
         lambda: chr(rng.randint(0xA0, 0x2FF)),
-        lambda: chr(rng.randint(0x300, 0x36F)),  # combining marks
         lambda: chr(rng.randint(0x4E00, 0x4EFF)),  # CJK
         lambda: chr(rng.randint(0x1F300, 0x1F5FF)),  # astral emoji block
-        lambda: chr(rng.choice((0x200B, 0x200D, 0xFE0F))),  # zero-width/VS
+        lambda: chr(rng.choice((0x200B, 0x200D))),  # zero-width
         lambda: chr(rng.randint(0xE0020, 0xE007E)),  # tag characters
     ]
     n = rng.randint(0, max_len)
@@ -68,19 +83,15 @@ def main() -> None:
     args = ap.parse_args()
 
     import duckdb
-    import pandas as pd
 
     from etl_suite_spark.session import get_spark
-    from tests.test_differential import PAIRS, _char_ok
-    from tools.verify_local import canon_cell
+    from tests.test_differential import _char_ok, compare_bridge_batch
 
     spark = get_spark("fuzz-differential", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
+    duck.execute("SET TimeZone='UTC'")
     rng = random.Random(args.seed)
-
-    spark_sel = ", ".join(f"{e} AS {n}" for n, e, _ in PAIRS)
-    duck_sel = ", ".join(f"{e} AS {n}" for n, _, e in PAIRS)
 
     t0 = time.time()
     checked = 0
@@ -106,35 +117,15 @@ def main() -> None:
                     rng.randint(-10_000, 10_000),
                 )
             )
-        pdf = pd.DataFrame(rows, columns=["s", "sa", "x", "ts", "k"])
-        pdf["ts"] = pd.to_datetime(pdf["ts"])
-        pdf["j"] = pdf["k"].map(lambda v: f'{{"k": {v}}}')
-        pdf = pdf.drop(columns=["k"])
-        sdf = spark.createDataFrame(pdf)
-        sdf.createOrReplaceTempView("_fuzz_t")
-        duck.register("_fuzz_t_duck", pdf)
-        s_rows = spark.sql(f"SELECT {spark_sel} FROM _fuzz_t").collect()
-        d_rows = duck.execute(f"SELECT {duck_sel} FROM _fuzz_t_duck").fetchall()
-        for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
-            for (name, se, de), sv, dv in zip(PAIRS, sr, dr):
-                if canon_cell(sv) != canon_cell(dv):
-                    print(
-                        json.dumps(
-                            {
-                                "divergence": name,
-                                "spark_expr": se,
-                                "duck_expr": de,
-                                "spark_value": repr(sv),
-                                "duck_value": repr(dv),
-                                "input_row": repr(rows[i]),
-                                "iter": it,
-                                "seed": args.seed,
-                            }
-                        )
-                    )
-                    sys.exit(1)
-                checked += 1
-        duck.unregister("_fuzz_t_duck")
+        try:
+            checked += compare_bridge_batch(spark, duck, rows)
+        except AssertionError as e:
+            print(
+                json.dumps(
+                    {"divergence": str(e), "iter": it, "seed": args.seed}
+                )
+            )
+            sys.exit(1)
         if (it + 1) % 25 == 0:
             print(f"iter {it + 1}/{args.iters}: {checked} cells agree", flush=True)
     print(
