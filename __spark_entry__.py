@@ -619,9 +619,79 @@ R12_PLANNED: list[str] = [
     "llm_index_compact_cells_recall",
 ]
 
+# Round-12 ACTIVE window (executing the staged plan above): R12_PLANNED
+# (the 5 never-checked round-11 ops) + all 41 remaining r4-era queries +
+# the first 4 r5-era queries alphabetically = 50.  Verified against the
+# recomputed CORRECTNESS_r01–r11 ledger (evidence-age distribution
+# r4×41, r5×50, r6×50, r7×50, r8×50, r9×49, r10×50, r11×50).  After this
+# window executes, no registered query's evidence is older than r5.
+R12_RECHECKS = [
+    # all 41 remaining r4-era queries (latest driver record r4):
+    "fn_map",
+    "fn_variant",
+    "graph_pagerank",
+    "llm_bm25_search",
+    "llm_corpus_pipeline",
+    "llm_decontaminate",
+    "llm_dedup_clusters",
+    "llm_dedup_minhash_recall",
+    "llm_dedup_substring",
+    "llm_doc_chunking",
+    "llm_emb_normalize",
+    "llm_fingerprint",
+    "llm_lang_partition",
+    "llm_pii_scrub",
+    "llm_sim_ann_ivf_recall",
+    "llm_token_count",
+    "llm_unigram_logprob",
+    "ml_churn_label",
+    "mm_binaryfile_scan",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "win_cumulative_distinct",
+    # first 4 (alphabetically) of the 50 r5-era queries:
+    "agg_aqp_estimate",
+    "agg_conditional",
+    "agg_gini",
+    "agg_higher_moments",
+]
+
+R12_WINDOW = R12_PLANNED + R12_RECHECKS
+
+# Round-13 overflow plan: queries added during round 12 queue here under
+# the same contract (oracle-checked locally on introduction;
+# tests/test_entry_contract.py counts R13 toward the
+# every-query-has-a-driver-evidence-plan invariant).
+# Staged r13 rotation (computed from the ledger at r12 close): after the
+# R12 window executes, the oldest evidence is the 46 remaining r5-era
+# queries (agg_market_basket ... alphabetical) — so R13_WINDOW =
+# R13_PLANNED + those 46, topped up with the oldest r6-era queries
+# alphabetically to 50.  After IT executes, no registered query's
+# evidence is older than r6.
+R13_PLANNED: list[str] = []
+
 
 def _windowed(mapping: dict) -> dict:
-    ordered = {k: mapping[k] for k in R11_WINDOW if k in mapping}
+    ordered = {k: mapping[k] for k in R12_WINDOW if k in mapping}
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
     return ordered
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..core import d2d
+from ..core import SUBJECT_RESIDUE, d2d
 from ..io import load_table
 from ..registry import query
 
@@ -2867,11 +2867,13 @@ def llm_index_incremental_add_recall(spark, sf_dir):
     return _recall_metric(ann, e, q, 0.3, "recall_ge_30")
 
 
-# Deterministic tombstone set for the index-delete ops: vec_id % 97 == 0,
-# the repo's subject idiom (inc_subject_erasure erases user_id % 97 == 0)
-# — the GDPR story crossing into the similarity family: an erased
-# subject's vectors must drop out of ANN results too.
-_TOMBSTONE_RESIDUE = 97
+# Deterministic tombstone set for the index-delete ops: vec_id %
+# SUBJECT_RESIDUE == 0, the repo's shared subject idiom
+# (inc_subject_erasure erases user_id % SUBJECT_RESIDUE == 0) — the GDPR
+# story crossing into the similarity family: an erased subject's vectors
+# must drop out of ANN results too.  The constant lives in core.py so the
+# two modules cannot drift (VERDICT r11 nit); tests pin the identity.
+_TOMBSTONE_RESIDUE = SUBJECT_RESIDUE
 
 
 def _is_tombstoned():
@@ -2910,7 +2912,7 @@ def _survivor_recall_metric(ann, survivors, q):
 _SURVIVOR_RECALL_ORACLE = f"""
     WITH n AS (
       SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
-      FROM embeddings WHERE vec_id % 97 <> 0
+      FROM embeddings WHERE vec_id % {_TOMBSTONE_RESIDUE} <> 0
     ), q AS (SELECT * FROM n WHERE vec_id < 10), exact3 AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
       FROM q JOIN n e ON e.vec_id <> q.vec_id
@@ -2938,7 +2940,8 @@ def llm_index_tombstone_probe(spark, sf_dir):
     deployment watches to decide when accumulated tombstones justify a
     cell compaction (a cell whose live fraction has collapsed wastes
     probe work scanning dead vectors). One row per cell: total, dead,
-    live, dead share. Tombstones = vec_id % 97 == 0, the same subject
+    live, dead share. Tombstones = vec_id % SUBJECT_RESIDUE == 0 (97,
+    core.py), the same subject
     idiom inc_subject_erasure deletes — erased subjects leave the ANN
     surface without touching the write-once index files. Rows-only
     (k-means cells are engine-specific); the oracled

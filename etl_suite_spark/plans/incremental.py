@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core import d2d, dsum, sql_dsum
+from ..core import SUBJECT_RESIDUE, d2d, dsum, sql_dsum
 from ..io import load_table
 from ..registry import query
 
@@ -1020,14 +1020,15 @@ def _bucket_file_snapshot(wh: str) -> dict[str, dict[str, float]]:
 
 @query(
     "inc_subject_erasure",
-    oracle="""
+    oracle=f"""
     SELECT CAST(user_id % 16 AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS rows_before,
-           CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS rows_deleted,
-           CAST(COUNT(*) - SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS rows_after,
-           SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) > 0 AS rewritten
+           CAST(SUM(CASE WHEN user_id % {SUBJECT_RESIDUE} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_deleted,
+           CAST(COUNT(*) - SUM(CASE WHEN user_id % {SUBJECT_RESIDUE} = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS rows_after,
+           SUM(CASE WHEN user_id % {SUBJECT_RESIDUE} = 0 THEN 1 ELSE 0 END) > 0
+             AS rewritten
     FROM events GROUP BY 1 ORDER BY 1
     """,
 )
@@ -1068,7 +1069,7 @@ def inc_subject_erasure(spark, sf_dir):
     _LAST_ERASURE_WH.clear()
     _LAST_ERASURE_WH.extend([wh, _bucket_file_snapshot(wh)])
 
-    is_subject = (F.col("user_id") % 97) == 0
+    is_subject = (F.col("user_id") % SUBJECT_RESIDUE) == 0
     affected = ev.filter(is_subject).select("bucket").distinct()
     retained = ev.join(F.broadcast(affected), "bucket", "left_semi").filter(
         ~is_subject
@@ -1133,9 +1134,9 @@ _KEEP_EXPORT_WH = False
            MIN(ts) AS first_ts,
            MAX(ts) AS last_ts,
            """ + sql_dsum("value", 4) + """ AS total_value
-    FROM events WHERE user_id % 97 = 0
+    FROM events WHERE user_id % {SUBJECT_RESIDUE} = 0
     GROUP BY user_id ORDER BY user_id
-    """,
+    """.format(SUBJECT_RESIDUE=SUBJECT_RESIDUE),
 )
 def inc_subject_export(spark, sf_dir):
     """Subject-access-request export (GDPR Art. 15) — the READ twin of
@@ -1159,7 +1160,7 @@ def inc_subject_export(spark, sf_dir):
     wh = os.path.join(tempfile.mkdtemp(prefix="etl_export_"), "events_by_subject")
     ev.write.partitionBy("bucket").mode("overwrite").parquet(wh)
 
-    is_subject = (F.col("user_id") % 97) == 0
+    is_subject = (F.col("user_id") % SUBJECT_RESIDUE) == 0
     buckets = sorted(
         int(r["bucket"])
         for r in ev.filter(is_subject).select("bucket").distinct().collect()

@@ -6,16 +6,15 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-11 window composition (VERDICT r10 item 1): the 7 queries queued
-in R11_PLANNED during round 10 (the ivfpq/ivf pipelines, matryoshka
-sweep, and incremental-add + twins — clearing the never-checked backlog
-to zero) + 43 re-checks: the two queries bumped from the staged r10
-list (``llm_seq_packing``, ``pipeline_sink_jdbc``), the 33 remaining
-r3-era queries, and the first 8 r4-era queries alphabetically.  After
-R11 executes, no registered query's evidence is older than r4.  The
-strict-ledger endgame test enforces: NO registered query may lack a
-committed driver record unless it sits in the active window or is a
-round-11 addition in R12_PLANNED.
+Round-12 window composition (the plan staged at r11 close, verified by
+the r11 judge against the recomputed ledger): the 5 queries queued in
+R12_PLANNED during round 11 (the backlog drain and the index
+delete/compaction lifecycle pairs — clearing the never-checked backlog
+to zero) + 45 re-checks: all 41 remaining r4-era queries and the first
+4 r5-era queries alphabetically.  After R12 executes, no registered
+query's evidence is older than r5.  The strict-ledger endgame test
+enforces: NO registered query may lack a committed driver record unless
+it sits in the active window or is a round-12 addition in R13_PLANNED.
 """
 
 from __future__ import annotations
@@ -25,73 +24,71 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R11_WINDOW = [
-    # --- R11_PLANNED: round-10 additions (oracle-checked locally on intro) ---
-    "llm_index_build_pipeline_ivfpq",  # rows-only by design (iterative quantizers)
-    "llm_index_build_pipeline_ivfpq_recall",
-    "llm_emb_matryoshka_recall",
-    "llm_index_incremental_add",  # rows-only by design (frozen k-means)
-    "llm_index_incremental_add_recall",
-    "llm_index_build_pipeline_ivf",  # rows-only by design (iterative k-means)
-    "llm_index_build_pipeline_ivf_recall",
-    # --- the two re-checks bumped from the staged r10 window ---
-    "llm_seq_packing",
-    "pipeline_sink_jdbc",
-    # --- re-checks: all 33 remaining r3-era queries ---
-    "pipeline_spec_run",
-    "pipeline_spec_stream",
-    "project_alias_cast",
-    "project_case_when",
-    "project_compute",
-    "sample_fraction",
-    "scan_csv_badrecords",
-    "scan_csv_roundtrip",
-    "scan_jdbc",
-    "scan_json_roundtrip",
-    "scan_orc_roundtrip",
-    "scan_parquet",
-    "scan_parquet_schema_evolution",
-    "scan_projected",
-    "scan_text_roundtrip",
-    "sink_compact_small_files",
-    "sink_parquet_partitioned",
-    "sink_sorted_layout",
-    "stream_dedup",
-    "stream_foreachbatch_upsert",
-    "stream_late_data",
-    "stream_session_window",
-    "stream_sliding_agg",
-    "stream_stateful_custom",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_tumbling_agg",
-    "udaf_pandas_grouped_agg",
-    "udf_pandas_scalar",
-    "udf_python_scalar",
-    "udtf_grouped_map",
-    "udtf_python",
-    "win_sessionize",
-    # --- re-checks: first 8 r4-era queries (alphabetical) ---
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "agg_funnel",
-    "agg_heavy_hitters",
-    "agg_retention_cohort",
-    "fn_date",
-    "fn_datetime_tz",
-    "fn_json",
+EXPECTED_R12_WINDOW = [
+    # --- R12_PLANNED: round-11 additions (oracle-checked locally on intro) ---
+    "stream_restart_backlog_drain",
+    "llm_index_tombstone_probe",  # rows-only by design (k-means cells)
+    "llm_index_tombstone_probe_recall",
+    "llm_index_compact_cells",  # rows-only by design (k-means cells)
+    "llm_index_compact_cells_recall",
+    # --- re-checks: all 41 remaining r4-era queries ---
+    "fn_map",
+    "fn_variant",
+    "graph_pagerank",
+    "llm_bm25_search",
+    "llm_corpus_pipeline",
+    "llm_decontaminate",
+    "llm_dedup_clusters",
+    "llm_dedup_minhash_recall",
+    "llm_dedup_substring",
+    "llm_doc_chunking",
+    "llm_emb_normalize",
+    "llm_fingerprint",
+    "llm_lang_partition",
+    "llm_pii_scrub",
+    "llm_sim_ann_ivf_recall",
+    "llm_token_count",
+    "llm_unigram_logprob",
+    "ml_churn_label",
+    "mm_binaryfile_scan",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "win_cumulative_distinct",
+    # --- re-checks: first 4 r5-era queries (alphabetical) ---
+    "agg_aqp_estimate",
+    "agg_conditional",
+    "agg_gini",
+    "agg_higher_moments",
 ]
 
 # Window slots without an oracle, each rows-only BY DESIGN with an
 # oracle-checked honesty twin adjacent in the same window (the `_recall`
-# twins of all three quantized-index ops are oracled and hash-checked).
+# twins of both index-lifecycle ops are oracled and hash-checked).
 ROWS_ONLY_IN_WINDOW = {
-    "llm_index_build_pipeline_ivfpq",
-    "llm_index_incremental_add",
-    "llm_index_build_pipeline_ivf",
+    "llm_index_tombstone_probe",
+    "llm_index_compact_cells",
 }
 
-_DRIVER_ROUNDS = tuple(range(1, 12))
+_DRIVER_ROUNDS = tuple(range(1, 13))
 
 
 def _driver_history() -> dict[str, dict]:
@@ -104,12 +101,12 @@ def _driver_history() -> dict[str, dict]:
     return latest
 
 
-def _latest_round(before: int = 11) -> dict[str, int]:
+def _latest_round(before: int = 12) -> dict[str, int]:
     """Latest driver-record round per query over rounds STRICTLY BEFORE
     ``before`` — the window-composition tests must read the evidence
-    state the R11 window was PLANNED against, not the state after the
+    state the R12 window was PLANNED against, not the state after the
     driver executes it (code-review r10 finding #1: including the active
-    round would break these pins the moment CORRECTNESS_r11.json lands)."""
+    round would break these pins the moment CORRECTNESS_r12.json lands)."""
     root = pathlib.Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
     for n in range(1, before):
@@ -121,48 +118,51 @@ def _latest_round(before: int = 11) -> dict[str, int]:
 
 
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R11_WINDOW) == 50
-    assert len(set(EXPECTED_R11_WINDOW)) == 50
+    assert len(EXPECTED_R12_WINDOW) == 50
+    assert len(set(EXPECTED_R12_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R11_WINDOW
-    assert entry_mod.R11_WINDOW == EXPECTED_R11_WINDOW
+    assert qs[:50] == EXPECTED_R12_WINDOW
+    assert entry_mod.R12_WINDOW == EXPECTED_R12_WINDOW
 
 
 def test_window_composition():
-    """The window is exactly R11_PLANNED followed by the re-check block;
+    """The window is exactly R12_PLANNED followed by the re-check block;
     the planned block is exactly the never-driver-checked queries, the
-    two bumped r10-tail re-checks lead the re-check block, and every
-    other re-check's latest driver record is r3/r4 (recomputed from the
-    committed CORRECTNESS files)."""
-    assert entry_mod.R11_WINDOW == entry_mod.R11_PLANNED + entry_mod.R11_RECHECKS
+    first 41 re-checks' latest driver record is r4 and the last 4 are
+    r5-era (recomputed from the committed CORRECTNESS files)."""
+    assert entry_mod.R12_WINDOW == entry_mod.R12_PLANNED + entry_mod.R12_RECHECKS
     latest_round = _latest_round()
-    already = {n for n in entry_mod.R11_PLANNED if n in latest_round}
-    assert not already, f"R11_PLANNED slots already evidenced: {already}"
-    # the two queries bumped out of the staged r10 window lead the block
-    assert entry_mod.R11_RECHECKS[0] == "llm_seq_packing"
-    assert entry_mod.R11_RECHECKS[1] == "pipeline_sink_jdbc"
-    assert latest_round["llm_seq_packing"] == 3
-    assert latest_round["pipeline_sink_jdbc"] == 3
-    stale = {n: latest_round.get(n) for n in entry_mod.R11_RECHECKS[2:]}
-    too_fresh = {n: r for n, r in stale.items() if r is None or r > 4}
-    assert not too_fresh, f"re-check slots with fresh evidence: {too_fresh}"
+    already = {n for n in entry_mod.R12_PLANNED if n in latest_round}
+    assert not already, f"R12_PLANNED slots already evidenced: {already}"
+    r4_block, r5_block = entry_mod.R12_RECHECKS[:41], entry_mod.R12_RECHECKS[41:]
+    bad_r4 = {n: latest_round.get(n) for n in r4_block if latest_round.get(n) != 4}
+    assert not bad_r4, f"r4-era re-check slots with other evidence: {bad_r4}"
+    bad_r5 = {n: latest_round.get(n) for n in r5_block if latest_round.get(n) != 5}
+    assert not bad_r5, f"r5-era re-check slots with other evidence: {bad_r5}"
+    # the r4 block is COMPLETE: no registered query outside the window may
+    # still carry r4-era (or older) evidence once this window executes.
+    stale_outside = {
+        n for n, r in latest_round.items()
+        if r <= 4 and n in entry_mod.queries() and n not in entry_mod.R12_WINDOW
+    }
+    assert not stale_outside, f"r4-era queries left outside window: {stale_outside}"
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R11_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R12_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
 def test_window_oracle_coverage():
-    # Exactly three rows-only slots this round (each by design, with an
+    # Exactly two rows-only slots this round (each by design, with an
     # oracled honesty twin); every other window entry carries a DuckDB
     # oracle.
     oracles = entry_mod.oracle_sql()
-    missing = {n for n in EXPECTED_R11_WINDOW if n not in oracles}
+    missing = {n for n in EXPECTED_R12_WINDOW if n not in oracles}
     assert missing == ROWS_ONLY_IN_WINDOW, (
         f"unexpected rows-only window slots: {missing ^ ROWS_ONLY_IN_WINDOW}"
     )
@@ -187,7 +187,7 @@ def test_no_stale_red_left_outside_window():
         for name, rec in latest.items()
         if name in entry_mod.queries() and not _is_green_or_rows_only(rec)
     ]
-    outside = sorted(set(red) - set(EXPECTED_R11_WINDOW))
+    outside = sorted(set(red) - set(EXPECTED_R12_WINDOW))
     assert not outside, f"stale-red queries not in window: {outside}"
 
 
@@ -206,24 +206,24 @@ def test_strict_ledger_endgame():
     driver-evidence plan fails here immediately."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    planned = set(EXPECTED_R11_WINDOW) | set(entry_mod.R12_PLANNED)
+    planned = set(EXPECTED_R12_WINDOW) | set(entry_mod.R13_PLANNED)
     uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
 
-def test_r12_overflow_plan_is_well_formed():
-    assert len(entry_mod.R12_PLANNED) <= 50
-    assert len(set(entry_mod.R12_PLANNED)) == len(entry_mod.R12_PLANNED)
-    overlap = set(entry_mod.R12_PLANNED) & set(EXPECTED_R11_WINDOW)
-    assert not overlap, f"R12 entries already in the R11 window: {overlap}"
+def test_r13_overflow_plan_is_well_formed():
+    assert len(entry_mod.R13_PLANNED) <= 50
+    assert len(set(entry_mod.R13_PLANNED)) == len(entry_mod.R13_PLANNED)
+    overlap = set(entry_mod.R13_PLANNED) & set(EXPECTED_R12_WINDOW)
+    assert not overlap, f"R13 entries already in the R12 window: {overlap}"
     registered = set(entry_mod.queries())
-    ghosts = sorted(set(entry_mod.R12_PLANNED) - registered)
-    assert not ghosts, f"R12-planned names not registered: {ghosts}"
-    # R12_PLANNED is only for NEW (round-11) queries: none may already
+    ghosts = sorted(set(entry_mod.R13_PLANNED) - registered)
+    assert not ghosts, f"R13-planned names not registered: {ghosts}"
+    # R13_PLANNED is only for NEW (round-12) queries: none may already
     # hold driver evidence.
     latest = _driver_history()
-    stale = sorted(set(entry_mod.R12_PLANNED) & set(latest))
-    assert not stale, f"R12-planned names already evidenced: {stale}"
+    stale = sorted(set(entry_mod.R13_PLANNED) & set(latest))
+    assert not stale, f"R13-planned names already evidenced: {stale}"
 
 
 def test_bench_headline_queries_registered():

@@ -26,8 +26,24 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from etl_suite_spark.core import SUBJECT_RESIDUE
 from etl_suite_spark.registry import QUERIES
 from tests.conftest import SF_DIR
+
+
+def test_subject_residue_is_shared():
+    """The GDPR-crossing claim (erased subjects drop out of ANN serving)
+    depends on the erasure idiom and the tombstone idiom selecting the
+    SAME id set — pin that both modules read core.SUBJECT_RESIDUE and
+    that the oracle texts interpolate it (ADVICE r11 / VERDICT r11 nit)."""
+    from etl_suite_spark.llm import similarity as sim
+
+    assert sim._TOMBSTONE_RESIDUE == SUBJECT_RESIDUE == 97
+    assert f"vec_id % {SUBJECT_RESIDUE} <> 0" in sim._SURVIVOR_RECALL_ORACLE
+    from etl_suite_spark.registry import ORACLES
+
+    assert f"user_id % {SUBJECT_RESIDUE} = 0" in ORACLES["inc_subject_export"]
+    assert f"user_id % {SUBJECT_RESIDUE} = 0" in ORACLES["inc_subject_erasure"]
 
 
 def test_backlog_drain_ledger_and_warehouse(spark):
@@ -65,13 +81,13 @@ def test_backlog_drain_ledger_and_warehouse(spark):
 @pytest.fixture(scope="module")
 def zero_subject_sf(tmp_path_factory):
     """An events fixture where NO user_id is in the subject set
-    (user_id % 97 == 0 rows removed)."""
+    (user_id % SUBJECT_RESIDUE == 0 rows removed)."""
     d = tmp_path_factory.mktemp("zero_subject_sf")
     con = duckdb.connect()
     con.execute(
         f"""
         COPY (SELECT * FROM read_parquet('{SF_DIR}/events.parquet')
-              WHERE user_id % 97 <> 0)
+              WHERE user_id % {SUBJECT_RESIDUE} <> 0)
         TO '{d}/events.parquet' (FORMAT PARQUET)
         """
     )
@@ -125,7 +141,7 @@ def test_subject_erasure_zero_subject_corpus(spark, zero_subject_sf):
 
 @pytest.fixture(scope="module")
 def planted_delete_sf(tmp_path_factory):
-    """An embeddings fixture where a TOMBSTONED id (97) is planted as
+    """An embeddings fixture where a TOMBSTONED id (SUBJECT_RESIDUE) is planted as
     the exact nearest neighbor of query 1 (its embedding is replaced
     with a copy of vec_id 1's vector) — the delete sits INSIDE the eval
     set, so the tombstone filter is load-bearing, not vacuous."""
@@ -135,8 +151,8 @@ def planted_delete_sf(tmp_path_factory):
     d = tmp_path_factory.mktemp("planted_delete_sf")
     pdf = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
     src = pdf.loc[pdf.vec_id == 1, "embedding"].iloc[0]
-    pdf.loc[pdf.vec_id == 97, "embedding"] = pd.Series(
-        [src], index=pdf.index[pdf.vec_id == 97]
+    pdf.loc[pdf.vec_id == SUBJECT_RESIDUE, "embedding"] = pd.Series(
+        [src], index=pdf.index[pdf.vec_id == SUBJECT_RESIDUE]
     )
     pdf.to_parquet(f"{d}/embeddings.parquet", index=False)
     return str(d)
@@ -150,7 +166,7 @@ def test_tombstone_filter_is_load_bearing(spark, planted_delete_sf):
     # proving the planted delete really is inside the eval surface
     raw = QUERIES["llm_sim_ann_ivf"](spark, planted_delete_sf).collect()
     raw_pairs = {(r["query_id"], r["neighbor_id"]) for r in raw}
-    assert (1, 97) in raw_pairs
+    assert (1, SUBJECT_RESIDUE) in raw_pairs
 
     row = QUERIES["llm_index_tombstone_probe_recall"](
         spark, planted_delete_sf
@@ -169,7 +185,7 @@ def test_tombstone_audit_counts(spark):
     n = load_table(spark, SF_DIR, "embeddings").count()
     n_dead = (
         load_table(spark, SF_DIR, "embeddings")
-        .filter(F.col("vec_id") % 97 == 0)
+        .filter(F.col("vec_id") % SUBJECT_RESIDUE == 0)
         .count()
     )
     assert sum(r["n_total"] for r in rows) == n
@@ -219,7 +235,7 @@ def test_compact_cells_rewrites_only_affected_partitions(spark):
         left = (
             spark.read.option("basePath", wh)
             .parquet(wh)
-            .filter(F.col("vec_id") % 97 == 0)
+            .filter(F.col("vec_id") % SUBJECT_RESIDUE == 0)
             .count()
         )
         assert left == 0
