@@ -687,7 +687,15 @@ R12_WINDOW = R12_PLANNED + R12_RECHECKS
 # R13_PLANNED + those 46, topped up with the oldest r6-era queries
 # alphabetically to 50.  After IT executes, no registered query's
 # evidence is older than r6.
-R13_PLANNED: list[str] = []
+R13_PLANNED: list[str] = [
+    # added in round 12 (oracle-checked locally on introduction):
+    "llm_semdedup",
+    "llm_semdedup_recall",
+    "llm_sim_ann_filtered",  # rows-only by design (k-means cells); recall twin oracled
+    "llm_sim_ann_filtered_recall",
+    "llm_index_cell_rebalance",  # rows-only by design (k-means cells); recall twin oracled
+    "llm_index_cell_rebalance_recall",
+]
 
 
 def _windowed(mapping: dict) -> dict:

@@ -167,6 +167,13 @@ HEADLINE = [
     # baselines under the checksum action.
     "stream_restart_backlog_drain",
     "llm_index_tombstone_probe_recall",
+    # appended in round 12: SemDeDup semantic pruning (two banded hash
+    # self-joins + cosine gate — the cluster-then-prune economics in one
+    # deterministic, fully-hash-checked op) and the rebalance-probe
+    # recall (2-means cell split + nprobe=2 over the widened layout) —
+    # first-measurement baselines under the checksum action.
+    "llm_semdedup",
+    "llm_index_cell_rebalance_recall",
 ]
 
 REPEATS = 3

@@ -3283,3 +3283,671 @@ def llm_index_build_pipeline_ivf_recall(spark, sf_dir):
         )
     )
     return _recall_metric(ann, reps, q, 0.4, "recall_ge_40")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune SEMANTIC dedup over the embedding corpus
+# (round 12).  Abbas et al. 2023 ("SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication") prune a training corpus by
+# clustering embeddings and dropping all-but-one of each within-cluster
+# near-duplicate group — the economics being that pairwise similarity is
+# only ever computed INSIDE a cell, never corpus x corpus.  This engine's
+# variant keeps that exact scale shape but replaces iterative k-means
+# cells with DETERMINISTIC sign-projection cells (two independent 3-bit
+# bands), which makes the whole operator — cells, pairs, drop decisions,
+# audit — bit-reproducible in ANSI SQL, so the driver hash-checks the
+# ACTUAL prune output, not just a recall flag (stronger than the
+# rows-only-plus-twin contract the k-means index ops need).
+#
+# Projections: proj_j(v) = sum_i q(v_i) * w(i, j) with q the shared 6dp
+# integer quantization (_DOT) and w(i, j) = ((i*m_j + j) % 5) - 2 — small
+# deterministic integer weights, so the sum is exact int64 in both
+# engines.  Band A = sign bits of j=0..2, band B = j=3..5.  A document is
+# DROPPED iff an earlier-id document with cosine >= tau shares its cell
+# in EITHER band (the anti-join form of SemDeDup's keep-one rule: one
+# relational predicate, no sequential scan; it can drop a chain's later
+# members whose own match was itself dropped — documented, deliberate,
+# and identical in both engines).
+#
+# tau = 0.40 is FIXTURE-CALIBRATED: the synthetic embeddings are
+# near-orthogonal (max pairwise cosine 0.513 at sf0.01), so the
+# production-typical 0.95 would prune nothing and the driver record
+# would be vacuous.  Measured at tau=0.40: 25 docs dropped at sf0.01,
+# 26 at sf0.001, band recall 0.475/0.394 vs the 0.30 gate.  On planted
+# near-duplicate corpora (scale tiers) duplicates have cosine ~1 and
+# agree on every sign bit, so band recall only rises with real dup mass.
+_SEMDEDUP_TAU = 0.40
+_SEMDEDUP_M = (3, 7, 11, 13, 17, 19)  # projection multipliers, j = 0..5
+
+
+def _semproj_spark(j: int) -> str:
+    m = _SEMDEDUP_M[j]
+    return (
+        "aggregate(zip_with(embedding, transform(sequence(1, 64),"
+        f" i -> ((i * {m} + {j}) % 5) - 2),"
+        " (x, w) -> CAST(round(x * 1000000, 0) AS BIGINT) * CAST(w AS BIGINT)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+
+
+def _semproj_sql(j: int) -> str:
+    m = _SEMDEDUP_M[j]
+    return (
+        "list_sum(list_transform(range(1, 65),"
+        f" i -> CAST(round(embedding[i] * 1000000) AS BIGINT)"
+        f" * (((i * {m} + {j}) % 5) - 2)))"
+    )
+
+
+def _semcell_spark(band: int) -> str:
+    """3-bit band cell id from sign bits of projections 3*band..3*band+2."""
+    return " + ".join(
+        f"(CASE WHEN {_semproj_spark(3 * band + b)} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(3)
+    )
+
+
+def _semcell_sql(band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_semproj_sql(3 * band + b)} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(3)
+    )
+
+
+def _semdedup_corpus(spark, sf_dir):
+    """(vec_id, embedding, nsq, cell_a, cell_b) — the banded corpus."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nsq", dot("embedding", "embedding"))
+        .withColumn("cell_a", F.expr(_semcell_spark(0)).cast("long"))
+        .withColumn("cell_b", F.expr(_semcell_spark(1)).cast("long"))
+    )
+
+
+def _semdedup_dropped(e):
+    """Distinct vec_ids dropped by the banded earlier-id rule: one hash
+    self-equi-join per band (cell id is the join key — work is
+    sum-of-cell-size-squared, the SemDeDup economics), cosine gate,
+    union, distinct."""
+    pairs = None
+    for col in ("cell_a", "cell_b"):
+        a = e.select(
+            F.col(col).alias("jc"),
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb"),
+            F.col("nsq").alias("a_nsq"),
+        )
+        b = e.select(
+            F.col(col).alias("jc"),
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("b_emb"),
+            F.col("nsq").alias("b_nsq"),
+        )
+        p = (
+            a.join(b, "jc")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(
+                _cosine(dot("a_emb", "b_emb"), "a_nsq", "b_nsq")
+                >= _SEMDEDUP_TAU
+            )
+            .select(F.col("b_id").alias("vec_id"))
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs.distinct()
+
+
+_SEMDEDUP_CELLS_SQL = f"""
+    SELECT vec_id, embedding,
+           {sql_dot('embedding', 'embedding')} AS nsq,
+           CAST({_semcell_sql(0)} AS BIGINT) AS cell_a,
+           CAST({_semcell_sql(1)} AS BIGINT) AS cell_b
+    FROM embeddings
+"""
+
+_SEMDEDUP_DROPPED_SQL = f"""
+    SELECT DISTINCT b_id AS vec_id FROM (
+      SELECT b.vec_id AS b_id
+      FROM cells a JOIN cells b ON a.cell_a = b.cell_a AND a.vec_id < b.vec_id
+      WHERE {_sql_cosine(sql_dot('a.embedding', 'b.embedding'), 'a.nsq', 'b.nsq')}
+            >= {_SEMDEDUP_TAU}
+      UNION ALL
+      SELECT b.vec_id AS b_id
+      FROM cells a JOIN cells b ON a.cell_b = b.cell_b AND a.vec_id < b.vec_id
+      WHERE {_sql_cosine(sql_dot('a.embedding', 'b.embedding'), 'a.nsq', 'b.nsq')}
+            >= {_SEMDEDUP_TAU}
+    )
+"""
+
+
+@query(
+    "llm_semdedup",
+    oracle=f"""
+    WITH cells AS ({_SEMDEDUP_CELLS_SQL}),
+    dropped AS ({_SEMDEDUP_DROPPED_SQL})
+    SELECT c.cell_a AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic corpus pruning: deterministic two-band
+    sign-projection cells route each document to 2 of 8 cells per band;
+    within-cell exact cosine >= tau against any EARLIER id drops the
+    later document; the audit reports per-cell retention (keyed by the
+    band-A cell).  See the module comment above for why the cells are
+    deterministic (full driver hash on the actual prune, not a flag)
+    and why tau=0.40 on this fixture.
+
+    Scale shape: two hash self-joins keyed on cell id — candidate work
+    is sum over cells of n_c^2, never corpus^2; at 100 TB the band width
+    grows with the corpus (more sign bits -> more, smaller cells), the
+    same knob as LSH band tuning, and the cell id becomes the shuffle
+    AND storage partition key so each cell's quadratic stays in one
+    task.  The drop set is a distinct on vec_id (dup-mass-proportional),
+    and the audit a k-row aggregate.  Nothing iterates."""
+    e = _semdedup_corpus(spark, sf_dir)
+    dropped = _semdedup_dropped(e).withColumn("is_dropped", F.lit(1))
+    return (
+        e.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cell_a").alias("cell"))
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            (F.count("*") - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "llm_semdedup_recall",
+    oracle=f"""
+    WITH cells AS ({_SEMDEDUP_CELLS_SQL}),
+    qual AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             (a.cell_a = b.cell_a OR a.cell_b = b.cell_b) AS in_band
+      FROM cells a JOIN cells b ON a.vec_id < b.vec_id
+      WHERE {_sql_cosine(sql_dot('a.embedding', 'b.embedding'), 'a.nsq', 'b.nsq')}
+            >= {_SEMDEDUP_TAU}
+    ),
+    dropped AS ({_SEMDEDUP_DROPPED_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_qualifying_pairs,
+           CAST(SUM(CASE WHEN in_band THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found_pairs,
+           round(SUM(CASE WHEN in_band THEN 1 ELSE 0 END) / COUNT(*), 4)
+             AS pair_recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dropped) AS n_dropped,
+           SUM(CASE WHEN in_band THEN 1 ELSE 0 END) >= 0.3 * COUNT(*)
+             AS recall_ge_30
+    FROM qual
+    """,
+)
+def llm_semdedup_recall(spark, sf_dir):
+    """Honesty twin of llm_semdedup with a fully MEASURED, fully
+    hash-checked recall: because the cells are deterministic in both
+    engines, DuckDB recomputes not just the brute-force tau-pair ground
+    truth but the banded candidate set itself, so the driver hash pins
+    the exact recall VALUE (0.475 at sf0.01, 0.394 at sf0.001 vs the
+    0.30 gate), not merely a boolean — the strongest twin contract in
+    the ANN family.  The all-pairs truth is fixture-scale measurement
+    machinery only; the operator itself never leaves its cells."""
+    e = _semdedup_corpus(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nsq").alias("a_nsq"),
+        F.col("cell_a").alias("a_ca"),
+        F.col("cell_b").alias("a_cb"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nsq").alias("b_nsq"),
+        F.col("cell_a").alias("b_ca"),
+        F.col("cell_b").alias("b_cb"),
+    )
+    qual = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(
+            _cosine(dot("a_emb", "b_emb"), "a_nsq", "b_nsq") >= _SEMDEDUP_TAU
+        )
+        .select(
+            (
+                (F.col("a_ca") == F.col("b_ca"))
+                | (F.col("a_cb") == F.col("b_cb"))
+            ).alias("in_band")
+        )
+    )
+    n_dropped = _semdedup_dropped(e).agg(
+        F.count("*").cast("long").alias("n_dropped")
+    )
+    found = F.sum(F.when(F.col("in_band"), 1).otherwise(0))
+    return (
+        qual.agg(
+            F.count("*").cast("long").alias("n_qualifying_pairs"),
+            found.cast("long").alias("n_found_pairs"),
+        )
+        .join(n_dropped)
+        .select(
+            "n_qualifying_pairs",
+            "n_found_pairs",
+            F.round(
+                F.col("n_found_pairs") / F.col("n_qualifying_pairs"), 4
+            ).alias("pair_recall"),
+            "n_dropped",
+            (
+                F.col("n_found_pairs") >= 0.3 * F.col("n_qualifying_pairs")
+            ).alias("recall_ge_30"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-FILTERED vector search (round 12): top-k restricted to a
+# predicate over a payload column — the "filtered search" every vector
+# store serves (FAISS IDSelector / Milvus expr / pgvector WHERE /
+# Qdrant payload filter).  Filters interact badly with IVF probing: a
+# selective predicate empties most of a probed cell's candidates, so a
+# fixed nprobe tuned for unfiltered search under-recalls.  The standard
+# remedy is selectivity-aware probe widening, which this op implements:
+# the fixture's label filter keeps ~10% of each cell, and the measured
+# recall@3 with the unfiltered nprobe=2 is 0.467 at both fixtures vs
+# 0.800 (sf0.001) / 0.667 (sf0.01) at the widened nprobe=4 — the
+# documented reason this op probes 4 of 8 cells.
+_FILTERED_NPROBE = 4
+
+
+def _ivf_probe_filtered(cells, centroids, q, nprobe=_FILTERED_NPROBE):
+    """_ivf_probe with the query's label pushed INTO the candidate join
+    (cells must carry `label`, q must carry `q_label`): the predicate
+    prunes candidates before cosine is ever computed, exactly where a
+    cell-partitioned store would apply its payload filter during the
+    inverted-list scan."""
+    from .clustering import _DIST_SQ
+
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", F.expr(_DIST_SQ.format(a="q_emb", b="centroid"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nsq",
+            "q_label",
+            F.col("cluster").alias("p_cell"),
+        )
+    )
+    cand = cells.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("p_cell"))
+        & (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") == F.col("q_label")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+        .orderBy("query_id", F.col("cosine").desc(), "neighbor_id")
+    )
+
+
+@query("llm_sim_ann_filtered")  # rows-only: k-means cells are iterative
+def llm_sim_ann_filtered(spark, sf_dir):
+    """Filtered ANN top-3: each query retrieves only neighbors whose
+    `label` matches its own (same-category retrieval — the canonical
+    payload-filter shape), probing the shared persisted IVF index with
+    the selectivity-widened nprobe=4 (see the module comment above for
+    the measured 2-vs-4 recall gap that sets it).  The filter is pushed
+    into the inverted-list candidate join, never applied post-top-k —
+    post-filtering a top-k computed unfiltered is the classic bug that
+    silently returns < k rows.
+
+    Scale shape: identical to llm_sim_ann_ivf — broadcast centroid
+    scoring, hash equi-join on probed cell id — plus one conjunct on the
+    payload column; at 100 TB the payload lives IN the cell-partitioned
+    serving table (exactly how compact_cells lays it out), so the filter
+    evaluates during the same scan, costing nothing extra.  Rows-only
+    (k-means cells engine-specific); the oracled
+    llm_sim_ann_filtered_recall twin hash-pins the zero-violation
+    contract and gates recall against the exact filtered ground truth."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .withColumn("nsq", dot("embedding", "embedding"))
+    )
+    assigned, centroids = _ivf_index(spark, sf_dir)
+    cells = e.join(assigned, "vec_id")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("label").alias("q_label"),
+    )
+    return _ivf_probe_filtered(cells, centroids, q)
+
+
+@query(
+    "llm_sim_ann_filtered_recall",
+    # Honesty gate for the filtered probe: DuckDB recomputes the exact
+    # same-label top-3 ground truth (pure SQL — the filter is relational
+    # even though the cells are not) and asserts the structural zero: no
+    # result may violate the label predicate.  Spark emits the genuinely
+    # measured violation count and recall flag — a probe that lost its
+    # filter pushdown breaks the hash on n_filter_violations; a widened
+    # filter that gutted recall breaks the flag.  Measured margin:
+    # recall@3 = 0.800 at sf0.001 / 0.667 at sf0.01 vs the 0.30
+    # threshold (~2.2-2.7x headroom).
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, label,
+             {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < 10), exact3 AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM q JOIN n e ON e.vec_id <> q.vec_id AND e.label = q.label
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                   DESC, e.vec_id ASC) <= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(0 AS BIGINT) AS n_filter_violations,
+           TRUE AS recall_ge_30
+    FROM exact3
+    """,
+)
+def llm_sim_ann_filtered_recall(spark, sf_dir):
+    """Recall@3 of the filtered IVF probe against the exact same-label
+    top-3, plus the measured count of filter-violating results (must be
+    zero) — the filtered-search analogue of the tombstone twin's
+    n_deleted_surfaced contract."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .withColumn("nsq", dot("embedding", "embedding"))
+    )
+    ann = llm_sim_ann_filtered(spark, sf_dir).select("query_id", "neighbor_id")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("label").alias("q_label"),
+    )
+    exact3 = (
+        e.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    violations = (
+        ann.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .join(
+            q.select("query_id", "q_label"),
+            "query_id",
+        )
+        .filter(F.col("label") != F.col("q_label"))
+    )
+    return (
+        exact3.agg(
+            F.count("*").alias("n_exact_pairs"),
+            F.count_distinct("query_id").alias("n_queries"),
+        )
+        .join(found.agg(F.count("*").alias("n_found")))
+        .join(
+            violations.agg(
+                F.count("*").cast("long").alias("n_filter_violations")
+            )
+        )
+        .select(
+            "n_exact_pairs",
+            "n_queries",
+            "n_filter_violations",
+            (F.col("n_found") >= 0.3 * F.col("n_exact_pairs")).alias(
+                "recall_ge_30"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cell REBALANCE (round 12): the index-lifecycle chapter after build ->
+# incremental add -> delete -> compact.  Frozen-quantizer delta ingest
+# (llm_index_incremental_add) deliberately never retrains, so a drifting
+# corpus slowly overfills the cells nearest the drift — an oversized
+# cell degrades every probe that touches it (candidate work is cell
+# size).  Production indexes fix this locally: SPLIT the oversized cell
+# with a tiny 2-means over just its members and serve the two halves as
+# new inverted lists (FAISS re-trains globally; Milvus/Vespa-style
+# segment managers and SPFresh's LIRE protocol split/merge locally —
+# splitting is the cheap, incremental end of that spectrum).  Nothing
+# corpus-proportional moves: train is O(cell), the rewrite touches only
+# the split cell's partition (the compact_cells dynamic-overwrite
+# discipline), and every other cell's files and centroid are untouched.
+_REBALANCE_FACTOR = 1.10  # split cells above factor x mean occupancy —
+# production would use ~2x target cell size; the fixture's k-means cells
+# are well balanced (47-76 of mean 62.5), so the demonstrative threshold
+# sits low enough to genuinely split 2 cells at both sf0.001 and sf0.01.
+_REBALANCE_SPLIT_ITERS = 2
+
+
+def _rebalanced_index(spark, sf_dir, factor=_REBALANCE_FACTOR):
+    """(cells, centroids) after splitting every cell whose occupancy
+    exceeds ``factor`` x mean — cells is (vec_id, cell, parent_cell),
+    centroids is (cluster, centroid).  PERSISTED once per corpus with
+    every training hyperparameter in the token (ADVICE r10: changed
+    params must rebuild, not silently reuse)."""
+    from ..core import mat_exists, mat_path, materialize_once
+
+    tok = (
+        f"v1:ivf_rebalance:{sf_dir}:k8i3"
+        f":f{factor}s2i{_REBALANCE_SPLIT_ITERS}"
+    )
+    names = (":cells", ":centroids")
+    if not all(mat_exists(tok + n) for n in names):
+        from .clustering import kmeans_fit
+
+        assigned, centroids = _ivf_index(spark, sf_dir)
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        sizes = assigned.groupBy("cell").count().collect()  # k rows
+        mean = sum(r["count"] for r in sizes) / len(sizes)
+        split_ids = sorted(
+            int(r["cell"]) for r in sizes if r["count"] > factor * mean
+        )
+        next_id = max(int(r["cell"]) for r in sizes) + 1
+        keep_cells = assigned.filter(~F.col("cell").isin(split_ids)).select(
+            "vec_id", "cell", F.col("cell").alias("parent_cell")
+        )
+        keep_cents = centroids.filter(~F.col("cluster").isin(split_ids))
+        new_cells, new_cents = [keep_cells], [keep_cents]
+        for c in split_ids:  # bounded by k — each split is O(cell) work
+            members = e.join(
+                assigned.filter(F.col("cell") == c).select("vec_id"), "vec_id"
+            )
+            sub, sub_cents = kmeans_fit(
+                spark,
+                members,
+                k=2,
+                iters=_REBALANCE_SPLIT_ITERS,
+                init="first_k",
+            )
+            # sub-cluster 1 keeps the parent id (its centroid moves);
+            # sub-cluster 2 becomes a NEW cell — ids stay dense and
+            # deterministic (split cells processed in ascending order)
+            remap = F.when(F.col("cluster") == 1, F.lit(c)).otherwise(
+                F.lit(next_id)
+            )
+            new_cells.append(
+                sub.select(
+                    "vec_id",
+                    remap.alias("cell"),
+                    F.lit(c).cast("long").alias("parent_cell"),
+                )
+            )
+            new_cents.append(
+                sub_cents.select(remap.alias("cluster"), "centroid")
+            )
+            next_id += 1
+        cells = new_cells[0]
+        for df in new_cells[1:]:
+            cells = cells.unionByName(df)
+        cents = new_cents[0]
+        for df in new_cents[1:]:
+            cents = cents.unionByName(df)
+        cells = materialize_once(
+            spark,
+            cells.select(
+                "vec_id",
+                F.col("cell").cast("long").alias("cell"),
+                F.col("parent_cell").cast("long").alias("parent_cell"),
+            ),
+            tok + ":cells",
+            partition_col="vec_id",
+            n_partitions=8,
+        )
+        cents = materialize_once(
+            spark,
+            cents.select(F.col("cluster").cast("long").alias("cluster"), "centroid"),
+            tok + ":centroids",
+            n_partitions=1,
+        )
+        return cells, cents
+    return (
+        spark.read.parquet(mat_path(tok + ":cells")),
+        spark.read.parquet(mat_path(tok + ":centroids")),
+    )
+
+
+@query("llm_index_cell_rebalance")  # rows-only: k-means cells are iterative
+def llm_index_cell_rebalance(spark, sf_dir):
+    """Split-rebalance audit over the persisted IVF index: one row per
+    POST-rebalance cell — its parent, occupancy, and whether it came out
+    of a split — the dashboard a deployment reads after delta ingest to
+    confirm occupancy is back under the probe-cost envelope.  See the
+    module comment above for the lifecycle position and the local-split
+    rationale; the audit reads the PERSISTED rebalanced assignment, so a
+    split that lost or duplicated vectors is visible here and hash-fatal
+    in the twin's conservation column.  Rows-only (k-means cells are
+    engine-specific); the oracled llm_index_cell_rebalance_recall twin
+    pins vector conservation exactly and gates recall on the rebalanced
+    layout."""
+    cells, _ = _rebalanced_index(spark, sf_dir)
+    return (
+        cells.groupBy("cell", "parent_cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("parent_cell").cast("long").alias("parent_cell"),
+            "n_vectors",
+            (F.col("cell") != F.col("parent_cell")).alias("is_new_split"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "llm_index_cell_rebalance_recall",
+    # Honesty gate for the rebalanced layout: DuckDB pins the structural
+    # invariant a split can actually break — vector CONSERVATION (the
+    # rebalanced assignment must hold exactly the corpus, no row lost to
+    # a remap bug, none double-assigned to both halves) — plus the exact
+    # top-3 ground truth and the recall flag.  Spark emits the genuinely
+    # measured conservation count and recall.  Measured margin:
+    # recall@3 = 0.433 at sf0.001 / 0.567 at sf0.01 vs the 0.30
+    # threshold (nprobe=2 of the now-10 cells — per-probe candidate work
+    # DROPS after the split, and recall holds the unsplit index's band).
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding, {sql_dot('embedding', 'embedding')} AS nsq
+      FROM embeddings
+    ), q AS (SELECT * FROM n WHERE vec_id < 10), exact3 AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+      FROM q JOIN n e ON e.vec_id <> q.vec_id
+      QUALIFY row_number() OVER (
+          PARTITION BY q.vec_id
+          ORDER BY {_sql_cosine(sql_dot('q.embedding', 'e.embedding'), 'q.nsq', 'e.nsq')}
+                   DESC, e.vec_id ASC) <= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_assigned,
+           TRUE AS recall_ge_30
+    FROM exact3
+    """,
+)
+def llm_index_cell_rebalance_recall(spark, sf_dir):
+    """Recall@3 of an nprobe=2 probe over the REBALANCED cell layout
+    against brute-force exact top-3, plus the measured size of the
+    rebalanced assignment (hash-pinned to the corpus count — the
+    conservation contract)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nsq", dot("embedding", "embedding"))
+    )
+    cells_assign, cents = _rebalanced_index(spark, sf_dir)
+    cells = e.join(cells_assign.select("vec_id", "cell"), "vec_id")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    ann = _ivf_probe(cells, cents, q).select("query_id", "neighbor_id")
+    exact3 = _exact_top3(e, q)
+    found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact3.agg(
+            F.count("*").alias("n_exact_pairs"),
+            F.count_distinct("query_id").alias("n_queries"),
+        )
+        .join(found.agg(F.count("*").alias("n_found")))
+        .join(cells_assign.agg(F.count("*").cast("long").alias("n_assigned")))
+        .select(
+            "n_exact_pairs",
+            "n_queries",
+            "n_assigned",
+            (F.col("n_found") >= 0.3 * F.col("n_exact_pairs")).alias(
+                "recall_ge_30"
+            ),
+        )
+    )

@@ -1,0 +1,260 @@
+"""Round-12 additions: SemDeDup semantic pruning, filtered ANN search,
+and the IVF cell-rebalance lifecycle chapter.
+
+Each op's driver contract (oracle hash or rows-only + oracled twin) is
+covered by verify_local/driver_sim; these tests pin the invariants the
+hashes cannot see — planted-duplicate load-bearing behavior, filter
+pushdown, occupancy movement, and vector conservation at the file level.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_suite_spark.core import SUBJECT_RESIDUE
+from etl_suite_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+assert SUBJECT_RESIDUE  # imported for parity with round-11 residue tests
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+
+
+def test_semdedup_audit_partitions_corpus(spark):
+    """Per-cell audit rows partition the corpus exactly: totals sum to
+    the corpus, kept + dropped = total per cell, and the fixture is
+    non-vacuous (something was actually pruned)."""
+    from etl_suite_spark.io import load_table
+
+    rows = QUERIES["llm_semdedup"](spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_total"] for r in rows) == n
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_total"] for r in rows)
+    assert sum(r["n_dropped"] for r in rows) > 0
+    cells = [r["cell"] for r in rows]
+    assert cells == sorted(cells) and len(set(cells)) == len(cells)
+
+
+def test_semdedup_drop_totals_agree_with_twin(spark):
+    """The audit's global drop count and the twin's n_dropped are the
+    same number computed through two different plans."""
+    audit = QUERIES["llm_semdedup"](spark, SF_DIR).collect()
+    twin = QUERIES["llm_semdedup_recall"](spark, SF_DIR).collect()[0]
+    assert sum(r["n_dropped"] for r in audit) == twin["n_dropped"]
+    assert twin["recall_ge_30"] is True
+    assert 0 < twin["n_found_pairs"] <= twin["n_qualifying_pairs"]
+
+
+@pytest.fixture(scope="module")
+def planted_dup_sf(tmp_path_factory):
+    """An embeddings fixture where vec_id 250 is an EXACT copy of
+    vec_id 1's vector — identical vectors agree on every sign bit in
+    both bands, so the banded route MUST co-locate and drop it."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("planted_dup_sf")
+    pdf = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    src = pdf.loc[pdf.vec_id == 1, "embedding"].iloc[0]
+    pdf.loc[pdf.vec_id == 250, "embedding"] = pd.Series(
+        [src], index=pdf.index[pdf.vec_id == 250]
+    )
+    pdf.to_parquet(f"{d}/embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_semdedup_planted_duplicate_is_dropped(spark, planted_dup_sf):
+    """Load-bearing prune: the planted exact duplicate (cosine 1.0 with
+    an earlier id) is dropped, and the keep-the-earlier rule holds —
+    vec_id 1 itself survives."""
+    from etl_suite_spark.llm.similarity import (
+        _semdedup_corpus,
+        _semdedup_dropped,
+    )
+
+    dropped = {
+        r["vec_id"]
+        for r in _semdedup_dropped(
+            _semdedup_corpus(spark, planted_dup_sf)
+        ).collect()
+    }
+    assert 250 in dropped
+    assert 1 not in dropped
+
+
+def test_semdedup_bands_are_deterministic(spark):
+    """Same corpus, two plan evaluations → identical cell ids (the
+    determinism the full-hash oracle contract rests on)."""
+    from etl_suite_spark.llm.similarity import _semdedup_corpus
+
+    a = {
+        r["vec_id"]: (r["cell_a"], r["cell_b"])
+        for r in _semdedup_corpus(spark, SF_DIR).collect()
+    }
+    b = {
+        r["vec_id"]: (r["cell_a"], r["cell_b"])
+        for r in _semdedup_corpus(spark, SF_DIR).collect()
+    }
+    assert a == b
+    assert set(x[0] for x in a.values()) <= set(range(8))
+    assert set(x[1] for x in a.values()) <= set(range(8))
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN search
+
+
+def test_filtered_search_respects_predicate_and_k(spark):
+    """Every returned neighbor matches its query's label (pushdown, not
+    post-filter), and every query still gets its full k=3 (the
+    post-filtering bug this op exists to avoid)."""
+    from etl_suite_spark.io import load_table
+
+    res = QUERIES["llm_sim_ann_filtered"](spark, SF_DIR).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert len(res) == 30  # 10 queries x full k=3
+    for r in res:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+
+
+def test_filtered_search_widened_nprobe_beats_default(spark):
+    """The documented reason nprobe=4: the widened probe's recall
+    strictly exceeds the unfiltered default nprobe=2 on the same
+    filtered ground truth (measured 0.800 vs 0.467 at sf0.001)."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.llm.similarity import (
+        _exact_top3,
+        _ivf_index,
+        _ivf_probe_filtered,
+        dot,
+    )
+
+    e = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .withColumn("nsq", dot("embedding", "embedding"))
+    )
+    assigned, centroids = _ivf_index(spark, SF_DIR)
+    cells = e.join(assigned, "vec_id")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("label").alias("q_label"),
+    )
+    # exact filtered ground truth = exact top-3 over same-label corpus,
+    # computed per query by restricting the candidate side
+    def recall(nprobe):
+        ann = _ivf_probe_filtered(cells, centroids, q, nprobe=nprobe).select(
+            "query_id", "neighbor_id"
+        )
+        gt = (
+            e.join(
+                F.broadcast(q),
+                (F.col("vec_id") != F.col("query_id"))
+                & (F.col("label") == F.col("q_label")),
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                (
+                    dot("q_emb", "embedding")
+                    / F.sqrt(F.col("q_nsq") * F.col("nsq"))
+                ).alias("cosine"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        gt3 = (
+            gt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+        return (
+            gt3.join(ann, ["query_id", "neighbor_id"], "left_semi").count(),
+            gt3.count(),
+        )
+
+    f4, n4 = recall(4)
+    f2, n2 = recall(2)
+    assert n4 == n2 == 30
+    assert f4 > f2, f"widened probe {f4}/30 not better than default {f2}/30"
+    assert f4 >= 0.3 * n4
+
+
+# ---------------------------------------------------------------------------
+# Cell rebalance
+
+
+def test_rebalance_conserves_and_splits(spark):
+    """The rebalanced assignment holds exactly the corpus (no vector
+    lost or double-assigned), at least one cell actually split at this
+    fixture, and each split's halves sum to the parent's original
+    occupancy with both halves strictly smaller."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.llm.similarity import _ivf_index, _rebalanced_index
+
+    cells, _ = _rebalanced_index(spark, SF_DIR)
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
+
+    audit = QUERIES["llm_index_cell_rebalance"](spark, SF_DIR).collect()
+    splits = [r for r in audit if r["is_new_split"]]
+    assert splits, "fixture must genuinely split at least one cell"
+    orig = {
+        r["cell"]: r["count"]
+        for r in _ivf_index(spark, SF_DIR)[0].groupBy("cell").count().collect()
+    }
+    by_parent = {}
+    for r in audit:
+        by_parent.setdefault(r["parent_cell"], []).append(r)
+    for parent, rows in by_parent.items():
+        if len(rows) > 1:  # a split parent: exactly two halves
+            assert len(rows) == 2
+            assert sum(r["n_vectors"] for r in rows) == orig[parent]
+            assert all(r["n_vectors"] < orig[parent] for r in rows)
+        else:
+            assert rows[0]["n_vectors"] == orig[parent]
+            assert rows[0]["cell"] == parent
+
+
+def test_rebalance_untouched_cells_keep_assignment(spark):
+    """Vectors in unsplit cells keep their exact original cell id — the
+    rebalance touched only the oversized cells."""
+    from etl_suite_spark.llm.similarity import _ivf_index, _rebalanced_index
+
+    cells, _ = _rebalanced_index(spark, SF_DIR)
+    before = _ivf_index(spark, SF_DIR)[0]
+    moved = (
+        before.withColumnRenamed("cell", "old_cell")
+        .join(cells, "vec_id")
+        .filter(
+            (F.col("cell") != F.col("old_cell"))
+            & (F.col("parent_cell") != F.col("old_cell"))
+        )
+    )
+    assert moved.count() == 0
+
+
+def test_rebalance_twin_conservation_column(spark):
+    twin = QUERIES["llm_index_cell_rebalance_recall"](spark, SF_DIR).collect()[0]
+    from etl_suite_spark.io import load_table
+
+    assert twin["n_assigned"] == load_table(spark, SF_DIR, "embeddings").count()
+    assert twin["recall_ge_30"] is True

@@ -115,6 +115,10 @@ EXPECTED_NLJ = {
     "llm_ngram_coverage_curve",  # 3-row threshold grid theta-join + one-row total
     "agg_session_stats",  # one-row session-total broadcast crossJoin (share denominator)
     "llm_lang_id_confusion",  # one-row doc-total broadcast crossJoin (share denominator)
+    "llm_semdedup_recall",  # all-pairs tau ground truth at fixture scale (the measurement twin; the op itself is cell-joined) + 1-row metric join
+    "llm_sim_ann_filtered",  # 8 coarse centroids broadcast for query-side cell probe
+    "llm_sim_ann_filtered_recall",  # bounded 10-query ground-truth broadcast + 1-row metric joins (incl. the filter-violation scalar)
+    "llm_index_cell_rebalance_recall",  # bounded 10-query ground-truth broadcast + 1-row metric/conservation joins
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
