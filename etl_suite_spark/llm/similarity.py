@@ -3300,9 +3300,9 @@ def llm_index_build_pipeline_ivf_recall(spark, sf_dir):
 # rows-only-plus-twin contract the k-means index ops need).
 #
 # Projections: proj_j(v) = sum_i q(v_i) * w(i, j) with q the shared 6dp
-# integer quantization (_DOT) and w(i, j) = ((i*m_j + j) % 5) - 2 — small
+# integer quantization (_DOT) and w(i, j) = ((i*m_j + j) % 7) - 3 — small
 # deterministic integer weights, so the sum is exact int64 in both
-# engines.  Band A = sign bits of j=0..2, band B = j=3..5.  A document is
+# engines.  Band A = sign bits of j=0..bits-1, band B the next ``bits``.  A document is
 # DROPPED iff an earlier-id document with cosine >= tau shares its cell
 # in EITHER band (the anti-join form of SemDeDup's keep-one rule: one
 # relational predicate, no sequential scan; it can drop a chain's later
@@ -3312,19 +3312,50 @@ def llm_index_build_pipeline_ivf_recall(spark, sf_dir):
 # tau = 0.40 is FIXTURE-CALIBRATED: the synthetic embeddings are
 # near-orthogonal (max pairwise cosine 0.513 at sf0.01), so the
 # production-typical 0.95 would prune nothing and the driver record
-# would be vacuous.  Measured at tau=0.40: 25 docs dropped at sf0.01,
-# 26 at sf0.001, band recall 0.475/0.394 vs the 0.30 gate.  On planted
+# would be vacuous.  Measured at tau=0.40 (bits=3): 22 docs dropped at
+# sf0.01, 34 at sf0.001, band recall 0.407/0.515 vs the 0.30 gate.  On planted
 # near-duplicate corpora (scale tiers) duplicates have cosine ~1 and
 # agree on every sign bit, so band recall only rises with real dup mass.
 _SEMDEDUP_TAU = 0.40
-_SEMDEDUP_M = (3, 7, 11, 13, 17, 19)  # projection multipliers, j = 0..5
+_SEMDEDUP_BITS = 3  # registered-op band width (8 cells/band) — the 100 TB
+# knob: the scale tier runs the SAME projection family at
+# bits ~ log2(corpus / 50) so per-cell quadratic work stays bounded as
+# the corpus grows (SemDeDup's "clusters proportional to corpus" rule).
+# Width trades recall for cost: a tau-pair co-locates per band with
+# P(sign agreement)^bits, so wide bands keep only the near-1-cosine
+# pairs — exactly the duplicates — while moderate-cosine recall decays;
+# a deployment tuning for lower tau adds MORE, narrower bands (the
+# MinHash-LSH band-count knob), which this family supports by taking
+# further projection blocks (j >= 2*bits).
+
+
+def _semdedup_multipliers(n: int) -> list[int]:
+    """First ``n`` odd multipliers whose affine weight patterns are
+    pairwise distinct: w(i, j) = ((i*m_j + j) % 7) - 3 collides between
+    two projections iff (m mod 7, j mod 7) coincide, so pick each next
+    multiplier greedily to keep those keys unique — valid up to 49
+    projections (24 bits/band), far past any band width this engine
+    runs.  (The round-12 first cut used fixed primes mod 5; that family
+    caps at ~20 distinct patterns and silently repeats bits at wide
+    bands — the widening this knob exists for.)"""
+    out, seen, m = [], set(), 3
+    while len(out) < n:
+        key = (m % 7, len(out) % 7)
+        if key not in seen:
+            seen.add(key)
+            out.append(m)
+        m += 2
+    return out
+
+
+_SEMDEDUP_M = tuple(_semdedup_multipliers(48))
 
 
 def _semproj_spark(j: int) -> str:
     m = _SEMDEDUP_M[j]
     return (
         "aggregate(zip_with(embedding, transform(sequence(1, 64),"
-        f" i -> ((i * {m} + {j}) % 5) - 2),"
+        f" i -> ((i * {m} + {j}) % 7) - 3),"
         " (x, w) -> CAST(round(x * 1000000, 0) AS BIGINT) * CAST(w AS BIGINT)),"
         " 0L, (acc, v) -> acc + v)"
     )
@@ -3335,63 +3366,113 @@ def _semproj_sql(j: int) -> str:
     return (
         "list_sum(list_transform(range(1, 65),"
         f" i -> CAST(round(embedding[i] * 1000000) AS BIGINT)"
-        f" * (((i * {m} + {j}) % 5) - 2)))"
+        f" * (((i * {m} + {j}) % 7) - 3)))"
     )
 
 
-def _semcell_spark(band: int) -> str:
-    """3-bit band cell id from sign bits of projections 3*band..3*band+2."""
+def _semcell_spark(band: int, bits: int = _SEMDEDUP_BITS) -> str:
+    """``bits``-bit band cell id from sign bits of projections
+    bits*band .. bits*band+bits-1."""
     return " + ".join(
-        f"(CASE WHEN {_semproj_spark(3 * band + b)} >= 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(3)
+        f"(CASE WHEN {_semproj_spark(bits * band + b)} >= 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
     )
 
 
-def _semcell_sql(band: int) -> str:
+def _semcell_sql(band: int, bits: int = _SEMDEDUP_BITS) -> str:
     return " + ".join(
-        f"(CASE WHEN {_semproj_sql(3 * band + b)} >= 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(3)
+        f"(CASE WHEN {_semproj_sql(bits * band + b)} >= 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
     )
 
 
-def _semdedup_corpus(spark, sf_dir):
-    """(vec_id, embedding, nsq, cell_a, cell_b) — the banded corpus."""
+def _semdedup_corpus(spark, sf_dir, bits: int = _SEMDEDUP_BITS):
+    """(vec_id, qemb, nsq, cell_a, cell_b) — the banded corpus.  ``bits``
+    widens both bands (more, smaller cells) without changing the
+    projection family — the corpus-growth knob.  ``qemb`` is the 6dp
+    integer quantization computed ONCE per row, so the pair join's dot
+    folds pure int64 arrays instead of re-rounding both sides per
+    candidate pair (the prune's hot path); values are bit-identical to dot() by construction (round is
+    deterministic and applied to the same floats)."""
     return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .withColumn("nsq", dot("embedding", "embedding"))
-        .withColumn("cell_a", F.expr(_semcell_spark(0)).cast("long"))
-        .withColumn("cell_b", F.expr(_semcell_spark(1)).cast("long"))
+        .withColumn("cell_a", F.expr(_semcell_spark(0, bits)).cast("long"))
+        .withColumn("cell_b", F.expr(_semcell_spark(1, bits)).cast("long"))
+        .withColumn(
+            "qemb",
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(round(x * 1000000, 0) AS BIGINT))"
+            ),
+        )
+        .drop("embedding")
     )
 
 
+# int64-array pair dot over pre-quantized embeddings — same value as
+# dot() exactly (one deterministic round per element either way).
+_QDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+)
+
+
 def _semdedup_dropped(e):
-    """Distinct vec_ids dropped by the banded earlier-id rule: one hash
-    self-equi-join per band (cell id is the join key — work is
-    sum-of-cell-size-squared, the SemDeDup economics), cosine gate,
-    union, distinct."""
+    """Distinct vec_ids dropped by the banded earlier-id rule.
+
+    Per band, the corpus groups by cell id (one hash shuffle — work is
+    sum of cell sizes squared, the SemDeDup economics) and each cell
+    runs the paper's own kernel: an exact int64 Gram matrix over the
+    cell's quantized embeddings (numpy matmul — products <= ~1.6e13 and
+    their 64-term sums <= ~1.1e15 sit far inside int64, and also inside
+    double's 2^53 exact-integer range for the cast that follows).  The
+    first cut expressed the pairing relationally with a zip_with/
+    aggregate fold per candidate pair; Spark does not whole-stage-
+    codegen higher-order functions, and that fold measured 45+ minutes
+    at the 600 k dup-heavy tier where the blocked GEMM takes seconds —
+    the applyInPandas escape hatch earning its keep on exactly the
+    kernel the paper runs on GPUs.
+
+    The tau comparison is on the RAW IEEE cosine (no 6dp rounding): the
+    integer dot is exact in all three engines (JVM / numpy / DuckDB)
+    and the cast, divide and sqrt are correctly-rounded IEEE ops, so
+    the compared doubles are bit-identical everywhere — rounding-parity
+    between JVM HALF_UP and numpy HALF_EVEN never enters the plan.
+    Memory per task is one cell (the bits knob bounds it); inside the
+    kernel the later-row side proceeds in 4096-row blocks, so a
+    pathological mega-cell degrades to blocked GEMM, not an n_c^2
+    allocation."""
+    import pandas as pd
+
+    def cell_dropped(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": np.empty(0, dtype=np.int64)})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        A = np.stack(pdf["qemb"].to_numpy()[order]).astype(np.int64)
+        nsq = pdf["nsq"].to_numpy()[order].astype(np.float64)
+        hits = []
+        n = len(ids)
+        for s0 in range(1, n, 4096):
+            s1 = min(s0 + 4096, n)
+            g = (A[s0:s1] @ A[:s1].T).astype(np.float64) / 1e12
+            cos = g / np.sqrt(np.outer(nsq[s0:s1], nsq[:s1]))
+            earlier = np.arange(s1)[None, :] < np.arange(s0, s1)[:, None]
+            hits.append(ids[s0:s1][((cos >= _SEMDEDUP_TAU) & earlier).any(axis=1)])
+        out = np.concatenate(hits) if hits else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"vec_id": out.astype(np.int64)})
+
     pairs = None
     for col in ("cell_a", "cell_b"):
-        a = e.select(
-            F.col(col).alias("jc"),
-            F.col("vec_id").alias("a_id"),
-            F.col("embedding").alias("a_emb"),
-            F.col("nsq").alias("a_nsq"),
-        )
-        b = e.select(
-            F.col(col).alias("jc"),
-            F.col("vec_id").alias("b_id"),
-            F.col("embedding").alias("b_emb"),
-            F.col("nsq").alias("b_nsq"),
-        )
         p = (
-            a.join(b, "jc")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .filter(
-                _cosine(dot("a_emb", "b_emb"), "a_nsq", "b_nsq")
-                >= _SEMDEDUP_TAU
-            )
-            .select(F.col("b_id").alias("vec_id"))
+            e.select(F.col(col).alias("jc"), "vec_id", "qemb", "nsq")
+            .groupBy("jc")
+            .applyInPandas(cell_dropped, schema="vec_id long")
         )
         pairs = p if pairs is None else pairs.unionAll(p)
     return pairs.distinct()
@@ -3409,12 +3490,12 @@ _SEMDEDUP_DROPPED_SQL = f"""
     SELECT DISTINCT b_id AS vec_id FROM (
       SELECT b.vec_id AS b_id
       FROM cells a JOIN cells b ON a.cell_a = b.cell_a AND a.vec_id < b.vec_id
-      WHERE {_sql_cosine(sql_dot('a.embedding', 'b.embedding'), 'a.nsq', 'b.nsq')}
+      WHERE {sql_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
             >= {_SEMDEDUP_TAU}
       UNION ALL
       SELECT b.vec_id AS b_id
       FROM cells a JOIN cells b ON a.cell_b = b.cell_b AND a.vec_id < b.vec_id
-      WHERE {_sql_cosine(sql_dot('a.embedding', 'b.embedding'), 'a.nsq', 'b.nsq')}
+      WHERE {sql_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
             >= {_SEMDEDUP_TAU}
     )
 """
@@ -3442,13 +3523,18 @@ def llm_semdedup(spark, sf_dir):
     deterministic (full driver hash on the actual prune, not a flag)
     and why tau=0.40 on this fixture.
 
-    Scale shape: two hash self-joins keyed on cell id — candidate work
-    is sum over cells of n_c^2, never corpus^2; at 100 TB the band width
-    grows with the corpus (more sign bits -> more, smaller cells), the
-    same knob as LSH band tuning, and the cell id becomes the shuffle
-    AND storage partition key so each cell's quadratic stays in one
-    task.  The drop set is a distinct on vec_id (dup-mass-proportional),
-    and the audit a k-row aggregate.  Nothing iterates."""
+    Scale shape: one hash shuffle per band keyed on cell id, then the
+    per-cell pairwise runs as a blocked int64 GEMM inside applyInPandas
+    (see _semdedup_dropped — the SemDeDup paper's per-cluster kernel;
+    the relational fold alternative measured 45+ min at the 600 k tier
+    because Spark never codegens higher-order functions).  Candidate
+    work is sum over cells of n_c^2, never corpus^2; at 100 TB the band
+    width grows with the corpus (more sign bits -> more, smaller
+    cells), the same knob as LSH band tuning, and the cell id becomes
+    the shuffle AND storage partition key so each cell's quadratic
+    stays in one task.  The drop set is a distinct on vec_id
+    (dup-mass-proportional), and the audit a k-row aggregate.  Nothing
+    iterates."""
     e = _semdedup_corpus(spark, sf_dir)
     dropped = _semdedup_dropped(e).withColumn("is_dropped", F.lit(1))
     return (
@@ -3475,7 +3561,7 @@ def llm_semdedup(spark, sf_dir):
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              (a.cell_a = b.cell_a OR a.cell_b = b.cell_b) AS in_band
       FROM cells a JOIN cells b ON a.vec_id < b.vec_id
-      WHERE {_sql_cosine(sql_dot('a.embedding', 'b.embedding'), 'a.nsq', 'b.nsq')}
+      WHERE {sql_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
             >= {_SEMDEDUP_TAU}
     ),
     dropped AS ({_SEMDEDUP_DROPPED_SQL})
@@ -3495,21 +3581,21 @@ def llm_semdedup_recall(spark, sf_dir):
     hash-checked recall: because the cells are deterministic in both
     engines, DuckDB recomputes not just the brute-force tau-pair ground
     truth but the banded candidate set itself, so the driver hash pins
-    the exact recall VALUE (0.475 at sf0.01, 0.394 at sf0.001 vs the
+    the exact recall VALUE (0.407 at sf0.01, 0.515 at sf0.001 vs the
     0.30 gate), not merely a boolean — the strongest twin contract in
     the ANN family.  The all-pairs truth is fixture-scale measurement
     machinery only; the operator itself never leaves its cells."""
     e = _semdedup_corpus(spark, sf_dir)
     a = e.select(
         F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
+        F.col("qemb").alias("a_q"),
         F.col("nsq").alias("a_nsq"),
         F.col("cell_a").alias("a_ca"),
         F.col("cell_b").alias("a_cb"),
     )
     b = e.select(
         F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
+        F.col("qemb").alias("b_q"),
         F.col("nsq").alias("b_nsq"),
         F.col("cell_a").alias("b_ca"),
         F.col("cell_b").alias("b_cb"),
@@ -3517,7 +3603,12 @@ def llm_semdedup_recall(spark, sf_dir):
     qual = (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .filter(
-            _cosine(dot("a_emb", "b_emb"), "a_nsq", "b_nsq") >= _SEMDEDUP_TAU
+            (
+                F.expr(_QDOT.format(a="a_q", b="b_q")).cast("double")
+                / F.lit(1e12)
+                / F.sqrt(F.col("a_nsq") * F.col("b_nsq"))
+            )
+            >= _SEMDEDUP_TAU
         )
         .select(
             (

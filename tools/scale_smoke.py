@@ -155,6 +155,12 @@ ANN_INDEX_OPS = [
     # (their gates are their own recall twins).
     "llm_index_tombstone_probe",
     "llm_index_compact_cells",
+    # round 12: rebalance (cold = base train + per-split 2-means + rewrite,
+    # warm = recurring audit over the persisted rebalanced assignment) and
+    # filtered search (cold = shared base train, warm = the filtered probe).
+    # Not sentinel-pinned (gates are their own recall twins).
+    "llm_index_cell_rebalance",
+    "llm_sim_ann_filtered",
 ]
 ANN_RECALL_OPS = [
     "llm_sim_ann_ivf_recall",
@@ -168,6 +174,9 @@ ANN_RECALL_OPS = [
     # round 11: the delete-serving honesty twins (logical + physical)
     "llm_index_tombstone_probe_recall",
     "llm_index_compact_cells_recall",
+    # round 12: rebalance conservation/recall + filtered-search twins
+    "llm_index_cell_rebalance_recall",
+    "llm_sim_ann_filtered_recall",
 ]
 
 # Permanent regression sentinel (VERDICT r8 item 3): the recall-gate
@@ -723,7 +732,9 @@ def main() -> None:
 
         QUERIES["llm_sim_cosine_topk"](spark, args.base).count()  # warmup
         ann_ops = restrict(
-            ANN_INDEX_OPS + ["minhash_signatures"] + ANN_RECALL_OPS, "ann"
+            ANN_INDEX_OPS + ["minhash_signatures", "semdedup_wide"]
+            + ANN_RECALL_OPS,
+            "ann",
         )
         timings = {}
         for name in [n for n in ANN_INDEX_OPS if n in ann_ops]:
@@ -751,6 +762,36 @@ def main() -> None:
                 "warm_probe_sec": warm,
                 "index_build_sec": round(cold - warm, 3),
                 "rows": nsig,
+            }
+        if "semdedup_wide" in ann_ops:
+            # SemDeDup at tier scale: SAME projection family as the
+            # registered llm_semdedup, band width scaled so per-cell
+            # quadratic work stays bounded (bits ~ log2(rows / 50), i.e.
+            # ~50-row cells — SemDeDup's clusters-proportional-to-corpus
+            # rule; the first cut targeted ~600-row cells and paid 268 s
+            # at 20 k rows in per-pair dot folds). Reports
+            # the prune wall plus dup-mass accounting; correctness is
+            # the fixture-scale full-hash oracle, this is the cost and
+            # drop-mass measurement.
+            import math
+
+            from etl_suite_spark.llm.similarity import (
+                _semdedup_corpus,
+                _semdedup_dropped,
+            )
+
+            n_vec = spark.read.parquet(f"{out}/embeddings.parquet").count()
+            bits = max(3, math.ceil(math.log2(max(n_vec, 1) / 50)))
+            corpus = _semdedup_corpus(spark, out, bits=bits)
+            t0 = time.perf_counter()
+            n_dropped = _semdedup_dropped(corpus).count()
+            wall = round(time.perf_counter() - t0, 3)
+            timings["semdedup_wide"] = {
+                "sec": wall,
+                "bits_per_band": bits,
+                "rows": n_vec,
+                "n_dropped": n_dropped,
+                "n_survivors": n_vec - n_dropped,
             }
         for name in [n for n in ANN_RECALL_OPS if n in ann_ops]:
             t0 = time.perf_counter()
