@@ -398,7 +398,14 @@ def llm_sim_ann_ivf_recall(spark, sf_dir):
     )
 
 
-def _ivf_index(spark, sf_dir, k=8, iters=3):
+# Shared IVF-Flat coarse-quantizer hyperparams — named so DERIVED index
+# tokens (the rebalance artifact) track them instead of hardcoding
+# (code-review r12: a changed default must rebuild dependents too).
+_IVF_K = 8
+_IVF_ITERS = 3
+
+
+def _ivf_index(spark, sf_dir, k=_IVF_K, iters=_IVF_ITERS):
     """(assignment, centroids) of the IVF-Flat coarse quantizer,
     PERSISTED once per corpus — same write-once serving-layout rationale
     (and eager-training caveat) as :func:`_pq_index`. ``assignment`` is
@@ -428,12 +435,18 @@ def _ivf_index(spark, sf_dir, k=8, iters=3):
     )
 
 
-def _ivf_probe(cells, centroids, q, nprobe=2):
+def _ivf_probe(cells, centroids, q, nprobe=2, q_extra=(), cand_pred=None):
     """The SHARED IVF-Flat serving path: each broadcast query scores the
     k cell centroids map-side, keeps its ``nprobe`` nearest cells, and
     brute-forces EXACT cosine against only the in-cell candidates of
     ``cells`` (vec_id, embedding, nsq, cell) — used by llm_sim_ann_ivf
-    (raw corpus) and llm_index_build_pipeline_ivf (representatives)."""
+    (raw corpus), llm_index_build_pipeline_ivf (representatives), the
+    delete/rebalance twins, and (via ``q_extra``/``cand_pred``) the
+    filtered-search op — ONE probe so the serving contract cannot
+    diverge between variants (the _survivor_recall_metric discipline,
+    code-review r12).  ``q_extra`` names extra query columns to carry to
+    the candidate join; ``cand_pred`` is an extra join conjunct
+    evaluated DURING the inverted-list scan (payload-filter pushdown)."""
     from .clustering import _DIST_SQ
 
     qc = q.crossJoin(F.broadcast(centroids)).withColumn(
@@ -445,12 +458,20 @@ def _ivf_probe(cells, centroids, q, nprobe=2):
     probes = (
         qc.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_emb", "q_nsq", F.col("cluster").alias("p_cell"))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nsq",
+            *q_extra,
+            F.col("cluster").alias("p_cell"),
+        )
     )
-    cand = cells.join(
-        F.broadcast(probes),
-        (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
-    ).select(
+    cond = (F.col("cell") == F.col("p_cell")) & (
+        F.col("vec_id") != F.col("query_id")
+    )
+    if cand_pred is not None:
+        cond = cond & cand_pred
+    cand = cells.join(F.broadcast(probes), cond).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
@@ -3338,6 +3359,12 @@ def _semdedup_multipliers(n: int) -> list[int]:
     runs.  (The round-12 first cut used fixed primes mod 5; that family
     caps at ~20 distinct patterns and silently repeats bits at wide
     bands — the widening this knob exists for.)"""
+    if n > 49:
+        raise ValueError(
+            f"semdedup projection family supports at most 49 projections "
+            f"(24 bits/band) — requested {n}; widen the weight modulus "
+            "before widening further"
+        )
     out, seen, m = [], set(), 3
     while len(out) < n:
         key = (m % 7, len(out) % 7)
@@ -3352,11 +3379,13 @@ _SEMDEDUP_M = tuple(_semdedup_multipliers(48))
 
 
 def _semproj_spark(j: int) -> str:
+    # folds the PRE-QUANTIZED qemb column (one round per element per row,
+    # not one per projection — code-review r12), exact int64 throughout
     m = _SEMDEDUP_M[j]
     return (
-        "aggregate(zip_with(embedding, transform(sequence(1, 64),"
+        "aggregate(zip_with(qemb, transform(sequence(1, 64),"
         f" i -> ((i * {m} + {j}) % 7) - 3),"
-        " (x, w) -> CAST(round(x * 1000000, 0) AS BIGINT) * CAST(w AS BIGINT)),"
+        " (x, w) -> x * CAST(w AS BIGINT)),"
         " 0L, (acc, v) -> acc + v)"
     )
 
@@ -3399,9 +3428,6 @@ def _semdedup_corpus(spark, sf_dir, bits: int = _SEMDEDUP_BITS):
     return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .withColumn("nsq", dot("embedding", "embedding"))
-        .withColumn("cell_a", F.expr(_semcell_spark(0, bits)).cast("long"))
-        .withColumn("cell_b", F.expr(_semcell_spark(1, bits)).cast("long"))
         .withColumn(
             "qemb",
             F.expr(
@@ -3409,7 +3435,19 @@ def _semdedup_corpus(spark, sf_dir, bits: int = _SEMDEDUP_BITS):
                 " x -> CAST(round(x * 1000000, 0) AS BIGINT))"
             ),
         )
+        .withColumn(
+            "nsq",
+            F.expr(_QDOT.format(a="qemb", b="qemb")).cast("double")
+            / F.lit(1e12),
+        )
+        .withColumn("cell_a", F.expr(_semcell_spark(0, bits)).cast("long"))
+        .withColumn("cell_b", F.expr(_semcell_spark(1, bits)).cast("long"))
         .drop("embedding")
+        # one materialization shared by every consumer (the audit join +
+        # both band passes would otherwise re-run all 2*bits projection
+        # folds per scan — code-review r12); lineage truncation is the
+        # repo's kmeans idiom
+        .localCheckpoint(eager=True)
     )
 
 
@@ -3657,48 +3695,19 @@ _FILTERED_NPROBE = 4
 
 
 def _ivf_probe_filtered(cells, centroids, q, nprobe=_FILTERED_NPROBE):
-    """_ivf_probe with the query's label pushed INTO the candidate join
-    (cells must carry `label`, q must carry `q_label`): the predicate
-    prunes candidates before cosine is ever computed, exactly where a
-    cell-partitioned store would apply its payload filter during the
-    inverted-list scan."""
-    from .clustering import _DIST_SQ
-
-    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", F.expr(_DIST_SQ.format(a="q_emb", b="centroid"))
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").asc(), F.col("cluster").asc()
-    )
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select(
-            "query_id",
-            "q_emb",
-            "q_nsq",
-            "q_label",
-            F.col("cluster").alias("p_cell"),
-        )
-    )
-    cand = cells.join(
-        F.broadcast(probes),
-        (F.col("cell") == F.col("p_cell"))
-        & (F.col("vec_id") != F.col("query_id"))
-        & (F.col("label") == F.col("q_label")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        _cosine(dot("q_emb", "embedding"), "q_nsq", "nsq").alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
-        .orderBy("query_id", F.col("cosine").desc(), "neighbor_id")
+    """The shared `_ivf_probe` with the query's label pushed INTO the
+    candidate join (cells must carry `label`, q must carry `q_label`):
+    the predicate prunes candidates before cosine is ever computed,
+    exactly where a cell-partitioned store would apply its payload
+    filter during the inverted-list scan.  A thin parameterization of
+    the ONE probe path, not a fork of it (code-review r12)."""
+    return _ivf_probe(
+        cells,
+        centroids,
+        q,
+        nprobe=nprobe,
+        q_extra=("q_label",),
+        cand_pred=F.col("label") == F.col("q_label"),
     )
 
 
@@ -3871,7 +3880,7 @@ def _rebalanced_index(spark, sf_dir, factor=_REBALANCE_FACTOR):
     from ..core import mat_exists, mat_path, materialize_once
 
     tok = (
-        f"v1:ivf_rebalance:{sf_dir}:k8i3"
+        f"v1:ivf_rebalance:{sf_dir}:k{_IVF_K}i{_IVF_ITERS}"
         f":f{factor}s2i{_REBALANCE_SPLIT_ITERS}"
     )
     names = (":cells", ":centroids")

@@ -1127,16 +1127,16 @@ _KEEP_EXPORT_WH = False
 
 @query(
     "inc_subject_export",
-    oracle="""
+    oracle=f"""
     SELECT CAST(user_id AS BIGINT) AS user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
            MIN(ts) AS first_ts,
            MAX(ts) AS last_ts,
-           """ + sql_dsum("value", 4) + """ AS total_value
+           {sql_dsum("value", 4)} AS total_value
     FROM events WHERE user_id % {SUBJECT_RESIDUE} = 0
     GROUP BY user_id ORDER BY user_id
-    """.format(SUBJECT_RESIDUE=SUBJECT_RESIDUE),
+    """,
 )
 def inc_subject_export(spark, sf_dir):
     """Subject-access-request export (GDPR Art. 15) — the READ twin of
