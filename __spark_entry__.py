@@ -695,6 +695,7 @@ R13_PLANNED: list[str] = [
     "llm_sim_ann_filtered_recall",
     "llm_index_cell_rebalance",  # rows-only by design (k-means cells); recall twin oracled
     "llm_index_cell_rebalance_recall",
+    "llm_semdedup_sweep",
 ]
 
 

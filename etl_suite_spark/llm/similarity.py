@@ -4051,3 +4051,99 @@ def llm_index_cell_rebalance_recall(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "llm_semdedup_sweep",
+    oracle=f"""
+    WITH cells AS ({_SEMDEDUP_CELLS_SQL}),
+    mx AS (
+      SELECT b_id, MAX(cos) AS max_cos FROM (
+        SELECT b.vec_id AS b_id,
+               {sql_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
+                 AS cos
+        FROM cells a JOIN cells b
+          ON a.cell_a = b.cell_a AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT b.vec_id AS b_id,
+               {sql_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
+                 AS cos
+        FROM cells a JOIN cells b
+          ON a.cell_b = b.cell_b AND a.vec_id < b.vec_id
+      ) GROUP BY b_id
+    ), taus AS (
+      SELECT CAST(unnest([0.35, 0.40, 0.45, 0.50, 0.60]) AS DOUBLE) AS tau
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM cells)
+    SELECT t.tau,
+           CAST(COUNT(m.b_id) AS BIGINT) AS n_dropped,
+           CAST(ANY_VALUE(n.n_total) - COUNT(m.b_id) AS BIGINT) AS n_kept,
+           round(COUNT(m.b_id) / ANY_VALUE(n.n_total), 4) AS drop_share
+    FROM taus t CROSS JOIN n LEFT JOIN mx m ON m.max_cos >= t.tau
+    GROUP BY t.tau ORDER BY t.tau
+    """,
+)
+def llm_semdedup_sweep(spark, sf_dir):
+    """Retention-vs-tau calibration curve for the SemDeDup prune — how
+    the threshold gets CHOSEN before a fleet run (the
+    llm_dedup_threshold_sweep discipline applied to the semantic
+    family): per candidate tau, how many docs the banded earlier-id
+    rule would drop and keep.  One per-doc MAX over in-band earlier
+    cosines feeds every threshold row, so the sweep costs one banded
+    pair pass regardless of how many taus it scores; zero-drop
+    thresholds still emit rows (LEFT theta-join).  All comparisons are
+    on the raw IEEE cosine over the shared qemb quantization — fully
+    hash-checked in DuckDB like the main op.
+
+    Calibration-scale form: the pair pass here folds pairs relationally
+    (fixture cells are ~70 rows); a corpus-scale sweep reuses the GEMM
+    kernel with per-row max emitted instead of a fixed-tau hit mask —
+    same shuffle shape, same candidates."""
+    e = _semdedup_corpus(spark, sf_dir)
+    pairs = None
+    for col in ("cell_a", "cell_b"):
+        a = e.select(
+            F.col(col).alias("jc"),
+            F.col("vec_id").alias("a_id"),
+            F.col("qemb").alias("a_q"),
+            F.col("nsq").alias("a_nsq"),
+        )
+        b = e.select(
+            F.col(col).alias("jc_b"),
+            F.col("vec_id").alias("b_id"),
+            F.col("qemb").alias("b_q"),
+            F.col("nsq").alias("b_nsq"),
+        )
+        p = a.join(
+            b,
+            (F.col("jc") == F.col("jc_b")) & (F.col("a_id") < F.col("b_id")),
+        ).select(
+            "b_id",
+            (
+                F.expr(_QDOT.format(a="a_q", b="b_q")).cast("double")
+                / F.lit(1e12)
+                / F.sqrt(F.col("a_nsq") * F.col("b_nsq"))
+            ).alias("cos"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    mx = pairs.groupBy("b_id").agg(F.max("cos").alias("max_cos"))
+    taus = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (0.35, 0.40, 0.45, 0.50, 0.60)])
+        ).alias("tau")
+    )
+    n_total = e.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        taus.crossJoin(F.broadcast(n_total))
+        .join(F.broadcast(mx), F.col("max_cos") >= F.col("tau"), "left")
+        .groupBy("tau", "n_total")
+        .agg(F.count("max_cos").cast("long").alias("n_dropped"))
+        .select(
+            "tau",
+            "n_dropped",
+            (F.col("n_total") - F.col("n_dropped")).cast("long").alias("n_kept"),
+            F.round(F.col("n_dropped") / F.col("n_total"), 4).alias(
+                "drop_share"
+            ),
+        )
+        .orderBy("tau")
+    )

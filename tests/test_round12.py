@@ -258,3 +258,91 @@ def test_rebalance_twin_conservation_column(spark):
 
     assert twin["n_assigned"] == load_table(spark, SF_DIR, "embeddings").count()
     assert twin["recall_ge_30"] is True
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup sweep + differential fuzz
+
+
+def test_semdedup_sweep_monotone_and_consistent(spark):
+    """n_dropped is non-increasing in tau, every threshold row is
+    present (zero-drop taus included), shares are coherent, and the
+    tau=0.40 row equals the main op's total drop count — the sweep and
+    the prune cannot disagree about the operating point."""
+    rows = QUERIES["llm_semdedup_sweep"](spark, SF_DIR).collect()
+    assert [r["tau"] for r in rows] == [0.35, 0.40, 0.45, 0.50, 0.60]
+    drops = [r["n_dropped"] for r in rows]
+    assert drops == sorted(drops, reverse=True)
+    for r in rows:
+        assert r["n_dropped"] + r["n_kept"] == rows[0]["n_dropped"] + rows[0]["n_kept"]
+        assert abs(r["drop_share"] - round(r["n_dropped"] / (r["n_dropped"] + r["n_kept"]), 4)) < 1e-9
+    audit = QUERIES["llm_semdedup"](spark, SF_DIR).collect()
+    assert sum(r["n_dropped"] for r in audit) == drops[1]  # tau = 0.40
+
+
+@pytest.fixture(scope="module")
+def random_embedding_sf(tmp_path_factory):
+    """A seeded random embeddings corpus that looks nothing like the
+    fixture: mixed magnitudes (1e-3..10), negatives, a planted exact-dup
+    pair and a planted near-dup pair — the differential surface for the
+    semdedup Spark-vs-DuckDB bridge."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(1207)
+    rows = []
+    for vid in range(300):
+        scale = rng.choice([0.001, 0.1, 1.0, 10.0])
+        rows.append(
+            {
+                "vec_id": vid,
+                "embedding": [
+                    round(rng.uniform(-scale, scale), 6) for _ in range(64)
+                ],
+                "label": vid % 7,
+            }
+        )
+    rows[250]["embedding"] = list(rows[17]["embedding"])  # exact dup
+    rows[251]["embedding"] = [
+        x + 1e-6 for x in rows[17]["embedding"]
+    ]  # near dup (cosine ~1)
+    d = tmp_path_factory.mktemp("random_emb_sf")
+    pd.DataFrame(rows).to_parquet(f"{d}/embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_semdedup_differential_random_corpus(spark, random_embedding_sf):
+    """Differential gate off the fixture: on a seeded random corpus the
+    Spark plans and the DuckDB oracles must produce identical canonical
+    frames for all three semdedup queries (cells, GEMM drop set, sweep)
+    — the same one-implementation comparison verify_local runs, applied
+    to a corpus the operators were never tuned on."""
+    import duckdb
+
+    from etl_suite_spark.registry import ORACLES
+    from tools.verify_local import canon_duck, canon_spark
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{random_embedding_sf}/embeddings.parquet')"
+    )
+    for name in ("llm_semdedup", "llm_semdedup_recall", "llm_semdedup_sweep"):
+        sc, sr = canon_spark(QUERIES[name](spark, random_embedding_sf))
+        oc, orows = canon_duck(con, ORACLES[name])
+        assert sc == oc, f"{name}: column drift {sc} vs {oc}"
+        assert sr == orows, f"{name}: value drift"
+    # the planted duplicates actually exercised the drop path
+    from etl_suite_spark.llm.similarity import (
+        _semdedup_corpus,
+        _semdedup_dropped,
+    )
+
+    dropped = {
+        r["vec_id"]
+        for r in _semdedup_dropped(
+            _semdedup_corpus(spark, random_embedding_sf)
+        ).collect()
+    }
+    assert 250 in dropped and 251 in dropped and 17 not in dropped

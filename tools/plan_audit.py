@@ -119,6 +119,7 @@ EXPECTED_NLJ = {
     "llm_sim_ann_filtered",  # 8 coarse centroids broadcast for query-side cell probe
     "llm_sim_ann_filtered_recall",  # bounded 10-query ground-truth broadcast + 1-row metric joins (incl. the filter-violation scalar)
     "llm_index_cell_rebalance_recall",  # bounded 10-query ground-truth broadcast + 1-row metric/conservation joins
+    "llm_semdedup_sweep",  # 5-row threshold table theta-joined to per-doc maxima + 1-row total broadcast (the threshold_sweep shape)
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
