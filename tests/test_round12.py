@@ -283,32 +283,15 @@ def test_semdedup_sweep_monotone_and_consistent(spark):
 @pytest.fixture(scope="module")
 def random_embedding_sf(tmp_path_factory):
     """A seeded random embeddings corpus that looks nothing like the
-    fixture: mixed magnitudes (1e-3..10), negatives, a planted exact-dup
-    pair and a planted near-dup pair — the differential surface for the
-    semdedup Spark-vs-DuckDB bridge."""
-    import random
+    fixture, built by the SHARED fuzz-tool generator (one corpus
+    contract for the pytest gate and tools/fuzz_semdedup.py): mixed
+    magnitudes, negatives, a planted exact-dup pair and a planted
+    near-dup pair at the tail, and (odd seed) a shared-direction
+    cluster."""
+    from tools.fuzz_semdedup import build_random_corpus
 
-    import pandas as pd
-
-    rng = random.Random(1207)
-    rows = []
-    for vid in range(300):
-        scale = rng.choice([0.001, 0.1, 1.0, 10.0])
-        rows.append(
-            {
-                "vec_id": vid,
-                "embedding": [
-                    round(rng.uniform(-scale, scale), 6) for _ in range(64)
-                ],
-                "label": vid % 7,
-            }
-        )
-    rows[250]["embedding"] = list(rows[17]["embedding"])  # exact dup
-    rows[251]["embedding"] = [
-        x + 1e-6 for x in rows[17]["embedding"]
-    ]  # near dup (cosine ~1)
     d = tmp_path_factory.mktemp("random_emb_sf")
-    pd.DataFrame(rows).to_parquet(f"{d}/embeddings.parquet", index=False)
+    build_random_corpus(str(d), seed=1207, n_rows=300)
     return str(d)
 
 
@@ -316,24 +299,13 @@ def test_semdedup_differential_random_corpus(spark, random_embedding_sf):
     """Differential gate off the fixture: on a seeded random corpus the
     Spark plans and the DuckDB oracles must produce identical canonical
     frames for all three semdedup queries (cells, GEMM drop set, sweep)
-    — the same one-implementation comparison verify_local runs, applied
-    to a corpus the operators were never tuned on."""
-    import duckdb
+    — via the SHARED compare_semdedup helper, so this gate and the deep
+    fuzz tool cannot drift to testing different contracts.  The planted
+    tail duplicates must actually exercise the drop path."""
+    from tools.fuzz_semdedup import compare_semdedup
 
-    from etl_suite_spark.registry import ORACLES
-    from tools.verify_local import canon_duck, canon_spark
+    compare_semdedup(spark, random_embedding_sf)
 
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW embeddings AS SELECT * FROM "
-        f"read_parquet('{random_embedding_sf}/embeddings.parquet')"
-    )
-    for name in ("llm_semdedup", "llm_semdedup_recall", "llm_semdedup_sweep"):
-        sc, sr = canon_spark(QUERIES[name](spark, random_embedding_sf))
-        oc, orows = canon_duck(con, ORACLES[name])
-        assert sc == oc, f"{name}: column drift {sc} vs {oc}"
-        assert sr == orows, f"{name}: value drift"
-    # the planted duplicates actually exercised the drop path
     from etl_suite_spark.llm.similarity import (
         _semdedup_corpus,
         _semdedup_dropped,
@@ -345,4 +317,4 @@ def test_semdedup_differential_random_corpus(spark, random_embedding_sf):
             _semdedup_corpus(spark, random_embedding_sf)
         ).collect()
     }
-    assert 250 in dropped and 251 in dropped and 17 not in dropped
+    assert 298 in dropped and 299 in dropped  # the planted tail pair
