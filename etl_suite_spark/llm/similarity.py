@@ -3333,11 +3333,15 @@ def llm_index_build_pipeline_ivf_recall(spark, sf_dir):
 # tau = 0.40 is FIXTURE-CALIBRATED: the synthetic embeddings are
 # near-orthogonal (max pairwise cosine 0.513 at sf0.01), so the
 # production-typical 0.95 would prune nothing and the driver record
-# would be vacuous.  Measured at tau=0.40 (bits=3): 22 docs dropped at
-# sf0.01, 34 at sf0.001, band recall 0.407/0.515 vs the 0.30 gate.  On planted
+# would be vacuous.  Measured at tau=0.40 (bits=3, the non-degenerate
+# weight family): 22 docs dropped at sf0.01, 28 at sf0.001, band recall
+# 0.373/0.424 vs the 0.30 gate.  On planted
 # near-duplicate corpora (scale tiers) duplicates have cosine ~1 and
 # agree on every sign bit, so band recall only rises with real dup mass.
 _SEMDEDUP_TAU = 0.40
+_SEMDEDUP_SWEEP_TAUS = (0.35, 0.40, 0.45, 0.50, 0.60)  # the sweep grid —
+# ONE constant interpolated into the Spark body, the DuckDB oracle, and
+# the pytest (code-review r12: three independent literals invite drift)
 _SEMDEDUP_BITS = 3  # registered-op band width (8 cells/band) — the 100 TB
 # knob: the scale tier runs the SAME projection family at
 # bits ~ log2(corpus / 50) so per-cell quadratic work stays bounded as
@@ -3352,30 +3356,34 @@ _SEMDEDUP_BITS = 3  # registered-op band width (8 cells/band) — the 100 TB
 
 def _semdedup_multipliers(n: int) -> list[int]:
     """First ``n`` odd multipliers whose affine weight patterns are
-    pairwise distinct: w(i, j) = ((i*m_j + j) % 7) - 3 collides between
-    two projections iff (m mod 7, j mod 7) coincide, so pick each next
-    multiplier greedily to keep those keys unique — valid up to 49
-    projections (24 bits/band), far past any band width this engine
-    runs.  (The round-12 first cut used fixed primes mod 5; that family
-    caps at ~20 distinct patterns and silently repeats bits at wide
-    bands — the widening this knob exists for.)"""
-    if n > 49:
+    pairwise distinct AND non-degenerate: w(i, j) = ((i*m_j + j) % 7) - 3
+    collides between two projections iff (m mod 7, j mod 7) coincide,
+    and m ≡ 0 (mod 7) makes the pattern CONSTANT in i — a repeated (or,
+    at w=0, frozen) sign bit that silently halves a wide band's cell
+    count (code-review r12: the first greedy builder admitted m=7/21/...,
+    giving identical bits at j=2/8/14 and an all-zero projection at
+    j=45).  Excluding that residue leaves 6×7 = 42 distinct genuinely
+    i-varying patterns — 21 bits/band, far past any band width this
+    engine runs; wider bands need a wider weight modulus.  (The round-12
+    first cut used fixed primes mod 5; that family caps even lower and
+    repeats bits the same way.)"""
+    if n > 42:
         raise ValueError(
-            f"semdedup projection family supports at most 49 projections "
-            f"(24 bits/band) — requested {n}; widen the weight modulus "
+            f"semdedup projection family supports at most 42 projections "
+            f"(21 bits/band) — requested {n}; widen the weight modulus "
             "before widening further"
         )
     out, seen, m = [], set(), 3
     while len(out) < n:
         key = (m % 7, len(out) % 7)
-        if key not in seen:
+        if m % 7 != 0 and key not in seen:
             seen.add(key)
             out.append(m)
         m += 2
     return out
 
 
-_SEMDEDUP_M = tuple(_semdedup_multipliers(48))
+_SEMDEDUP_M = tuple(_semdedup_multipliers(42))
 
 
 def _semproj_spark(j: int) -> str:
@@ -3619,7 +3627,7 @@ def llm_semdedup_recall(spark, sf_dir):
     hash-checked recall: because the cells are deterministic in both
     engines, DuckDB recomputes not just the brute-force tau-pair ground
     truth but the banded candidate set itself, so the driver hash pins
-    the exact recall VALUE (0.407 at sf0.01, 0.515 at sf0.001 vs the
+    the exact recall VALUE (0.3729 at sf0.01, 0.4242 at sf0.001 vs the
     0.30 gate), not merely a boolean — the strongest twin contract in
     the ANN family.  The all-pairs truth is fixture-scale measurement
     machinery only; the operator itself never leaves its cells."""
@@ -4072,7 +4080,7 @@ def llm_index_cell_rebalance_recall(spark, sf_dir):
           ON a.cell_b = b.cell_b AND a.vec_id < b.vec_id
       ) GROUP BY b_id
     ), taus AS (
-      SELECT CAST(unnest([0.35, 0.40, 0.45, 0.50, 0.60]) AS DOUBLE) AS tau
+      SELECT CAST(unnest([{', '.join(str(t) for t in _SEMDEDUP_SWEEP_TAUS)}]) AS DOUBLE) AS tau
     ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM cells)
     SELECT t.tau,
            CAST(COUNT(m.b_id) AS BIGINT) AS n_dropped,
@@ -4128,7 +4136,7 @@ def llm_semdedup_sweep(spark, sf_dir):
     mx = pairs.groupBy("b_id").agg(F.max("cos").alias("max_cos"))
     taus = spark.range(1).select(
         F.explode(
-            F.array(*[F.lit(t) for t in (0.35, 0.40, 0.45, 0.50, 0.60)])
+            F.array(*[F.lit(t) for t in _SEMDEDUP_SWEEP_TAUS])
         ).alias("tau")
     )
     n_total = e.agg(F.count("*").cast("long").alias("n_total"))

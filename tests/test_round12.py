@@ -269,15 +269,21 @@ def test_semdedup_sweep_monotone_and_consistent(spark):
     present (zero-drop taus included), shares are coherent, and the
     tau=0.40 row equals the main op's total drop count — the sweep and
     the prune cannot disagree about the operating point."""
+    from etl_suite_spark.llm.similarity import _SEMDEDUP_SWEEP_TAUS
+
     rows = QUERIES["llm_semdedup_sweep"](spark, SF_DIR).collect()
-    assert [r["tau"] for r in rows] == [0.35, 0.40, 0.45, 0.50, 0.60]
+    assert [r["tau"] for r in rows] == list(_SEMDEDUP_SWEEP_TAUS)
     drops = [r["n_dropped"] for r in rows]
     assert drops == sorted(drops, reverse=True)
     for r in rows:
         assert r["n_dropped"] + r["n_kept"] == rows[0]["n_dropped"] + rows[0]["n_kept"]
         assert abs(r["drop_share"] - round(r["n_dropped"] / (r["n_dropped"] + r["n_kept"]), 4)) < 1e-9
     audit = QUERIES["llm_semdedup"](spark, SF_DIR).collect()
-    assert sum(r["n_dropped"] for r in audit) == drops[1]  # tau = 0.40
+    from etl_suite_spark.llm.similarity import _SEMDEDUP_TAU
+
+    assert sum(r["n_dropped"] for r in audit) == drops[
+        _SEMDEDUP_SWEEP_TAUS.index(_SEMDEDUP_TAU)
+    ]
 
 
 @pytest.fixture(scope="module")

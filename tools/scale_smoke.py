@@ -781,7 +781,7 @@ def main() -> None:
             )
 
             n_vec = spark.read.parquet(f"{out}/embeddings.parquet").count()
-            bits = max(3, math.ceil(math.log2(max(n_vec, 1) / 50)))
+            bits = min(21, max(3, math.ceil(math.log2(max(n_vec, 1) / 50))))  # 21 = the projection family's per-band cap
             corpus = _semdedup_corpus(spark, out, bits=bits)
             t0 = time.perf_counter()
             n_dropped = _semdedup_dropped(corpus).count()
