@@ -698,9 +698,82 @@ R13_PLANNED: list[str] = [
     "llm_semdedup_sweep",
 ]
 
+# Round-13 ACTIVE window.  The r12-staged comment above said "the 46
+# remaining r5-era queries, topped up with r6-era" — but 7 + 46 = 53
+# overflows the 50-slot window, so (per VERDICT r12 item 1) the window
+# takes R13_PLANNED + the FIRST 43 r5-era queries alphabetically; the
+# last 3 (win_pareto_abc, win_pct_of_total, win_running_median) stay the
+# oldest evidence and lead the R14 re-check block.  Verified against the
+# recomputed CORRECTNESS_r01–r12 ledger (evidence-age distribution
+# r5×46, r6×50, r7×50, r8×50, r9×49, r10×50, r11×50, r12×50; 7
+# never-checked = exactly R13_PLANNED).  After this window executes, the
+# oldest registered evidence is those 3 r5-era rows.
+R13_RECHECKS = [
+    # first 43 (alphabetically) of the 46 r5-era queries:
+    "agg_market_basket",
+    "agg_multi_distinct",
+    "agg_path_transitions",
+    "agg_quantile_sketch_rollup",
+    "agg_string_concat_group",
+    "agg_time_to_convert",
+    "agg_unpivot",
+    "dim_scd2_lookup",
+    "dq_checks",
+    "dq_key_skew_report",
+    "dq_profile",
+    "dq_snapshot_diff",
+    "er_blocking_match",
+    "graph_triangle_count",
+    "inc_dedup_ingest",
+    "inc_scd2_apply",
+    "join_bloom_pruned",
+    "join_null_skew_rewrite",
+    "join_range_bucketed",
+    "join_salted_skew",
+    "llm_bigram_logprob",
+    "llm_dedup_embedding",
+    "llm_dedup_keeplist",
+    "llm_dedup_minhash_precision",
+    "llm_dedup_paragraph",
+    "llm_quality_c4",
+    "llm_seq_packing_greedy",
+    "llm_sim_ann_ivfpq_recall",
+    "llm_sim_ann_pq_recall",
+    "sample_group_fixed",
+    "sample_stratified",
+    "sample_weighted",
+    "sink_bucketed_colocated_join",
+    "sink_merge_upsert",
+    "sink_overwrite_partition",
+    "sink_zorder_layout",
+    "stream_ohlc",
+    "ts_ewma",
+    "ts_gapfill_locf",
+    "win_anomaly_mad",
+    "win_gaps_islands",
+    "win_interval_coalesce",
+    "win_ohlc",
+]
+
+R13_WINDOW = R13_PLANNED + R13_RECHECKS
+
+# Round-14 overflow plan: queries added during round 13 queue here under
+# the same contract (oracle-checked locally on introduction;
+# tests/test_entry_contract.py counts R14 toward the
+# every-query-has-a-driver-evidence-plan invariant).
+# Staged r14 rotation (computed from the ledger at r13 close): after the
+# R13 window executes, the oldest evidence is the 3 remaining r5-era
+# queries (win_pareto_abc, win_pct_of_total, win_running_median) — so
+# R14_WINDOW = R14_PLANNED + those 3 + the oldest r6-era queries
+# alphabetically, topped up to exactly 50.
+R14_PLANNED: list[str] = [
+    # added in round 13 (oracle-checked locally on introduction) —
+    # appended as each op lands:
+]
+
 
 def _windowed(mapping: dict) -> dict:
-    ordered = {k: mapping[k] for k in R12_WINDOW if k in mapping}
+    ordered = {k: mapping[k] for k in R13_WINDOW if k in mapping}
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
     return ordered
 

@@ -6,15 +6,17 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-12 window composition (the plan staged at r11 close, verified by
-the r11 judge against the recomputed ledger): the 5 queries queued in
-R12_PLANNED during round 11 (the backlog drain and the index
-delete/compaction lifecycle pairs — clearing the never-checked backlog
-to zero) + 45 re-checks: all 41 remaining r4-era queries and the first
-4 r5-era queries alphabetically.  After R12 executes, no registered
-query's evidence is older than r5.  The strict-ledger endgame test
-enforces: NO registered query may lack a committed driver record unless
-it sits in the active window or is a round-12 addition in R13_PLANNED.
+Round-13 window composition (executing VERDICT r12 item 1): the 7
+queries queued in R13_PLANNED during round 12 (the semdedup family, the
+payload-filtered ANN search pair, and the cell-rebalance pair — clearing
+the never-checked backlog to zero) + 43 re-checks: the first 43 r5-era
+queries alphabetically.  The r12-staged comment said "all 46 r5-era"
+but 7 + 46 = 53 overflows the 50-slot window, so the last 3 r5-era
+queries (win_pareto_abc, win_pct_of_total, win_running_median) stay the
+oldest evidence and lead the R14 re-check block.  The strict-ledger
+endgame test enforces: NO registered query may lack a committed driver
+record unless it sits in the active window or is a round-13 addition in
+R14_PLANNED.
 """
 
 from __future__ import annotations
@@ -24,71 +26,76 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R12_WINDOW = [
-    # --- R12_PLANNED: round-11 additions (oracle-checked locally on intro) ---
-    "stream_restart_backlog_drain",
-    "llm_index_tombstone_probe",  # rows-only by design (k-means cells)
-    "llm_index_tombstone_probe_recall",
-    "llm_index_compact_cells",  # rows-only by design (k-means cells)
-    "llm_index_compact_cells_recall",
-    # --- re-checks: all 41 remaining r4-era queries ---
-    "fn_map",
-    "fn_variant",
-    "graph_pagerank",
-    "llm_bm25_search",
-    "llm_corpus_pipeline",
-    "llm_decontaminate",
-    "llm_dedup_clusters",
-    "llm_dedup_minhash_recall",
-    "llm_dedup_substring",
-    "llm_doc_chunking",
-    "llm_emb_normalize",
-    "llm_fingerprint",
-    "llm_lang_partition",
-    "llm_pii_scrub",
-    "llm_sim_ann_ivf_recall",
-    "llm_token_count",
-    "llm_unigram_logprob",
-    "ml_churn_label",
-    "mm_binaryfile_scan",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "win_cumulative_distinct",
-    # --- re-checks: first 4 r5-era queries (alphabetical) ---
-    "agg_aqp_estimate",
-    "agg_conditional",
-    "agg_gini",
-    "agg_higher_moments",
+EXPECTED_R13_WINDOW = [
+    # --- R13_PLANNED: round-12 additions (oracle-checked locally on intro) ---
+    "llm_semdedup",
+    "llm_semdedup_recall",
+    "llm_sim_ann_filtered",  # rows-only by design (k-means cells)
+    "llm_sim_ann_filtered_recall",
+    "llm_index_cell_rebalance",  # rows-only by design (k-means cells)
+    "llm_index_cell_rebalance_recall",
+    "llm_semdedup_sweep",
+    # --- re-checks: first 43 r5-era queries (alphabetical) ---
+    "agg_market_basket",
+    "agg_multi_distinct",
+    "agg_path_transitions",
+    "agg_quantile_sketch_rollup",
+    "agg_string_concat_group",
+    "agg_time_to_convert",
+    "agg_unpivot",
+    "dim_scd2_lookup",
+    "dq_checks",
+    "dq_key_skew_report",
+    "dq_profile",
+    "dq_snapshot_diff",
+    "er_blocking_match",
+    "graph_triangle_count",
+    "inc_dedup_ingest",
+    "inc_scd2_apply",
+    "join_bloom_pruned",
+    "join_null_skew_rewrite",
+    "join_range_bucketed",
+    "join_salted_skew",
+    "llm_bigram_logprob",
+    "llm_dedup_embedding",
+    "llm_dedup_keeplist",
+    "llm_dedup_minhash_precision",
+    "llm_dedup_paragraph",
+    "llm_quality_c4",
+    "llm_seq_packing_greedy",
+    "llm_sim_ann_ivfpq_recall",
+    "llm_sim_ann_pq_recall",
+    "sample_group_fixed",
+    "sample_stratified",
+    "sample_weighted",
+    "sink_bucketed_colocated_join",
+    "sink_merge_upsert",
+    "sink_overwrite_partition",
+    "sink_zorder_layout",
+    "stream_ohlc",
+    "ts_ewma",
+    "ts_gapfill_locf",
+    "win_anomaly_mad",
+    "win_gaps_islands",
+    "win_interval_coalesce",
+    "win_ohlc",
 ]
+
+# The 3 r5-era queries that did NOT fit the 50-slot window; they must
+# lead the R14 re-check block (pinned so the overflow is a plan, not an
+# accident).
+R5_LEFTOVER = ["win_pareto_abc", "win_pct_of_total", "win_running_median"]
 
 # Window slots without an oracle, each rows-only BY DESIGN with an
 # oracle-checked honesty twin adjacent in the same window (the `_recall`
-# twins of both index-lifecycle ops are oracled and hash-checked).
+# twins of the filtered-search and rebalance ops are oracled and
+# hash-checked).
 ROWS_ONLY_IN_WINDOW = {
-    "llm_index_tombstone_probe",
-    "llm_index_compact_cells",
+    "llm_sim_ann_filtered",
+    "llm_index_cell_rebalance",
 }
 
-_DRIVER_ROUNDS = tuple(range(1, 13))
+_DRIVER_ROUNDS = tuple(range(1, 14))
 
 
 def _driver_history() -> dict[str, dict]:
@@ -101,12 +108,12 @@ def _driver_history() -> dict[str, dict]:
     return latest
 
 
-def _latest_round(before: int = 12) -> dict[str, int]:
+def _latest_round(before: int = 13) -> dict[str, int]:
     """Latest driver-record round per query over rounds STRICTLY BEFORE
     ``before`` — the window-composition tests must read the evidence
-    state the R12 window was PLANNED against, not the state after the
+    state the R13 window was PLANNED against, not the state after the
     driver executes it (code-review r10 finding #1: including the active
-    round would break these pins the moment CORRECTNESS_r12.json lands)."""
+    round would break these pins the moment CORRECTNESS_r13.json lands)."""
     root = pathlib.Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
     for n in range(1, before):
@@ -118,42 +125,47 @@ def _latest_round(before: int = 12) -> dict[str, int]:
 
 
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R12_WINDOW) == 50
-    assert len(set(EXPECTED_R12_WINDOW)) == 50
+    assert len(EXPECTED_R13_WINDOW) == 50
+    assert len(set(EXPECTED_R13_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R12_WINDOW
-    assert entry_mod.R12_WINDOW == EXPECTED_R12_WINDOW
+    assert qs[:50] == EXPECTED_R13_WINDOW
+    assert entry_mod.R13_WINDOW == EXPECTED_R13_WINDOW
 
 
 def test_window_composition():
-    """The window is exactly R12_PLANNED followed by the re-check block;
-    the planned block is exactly the never-driver-checked queries, the
-    first 41 re-checks' latest driver record is r4 and the last 4 are
-    r5-era (recomputed from the committed CORRECTNESS files)."""
-    assert entry_mod.R12_WINDOW == entry_mod.R12_PLANNED + entry_mod.R12_RECHECKS
+    """The window is exactly R13_PLANNED followed by the re-check block;
+    the planned block is exactly the never-driver-checked queries, every
+    re-check's latest driver record is r5, and the r5 block is complete
+    except for the 3 pinned leftovers (recomputed from the committed
+    CORRECTNESS files)."""
+    assert entry_mod.R13_WINDOW == entry_mod.R13_PLANNED + entry_mod.R13_RECHECKS
     latest_round = _latest_round()
-    already = {n for n in entry_mod.R12_PLANNED if n in latest_round}
-    assert not already, f"R12_PLANNED slots already evidenced: {already}"
-    r4_block, r5_block = entry_mod.R12_RECHECKS[:41], entry_mod.R12_RECHECKS[41:]
-    bad_r4 = {n: latest_round.get(n) for n in r4_block if latest_round.get(n) != 4}
-    assert not bad_r4, f"r4-era re-check slots with other evidence: {bad_r4}"
-    bad_r5 = {n: latest_round.get(n) for n in r5_block if latest_round.get(n) != 5}
+    already = {n for n in entry_mod.R13_PLANNED if n in latest_round}
+    assert not already, f"R13_PLANNED slots already evidenced: {already}"
+    bad_r5 = {
+        n: latest_round.get(n)
+        for n in entry_mod.R13_RECHECKS
+        if latest_round.get(n) != 5
+    }
     assert not bad_r5, f"r5-era re-check slots with other evidence: {bad_r5}"
-    # the r4 block is COMPLETE: no registered query outside the window may
-    # still carry r4-era (or older) evidence once this window executes.
+    # the r5 block is complete up to the 3 pinned leftovers: no OTHER
+    # registered query outside the window may still carry r5-or-older
+    # evidence once this window executes.
     stale_outside = {
         n for n, r in latest_round.items()
-        if r <= 4 and n in entry_mod.queries() and n not in entry_mod.R12_WINDOW
+        if r <= 5 and n in entry_mod.queries() and n not in entry_mod.R13_WINDOW
     }
-    assert not stale_outside, f"r4-era queries left outside window: {stale_outside}"
+    assert stale_outside == set(R5_LEFTOVER), (
+        f"unplanned stale queries outside window: {stale_outside ^ set(R5_LEFTOVER)}"
+    )
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R12_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R13_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
@@ -162,7 +174,7 @@ def test_window_oracle_coverage():
     # oracled honesty twin); every other window entry carries a DuckDB
     # oracle.
     oracles = entry_mod.oracle_sql()
-    missing = {n for n in EXPECTED_R12_WINDOW if n not in oracles}
+    missing = {n for n in EXPECTED_R13_WINDOW if n not in oracles}
     assert missing == ROWS_ONLY_IN_WINDOW, (
         f"unexpected rows-only window slots: {missing ^ ROWS_ONLY_IN_WINDOW}"
     )
@@ -178,7 +190,7 @@ def test_no_stale_red_left_outside_window():
     """Any query whose LATEST driver record is not fully green must sit
     inside the active window for a re-check.  Recomputed from the
     committed CORRECTNESS files — this is the test that forces a red
-    record to be re-checked rather than planned around.  As of the r10
+    record to be re-checked rather than planned around.  As of the r12
     evidence the cumulative ledger holds zero red records; the
     in-window invariant is permanent either way."""
     latest = _driver_history()
@@ -187,7 +199,7 @@ def test_no_stale_red_left_outside_window():
         for name, rec in latest.items()
         if name in entry_mod.queries() and not _is_green_or_rows_only(rec)
     ]
-    outside = sorted(set(red) - set(EXPECTED_R12_WINDOW))
+    outside = sorted(set(red) - set(EXPECTED_R13_WINDOW))
     assert not outside, f"stale-red queries not in window: {outside}"
 
 
@@ -201,29 +213,33 @@ def _is_green_or_rows_only(rec: dict) -> bool:
 def test_strict_ledger_endgame():
     """The endgame invariant (VERDICT r8 item 4, kept since): EVERY
     registered query must have a committed green/rows-only driver record,
-    or sit in the active R11 window, or be a round-11 addition pinned in
-    R12_PLANNED.  There is no other escape — a query added with no
+    or sit in the active R13 window, or be a round-13 addition pinned in
+    R14_PLANNED.  There is no other escape — a query added with no
     driver-evidence plan fails here immediately."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    planned = set(EXPECTED_R12_WINDOW) | set(entry_mod.R13_PLANNED)
+    planned = set(EXPECTED_R13_WINDOW) | set(entry_mod.R14_PLANNED)
     uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
 
-def test_r13_overflow_plan_is_well_formed():
-    assert len(entry_mod.R13_PLANNED) <= 50
-    assert len(set(entry_mod.R13_PLANNED)) == len(entry_mod.R13_PLANNED)
-    overlap = set(entry_mod.R13_PLANNED) & set(EXPECTED_R12_WINDOW)
-    assert not overlap, f"R13 entries already in the R12 window: {overlap}"
+def test_r14_overflow_plan_is_well_formed():
+    assert len(entry_mod.R14_PLANNED) <= 50
+    assert len(set(entry_mod.R14_PLANNED)) == len(entry_mod.R14_PLANNED)
+    overlap = set(entry_mod.R14_PLANNED) & set(EXPECTED_R13_WINDOW)
+    assert not overlap, f"R14 entries already in the R13 window: {overlap}"
     registered = set(entry_mod.queries())
-    ghosts = sorted(set(entry_mod.R13_PLANNED) - registered)
-    assert not ghosts, f"R13-planned names not registered: {ghosts}"
-    # R13_PLANNED is only for NEW (round-12) queries: none may already
+    ghosts = sorted(set(entry_mod.R14_PLANNED) - registered)
+    assert not ghosts, f"R14-planned names not registered: {ghosts}"
+    # R14_PLANNED is only for NEW (round-13) queries: none may already
     # hold driver evidence.
     latest = _driver_history()
-    stale = sorted(set(entry_mod.R13_PLANNED) & set(latest))
-    assert not stale, f"R13-planned names already evidenced: {stale}"
+    stale = sorted(set(entry_mod.R14_PLANNED) & set(latest))
+    assert not stale, f"R14-planned names already evidenced: {stale}"
+    # the staged R14 re-check block must start with the 3 r5-era
+    # leftovers — pinned here so the overflow cannot be forgotten.
+    for name in R5_LEFTOVER:
+        assert name in registered
 
 
 def test_bench_headline_queries_registered():
