@@ -767,8 +767,13 @@ R13_WINDOW = R13_PLANNED + R13_RECHECKS
 # R14_WINDOW = R14_PLANNED + those 3 + the oldest r6-era queries
 # alphabetically, topped up to exactly 50.
 R14_PLANNED: list[str] = [
-    # added in round 13 (oracle-checked locally on introduction) —
-    # appended as each op lands:
+    # added in round 13 (oracle-checked locally on introduction):
+    "llm_semdedup_bands",
+    "llm_semdedup_bands_recall",
+    "llm_corpus_prune_pipeline",
+    "llm_corpus_prune_pipeline_audit",
+    "llm_index_retrain",  # rows-only by design (k-means cells); recall twin oracled
+    "llm_index_retrain_recall",
 ]
 
 

@@ -3425,37 +3425,88 @@ def _semcell_sql(band: int, bits: int = _SEMDEDUP_BITS) -> str:
     )
 
 
-def _semdedup_corpus(spark, sf_dir, bits: int = _SEMDEDUP_BITS):
-    """(vec_id, qemb, nsq, cell_a, cell_b) — the banded corpus.  ``bits``
-    widens both bands (more, smaller cells) without changing the
-    projection family — the corpus-growth knob.  ``qemb`` is the 6dp
-    integer quantization computed ONCE per row, so the pair join's dot
-    folds pure int64 arrays instead of re-rounding both sides per
-    candidate pair (the prune's hot path); values are bit-identical to dot() by construction (round is
-    deterministic and applied to the same floats)."""
-    return (
+def _semdedup_corpus_banded(
+    spark, sf_dir, bands: int, bits: int = _SEMDEDUP_BITS
+):
+    """(vec_id, qemb, nsq, cell_0 .. cell_{bands-1}) — the banded
+    corpus at any band count.  ``bands`` is the MinHash-style b-knob
+    (more, narrower bands → higher recall at lower tau — SURVEY §6.1's
+    100 TB deployment shape); ``bits`` widens every band (more, smaller
+    cells) — the corpus-growth knob.  Band i takes projections
+    j = i*bits .. (i+1)*bits - 1, so band count is bounded by the
+    42-projection weight family.  ``qemb`` is the 6dp integer
+    quantization computed ONCE per row, so the pair join's dot folds
+    pure int64 arrays instead of re-rounding both sides per candidate
+    pair (the prune's hot path); values are bit-identical to dot() by
+    construction (round is deterministic and applied to the same
+    floats).
+
+    Input contract, enforced LOUDLY (ADVICE r12 items 1+2; the oracle's
+    cells CTE carries the same guards so both engines fail identically
+    instead of silently diverging):
+
+    - dim must be exactly 64 — the projection family folds a fixed
+      64-weight sequence; a shorter array would null-pad under zip_with
+      (Spark) but be NULL-skipped by list_sum (DuckDB), silently
+      disagreeing on every cell id;
+    - norms must be positive — a zero vector makes cosine 0/0 = NaN,
+      and NaN >= tau is false in Spark/numpy but TRUE under DuckDB's
+      total order, silently diverging on the drop set."""
+    if bands * bits > 42:
+        raise ValueError(
+            f"semdedup: {bands} bands x {bits} bits needs {bands * bits}"
+            " projections; the weight family supports at most 42"
+        )
+    df = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .withColumn(
             "qemb",
             F.expr(
-                "transform(embedding,"
-                " x -> CAST(round(x * 1000000, 0) AS BIGINT))"
+                "CASE WHEN size(embedding) != 64 THEN"
+                " raise_error(concat('semdedup: embedding dim must be 64,"
+                " got ', CAST(size(embedding) AS STRING)))"
+                " ELSE transform(embedding,"
+                " x -> CAST(round(x * 1000000, 0) AS BIGINT)) END"
             ),
         )
         .withColumn(
-            "nsq",
+            "nsq_raw",
             F.expr(_QDOT.format(a="qemb", b="qemb")).cast("double")
             / F.lit(1e12),
         )
-        .withColumn("cell_a", F.expr(_semcell_spark(0, bits)).cast("long"))
-        .withColumn("cell_b", F.expr(_semcell_spark(1, bits)).cast("long"))
-        .drop("embedding")
-        # one materialization shared by every consumer (the audit join +
-        # both band passes would otherwise re-run all 2*bits projection
-        # folds per scan — code-review r12); lineage truncation is the
-        # repo's kmeans idiom
-        .localCheckpoint(eager=True)
+        .withColumn(
+            "nsq",
+            F.when(F.col("nsq_raw") > 0, F.col("nsq_raw")).otherwise(
+                F.expr(
+                    "raise_error('semdedup: zero-norm embedding —"
+                    " cosine would be NaN and the drop set would"
+                    " silently diverge across engines')"
+                )
+            ),
+        )
+        .drop("nsq_raw")
+    )
+    for i in range(bands):
+        df = df.withColumn(
+            f"cell_{i}", F.expr(_semcell_spark(i, bits)).cast("long")
+        )
+    # one materialization shared by every consumer (the audit join +
+    # all band passes would otherwise re-run all bands*bits projection
+    # folds per scan — code-review r12); lineage truncation is the
+    # repo's kmeans idiom
+    return df.drop("embedding").localCheckpoint(eager=True)
+
+
+def _semdedup_corpus(spark, sf_dir, bits: int = _SEMDEDUP_BITS):
+    """(vec_id, qemb, nsq, cell_a, cell_b) — the registered two-band
+    corpus, a rename of the banded builder's first two bands (band
+    count generalized in round 13; the r12 ops and their pinned oracle
+    texts keep the cell_a/cell_b names)."""
+    return (
+        _semdedup_corpus_banded(spark, sf_dir, bands=2, bits=bits)
+        .withColumnRenamed("cell_0", "cell_a")
+        .withColumnRenamed("cell_1", "cell_b")
     )
 
 
@@ -3466,8 +3517,16 @@ _QDOT = (
 )
 
 
-def _semdedup_dropped(e):
-    """Distinct vec_ids dropped by the banded earlier-id rule.
+def _semdedup_dropped(
+    e,
+    cell_cols=("cell_a", "cell_b"),
+    tau=_SEMDEDUP_TAU,
+    block=4096,
+):
+    """Distinct vec_ids dropped by the banded earlier-id rule, over any
+    number of band-cell columns (``cell_cols`` — the multi-band knob),
+    at threshold ``tau``, with the GEMM tile edge ``block`` exposed so
+    the tiling logic is unit-testable at tiny block sizes.
 
     Per band, the corpus groups by cell id (one hash shuffle — work is
     sum of cell sizes squared, the SemDeDup economics) and each cell
@@ -3487,10 +3546,12 @@ def _semdedup_dropped(e):
     and the cast, divide and sqrt are correctly-rounded IEEE ops, so
     the compared doubles are bit-identical everywhere — rounding-parity
     between JVM HALF_UP and numpy HALF_EVEN never enters the plan.
-    Memory per task is one cell (the bits knob bounds it); inside the
-    kernel the later-row side proceeds in 4096-row blocks, so a
-    pathological mega-cell degrades to blocked GEMM, not an n_c^2
-    allocation."""
+    Memory per task is one cell's ROWS (the bits knob bounds it) plus
+    one 4096x4096 Gram tile: the kernel tiles BOTH the later-row and
+    earlier-row sides (ADVICE r12 item 3 — the first cut tiled rows
+    only, so a pathological mega-cell of n rows still allocated an
+    O(4096*n) tile; now a mega-cell degrades to bounded square tiles
+    with an early exit once a row is known dropped)."""
     import pandas as pd
 
     def cell_dropped(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -3504,17 +3565,26 @@ def _semdedup_dropped(e):
         nsq = pdf["nsq"].to_numpy()[order].astype(np.float64)
         hits = []
         n = len(ids)
-        for s0 in range(1, n, 4096):
-            s1 = min(s0 + 4096, n)
-            g = (A[s0:s1] @ A[:s1].T).astype(np.float64) / 1e12
-            cos = g / np.sqrt(np.outer(nsq[s0:s1], nsq[:s1]))
-            earlier = np.arange(s1)[None, :] < np.arange(s0, s1)[:, None]
-            hits.append(ids[s0:s1][((cos >= _SEMDEDUP_TAU) & earlier).any(axis=1)])
+        for s0 in range(1, n, block):
+            s1 = min(s0 + block, n)
+            hit = np.zeros(s1 - s0, dtype=bool)
+            for c0 in range(0, s1, block):
+                if hit.all():
+                    break  # every row in the block already dropped
+                c1 = min(c0 + block, s1)
+                g = (A[s0:s1] @ A[c0:c1].T).astype(np.float64) / 1e12
+                cos = g / np.sqrt(np.outer(nsq[s0:s1], nsq[c0:c1]))
+                earlier = (
+                    np.arange(c0, c1)[None, :]
+                    < np.arange(s0, s1)[:, None]
+                )
+                hit |= ((cos >= tau) & earlier).any(axis=1)
+            hits.append(ids[s0:s1][hit])
         out = np.concatenate(hits) if hits else np.empty(0, dtype=np.int64)
         return pd.DataFrame({"vec_id": out.astype(np.int64)})
 
     pairs = None
-    for col in ("cell_a", "cell_b"):
+    for col in cell_cols:
         p = (
             e.select(F.col(col).alias("jc"), "vec_id", "qemb", "nsq")
             .groupBy("jc")
@@ -3524,27 +3594,53 @@ def _semdedup_dropped(e):
     return pairs.distinct()
 
 
-_SEMDEDUP_CELLS_SQL = f"""
+def _semdedup_cells_sql(
+    cell_names: tuple, bits: int = _SEMDEDUP_BITS, source: str = "embeddings"
+) -> str:
+    """Guarded cells CTE body at any band count: band i's cell id is
+    aliased ``cell_names[i]`` (the r12 two-band ops pin cell_a/cell_b).
+    Carries the same loud dim/zero-norm guards as the Spark corpus
+    builder (ADVICE r12 items 1+2) so a bad corpus fails in BOTH
+    engines instead of silently diverging in one."""
+    cells = ",\n           ".join(
+        f"CAST({_semcell_sql(i, bits)} AS BIGINT) AS {name}"
+        for i, name in enumerate(cell_names)
+    )
+    return f"""
     SELECT vec_id, embedding,
-           {sql_dot('embedding', 'embedding')} AS nsq,
-           CAST({_semcell_sql(0)} AS BIGINT) AS cell_a,
-           CAST({_semcell_sql(1)} AS BIGINT) AS cell_b
-    FROM embeddings
+           CASE WHEN len(embedding) <> 64
+                  THEN error('semdedup: embedding dim must be 64')
+                WHEN {sql_dot('embedding', 'embedding')} <= 0
+                  THEN error('semdedup: zero-norm embedding')
+                ELSE {sql_dot('embedding', 'embedding')} END AS nsq,
+           {cells}
+    FROM {source}
 """
 
-_SEMDEDUP_DROPPED_SQL = f"""
+
+def _semdedup_dropped_sql(
+    cell_names: tuple, tau: float = _SEMDEDUP_TAU, source: str = "cells"
+) -> str:
+    """Dropped-set CTE body over ``source`` (a cells-shaped relation):
+    one earlier-id band pass per cell column, UNION ALL, DISTINCT."""
+    passes = "\n      UNION ALL\n".join(
+        f"""      SELECT b.vec_id AS b_id
+      FROM {source} a JOIN {source} b
+        ON a.{c} = b.{c} AND a.vec_id < b.vec_id
+      WHERE {sql_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
+            >= {tau}"""
+        for c in cell_names
+    )
+    return f"""
     SELECT DISTINCT b_id AS vec_id FROM (
-      SELECT b.vec_id AS b_id
-      FROM cells a JOIN cells b ON a.cell_a = b.cell_a AND a.vec_id < b.vec_id
-      WHERE {sql_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
-            >= {_SEMDEDUP_TAU}
-      UNION ALL
-      SELECT b.vec_id AS b_id
-      FROM cells a JOIN cells b ON a.cell_b = b.cell_b AND a.vec_id < b.vec_id
-      WHERE {sql_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
-            >= {_SEMDEDUP_TAU}
+{passes}
     )
 """
+
+
+_SEMDEDUP_CELLS_SQL = _semdedup_cells_sql(("cell_a", "cell_b"))
+
+_SEMDEDUP_DROPPED_SQL = _semdedup_dropped_sql(("cell_a", "cell_b"))
 
 
 @query(
@@ -4155,3 +4251,454 @@ def llm_semdedup_sweep(spark, sf_dir):
         )
         .orderBy("tau")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-band SemDeDup (round 13, VERDICT r12 item 6): the 100 TB
+# deployment shape SURVEY §6.1 argues for.  A tau-pair co-locates per
+# band with P(sign agreement)^bits, so at fixed total bit budget MORE,
+# NARROWER bands trade cell size for recall — the MinHash b x r knob
+# applied to the sign-projection family.  The registered op doubles the
+# band count at the same width (4 bands x 3 bits = projections j=0..11,
+# bands 0/1 IDENTICAL to the two-band op's A/B): every pair the 2-band
+# rule catches is caught here too, so the drop set is a SUPERSET by
+# construction — and because the cells are deterministic in both
+# engines, the recall twin hash-pins the measured monotonicity
+# (n_found_pairs >= n_found_pairs_2band) in the driver record itself,
+# not just in a pytest.
+_SEMDEDUP_BANDS = 4
+_SEMDEDUP_BAND_COLS = tuple(f"cell_{i}" for i in range(_SEMDEDUP_BANDS))
+
+_SEMDEDUP_BANDED_CELLS_SQL = _semdedup_cells_sql(_SEMDEDUP_BAND_COLS)
+
+_SEMDEDUP_BANDED_DROPPED_SQL = _semdedup_dropped_sql(_SEMDEDUP_BAND_COLS)
+
+
+@query(
+    "llm_semdedup_bands",
+    oracle=f"""
+    WITH cells AS ({_SEMDEDUP_BANDED_CELLS_SQL}),
+    dropped AS ({_SEMDEDUP_BANDED_DROPPED_SQL})
+    SELECT c.cell_0 AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_semdedup_bands(spark, sf_dir):
+    """SemDeDup prune at the multi-band operating point (4 bands x 3
+    bits): per-band-0-cell retention audit, same contract as
+    llm_semdedup — see the module comment above for the band-count
+    knob's recall/cost trade and the superset-by-construction relation
+    to the two-band op.
+
+    Scale shape: identical to llm_semdedup times bands/2 — one hash
+    shuffle per band keyed on that band's cell id, per-cell blocked
+    int64 GEMM inside applyInPandas, a distinct on the drop set, a
+    k-row audit aggregate.  Candidate work stays sum-of-cell-sizes
+    squared per band; at 100 TB band count is the recall knob and bits
+    the cell-size knob, tuned together exactly like MinHash b x r."""
+    e = _semdedup_corpus_banded(spark, sf_dir, bands=_SEMDEDUP_BANDS)
+    dropped = _semdedup_dropped(
+        e, cell_cols=_SEMDEDUP_BAND_COLS
+    ).withColumn("is_dropped", F.lit(1))
+    return (
+        e.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cell_0").alias("cell"))
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            (F.count("*") - F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "llm_semdedup_bands_recall",
+    oracle=f"""
+    WITH cells AS ({_SEMDEDUP_BANDED_CELLS_SQL}),
+    qual AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ({' OR '.join(f'a.{c} = b.{c}' for c in _SEMDEDUP_BAND_COLS)})
+               AS in_band,
+             (a.cell_0 = b.cell_0 OR a.cell_1 = b.cell_1) AS in_band_2
+      FROM cells a JOIN cells b ON a.vec_id < b.vec_id
+      WHERE {sql_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
+            >= {_SEMDEDUP_TAU}
+    ),
+    dropped AS ({_SEMDEDUP_BANDED_DROPPED_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_qualifying_pairs,
+           CAST(SUM(CASE WHEN in_band THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found_pairs,
+           CAST(SUM(CASE WHEN in_band_2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found_pairs_2band,
+           round(SUM(CASE WHEN in_band THEN 1 ELSE 0 END) / COUNT(*), 4)
+             AS pair_recall,
+           SUM(CASE WHEN in_band THEN 1 ELSE 0 END)
+             >= SUM(CASE WHEN in_band_2 THEN 1 ELSE 0 END)
+             AS monotone_vs_2band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dropped) AS n_dropped,
+           SUM(CASE WHEN in_band THEN 1 ELSE 0 END) >= 0.3 * COUNT(*)
+             AS recall_ge_30
+    FROM qual
+    """,
+)
+def llm_semdedup_bands_recall(spark, sf_dir):
+    """Honesty twin of llm_semdedup_bands with the band-count claim
+    hash-pinned: DuckDB recomputes the brute-force tau-pair truth, the
+    4-band candidate set, AND the 2-band candidate set (bands 0/1 are
+    the two-band op's A/B), so the driver record pins the exact 4-band
+    recall value and the monotone_vs_2band flag — the measured form of
+    §6.1's more-narrower-bands rule.  Measured at introduction (r13):
+    pair recall 0.6515 at sf0.001 (43/66 vs 28/66 two-band) and 0.678
+    at sf0.01 (40/59 vs 22/59) — doubling the band count lifts recall
+    1.5-1.8x at this tau on the near-orthogonal fixture.  The all-pairs
+    truth is fixture-scale measurement machinery only; the operator
+    itself never leaves its cells."""
+    e = _semdedup_corpus_banded(spark, sf_dir, bands=_SEMDEDUP_BANDS)
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("qemb").alias("a_q"),
+        F.col("nsq").alias("a_nsq"),
+        *[F.col(c).alias(f"a_{c}") for c in _SEMDEDUP_BAND_COLS],
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("qemb").alias("b_q"),
+        F.col("nsq").alias("b_nsq"),
+        *[F.col(c).alias(f"b_{c}") for c in _SEMDEDUP_BAND_COLS],
+    )
+    in_band = None
+    for c in _SEMDEDUP_BAND_COLS:
+        clause = F.col(f"a_{c}") == F.col(f"b_{c}")
+        in_band = clause if in_band is None else (in_band | clause)
+    in_band_2 = (F.col("a_cell_0") == F.col("b_cell_0")) | (
+        F.col("a_cell_1") == F.col("b_cell_1")
+    )
+    qual = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(
+            (
+                F.expr(_QDOT.format(a="a_q", b="b_q")).cast("double")
+                / F.lit(1e12)
+                / F.sqrt(F.col("a_nsq") * F.col("b_nsq"))
+            )
+            >= _SEMDEDUP_TAU
+        )
+        .select(in_band.alias("in_band"), in_band_2.alias("in_band_2"))
+    )
+    n_dropped = _semdedup_dropped(e, cell_cols=_SEMDEDUP_BAND_COLS).agg(
+        F.count("*").cast("long").alias("n_dropped")
+    )
+    found = F.sum(F.when(F.col("in_band"), 1).otherwise(0))
+    found2 = F.sum(F.when(F.col("in_band_2"), 1).otherwise(0))
+    return (
+        qual.agg(
+            F.count("*").cast("long").alias("n_qualifying_pairs"),
+            found.cast("long").alias("n_found_pairs"),
+            found2.cast("long").alias("n_found_pairs_2band"),
+        )
+        .join(n_dropped)
+        .select(
+            "n_qualifying_pairs",
+            "n_found_pairs",
+            "n_found_pairs_2band",
+            F.round(
+                F.col("n_found_pairs") / F.col("n_qualifying_pairs"), 4
+            ).alias("pair_recall"),
+            (
+                F.col("n_found_pairs") >= F.col("n_found_pairs_2band")
+            ).alias("monotone_vs_2band"),
+            "n_dropped",
+            (
+                F.col("n_found_pairs") >= 0.3 * F.col("n_qualifying_pairs")
+            ).alias("recall_ge_30"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-prune pipeline (round 13, VERDICT r12 item 5): the
+# dedup-before-index economics applied to SemDeDup itself.  Exact /
+# sign-signature collapse runs FIRST (one hash shuffle, removes literal
+# and near-literal duplicate mass), then the semantic prune runs over
+# the REPRESENTATIVES — on a dup-heavy corpus the per-cell quadratic
+# shrinks by the square of the collapse ratio, the same measured
+# argument addendum 26 made for index builds.  Every stage here is
+# deterministic (sign signature + sign-projection cells), so unlike the
+# k-means pipelines BOTH pipeline ops are fully hash-checked — no
+# rows-only step anywhere in the funnel.
+
+
+@query(
+    "llm_corpus_prune_pipeline",
+    oracle=f"""
+    WITH cells AS ({_SEMDEDUP_CELLS_SQL}),
+    reps AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (PARTITION BY {_SQL_SIGN_SIG}
+                                  ORDER BY vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn = 1
+    ),
+    rep_cells AS (
+      SELECT c.* FROM cells c JOIN reps r ON c.vec_id = r.vec_id
+    ),
+    dropped AS ({_semdedup_dropped_sql(("cell_a", "cell_b"), source="rep_cells")})
+    SELECT c.cell_a AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(r.vec_id) AS BIGINT) AS n_reps,
+           CAST(COUNT(*) - COUNT(r.vec_id) AS BIGINT) AS n_exact_collapsed,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_sem_dropped,
+           CAST(COUNT(r.vec_id) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+    FROM cells c
+    LEFT JOIN reps r ON c.vec_id = r.vec_id
+    LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_corpus_prune_pipeline(spark, sf_dir):
+    """Composed corpus prune: sign-signature exact collapse → SemDeDup
+    semantic prune over the representatives → per-cell retention
+    funnel.  One row per band-A cell: raw docs routed there, exact-dup
+    representatives, exact-collapsed count, semantically dropped count
+    (among representatives), and the surviving training-set count.
+    Fully hash-checked end to end (both stages deterministic).  On the
+    near-orthogonal driver fixture the collapse stage is honestly a
+    no-op (500 reps of 500 raw — no planted exact dups), so the funnel
+    shows retention 0.956/0.944 at sf0.01/sf0.001 driven by the
+    semantic stage alone; the collapse stage's economics are measured
+    where they exist, on the dup-heavy 600 k tier
+    (tools/scale_smoke.py --prune, BASELINE addendum).
+
+    Scale shape: stage 1 is one hash shuffle on the 32-bit signature
+    with a map-side-combining min_by; stage 2 is the semdedup kernel
+    over the collapsed corpus — its per-cell quadratic work shrinks by
+    the collapse ratio squared, which is the point of the composition
+    (the dedup-before-index rule applied to pruning; measured at the
+    600 k dup-heavy tier in tools/scale_smoke.py --prune).  The audit
+    is a k-row aggregate over the checkpointed cells."""
+    corpus = _semdedup_corpus(spark, sf_dir)
+    reps = _dedup_reps(spark, sf_dir).select("vec_id")
+    rep_corpus = corpus.join(reps, "vec_id", "left_semi")
+    dropped = _semdedup_dropped(rep_corpus).withColumn(
+        "is_dropped", F.lit(1)
+    )
+    is_rep = reps.withColumn("is_rep", F.lit(1))
+    n_reps = F.sum(F.coalesce(F.col("is_rep"), F.lit(0)))
+    n_dropped = F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+    return (
+        corpus.join(is_rep, "vec_id", "left")
+        .join(dropped, "vec_id", "left")
+        .groupBy(F.col("cell_a").alias("cell"))
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            n_reps.cast("long").alias("n_reps"),
+            (F.count("*") - n_reps).cast("long").alias("n_exact_collapsed"),
+            n_dropped.cast("long").alias("n_sem_dropped"),
+            (n_reps - n_dropped).cast("long").alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "llm_corpus_prune_pipeline_audit",
+    oracle=f"""
+    WITH cells AS ({_SEMDEDUP_CELLS_SQL}),
+    reps AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (PARTITION BY {_SQL_SIGN_SIG}
+                                  ORDER BY vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn = 1
+    ),
+    rep_cells AS (
+      SELECT c.* FROM cells c JOIN reps r ON c.vec_id = r.vec_id
+    ),
+    dropped AS ({_semdedup_dropped_sql(("cell_a", "cell_b"), source="rep_cells")})
+    SELECT CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_raw,
+           CAST((SELECT COUNT(*) FROM reps) AS BIGINT) AS n_reps,
+           CAST((SELECT COUNT(*) FROM dropped) AS BIGINT) AS n_sem_dropped,
+           CAST((SELECT COUNT(*) FROM reps)
+                - (SELECT COUNT(*) FROM dropped) AS BIGINT) AS n_kept,
+           round(((SELECT COUNT(*) FROM reps)
+                  - (SELECT COUNT(*) FROM dropped))
+                 / (SELECT COUNT(*) FROM cells), 4) AS retention_share,
+           (SELECT COUNT(*) FROM reps)
+             - (SELECT COUNT(*) FROM dropped) > 0 AS nonempty
+    FROM (SELECT 1)
+    """,
+)
+def llm_corpus_prune_pipeline_audit(spark, sf_dir):
+    """Corpus-level funnel of the composed prune — the one-row
+    retention contract a fleet run reads before committing the pruned
+    corpus: raw count, exact representatives, semantic drops, survivors,
+    retention share, and a non-empty guard (a prune that drops
+    everything is a bug, not a result).  Hash-checked like the per-cell
+    form."""
+    corpus = _semdedup_corpus(spark, sf_dir)
+    reps = _dedup_reps(spark, sf_dir).select("vec_id")
+    rep_corpus = corpus.join(reps, "vec_id", "left_semi")
+    dropped = _semdedup_dropped(rep_corpus)
+    return (
+        corpus.agg(F.count("*").cast("long").alias("n_raw"))
+        .join(reps.agg(F.count("*").cast("long").alias("n_reps")))
+        .join(dropped.agg(F.count("*").cast("long").alias("n_sem_dropped")))
+        .select(
+            "n_raw",
+            "n_reps",
+            "n_sem_dropped",
+            (F.col("n_reps") - F.col("n_sem_dropped"))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(
+                (F.col("n_reps") - F.col("n_sem_dropped")) / F.col("n_raw"),
+                4,
+            ).alias("retention_share"),
+            ((F.col("n_reps") - F.col("n_sem_dropped")) > 0).alias(
+                "nonempty"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coarse-quantizer RETRAIN (round 13, VERDICT r12 item 2 / carried from
+# r11): the drift-control action that closes the audit loop the
+# incremental-add dashboard opens.  llm_index_incremental_add freezes
+# the quantizer and measures the price (recall 0.367 at sf0.01 — the
+# thinnest margin in the ANN family); llm_index_cell_rebalance fixes
+# OCCUPANCY skew locally; this op is the remaining arm: when the drift
+# audit says the centroids no longer describe the corpus, retrain the
+# coarse quantizer on the CURRENT live corpus (post-compaction
+# survivors — the compact_cells state, which is where a production
+# retrain runs: never on rows a GDPR erasure already removed) and
+# re-assign.  The recall twin probes with the SAME survivor eval
+# protocol as the delete twins, so frozen-vs-retrained recall is
+# directly comparable in the driver ledger.
+
+
+def _ivf_retrained_parts(spark, sf_dir, k=_IVF_K, iters=_IVF_ITERS):
+    """(cells, centroids) of the quantizer retrained on the live
+    (non-tombstoned) corpus.  PERSISTED write-once with every training
+    hyperparameter in the token (ADVICE r10: changed params must
+    rebuild, not silently reuse)."""
+    from ..core import mat_exists, mat_path, materialize_once
+    from .clustering import kmeans_fit
+
+    tok = (
+        f"v1:ivf_retrain:{sf_dir}:k{k}i{iters}"
+        f"res{_TOMBSTONE_RESIDUE}"
+    )
+    names = (":cells", ":centroids")
+    if not all(mat_exists(tok + n) for n in names):
+        live = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .filter(~_is_tombstoned())
+        )
+        assigned, centroids = kmeans_fit(
+            spark, live, k=k, iters=iters, init="pp"
+        )
+        cells = materialize_once(
+            spark,
+            assigned.select("vec_id", F.col("cluster").alias("cell")),
+            tok + ":cells",
+            partition_col="vec_id",
+            n_partitions=8,
+        )
+        centroids = materialize_once(
+            spark, centroids, tok + ":centroids", n_partitions=1
+        )
+        return cells, centroids
+    return (
+        spark.read.parquet(mat_path(tok + ":cells")),
+        spark.read.parquet(mat_path(tok + ":centroids")),
+    )
+
+
+@query("llm_index_retrain")  # rows-only: k-means cells are iterative
+def llm_index_retrain(spark, sf_dir):
+    """Quantizer-retrain migration audit: one row per (old cell under
+    the FROZEN incrementally-maintained quantizer, new cell under the
+    RETRAINED one) with the vector count that moved — the matrix a
+    deployment reads after a retrain to see how far the old partition
+    drifted from the new geometry.  Tombstoned rows (already erased by
+    the compaction the retrain runs after) appear with new_cell = -1 —
+    retired, not reassigned.  Rows-only (two k-means layouts are
+    engine-specific); the oracled llm_index_retrain_recall twin gates
+    that the retrained index actually SERVES, on the same survivor
+    protocol as the delete twins.
+
+    Scale shape: the retrain is the standard k-means cost over the
+    live corpus (iters x one broadcast-assign + one map-combined
+    update) — run when the drift audit demands, not per batch; the
+    audit itself is one hash join of two vec_id-partitioned
+    assignments + a <= k^2+k row aggregate.  Nothing touches the old
+    index files until the new assignment is committed (write-once
+    token), which is the atomic-swap deployment shape."""
+    base_cells, delta_cells, _ = _ivf_incr_parts(spark, sf_dir)
+    old = base_cells.unionByName(delta_cells).select(
+        "vec_id", F.col("cell").alias("old_cell")
+    )
+    new_cells, _ = _ivf_retrained_parts(spark, sf_dir)
+    new = new_cells.select("vec_id", F.col("cell").alias("new_cell"))
+    return (
+        old.join(new, "vec_id", "left")
+        .select(
+            F.col("old_cell").cast("long").alias("old_cell"),
+            F.coalesce(F.col("new_cell"), F.lit(-1))
+            .cast("long")
+            .alias("new_cell"),
+        )
+        .groupBy("old_cell", "new_cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .orderBy("old_cell", "new_cell")
+    )
+
+
+@query(
+    "llm_index_retrain_recall",
+    # Honesty gate for the retrain: same survivor ground truth and
+    # structural zero as the delete twins (_SURVIVOR_RECALL_ORACLE), so
+    # the frozen-quantizer price and the retrained recovery sit on the
+    # SAME protocol in the same ledger.  Measured recovery at
+    # introduction (r13): recall@3 = 0.593 at sf0.001 (16/27) / 0.556
+    # at sf0.01 (15/27) vs the frozen quantizer's 0.444 / 0.481 on the
+    # IDENTICAL survivor protocol (compact-cells twin) — the retrain
+    # buys back the drift price the incremental-add twin put on record
+    # (0.367 at sf0.01 on its full-corpus protocol, the ANN family's
+    # thinnest margin).
+    oracle=_SURVIVOR_RECALL_ORACLE,
+)
+def llm_index_retrain_recall(spark, sf_dir):
+    """Recall@3 of an nprobe=2 probe over the RETRAINED index against
+    exact top-3 over the survivors, plus the measured count of deleted
+    ids that surfaced (structurally zero — the retrain corpus never
+    contained them).  Measured: 0.593/0.556 retrained vs 0.444/0.481
+    frozen at sf0.001/sf0.01 — see the oracle comment."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nsq", dot("embedding", "embedding"))
+    )
+    survivors = e.filter(~_is_tombstoned())
+    new_cells, centroids = _ivf_retrained_parts(spark, sf_dir)
+    cells = survivors.join(new_cells, "vec_id")
+    q = survivors.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    ann = _ivf_probe(cells, centroids, q).select("query_id", "neighbor_id")
+    return _survivor_recall_metric(ann, survivors, q)

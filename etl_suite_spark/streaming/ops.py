@@ -1020,6 +1020,15 @@ def stream_progress_report(spark, sf_dir):
 # (run_idx, batch_id, rows) tuple per micro-batch actually processed.
 _BACKLOG_LEDGER: list[tuple[int, int, int]] = []
 
+# The ENGINE's own account of the same drain (VERDICT r12 item 4 /
+# carried from r11 item 6): one (run_idx, batch_id, numInputRows) per
+# micro-batch, harvested from StreamingQueryProgress.recentProgress —
+# the stream_progress_report pattern applied to the recovery path, so
+# the pytest pins foreachBatch-side AND engine-side counts against each
+# other (a sink that miscounted, or an engine that re-delivered, would
+# disagree).
+_BACKLOG_ENGINE_LEDGER: list[tuple[int, int, int]] = []
+
 # Day boundaries that split the post-outage events into the 6-file
 # backlog (the January 2024 fixture spans the whole month; slice 1 is
 # everything before _CUTS[0] = Jan 11).
@@ -1080,11 +1089,22 @@ def stream_restart_backlog_drain(spark, sf_dir):
     warehouse = os.path.join(tempfile.mkdtemp(prefix="etl_wh_"), "events_drained")
     ckpt = tempfile.mkdtemp(prefix="etl_stream_ckpt_")
     _BACKLOG_LEDGER.clear()
+    _BACKLOG_ENGINE_LEDGER.clear()
 
     def run(run_idx: int) -> None:
+        import json as _json
+
         def merge(batch_df: DataFrame, batch_id: int) -> None:
-            _BACKLOG_LEDGER.append((run_idx, batch_id, batch_df.count()))
-            _upsert_batch(batch_df, batch_id, warehouse)
+            # persist: the ledger count and the upsert are two actions —
+            # unpersisted, each re-reads the micro-batch from the source
+            # (the engine's numInputRows honestly reported 2x the batch,
+            # which is how the round-13 telemetry pin CAUGHT this)
+            batch_df.persist()
+            try:
+                _BACKLOG_LEDGER.append((run_idx, batch_id, batch_df.count()))
+                _upsert_batch(batch_df, batch_id, warehouse)
+            finally:
+                batch_df.unpersist()
 
         q = (
             _read_stream(spark, drop, schema=ev.schema)
@@ -1094,6 +1114,15 @@ def stream_restart_backlog_drain(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+        # engine-side account of the drain (same harvest shape as
+        # stream_progress_report; trailing no-data commit batches skipped)
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else _json.loads(p.json)
+            if int(d.get("numInputRows", 0)) <= 0:
+                continue
+            _BACKLOG_ENGINE_LEDGER.append(
+                (run_idx, int(d["batchId"]), int(d["numInputRows"]))
+            )
 
     run(1)
     # outage: the job is down while the whole backlog lands

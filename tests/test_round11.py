@@ -76,6 +76,14 @@ def test_backlog_drain_ledger_and_warehouse(spark):
     ids = [b for b, _ in run1] + [b for b, _ in run2]
     assert ids == sorted(ids) and len(set(ids)) == len(ids)
     assert sum(out.values()) == n_total
+    # ENGINE-side telemetry agrees with the foreachBatch-side ledger
+    # batch for batch (VERDICT r12 item 4): StreamingQueryProgress's
+    # numInputRows per batchId must match what the sink saw — a sink
+    # miscount or an engine re-delivery would split these accounts.
+    eng1 = [(b, n) for run, b, n in so._BACKLOG_ENGINE_LEDGER if run == 1]
+    eng2 = [(b, n) for run, b, n in so._BACKLOG_ENGINE_LEDGER if run == 2]
+    assert eng1 == run1
+    assert eng2 == run2
 
 
 @pytest.fixture(scope="module")

@@ -7,9 +7,9 @@ SHARED helpers below — one implementation, so this tool and the pytest
 cannot drift to testing different contracts (the fuzz_differential
 discipline, code-review r11). This is the LONG form: N seeded corpora
 sweeping the shapes that could break cross-engine bit-parity — mixed
-magnitudes (1e-3..10), negative components, zero vectors are excluded
-by construction (nsq=0 would divide — the fixture generator never emits
-them and neither does production normalization), planted exact and
+magnitudes (1e-3..10), negative components, zero vectors excluded by
+construction AND — since round 13 (ADVICE r12 item 1) — rejected loudly
+by the operator itself in both engines, planted exact and
 near-duplicate pairs, and clustered corpora where many vectors share a
 direction (dup-cluster cell pileups).
 
@@ -43,7 +43,22 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
 
-SEMDEDUP_QUERIES = ("llm_semdedup", "llm_semdedup_recall", "llm_semdedup_sweep")
+SEMDEDUP_QUERIES = (
+    "llm_semdedup",
+    "llm_semdedup_recall",
+    "llm_semdedup_sweep",
+    # round 13: the multi-band operating point and the composed
+    # exact-collapse -> semantic-prune pipeline — all deterministic,
+    # so the same full-hash differential applies
+    "llm_semdedup_bands",
+    "llm_semdedup_bands_recall",
+    "llm_corpus_prune_pipeline",
+    "llm_corpus_prune_pipeline_audit",
+)
+
+# Band counts swept by compare_band_counts (VERDICT r12 item 6): the
+# registered two- and four-band points plus the odd one between.
+BAND_COUNTS = (2, 3, 4)
 
 
 def build_random_corpus(path: str, seed: int, n_rows: int = 300) -> None:
@@ -108,6 +123,59 @@ def compare_semdedup(spark, sf_dir: str) -> None:
         con.close()
 
 
+def compare_band_counts(spark, sf_dir: str) -> None:
+    """Differential + monotonicity sweep over band counts: for each
+    b in BAND_COUNTS, the Spark banded drop set must equal the DuckDB
+    drop set generated from the SAME SQL builders the registered
+    oracles use, and the drop set must grow as a SUPERSET with band
+    count (each band's candidate pairs are a fixed projection block —
+    adding bands only adds candidates).  Shared by the round-13 pytest
+    gate and this tool — one contract."""
+    import duckdb
+
+    from etl_suite_spark.llm.similarity import (
+        _semdedup_cells_sql,
+        _semdedup_corpus_banded,
+        _semdedup_dropped,
+        _semdedup_dropped_sql,
+    )
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        prev: set | None = None
+        for bands in BAND_COUNTS:
+            cols = tuple(f"cell_{i}" for i in range(bands))
+            corpus = _semdedup_corpus_banded(spark, sf_dir, bands=bands)
+            spark_drop = {
+                r["vec_id"]
+                for r in _semdedup_dropped(corpus, cell_cols=cols).collect()
+            }
+            duck_drop = {
+                r[0]
+                for r in con.execute(
+                    f"WITH cells AS ({_semdedup_cells_sql(cols)}) "
+                    + _semdedup_dropped_sql(cols)
+                ).fetchall()
+            }
+            assert spark_drop == duck_drop, (
+                f"bands={bands}: drop-set drift "
+                f"spark-only={sorted(spark_drop - duck_drop)[:5]} "
+                f"duck-only={sorted(duck_drop - spark_drop)[:5]}"
+            )
+            if prev is not None:
+                assert spark_drop >= prev, (
+                    f"bands={bands}: drop set not a superset of "
+                    f"bands={bands - 1}: lost {sorted(prev - spark_drop)[:5]}"
+                )
+            prev = spark_drop
+    finally:
+        con.close()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
@@ -126,14 +194,18 @@ def main() -> None:
             build_random_corpus(d, seed, args.rows)
             try:
                 compare_semdedup(spark, d)
+                compare_band_counts(spark, d)
             except AssertionError as e:
                 print(f"DIVERGENCE at seed {seed}: {e}")
                 raise SystemExit(1)
-            print(f"seed {seed}: {len(SEMDEDUP_QUERIES)} queries parity-green")
+            print(
+                f"seed {seed}: {len(SEMDEDUP_QUERIES)} queries + "
+                f"{len(BAND_COUNTS)} band counts parity-green"
+            )
             shutil.rmtree(d, ignore_errors=True)
         print(
             f"== fuzz-semdedup: {args.iters} corpora x {len(SEMDEDUP_QUERIES)} "
-            "queries, 0 divergences =="
+            f"queries (+band sweep {BAND_COUNTS}), 0 divergences =="
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -120,6 +120,10 @@ EXPECTED_NLJ = {
     "llm_sim_ann_filtered_recall",  # bounded 10-query ground-truth broadcast + 1-row metric joins (incl. the filter-violation scalar)
     "llm_index_cell_rebalance_recall",  # bounded 10-query ground-truth broadcast + 1-row metric/conservation joins
     "llm_semdedup_sweep",  # 5-row threshold table theta-joined to per-doc maxima + 1-row total broadcast (the threshold_sweep shape)
+    "llm_semdedup_bands_recall",  # all-pairs tau ground truth at fixture scale (measurement twin of the cell-joined bands op) + 1-row metric join
+    "llm_corpus_prune_pipeline_audit",  # 1-row corpus-funnel totals crossJoined into the single report row
+    "llm_index_retrain",  # k-centroid broadcast argmin (the frozen delta assignment it audits against)
+    "llm_index_retrain_recall",  # bounded 10-query ground-truth broadcast + 1-row metric joins (incl. the surfaced-deleted scalar)
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
