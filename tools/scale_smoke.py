@@ -669,6 +669,17 @@ def main() -> None:
         default=0.001,
         help="ANN tier per-copy embedding perturbation amplitude (addendum 24: sweeping this separates quantizer code-collision recall floors from genuine index misses)",
     )
+    ap.add_argument(
+        "--prune",
+        action="store_true",
+        help="run the corpus-prune tier (VERDICT r12 items 5+6): collapse-first vs prune-only A/B on the dup-heavy corpus, plus a band-count recall sweep on a wide-perturb variant",
+    )
+    ap.add_argument(
+        "--bands-perturb",
+        type=float,
+        default=0.15,
+        help="prune tier: perturbation amplitude of the band-sweep corpus — wide enough that sign bits genuinely flip, so band count measurably moves planted-dup recall (at the near-dup 0.001 amplitude every band catches everything and the sweep is vacuous)",
+    )
     args = ap.parse_args()
 
     import etl_suite_spark  # noqa: F401
@@ -715,7 +726,7 @@ def main() -> None:
         build_events(args.base, args.copies, out, hot_subject=args.hot_subject)
     elif args.graph:
         build_graph(args.base, args.copies, out)
-    elif args.ann:
+    elif args.ann or args.prune:
         build_ann(args.base, args.copies, out, perturb=args.perturb,
                   dup_fraction=args.dup_fraction)
         dedup_counts = None
@@ -726,6 +737,191 @@ def main() -> None:
 
     spark = get_spark("etl-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.prune:
+        # Corpus-prune tier (VERDICT r12 items 5+6).
+        #
+        # A/B (item 5, the dedup-before-index economics applied to
+        # SemDeDup): on the dup-heavy corpus, (a) prune-only — the
+        # semantic kernel over all rows — vs (b) collapse-first — the
+        # 32-bit sign-signature exact collapse, materialize the
+        # representatives, then the semantic kernel sized to the
+        # collapsed corpus.  Collapse removes exactly the near-dup mass
+        # that makes semdedup cells quadratic hotspots, so (b)'s kernel
+        # cost shrinks by the collapse ratio squared.
+        #
+        # Band sweep (item 6): on a WIDE-perturbation variant (sign
+        # bits genuinely flip), planted-dup recall per band count — the
+        # measured form of the more-narrower-bands rule.  Ground truth
+        # is by construction: every copy row (vec_id >= 100000) has an
+        # earlier in-band tau-neighbor, so recall = dropped planted
+        # rows / planted rows.  Monotonicity is a sentinel: a band
+        # count that LOWERS recall fails the run.
+        import math
+
+        from etl_suite_spark.llm.similarity import (
+            _dedup_reps,
+            _semdedup_corpus,
+            _semdedup_corpus_banded,
+            _semdedup_dropped,
+        )
+
+        if args.dup_fraction != 1.0:
+            raise SystemExit(
+                "--prune requires the full-duplication corpus "
+                "(planted-recall ground truth assumes every copy is in-band)"
+            )
+
+        def budget_bits(n: int) -> int:
+            # 21 = the projection family's per-band cap
+            return min(21, max(3, math.ceil(math.log2(max(n, 1) / 50))))
+
+        timings = {}
+        n_vec = spark.read.parquet(f"{out}/embeddings.parquet").count()
+        n_base = (
+            spark.read.parquet(f"{out}/embeddings.parquet")
+            .filter("vec_id < 100000")
+            .count()
+        )
+
+        # --- A: prune-only ---
+        bits = budget_bits(n_vec)
+        t0 = time.perf_counter()
+        corpus = _semdedup_corpus(spark, out, bits=bits)
+        n_drop_a = _semdedup_dropped(corpus).count()
+        wall_a = round(time.perf_counter() - t0, 3)
+        timings["prune_only"] = {
+            "sec": wall_a,
+            "bits_per_band": bits,
+            "rows": n_vec,
+            "n_dropped": n_drop_a,
+            "n_survivors": n_vec - n_drop_a,
+        }
+
+        # --- B: collapse-first (materializes the rep corpus, honestly
+        # included in the collapse wall) ---
+        rep_dir = os.path.join(os.path.dirname(out), "reps")
+        t0 = time.perf_counter()
+        _dedup_reps(spark, out).write.mode("overwrite").parquet(
+            f"{rep_dir}/embeddings.parquet"
+        )
+        n_reps = spark.read.parquet(f"{rep_dir}/embeddings.parquet").count()
+        wall_collapse = round(time.perf_counter() - t0, 3)
+        bits_b = budget_bits(n_reps)
+        t0 = time.perf_counter()
+        rep_corpus = _semdedup_corpus(spark, rep_dir, bits=bits_b)
+        n_drop_b = _semdedup_dropped(rep_corpus).count()
+        wall_b = round(time.perf_counter() - t0, 3)
+        timings["collapse_first"] = {
+            "collapse_sec": wall_collapse,
+            "prune_sec": wall_b,
+            "total_sec": round(wall_collapse + wall_b, 3),
+            "bits_per_band": bits_b,
+            "n_reps": n_reps,
+            "n_sem_dropped": n_drop_b,
+            "n_survivors": n_reps - n_drop_b,
+            "speedup_vs_prune_only": round(
+                wall_a / max(wall_collapse + wall_b, 1e-9), 2
+            ),
+        }
+
+        # --- band sweep on the wide-perturb variant ---
+        sweep_dir = os.path.join(os.path.dirname(out), "sweep")
+        build_ann(args.base, args.copies, sweep_dir,
+                  perturb=args.bands_perturb, dup_fraction=1.0)
+        n_planted = n_vec - n_base
+        # validate the synthetic corpus BEFORE trusting the recall
+        # denominator (the addendum-44 discipline): at wide
+        # --bands-perturb some planted copies may genuinely fall below
+        # tau vs their base — count the ones still in-band-eligible
+        # (exact integer cosine vs own base) and report recall against
+        # BOTH denominators.
+        import duckdb as _duckdb
+
+        _con = _duckdb.connect()
+        n_planted_valid = _con.execute(
+            f"""
+            SELECT COUNT(*) FROM
+              read_parquet('{sweep_dir}/embeddings.parquet') p
+            JOIN read_parquet('{sweep_dir}/embeddings.parquet') b
+              ON b.vec_id = p.vec_id % 100000 AND p.vec_id >= 100000
+            WHERE list_sum(list_transform(range(1, 65), i ->
+                    CAST(round(p.embedding[i] * 1000000) AS BIGINT)
+                    * CAST(round(b.embedding[i] * 1000000) AS BIGINT)))
+                  / sqrt(
+                    CAST(list_sum(list_transform(range(1, 65), i ->
+                      CAST(round(p.embedding[i] * 1000000) AS BIGINT)
+                      * CAST(round(p.embedding[i] * 1000000) AS BIGINT)))
+                      AS DOUBLE)
+                    * CAST(list_sum(list_transform(range(1, 65), i ->
+                      CAST(round(b.embedding[i] * 1000000) AS BIGINT)
+                      * CAST(round(b.embedding[i] * 1000000) AS BIGINT)))
+                      AS DOUBLE))
+                  >= 0.40
+            """
+        ).fetchone()[0]
+        _con.close()
+        sweep_bits = min(budget_bits(n_vec), 42 // 3)  # 3 bands max fits 42
+        prev_recall = -1.0
+        sweep_failures = []
+        for bands in (1, 2, 3):
+            cols = tuple(f"cell_{i}" for i in range(bands))
+            t0 = time.perf_counter()
+            bc = _semdedup_corpus_banded(
+                spark, sweep_dir, bands=bands, bits=sweep_bits
+            )
+            dropped = _semdedup_dropped(bc, cell_cols=cols)
+            n_planted_dropped = dropped.filter("vec_id >= 100000").count()
+            wall = round(time.perf_counter() - t0, 3)
+            recall = round(n_planted_dropped / max(n_planted, 1), 4)
+            timings[f"band_sweep_b{bands}"] = {
+                "sec": wall,
+                "bands": bands,
+                "bits_per_band": sweep_bits,
+                "n_planted": n_planted,
+                # corpus validation, not a recall denominator: planted
+                # rows whose cosine vs their OWN base clears tau (a
+                # LOWER bound on tau-eligible rows — drops can also
+                # arrive via sibling copies or natural neighbors; a
+                # sweep where this is far below n_planted means the
+                # chosen --bands-perturb left the near-dup band and
+                # planted_recall reads as coverage, not recall)
+                "n_planted_valid_vs_base": n_planted_valid,
+                "n_planted_dropped": n_planted_dropped,
+                "planted_recall": recall,
+            }
+            if recall < prev_recall:
+                sweep_failures.append(
+                    f"bands={bands} recall {recall} < bands={bands - 1} "
+                    f"{prev_recall}"
+                )
+            prev_recall = recall
+
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_smoke_prune",
+                    "tier": "prune",
+                    "copies": args.copies,
+                    "base": args.base,
+                    "perturb": args.perturb,
+                    "bands_perturb": args.bands_perturb,
+                    "band_monotonicity": (
+                        ("FAIL: " + "; ".join(sweep_failures))
+                        if sweep_failures
+                        else "pass"
+                    ),
+                    "queries": timings,
+                }
+            )
+        )
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        if sweep_failures:
+            raise SystemExit(
+                "band-count recall monotonicity violated: "
+                + "; ".join(sweep_failures)
+            )
+        return
 
     if args.ann:
         from etl_suite_spark.llm.dedup import _corpus_signatures
