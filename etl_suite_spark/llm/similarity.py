@@ -3451,7 +3451,11 @@ def _semdedup_corpus_banded(
       disagreeing on every cell id;
     - norms must be positive — a zero vector makes cosine 0/0 = NaN,
       and NaN >= tau is false in Spark/numpy but TRUE under DuckDB's
-      total order, silently diverging on the drop set."""
+      total order, silently diverging on the drop set;
+    - NULL embeddings are rejected by name (code-review r13: without
+      the explicit branch, DuckDB's CASE null-propagates and the row
+      silently vanishes from joins while Spark errors — the exact
+      one-engine-silent divergence these guards exist to prevent)."""
     if bands * bits > 42:
         raise ValueError(
             f"semdedup: {bands} bands x {bits} bits needs {bands * bits}"
@@ -3463,7 +3467,9 @@ def _semdedup_corpus_banded(
         .withColumn(
             "qemb",
             F.expr(
-                "CASE WHEN size(embedding) != 64 THEN"
+                "CASE WHEN embedding IS NULL THEN"
+                " raise_error('semdedup: NULL embedding')"
+                " WHEN size(embedding) != 64 THEN"
                 " raise_error(concat('semdedup: embedding dim must be 64,"
                 " got ', CAST(size(embedding) AS STRING)))"
                 " ELSE transform(embedding,"
@@ -3608,7 +3614,9 @@ def _semdedup_cells_sql(
     )
     return f"""
     SELECT vec_id, embedding,
-           CASE WHEN len(embedding) <> 64
+           CASE WHEN embedding IS NULL
+                  THEN error('semdedup: NULL embedding')
+                WHEN len(embedding) <> 64
                   THEN error('semdedup: embedding dim must be 64')
                 WHEN {sql_dot('embedding', 'embedding')} <= 0
                   THEN error('semdedup: zero-norm embedding')
@@ -4487,7 +4495,10 @@ def llm_corpus_prune_pipeline(spark, sf_dir):
     600 k dup-heavy tier in tools/scale_smoke.py --prune).  The audit
     is a k-row aggregate over the checkpointed cells."""
     corpus = _semdedup_corpus(spark, sf_dir)
-    reps = _dedup_reps(spark, sf_dir).select("vec_id")
+    # write-once materialized reps (code-review r13: the unmaterialized
+    # form re-ran the corpus-wide signature shuffle once per consumer
+    # branch — the exact r9 finding _dedup_reps_materialized fixes)
+    reps = _dedup_reps_materialized(spark, sf_dir).select("vec_id")
     rep_corpus = corpus.join(reps, "vec_id", "left_semi")
     dropped = _semdedup_dropped(rep_corpus).withColumn(
         "is_dropped", F.lit(1)
@@ -4547,7 +4558,10 @@ def llm_corpus_prune_pipeline_audit(spark, sf_dir):
     everything is a bug, not a result).  Hash-checked like the per-cell
     form."""
     corpus = _semdedup_corpus(spark, sf_dir)
-    reps = _dedup_reps(spark, sf_dir).select("vec_id")
+    # write-once materialized reps (code-review r13: the unmaterialized
+    # form re-ran the corpus-wide signature shuffle once per consumer
+    # branch — the exact r9 finding _dedup_reps_materialized fixes)
+    reps = _dedup_reps_materialized(spark, sf_dir).select("vec_id")
     rep_corpus = corpus.join(reps, "vec_id", "left_semi")
     dropped = _semdedup_dropped(rep_corpus)
     return (

@@ -236,10 +236,21 @@ def test_r14_overflow_plan_is_well_formed():
     latest = _driver_history()
     stale = sorted(set(entry_mod.R14_PLANNED) & set(latest))
     assert not stale, f"R14-planned names already evidenced: {stale}"
-    # the staged R14 re-check block must start with the 3 r5-era
-    # leftovers — pinned here so the overflow cannot be forgotten.
+    # The 3 r5-era leftovers are re-checks, NOT round-13 additions —
+    # they must not be parked in R14_PLANNED (that slot's strict-ledger
+    # escape is for never-evidenced queries), must still be registered,
+    # and must still carry exactly r5 evidence so the r14 rotation's
+    # oldest-first rule (which the next round's pinned window test
+    # re-derives from the CORRECTNESS ledger) cannot skip them
+    # (code-review r13: the first form of this pin only asserted
+    # registration, which any registered name satisfies).
+    latest_round = _latest_round()
+    assert not set(R5_LEFTOVER) & set(entry_mod.R14_PLANNED)
     for name in R5_LEFTOVER:
         assert name in registered
+        assert latest_round.get(name) == 5, (
+            f"{name}: expected r5-era evidence, got {latest_round.get(name)}"
+        )
 
 
 def test_bench_headline_queries_registered():

@@ -72,6 +72,44 @@ def test_zero_norm_fails_loudly_duckdb(zero_norm_sf):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def null_embedding_sf(tmp_path_factory):
+    """A corpus where vec_id 3's embedding is NULL — without the
+    explicit guard branch, DuckDB's CASE null-propagates and the row
+    silently vanishes from joins while Spark errors (code-review
+    r13)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("null_embedding_sf")
+    pdf = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    pdf.loc[pdf.vec_id == 3, "embedding"] = None
+    pdf.to_parquet(f"{d}/embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_null_embedding_fails_loudly_spark(spark, null_embedding_sf):
+    from etl_suite_spark.llm.similarity import _semdedup_corpus
+
+    with pytest.raises(Exception, match="NULL embedding"):
+        _semdedup_corpus(spark, null_embedding_sf).collect()
+
+
+def test_null_embedding_fails_loudly_duckdb(null_embedding_sf):
+    import duckdb
+
+    from etl_suite_spark.llm.similarity import _SEMDEDUP_CELLS_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{null_embedding_sf}/embeddings.parquet')"
+    )
+    with pytest.raises(Exception, match="NULL embedding"):
+        con.execute(_SEMDEDUP_CELLS_SQL).fetchall()
+    con.close()
+
+
 def test_short_dim_fails_loudly_spark(spark, short_dim_sf):
     from etl_suite_spark.llm.similarity import _semdedup_corpus
 

@@ -146,10 +146,18 @@ def compare_band_counts(spark, sf_dir: str) -> None:
             "CREATE VIEW embeddings AS SELECT * FROM "
             f"read_parquet('{sf_dir}/embeddings.parquet')"
         )
+        # ONE corpus at the max band count serves every sweep point:
+        # band i's cell column is a fixed projection block (j = i*bits
+        # ..), identical at every band count, so smaller counts are
+        # column-prefix views (code-review r13: the per-count rebuild
+        # re-ran 2+3+4 bands of projection folds + three checkpoints)
+        corpus = _semdedup_corpus_banded(
+            spark, sf_dir, bands=max(BAND_COUNTS)
+        )
+        all_cols = tuple(f"cell_{i}" for i in range(max(BAND_COUNTS)))
         prev: set | None = None
         for bands in BAND_COUNTS:
-            cols = tuple(f"cell_{i}" for i in range(bands))
-            corpus = _semdedup_corpus_banded(spark, sf_dir, bands=bands)
+            cols = all_cols[:bands]
             spark_drop = {
                 r["vec_id"]
                 for r in _semdedup_dropped(corpus, cell_cols=cols).collect()
@@ -157,7 +165,7 @@ def compare_band_counts(spark, sf_dir: str) -> None:
             duck_drop = {
                 r[0]
                 for r in con.execute(
-                    f"WITH cells AS ({_semdedup_cells_sql(cols)}) "
+                    f"WITH cells AS ({_semdedup_cells_sql(all_cols)}) "
                     + _semdedup_dropped_sql(cols)
                 ).fetchall()
             }

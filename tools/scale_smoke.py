@@ -771,6 +771,14 @@ def main() -> None:
                 "--prune requires the full-duplication corpus "
                 "(planted-recall ground truth assumes every copy is in-band)"
             )
+        if args.dedup_first:
+            raise SystemExit(
+                "--prune is incompatible with --dedup-first: the flag "
+                "would pre-collapse the corpus the prune-only arm is "
+                "supposed to measure dup-heavy (bogus ~1x speedup) and "
+                "shrink the sweep's planted denominator below its "
+                "numerator — the tier runs its own collapse arm"
+            )
 
         def budget_bits(n: int) -> int:
             # 21 = the projection family's per-band cap
@@ -838,6 +846,8 @@ def main() -> None:
         # BOTH denominators.
         import duckdb as _duckdb
 
+        from etl_suite_spark.llm.similarity import _SEMDEDUP_TAU
+
         _con = _duckdb.connect()
         n_planted_valid = _con.execute(
             f"""
@@ -857,7 +867,7 @@ def main() -> None:
                       CAST(round(b.embedding[i] * 1000000) AS BIGINT)
                       * CAST(round(b.embedding[i] * 1000000) AS BIGINT)))
                       AS DOUBLE))
-                  >= 0.40
+                  >= {_SEMDEDUP_TAU}
             """
         ).fetchone()[0]
         _con.close()
