@@ -774,6 +774,9 @@ R14_PLANNED: list[str] = [
     "llm_corpus_prune_pipeline_audit",
     "llm_index_retrain",  # rows-only by design (k-means cells); recall twin oracled
     "llm_index_retrain_recall",
+    "llm_sim_ann_nprobe_sweep",  # rows-only by design (k-means cells); recall twin oracled
+    "llm_sim_ann_nprobe_sweep_recall",
+    "llm_quality_select_capped",
 ]
 
 

@@ -174,6 +174,10 @@ HEADLINE = [
     # first-measurement baselines under the checksum action.
     "llm_semdedup",
     "llm_index_cell_rebalance_recall",
+    # round 13: the composed corpus prune and the multi-band semantic
+    # prune (first tracked measurements become their own baselines)
+    "llm_corpus_prune_pipeline",
+    "llm_semdedup_bands",
 ]
 
 REPEATS = 3

@@ -1359,3 +1359,121 @@ def llm_rare_token_docs(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source capped quality selection (round 13): the mixture-building
+# step between filtering and training — every corpus recipe caps how
+# much any single source may contribute (source diversity beats raw
+# mass), and within the cap takes its best documents.  Quality rank
+# here = the composite keep gate, then longer documents first (the
+# fixture's deterministic stand-in for a model quality score — at
+# production the ORDER BY swaps to the score column, nothing else
+# changes).  Cap chosen so the fixture genuinely exercises both sides
+# (eligible counts span 18-25 per source at both fixtures, so at 22
+# roughly half the sources are cap-cut and half supply-limited; the
+# first cut used 10, which bound everywhere and left the short-supply
+# branch untested).
+_SELECT_CAP_PER_SOURCE = 22
+
+
+def _select_capped_oracle() -> str:
+    """Assembled at registration from the registry's composite oracle —
+    the same never-drifts splice llm_quality_composite uses."""
+    from ..registry import ORACLES
+
+    return f"""
+    WITH comp AS ({ORACLES["llm_quality_composite"]}),
+    j AS (
+      SELECT d.doc_id, d.source, d.n_chars, comp.keep
+      FROM documents d JOIN comp ON comp.doc_id = d.doc_id
+    ),
+    base AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eligible
+      FROM j GROUP BY 1
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM j WHERE keep
+    ),
+    sel AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_selected,
+             CAST(SUM(n_chars) AS BIGINT) AS selected_chars
+      FROM ranked WHERE rn <= {_SELECT_CAP_PER_SOURCE} GROUP BY 1
+    )
+    SELECT b.source, b.n_docs, b.n_eligible,
+           CAST(COALESCE(s.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(s.selected_chars, 0) AS BIGINT) AS selected_chars,
+           b.n_eligible >= {_SELECT_CAP_PER_SOURCE} AS cap_bound
+    FROM base b LEFT JOIN sel s ON s.source = b.source
+    ORDER BY 1
+    """
+
+
+@query("llm_quality_select_capped", oracle=_select_capped_oracle())
+def llm_quality_select_capped(spark, sf_dir):
+    """Per-source capped selection over the composite quality gate: one
+    row per source — total docs, gate-eligible docs, docs actually
+    selected under the per-source cap, their character mass, and
+    whether the cap bound (n_eligible >= cap).  The audit a mixture
+    plan reads to see which sources are supply-limited vs cap-limited
+    before weights are assigned (the llm_mixture_epochs input).
+
+    Scale shape: the composite gate's existing shuffles + ONE window
+    rank partitioned by source (the selection key — at 100 TB source
+    cardinality is ~thousands, so the rank is a per-source sort of
+    eligible docs only, not the corpus) + a source-domain aggregate.
+    Exact integer char mass; rank tiebreak (n_chars DESC, doc_id)
+    pinned identical in both engines."""
+    from ..registry import QUERIES
+
+    comp = QUERIES["llm_quality_composite"](spark, sf_dir).select(
+        "doc_id", "keep"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    j = docs.join(comp, "doc_id")
+    base = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_eligible"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    sel = (
+        j.filter(F.col("keep"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SELECT_CAP_PER_SOURCE)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("n_chars").cast("long").alias("selected_chars"),
+        )
+    )
+    return (
+        base.join(sel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_eligible",
+            F.coalesce(F.col("n_selected"), F.lit(0))
+            .cast("long")
+            .alias("n_selected"),
+            F.coalesce(F.col("selected_chars"), F.lit(0))
+            .cast("long")
+            .alias("selected_chars"),
+            (F.col("n_eligible") >= _SELECT_CAP_PER_SOURCE).alias(
+                "cap_bound"
+            ),
+        )
+        .orderBy("source")
+    )

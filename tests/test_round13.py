@@ -341,3 +341,120 @@ def test_retrain_recall_twin_contract(spark):
     re_row = QUERIES["llm_index_retrain_recall"](spark, SF_DIR).collect()[0]
     assert re_row["n_deleted_surfaced"] == 0
     assert re_row["recall_ge_30"] is True
+
+
+# ---------------------------------------------------------------------------
+# nprobe calibration sweep
+
+
+def test_nprobe_sweep_curve_shape(spark):
+    """4 rows, candidate volume strictly increasing (prefixes nest and
+    every added cell is non-empty on this fixture), found-count
+    monotone non-decreasing, recall consistent with the counts."""
+    from etl_suite_spark.registry import QUERIES
+
+    rows = QUERIES["llm_sim_ann_nprobe_sweep"](spark, SF_DIR).collect()
+    assert [r["nprobe"] for r in rows] == [1, 2, 3, 4]
+    cands = [r["n_candidates"] for r in rows]
+    assert cands == sorted(cands) and len(set(cands)) == 4
+    founds = [r["n_found"] for r in rows]
+    assert founds == sorted(founds)
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_nprobe_sweep_matches_registered_probe_at_2(spark):
+    """The sweep's nprobe=2 row must reproduce the registered
+    llm_sim_ann_ivf operating point exactly (same index, same queries,
+    same k) — a sweep that disagrees with the op it calibrates is
+    measuring something else."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.llm.similarity import (
+        _exact_top3,
+        _ivf_index,
+        _ivf_probe,
+        dot,
+    )
+    from etl_suite_spark.registry import QUERIES
+
+    row2 = [
+        r
+        for r in QUERIES["llm_sim_ann_nprobe_sweep"](spark, SF_DIR).collect()
+        if r["nprobe"] == 2
+    ][0]
+    e = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("nsq", dot("embedding", "embedding"))
+    )
+    assigned, cents = _ivf_index(spark, SF_DIR)
+    cells = e.join(assigned, "vec_id")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    ann = _ivf_probe(cells, cents, q).select("query_id", "neighbor_id")
+    exact3 = _exact_top3(e, q)
+    n_found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi").count()
+    assert row2["n_found"] == n_found
+
+
+def test_nprobe_sweep_recall_twin_contract(spark):
+    from etl_suite_spark.registry import QUERIES
+
+    row = QUERIES["llm_sim_ann_nprobe_sweep_recall"](spark, SF_DIR).collect()[0]
+    assert row["recall_monotone"] is True
+    assert row["recall_ge_30_at_2"] is True
+    assert row["n_nprobes"] == 4
+
+
+# ---------------------------------------------------------------------------
+# per-source capped quality selection
+
+
+def test_select_capped_respects_cap_and_eligibility(spark):
+    from etl_suite_spark.llm.traindata import _SELECT_CAP_PER_SOURCE
+    from etl_suite_spark.registry import QUERIES
+
+    rows = QUERIES["llm_quality_select_capped"](spark, SF_DIR).collect()
+    assert rows, "fixture must have sources"
+    bound = short = 0
+    for r in rows:
+        assert r["n_selected"] == min(r["n_eligible"], _SELECT_CAP_PER_SOURCE)
+        assert r["cap_bound"] == (r["n_eligible"] >= _SELECT_CAP_PER_SOURCE)
+        bound += int(r["cap_bound"])
+        short += int(not r["cap_bound"])
+    # the cap constant is fixture-calibrated to exercise BOTH branches
+    assert bound > 0 and short > 0
+
+
+def test_select_capped_picks_longest_eligible(spark):
+    """Selection = the cap's top slice of ELIGIBLE docs by (n_chars
+    DESC, doc_id): verify per source against a direct recomputation."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.llm.traindata import _SELECT_CAP_PER_SOURCE
+    from etl_suite_spark.registry import QUERIES
+
+    comp = {
+        r["doc_id"]: r["keep"]
+        for r in QUERIES["llm_quality_composite"](spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_src: dict = {}
+    for d in docs:
+        if comp[d["doc_id"]]:
+            by_src.setdefault(d["source"], []).append(
+                (-d["n_chars"], d["doc_id"])
+            )
+    expected = {
+        s: sum(-c for c, _ in sorted(v)[:_SELECT_CAP_PER_SOURCE])
+        for s, v in by_src.items()
+    }
+    got = {
+        r["source"]: r["selected_chars"]
+        for r in QUERIES["llm_quality_select_capped"](spark, SF_DIR).collect()
+    }
+    assert got == expected

@@ -124,6 +124,8 @@ EXPECTED_NLJ = {
     "llm_corpus_prune_pipeline_audit",  # 1-row corpus-funnel totals crossJoined into the single report row
     "llm_index_retrain",  # k-centroid broadcast argmin (the frozen delta assignment it audits against)
     "llm_index_retrain_recall",  # bounded 10-query ground-truth broadcast + 1-row metric joins (incl. the surfaced-deleted scalar)
+    "llm_sim_ann_nprobe_sweep",  # bounded 10-query probe broadcast + exact-top3 ground truth + 4 one-row curve aggregates
+    "llm_sim_ann_nprobe_sweep_recall",  # same curve machinery + 1-row monotone/gate metric joins
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —

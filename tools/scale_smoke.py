@@ -155,6 +155,11 @@ ANN_INDEX_OPS = [
     # (their gates are their own recall twins).
     "llm_index_tombstone_probe",
     "llm_index_compact_cells",
+    # round 13: quantizer retrain (cold = full k-means over the live
+    # corpus + persist — the drift-control action, priced so the audit
+    # loop's "when to retrain" trade is measured; warm = the recurring
+    # migration-matrix audit). Not sentinel-pinned (gate = recall twin).
+    "llm_index_retrain",
     # round 12: rebalance (cold = base train + per-split 2-means + rewrite,
     # warm = recurring audit over the persisted rebalanced assignment) and
     # filtered search (cold = shared base train, warm = the filtered probe).
@@ -177,6 +182,11 @@ ANN_RECALL_OPS = [
     # round 12: rebalance conservation/recall + filtered-search twins
     "llm_index_cell_rebalance_recall",
     "llm_sim_ann_filtered_recall",
+    # round 13: the retrain recovery twin and the nprobe calibration
+    # curve's contract twin (not sentinel-pinned — their gates are
+    # their own hash-checked flags)
+    "llm_index_retrain_recall",
+    "llm_sim_ann_nprobe_sweep_recall",
 ]
 
 # Permanent regression sentinel (VERDICT r8 item 3): the recall-gate
