@@ -777,6 +777,8 @@ R14_PLANNED: list[str] = [
     "llm_sim_ann_nprobe_sweep",  # rows-only by design (k-means cells); recall twin oracled
     "llm_sim_ann_nprobe_sweep_recall",
     "llm_quality_select_capped",
+    "llm_semdedup_prototypes",
+    "llm_corpus_prune_d4",
 ]
 
 

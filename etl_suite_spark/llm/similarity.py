@@ -4916,3 +4916,302 @@ def llm_sim_ann_nprobe_sweep_recall(spark, sf_dir):
             "recall_ge_30_at_2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prototypicality prune (round 13, D4 lineage — Tirumala et al. 2023:
+# dedup -> SemDeDup -> prune the most PROTOTYPICAL members of each
+# cluster, keeping the diverse tail that carries the marginal training
+# signal).  The deterministic sign-projection cells stand in for D4's
+# k-means clusters exactly as they do for SemDeDup, and the
+# prototypicality score exploits scale invariance: cosine to the cell
+# CENTROID equals cosine to the cell SUM, and the sum of quantized
+# embeddings is exact int64 — so score, ranking, and prune are
+# bit-reproducible in ANSI SQL and the driver hash-checks the ACTUAL
+# prune, the same contract as llm_semdedup.
+#
+# Exactness bound, magnitude-aware: every intermediate (q·S, q·q, S·S)
+# must stay inside int64 in BOTH engines — DuckDB's list_sum/HUGEINT
+# would keep going past 2^63 while Spark's int64 silently wraps, the
+# worst kind of divergence.  With B = Σ over the cell of each row's
+# max |q_i| (so |S_i| <= B), the binding term is S·S <= 64·B², giving
+# B <= 3.79e8; cells are therefore LOUDLY capped at B <= 3.5e8 in both
+# engines (a 300-row unit-norm cell sits near 1e8, the driver fixture
+# near 2e7).  A cell breaching the cap is a mega-cell (or a
+# wild-magnitude corpus) — exactly the state the rebalance/wider-band
+# knobs exist to fix first.
+_PROTO_CELL_CAP = 350_000_000  # Σ per-row max|q| per cell, not a row count
+_PROTO_PRUNE_FRAC = 5  # drop the top 1/5 most prototypical per cell
+
+
+def _proto_scores(corpus):
+    """(vec_id, cell_a, n_cell, proto) — cosine of each row to its
+    band-A cell's exact integer sum vector.  One posexplode pass
+    (64x row inflation, map-side combined back to cells x 64 sums),
+    one (cell, pos) equi-join to fold q·S and q·q per row, one k-row
+    cell aggregate for S·S.  At 100 TB the same shape, or the per-cell
+    applyInPandas vector sum if the 64x inflation matters."""
+    pos = corpus.select(
+        "vec_id",
+        "cell_a",
+        F.posexplode("qemb").alias("pos", "q"),
+    )
+    counts = corpus.groupBy("cell_a").agg(
+        F.count("*").cast("long").alias("n_cell"),
+        F.sum(
+            F.expr("aggregate(qemb, 0L, (a, x) -> greatest(a, abs(x)))")
+        ).alias("b_mass"),
+    )
+    guarded = counts.withColumn(
+        "n_cell",
+        F.when(
+            F.col("b_mass") <= F.lit(_PROTO_CELL_CAP), F.col("n_cell")
+        ).otherwise(
+            F.expr(
+                "raise_error('semdedup prototypes: cell magnitude mass"
+                " exceeds the exact-int64 cap — widen the band (bits)"
+                " or rebalance before pruning')"
+            )
+        ),
+    ).drop("b_mass")
+    sums = pos.groupBy("cell_a", "pos").agg(F.sum("q").alias("s"))
+    scs = sums.groupBy("cell_a").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss")
+    )
+    rd = (
+        pos.join(sums, ["cell_a", "pos"])
+        .groupBy("vec_id", "cell_a")
+        .agg(
+            F.sum(F.col("q") * F.col("s")).alias("qs"),
+            F.sum(F.col("q") * F.col("q")).alias("qq"),
+        )
+    )
+    return (
+        rd.join(scs, "cell_a")
+        .join(guarded, "cell_a")
+        .select(
+            "vec_id",
+            "cell_a",
+            "n_cell",
+            (
+                F.col("qs")
+                / F.sqrt(
+                    F.col("qq").cast("double") * F.col("ss").cast("double")
+                )
+            ).alias("proto"),
+        )
+    )
+
+
+def _proto_sql(source: str = "cells") -> str:
+    """The prototypicality CTE chain over any cells-shaped relation
+    (``source``) — shared by the standalone op (raw cells) and the D4
+    composition (semantic-prune survivors)."""
+    return f"""
+    pos AS (
+      SELECT cell_a, vec_id, i,
+             CAST(round(embedding[CAST(i AS INTEGER)] * 1000000) AS BIGINT)
+               AS q
+      FROM {source}, unnest(range(1, 65)) AS u(i)
+    ),
+    counts AS (
+      SELECT cell_a,
+             CASE WHEN SUM(list_max(list_transform(embedding,
+                       x -> abs(CAST(round(x * 1000000) AS BIGINT)))))
+                       <= {_PROTO_CELL_CAP}
+                  THEN CAST(COUNT(*) AS BIGINT)
+                  ELSE error('semdedup prototypes: cell magnitude mass'
+                             ' exceeds the exact-int64 cap')
+             END AS n_cell
+      FROM {source} GROUP BY cell_a
+    ),
+    sums AS (SELECT cell_a, i, SUM(q) AS s FROM pos GROUP BY 1, 2),
+    scs AS (SELECT cell_a, SUM(s * s) AS ss FROM sums GROUP BY 1),
+    rd AS (
+      SELECT p.vec_id, p.cell_a,
+             SUM(p.q * s.s) AS qs, SUM(p.q * p.q) AS qq
+      FROM pos p JOIN sums s ON s.cell_a = p.cell_a AND s.i = p.i
+      GROUP BY 1, 2
+    ),
+    proto AS (
+      SELECT rd.vec_id, rd.cell_a, c.n_cell,
+             rd.qs / sqrt(CAST(rd.qq AS DOUBLE) * CAST(scs.ss AS DOUBLE))
+               AS proto
+      FROM rd
+      JOIN scs ON scs.cell_a = rd.cell_a
+      JOIN counts c ON c.cell_a = rd.cell_a
+    )
+"""
+
+
+_PROTO_SQL = _proto_sql()
+
+
+@query(
+    "llm_semdedup_prototypes",
+    oracle=f"""
+    WITH cells AS ({_SEMDEDUP_CELLS_SQL}),
+    {_PROTO_SQL},
+    ranked AS (
+      SELECT cell_a, n_cell, proto,
+             row_number() OVER (PARTITION BY cell_a
+                                ORDER BY proto DESC, vec_id ASC) AS rn
+      FROM proto
+    ),
+    flagged AS (
+      SELECT cell_a, n_cell, proto,
+             CASE WHEN rn <= n_cell // {_PROTO_PRUNE_FRAC}
+                  THEN 1 ELSE 0 END AS pruned
+      FROM ranked
+    )
+    SELECT cell_a AS cell,
+           CAST(ANY_VALUE(n_cell) AS BIGINT) AS n_total,
+           CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+           CAST(ANY_VALUE(n_cell)
+                - ANY_VALUE(n_cell) // {_PROTO_PRUNE_FRAC} AS BIGINT)
+             AS n_kept,
+           round(MAX(proto), 6) AS max_proto
+    FROM flagged GROUP BY cell_a ORDER BY cell_a
+    """,
+)
+def llm_semdedup_prototypes(spark, sf_dir):
+    """D4-style prototypicality prune audit over the deterministic
+    band-A cells: per cell, drop the top 1/5 most-prototypical members
+    (highest cosine to the cell's exact integer sum vector — scale
+    invariance makes that the centroid cosine) and report total /
+    pruned / kept plus the cell's max prototypicality.  Fully
+    hash-checked: scores are ratios of exact int64 dots, so the
+    ranking, the prune boundary, and the rounded max are bit-identical
+    in Spark and DuckDB.  See the module comment for the
+    magnitude-aware exact-int64 cell cap and why it fails loudly in
+    both engines.
+
+    Scale shape: one posexplode aggregate to cell sums (map-side
+    combined), one (cell, pos) equi-join to score rows, one per-cell
+    rank window over cell-sized partitions.  Nothing quadratic —
+    prototypicality is linear in corpus size, which is WHY D4 runs it
+    after the quadratic-in-cell semantic prune, not before."""
+    corpus = _semdedup_corpus(spark, sf_dir)
+    scores = _proto_scores(corpus)
+    w = Window.partitionBy("cell_a").orderBy(
+        F.col("proto").desc(), F.col("vec_id").asc()
+    )
+    ranked = scores.withColumn("rn", F.row_number().over(w))
+    k = F.floor(F.col("n_cell") / _PROTO_PRUNE_FRAC)
+    return (
+        ranked.groupBy(F.col("cell_a").alias("cell"))
+        .agg(
+            F.first("n_cell").cast("long").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.col("rn")
+                    <= F.floor(F.col("n_cell") / _PROTO_PRUNE_FRAC),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pruned"),
+            (
+                F.first("n_cell")
+                - F.floor(F.first("n_cell") / _PROTO_PRUNE_FRAC)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.round(F.max("proto"), 6).alias("max_proto"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "llm_corpus_prune_d4",
+    oracle=f"""
+    WITH cells AS ({_SEMDEDUP_CELLS_SQL}),
+    reps AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (PARTITION BY {_SQL_SIGN_SIG}
+                                  ORDER BY vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn = 1
+    ),
+    rep_cells AS (
+      SELECT c.* FROM cells c JOIN reps r ON c.vec_id = r.vec_id
+    ),
+    dropped AS ({_semdedup_dropped_sql(("cell_a", "cell_b"), source="rep_cells")}),
+    surv AS (
+      SELECT rc.* FROM rep_cells rc
+      WHERE rc.vec_id NOT IN (SELECT vec_id FROM dropped)
+    ),
+    {_proto_sql("surv")},
+    ranked AS (
+      SELECT vec_id, cell_a, n_cell,
+             row_number() OVER (PARTITION BY cell_a
+                                ORDER BY proto DESC, vec_id ASC) AS rn
+      FROM proto
+    ),
+    proto_pruned AS (
+      SELECT vec_id FROM ranked WHERE rn <= n_cell // {_PROTO_PRUNE_FRAC}
+    )
+    SELECT c.cell_a AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(r.vec_id) AS BIGINT) AS n_reps,
+           CAST(COUNT(d.vec_id) AS BIGINT) AS n_sem_dropped,
+           CAST(COUNT(pp.vec_id) AS BIGINT) AS n_proto_pruned,
+           CAST(COUNT(r.vec_id) - COUNT(d.vec_id) - COUNT(pp.vec_id)
+                AS BIGINT) AS n_kept
+    FROM cells c
+    LEFT JOIN reps r ON r.vec_id = c.vec_id
+    LEFT JOIN dropped d ON d.vec_id = c.vec_id
+    LEFT JOIN proto_pruned pp ON pp.vec_id = c.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_corpus_prune_d4(spark, sf_dir):
+    """The full D4 funnel (Tirumala et al. 2023), fully hash-checked:
+    exact sign-signature collapse → SemDeDup semantic prune over the
+    representatives → prototypicality prune over the SURVIVORS (the
+    paper's order — the quadratic semantic stage runs on the collapsed
+    corpus, the linear prototype stage on what survives it).  One row
+    per band-A cell: raw docs, exact representatives, semantic drops,
+    prototype prunes, and the final training-set count.
+
+    Scale shape: the three stages' own shapes composed — one signature
+    shuffle, per-cell GEMM over the collapsed corpus, one posexplode
+    centroid pass over the survivors; each stage's input is the
+    previous stage's (smaller) output, which is the entire economics
+    of running them in this order."""
+    corpus = _semdedup_corpus(spark, sf_dir)
+    reps = _dedup_reps_materialized(spark, sf_dir).select("vec_id")
+    rep_corpus = corpus.join(reps, "vec_id", "left_semi")
+    sem_dropped = _semdedup_dropped(rep_corpus)
+    survivors = rep_corpus.join(sem_dropped, "vec_id", "left_anti")
+    scores = _proto_scores(survivors)
+    w = Window.partitionBy("cell_a").orderBy(
+        F.col("proto").desc(), F.col("vec_id").asc()
+    )
+    proto_pruned = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.floor(F.col("n_cell") / _PROTO_PRUNE_FRAC))
+        .select("vec_id")
+        .withColumn("is_pp", F.lit(1))
+    )
+    is_rep = reps.withColumn("is_rep", F.lit(1))
+    sd = sem_dropped.withColumn("is_sd", F.lit(1))
+    n_reps = F.sum(F.coalesce(F.col("is_rep"), F.lit(0)))
+    n_sd = F.sum(F.coalesce(F.col("is_sd"), F.lit(0)))
+    n_pp = F.sum(F.coalesce(F.col("is_pp"), F.lit(0)))
+    return (
+        corpus.join(is_rep, "vec_id", "left")
+        .join(sd, "vec_id", "left")
+        .join(proto_pruned, "vec_id", "left")
+        .groupBy(F.col("cell_a").alias("cell"))
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            n_reps.cast("long").alias("n_reps"),
+            n_sd.cast("long").alias("n_sem_dropped"),
+            n_pp.cast("long").alias("n_proto_pruned"),
+            (n_reps - n_sd - n_pp).cast("long").alias("n_kept"),
+        )
+        .orderBy("cell")
+    )

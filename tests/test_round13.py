@@ -458,3 +458,101 @@ def test_select_capped_picks_longest_eligible(spark):
         for r in QUERIES["llm_quality_select_capped"](spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# D4 prototypicality family (round 13, late)
+
+
+def test_proto_audit_arithmetic(spark):
+    from etl_suite_spark.llm.similarity import _PROTO_PRUNE_FRAC
+    from etl_suite_spark.registry import QUERIES
+
+    rows = QUERIES["llm_semdedup_prototypes"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pruned"] == r["n_total"] // _PROTO_PRUNE_FRAC
+        assert r["n_kept"] == r["n_total"] - r["n_pruned"]
+        assert -1.0 <= r["max_proto"] <= 1.0
+
+
+def test_proto_scores_are_cosines(spark):
+    """Cauchy–Schwarz sanity over every row (the first probe of this
+    op's SQL produced |proto| ~ 1e5 from a scale bug — pin the bound)."""
+    from etl_suite_spark.llm.similarity import (
+        _proto_scores,
+        _semdedup_corpus,
+    )
+
+    scores = _proto_scores(_semdedup_corpus(spark, SF_DIR)).collect()
+    assert scores
+    assert all(-1.0 <= r["proto"] <= 1.0 for r in scores)
+
+
+def test_proto_magnitude_cap_fails_loudly(spark, tmp_path_factory):
+    """A cell whose summed magnitude mass would overflow exact int64
+    (500 identical 2.4x-scaled vectors share every cell) errors by name
+    in BOTH engines — DuckDB's HUGEINT would silently keep going while
+    Spark wraps, so the loud cap is the parity contract."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from etl_suite_spark.llm.similarity import (
+        _SEMDEDUP_CELLS_SQL,
+        _PROTO_SQL,
+        _proto_scores,
+        _semdedup_corpus,
+    )
+
+    d = tmp_path_factory.mktemp("proto_cap")
+    base = (
+        pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        .to_pandas()
+        .head(1)["embedding"]
+        .iloc[0]
+    )
+    big = [float(x) * 2.4 for x in base]
+    pd.DataFrame(
+        {"vec_id": range(500), "embedding": [big] * 500, "label": 0}
+    ).to_parquet(f"{d}/embeddings.parquet", index=False)
+
+    with pytest.raises(Exception, match="magnitude mass"):
+        _proto_scores(_semdedup_corpus(spark, str(d))).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    with pytest.raises(Exception, match="magnitude mass"):
+        con.execute(
+            f"WITH cells AS ({_SEMDEDUP_CELLS_SQL}), {_PROTO_SQL} "
+            "SELECT * FROM proto"
+        ).fetchall()
+    con.close()
+
+
+def test_d4_funnel_identities_and_stage_consistency(spark):
+    """Per-cell funnel identities hold, totals cover the corpus, and
+    the D4 op's first two stages agree EXACTLY with the registered
+    two-stage pipeline (same reps, same semantic drops)."""
+    from etl_suite_spark.io import load_table
+    from etl_suite_spark.registry import QUERIES
+
+    d4 = {r["cell"]: r for r in QUERIES["llm_corpus_prune_d4"](spark, SF_DIR).collect()}
+    two = {
+        r["cell"]: r
+        for r in QUERIES["llm_corpus_prune_pipeline"](spark, SF_DIR).collect()
+    }
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_raw"] for r in d4.values()) == n_corpus
+    assert set(d4) == set(two)
+    for cell, r in d4.items():
+        assert r["n_kept"] == r["n_reps"] - r["n_sem_dropped"] - r["n_proto_pruned"]
+        assert r["n_kept"] >= 0 and r["n_proto_pruned"] >= 0
+        assert r["n_reps"] == two[cell]["n_reps"]
+        assert r["n_sem_dropped"] == two[cell]["n_sem_dropped"]
+    assert sum(r["n_proto_pruned"] for r in d4.values()) > 0, (
+        "the prototype stage must genuinely prune on the fixture"
+    )

@@ -54,6 +54,10 @@ SEMDEDUP_QUERIES = (
     "llm_semdedup_bands_recall",
     "llm_corpus_prune_pipeline",
     "llm_corpus_prune_pipeline_audit",
+    # round 13 (late): the D4 prototypicality family — exact int64
+    # centroid-sum cosines, deterministic in both engines
+    "llm_semdedup_prototypes",
+    "llm_corpus_prune_d4",
 )
 
 # Band counts swept by compare_band_counts (VERDICT r12 item 6): the

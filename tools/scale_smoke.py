@@ -843,6 +843,42 @@ def main() -> None:
             ),
         }
 
+        # --- C: the D4 prototype stage over the semantic survivors
+        # (linear — the paper's order puts it after both prunes; this
+        # measures the marginal cost of completing the full funnel) ---
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        from etl_suite_spark.llm.similarity import (
+            _PROTO_PRUNE_FRAC,
+            _proto_scores,
+            _semdedup_dropped,
+        )
+
+        t0 = time.perf_counter()
+        surv = rep_corpus.join(
+            _semdedup_dropped(rep_corpus), "vec_id", "left_anti"
+        )
+        scores = _proto_scores(surv)
+        w = _W.partitionBy("cell_a").orderBy(
+            _F.col("proto").desc(), _F.col("vec_id").asc()
+        )
+        n_proto_pruned = (
+            scores.withColumn("rn", _F.row_number().over(w))
+            .filter(
+                _F.col("rn")
+                <= _F.floor(_F.col("n_cell") / _PROTO_PRUNE_FRAC)
+            )
+            .count()
+        )
+        wall_c = round(time.perf_counter() - t0, 3)
+        timings["proto_stage"] = {
+            "sec": wall_c,
+            "n_survivors_in": n_reps - n_drop_b,
+            "n_proto_pruned": n_proto_pruned,
+            "d4_total_sec": round(wall_collapse + wall_b + wall_c, 3),
+        }
+
         # --- band sweep on the wide-perturb variant ---
         sweep_dir = os.path.join(os.path.dirname(out), "sweep")
         build_ann(args.base, args.copies, sweep_dir,
