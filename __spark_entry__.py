@@ -781,9 +781,72 @@ R14_PLANNED: list[str] = [
     "llm_corpus_prune_d4",
 ]
 
+# Round-14 ACTIVE window (executing VERDICT r13 item 1).  Composition
+# recomputed from the CORRECTNESS_r01–r13 ledger this round: 11
+# never-checked round-13 additions (R14_PLANNED) + the 3 pinned r5-era
+# leftovers FIRST in the re-check block (the entry pin at
+# tests/test_entry_contract.py demanded they lead R14) + the first 36
+# r6-era queries alphabetically = exactly 50.  Evidence-age distribution
+# at r13 close: r5×3, r6×50, r7×50, r8×50, r9×49, r10×50, r11×50,
+# r12×50, r13×50; never-checked = exactly R14_PLANNED.  After this
+# window executes, the oldest registered evidence is the remaining 14
+# r6-era queries (llm_sim_mmr_rerank .. win_zscore_rolling), which lead
+# the R15 re-check block.
+R14_RECHECKS: list[str] = [
+    # the 3 r5-era leftovers (pinned to lead this block):
+    "win_pareto_abc",
+    "win_pct_of_total",
+    "win_running_median",
+    # first 36 (alphabetically) of the 50 r6-era queries:
+    "agg_ab_test",
+    "agg_activity_heatmap",
+    "agg_attribution_last_touch",
+    "agg_autocorr_lag1",
+    "agg_bitmap_distinct",
+    "agg_bitmap_rollup",
+    "agg_cohort_ltv",
+    "agg_dau_wau_stickiness",
+    "agg_entropy_mix",
+    "agg_forecast_snaive",
+    "agg_interevent_gaps",
+    "agg_new_vs_returning",
+    "agg_rfm_segmentation",
+    "agg_sketch_rollup",
+    "agg_survival_km",
+    "agg_trend_corr",
+    "dq_benford",
+    "dq_cross_table_rule",
+    "dq_outlier_iqr",
+    "graph_connected_components",
+    "graph_degree_histogram",
+    "graph_jaccard_neighbors",
+    "inc_late_dim_resolve",
+    "join_asof_nearest",
+    "join_interval_overlap",
+    "llm_bpe_merge_candidates",
+    "llm_corpus_stats",
+    "llm_curriculum_order",
+    "llm_dedup_containment",
+    "llm_dedup_crossset",
+    "llm_dedup_embedding_recall",
+    "llm_ngram_novelty",
+    "llm_perplexity_bucket",
+    "llm_readability",
+    "llm_sim_ann_ivfpq",
+    "llm_sim_ann_pq",
+]
+
+R14_WINDOW = R14_PLANNED + R14_RECHECKS
+
+# Round-15 overflow plan: queries added during round 14 queue here under
+# the same contract (oracle-checked locally on introduction;
+# tests/test_entry_contract.py counts R15 toward the
+# every-query-has-a-driver-evidence-plan invariant).
+R15_PLANNED: list[str] = []
+
 
 def _windowed(mapping: dict) -> dict:
-    ordered = {k: mapping[k] for k in R13_WINDOW if k in mapping}
+    ordered = {k: mapping[k] for k in R14_WINDOW if k in mapping}
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
     return ordered
 

@@ -6,17 +6,18 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-13 window composition (executing VERDICT r12 item 1): the 7
-queries queued in R13_PLANNED during round 12 (the semdedup family, the
-payload-filtered ANN search pair, and the cell-rebalance pair — clearing
-the never-checked backlog to zero) + 43 re-checks: the first 43 r5-era
-queries alphabetically.  The r12-staged comment said "all 46 r5-era"
-but 7 + 46 = 53 overflows the 50-slot window, so the last 3 r5-era
-queries (win_pareto_abc, win_pct_of_total, win_running_median) stay the
-oldest evidence and lead the R14 re-check block.  The strict-ledger
-endgame test enforces: NO registered query may lack a committed driver
-record unless it sits in the active window or is a round-13 addition in
-R14_PLANNED.
+Round-14 window composition (executing VERDICT r13 item 1): the 11
+queries queued in R14_PLANNED during round 13 (multi-band SemDeDup pair,
+corpus-prune pipeline pair, index retrain pair, nprobe sweep pair,
+capped quality selection, D4 prototype pair — clearing the
+never-checked backlog to zero) + 39 re-checks: the 3 pinned r5-era
+leftovers FIRST (win_pareto_abc, win_pct_of_total, win_running_median —
+the r13-generation pin demanded they lead this block), then the first
+36 r6-era queries alphabetically.  The 14 remaining r6-era queries
+(llm_sim_mmr_rerank .. win_zscore_rolling) stay the oldest evidence and
+lead the R15 re-check block.  The strict-ledger endgame test enforces:
+NO registered query may lack a committed driver record unless it sits
+in the active window or is a round-14 addition in R15_PLANNED.
 """
 
 from __future__ import annotations
@@ -26,76 +27,98 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R13_WINDOW = [
-    # --- R13_PLANNED: round-12 additions (oracle-checked locally on intro) ---
-    "llm_semdedup",
-    "llm_semdedup_recall",
-    "llm_sim_ann_filtered",  # rows-only by design (k-means cells)
-    "llm_sim_ann_filtered_recall",
-    "llm_index_cell_rebalance",  # rows-only by design (k-means cells)
-    "llm_index_cell_rebalance_recall",
-    "llm_semdedup_sweep",
-    # --- re-checks: first 43 r5-era queries (alphabetical) ---
-    "agg_market_basket",
-    "agg_multi_distinct",
-    "agg_path_transitions",
-    "agg_quantile_sketch_rollup",
-    "agg_string_concat_group",
-    "agg_time_to_convert",
-    "agg_unpivot",
-    "dim_scd2_lookup",
-    "dq_checks",
-    "dq_key_skew_report",
-    "dq_profile",
-    "dq_snapshot_diff",
-    "er_blocking_match",
-    "graph_triangle_count",
-    "inc_dedup_ingest",
-    "inc_scd2_apply",
-    "join_bloom_pruned",
-    "join_null_skew_rewrite",
-    "join_range_bucketed",
-    "join_salted_skew",
-    "llm_bigram_logprob",
-    "llm_dedup_embedding",
-    "llm_dedup_keeplist",
-    "llm_dedup_minhash_precision",
-    "llm_dedup_paragraph",
-    "llm_quality_c4",
-    "llm_seq_packing_greedy",
-    "llm_sim_ann_ivfpq_recall",
-    "llm_sim_ann_pq_recall",
-    "sample_group_fixed",
-    "sample_stratified",
-    "sample_weighted",
-    "sink_bucketed_colocated_join",
-    "sink_merge_upsert",
-    "sink_overwrite_partition",
-    "sink_zorder_layout",
-    "stream_ohlc",
-    "ts_ewma",
-    "ts_gapfill_locf",
-    "win_anomaly_mad",
-    "win_gaps_islands",
-    "win_interval_coalesce",
-    "win_ohlc",
+EXPECTED_R14_WINDOW = [
+    # --- R14_PLANNED: round-13 additions (oracle-checked locally on intro) ---
+    "llm_semdedup_bands",
+    "llm_semdedup_bands_recall",
+    "llm_corpus_prune_pipeline",
+    "llm_corpus_prune_pipeline_audit",
+    "llm_index_retrain",  # rows-only by design (k-means cells)
+    "llm_index_retrain_recall",
+    "llm_sim_ann_nprobe_sweep",  # rows-only by design (k-means cells)
+    "llm_sim_ann_nprobe_sweep_recall",
+    "llm_quality_select_capped",
+    "llm_semdedup_prototypes",
+    "llm_corpus_prune_d4",
+    # --- re-checks: the 3 pinned r5-era leftovers lead the block ---
+    "win_pareto_abc",
+    "win_pct_of_total",
+    "win_running_median",
+    # --- re-checks: first 36 r6-era queries (alphabetical) ---
+    "agg_ab_test",
+    "agg_activity_heatmap",
+    "agg_attribution_last_touch",
+    "agg_autocorr_lag1",
+    "agg_bitmap_distinct",
+    "agg_bitmap_rollup",
+    "agg_cohort_ltv",
+    "agg_dau_wau_stickiness",
+    "agg_entropy_mix",
+    "agg_forecast_snaive",
+    "agg_interevent_gaps",
+    "agg_new_vs_returning",
+    "agg_rfm_segmentation",
+    "agg_sketch_rollup",
+    "agg_survival_km",
+    "agg_trend_corr",
+    "dq_benford",
+    "dq_cross_table_rule",
+    "dq_outlier_iqr",
+    "graph_connected_components",
+    "graph_degree_histogram",
+    "graph_jaccard_neighbors",
+    "inc_late_dim_resolve",
+    "join_asof_nearest",
+    "join_interval_overlap",
+    "llm_bpe_merge_candidates",
+    "llm_corpus_stats",
+    "llm_curriculum_order",
+    "llm_dedup_containment",
+    "llm_dedup_crossset",
+    "llm_dedup_embedding_recall",
+    "llm_ngram_novelty",
+    "llm_perplexity_bucket",
+    "llm_readability",
+    "llm_sim_ann_ivfpq",
+    "llm_sim_ann_pq",
 ]
 
-# The 3 r5-era queries that did NOT fit the 50-slot window; they must
-# lead the R14 re-check block (pinned so the overflow is a plan, not an
-# accident).
-R5_LEFTOVER = ["win_pareto_abc", "win_pct_of_total", "win_running_median"]
+# The 14 r6-era queries that did NOT fit the 50-slot window; they are
+# the oldest evidence after this window executes and must lead the R15
+# re-check block (pinned so the overflow is a plan, not an accident).
+R6_LEFTOVER = [
+    "llm_sim_mmr_rerank",
+    "llm_sim_range_search",
+    "llm_span_corruption",
+    "llm_vocab_growth",
+    "mm_byte_framing",
+    "scan_rowgroup_stats",
+    "stream_topk_per_window",
+    "ts_gapfill_interpolate",
+    "ts_seasonal_index_dow",
+    "win_cusum_changepoint",
+    "win_drawdown",
+    "win_rank_change",
+    "win_rolling_corr7",
+    "win_zscore_rolling",
+]
 
 # Window slots without an oracle, each rows-only BY DESIGN with an
-# oracle-checked honesty twin adjacent in the same window (the `_recall`
-# twins of the filtered-search and rebalance ops are oracled and
-# hash-checked).
+# oracle-checked honesty twin: the `_recall` twins of the retrain and
+# nprobe-sweep ops sit adjacent in this window; the r6-era re-checks
+# `llm_sim_ann_pq` / `llm_sim_ann_ivfpq` (k-means/PQ codebooks) carry
+# the hash-green `_recall` twins re-driven in r13, and
+# `agg_sketch_rollup` (HLL-sketch-internal buckets) carries the oracled
+# `agg_sketch_overlap` contract (driver-green r9).
 ROWS_ONLY_IN_WINDOW = {
-    "llm_sim_ann_filtered",
-    "llm_index_cell_rebalance",
+    "llm_index_retrain",
+    "llm_sim_ann_nprobe_sweep",
+    "llm_sim_ann_pq",
+    "llm_sim_ann_ivfpq",
+    "agg_sketch_rollup",
 }
 
-_DRIVER_ROUNDS = tuple(range(1, 14))
+_DRIVER_ROUNDS = tuple(range(1, 15))
 
 
 def _driver_history() -> dict[str, dict]:
@@ -108,12 +131,12 @@ def _driver_history() -> dict[str, dict]:
     return latest
 
 
-def _latest_round(before: int = 13) -> dict[str, int]:
+def _latest_round(before: int = 14) -> dict[str, int]:
     """Latest driver-record round per query over rounds STRICTLY BEFORE
     ``before`` — the window-composition tests must read the evidence
-    state the R13 window was PLANNED against, not the state after the
+    state the R14 window was PLANNED against, not the state after the
     driver executes it (code-review r10 finding #1: including the active
-    round would break these pins the moment CORRECTNESS_r13.json lands)."""
+    round would break these pins the moment CORRECTNESS_r14.json lands)."""
     root = pathlib.Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
     for n in range(1, before):
@@ -125,56 +148,57 @@ def _latest_round(before: int = 13) -> dict[str, int]:
 
 
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R13_WINDOW) == 50
-    assert len(set(EXPECTED_R13_WINDOW)) == 50
+    assert len(EXPECTED_R14_WINDOW) == 50
+    assert len(set(EXPECTED_R14_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R13_WINDOW
-    assert entry_mod.R13_WINDOW == EXPECTED_R13_WINDOW
+    assert qs[:50] == EXPECTED_R14_WINDOW
+    assert entry_mod.R14_WINDOW == EXPECTED_R14_WINDOW
 
 
 def test_window_composition():
-    """The window is exactly R13_PLANNED followed by the re-check block;
-    the planned block is exactly the never-driver-checked queries, every
-    re-check's latest driver record is r5, and the r5 block is complete
-    except for the 3 pinned leftovers (recomputed from the committed
-    CORRECTNESS files)."""
-    assert entry_mod.R13_WINDOW == entry_mod.R13_PLANNED + entry_mod.R13_RECHECKS
+    """The window is exactly R14_PLANNED followed by the re-check block;
+    the planned block is exactly the never-driver-checked queries, the
+    re-check block leads with the 3 r5-era leftovers then r6-era
+    evidence, and nothing outside the window carries older-than-r6
+    evidence (recomputed from the committed CORRECTNESS files)."""
+    assert entry_mod.R14_WINDOW == entry_mod.R14_PLANNED + entry_mod.R14_RECHECKS
     latest_round = _latest_round()
-    already = {n for n in entry_mod.R13_PLANNED if n in latest_round}
-    assert not already, f"R13_PLANNED slots already evidenced: {already}"
-    bad_r5 = {
-        n: latest_round.get(n)
-        for n in entry_mod.R13_RECHECKS
-        if latest_round.get(n) != 5
-    }
-    assert not bad_r5, f"r5-era re-check slots with other evidence: {bad_r5}"
-    # the r5 block is complete up to the 3 pinned leftovers: no OTHER
-    # registered query outside the window may still carry r5-or-older
-    # evidence once this window executes.
+    already = {n for n in entry_mod.R14_PLANNED if n in latest_round}
+    assert not already, f"R14_PLANNED slots already evidenced: {already}"
+    # re-check block: 3 r5-era leftovers first, then 36 r6-era queries
+    lead, tail = entry_mod.R14_RECHECKS[:3], entry_mod.R14_RECHECKS[3:]
+    assert lead == ["win_pareto_abc", "win_pct_of_total", "win_running_median"]
+    bad_r5 = {n: latest_round.get(n) for n in lead if latest_round.get(n) != 5}
+    assert not bad_r5, f"r5-leftover slots with other evidence: {bad_r5}"
+    bad_r6 = {n: latest_round.get(n) for n in tail if latest_round.get(n) != 6}
+    assert not bad_r6, f"r6-era re-check slots with other evidence: {bad_r6}"
+    # oldest-first completeness: after this window executes, the only
+    # registered queries still carrying r6-or-older evidence are the 14
+    # pinned R6_LEFTOVER rows (no unplanned stale query hides outside).
     stale_outside = {
         n for n, r in latest_round.items()
-        if r <= 5 and n in entry_mod.queries() and n not in entry_mod.R13_WINDOW
+        if r <= 6 and n in entry_mod.queries() and n not in entry_mod.R14_WINDOW
     }
-    assert stale_outside == set(R5_LEFTOVER), (
-        f"unplanned stale queries outside window: {stale_outside ^ set(R5_LEFTOVER)}"
+    assert stale_outside == set(R6_LEFTOVER), (
+        f"unplanned stale queries outside window: {stale_outside ^ set(R6_LEFTOVER)}"
     )
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R13_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R14_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
 def test_window_oracle_coverage():
-    # Exactly two rows-only slots this round (each by design, with an
+    # Exactly five rows-only slots this round (each by design, with an
     # oracled honesty twin); every other window entry carries a DuckDB
     # oracle.
     oracles = entry_mod.oracle_sql()
-    missing = {n for n in EXPECTED_R13_WINDOW if n not in oracles}
+    missing = {n for n in EXPECTED_R14_WINDOW if n not in oracles}
     assert missing == ROWS_ONLY_IN_WINDOW, (
         f"unexpected rows-only window slots: {missing ^ ROWS_ONLY_IN_WINDOW}"
     )
@@ -190,7 +214,7 @@ def test_no_stale_red_left_outside_window():
     """Any query whose LATEST driver record is not fully green must sit
     inside the active window for a re-check.  Recomputed from the
     committed CORRECTNESS files — this is the test that forces a red
-    record to be re-checked rather than planned around.  As of the r12
+    record to be re-checked rather than planned around.  As of the r13
     evidence the cumulative ledger holds zero red records; the
     in-window invariant is permanent either way."""
     latest = _driver_history()
@@ -199,7 +223,7 @@ def test_no_stale_red_left_outside_window():
         for name, rec in latest.items()
         if name in entry_mod.queries() and not _is_green_or_rows_only(rec)
     ]
-    outside = sorted(set(red) - set(EXPECTED_R13_WINDOW))
+    outside = sorted(set(red) - set(EXPECTED_R14_WINDOW))
     assert not outside, f"stale-red queries not in window: {outside}"
 
 
@@ -213,43 +237,43 @@ def _is_green_or_rows_only(rec: dict) -> bool:
 def test_strict_ledger_endgame():
     """The endgame invariant (VERDICT r8 item 4, kept since): EVERY
     registered query must have a committed green/rows-only driver record,
-    or sit in the active R13 window, or be a round-13 addition pinned in
-    R14_PLANNED.  There is no other escape — a query added with no
+    or sit in the active R14 window, or be a round-14 addition pinned in
+    R15_PLANNED.  There is no other escape — a query added with no
     driver-evidence plan fails here immediately."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    planned = set(EXPECTED_R13_WINDOW) | set(entry_mod.R14_PLANNED)
+    planned = set(EXPECTED_R14_WINDOW) | set(entry_mod.R15_PLANNED)
     uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
 
-def test_r14_overflow_plan_is_well_formed():
-    assert len(entry_mod.R14_PLANNED) <= 50
-    assert len(set(entry_mod.R14_PLANNED)) == len(entry_mod.R14_PLANNED)
-    overlap = set(entry_mod.R14_PLANNED) & set(EXPECTED_R13_WINDOW)
-    assert not overlap, f"R14 entries already in the R13 window: {overlap}"
+def test_r15_overflow_plan_is_well_formed():
+    assert len(entry_mod.R15_PLANNED) <= 50
+    assert len(set(entry_mod.R15_PLANNED)) == len(entry_mod.R15_PLANNED)
+    overlap = set(entry_mod.R15_PLANNED) & set(EXPECTED_R14_WINDOW)
+    assert not overlap, f"R15 entries already in the R14 window: {overlap}"
     registered = set(entry_mod.queries())
-    ghosts = sorted(set(entry_mod.R14_PLANNED) - registered)
-    assert not ghosts, f"R14-planned names not registered: {ghosts}"
-    # R14_PLANNED is only for NEW (round-13) queries: none may already
+    ghosts = sorted(set(entry_mod.R15_PLANNED) - registered)
+    assert not ghosts, f"R15-planned names not registered: {ghosts}"
+    # R15_PLANNED is only for NEW (round-14) queries: none may already
     # hold driver evidence.
     latest = _driver_history()
-    stale = sorted(set(entry_mod.R14_PLANNED) & set(latest))
-    assert not stale, f"R14-planned names already evidenced: {stale}"
-    # The 3 r5-era leftovers are re-checks, NOT round-13 additions —
-    # they must not be parked in R14_PLANNED (that slot's strict-ledger
+    stale = sorted(set(entry_mod.R15_PLANNED) & set(latest))
+    assert not stale, f"R15-planned names already evidenced: {stale}"
+    # The 14 r6-era leftovers are re-checks, NOT round-14 additions —
+    # they must not be parked in R15_PLANNED (that slot's strict-ledger
     # escape is for never-evidenced queries), must still be registered,
-    # and must still carry exactly r5 evidence so the r14 rotation's
+    # and must still carry exactly r6 evidence so the r15 rotation's
     # oldest-first rule (which the next round's pinned window test
     # re-derives from the CORRECTNESS ledger) cannot skip them
     # (code-review r13: the first form of this pin only asserted
     # registration, which any registered name satisfies).
     latest_round = _latest_round()
-    assert not set(R5_LEFTOVER) & set(entry_mod.R14_PLANNED)
-    for name in R5_LEFTOVER:
+    assert not set(R6_LEFTOVER) & set(entry_mod.R15_PLANNED)
+    for name in R6_LEFTOVER:
         assert name in registered
-        assert latest_round.get(name) == 5, (
-            f"{name}: expected r5-era evidence, got {latest_round.get(name)}"
+        assert latest_round.get(name) == 6, (
+            f"{name}: expected r6-era evidence, got {latest_round.get(name)}"
         )
 
 
