@@ -842,7 +842,13 @@ R14_WINDOW = R14_PLANNED + R14_RECHECKS
 # the same contract (oracle-checked locally on introduction;
 # tests/test_entry_contract.py counts R15 toward the
 # every-query-has-a-driver-evidence-plan invariant).
-R15_PLANNED: list[str] = []
+R15_PLANNED: list[str] = [
+    # added in round 14 (oracle-checked locally on introduction):
+    "llm_semdedup_crossset",
+    "llm_semdedup_crossset_recall",
+    "llm_index_maintenance_policy",  # rows-only by design (k-means metrics); contract twin oracled
+    "llm_index_maintenance_policy_contract",
+]
 
 
 def _windowed(mapping: dict) -> dict:

@@ -126,6 +126,8 @@ EXPECTED_NLJ = {
     "llm_index_retrain_recall",  # bounded 10-query ground-truth broadcast + 1-row metric joins (incl. the surfaced-deleted scalar)
     "llm_sim_ann_nprobe_sweep",  # bounded 10-query probe broadcast + exact-top3 ground truth + 4 one-row curve aggregates
     "llm_sim_ann_nprobe_sweep_recall",  # same curve machinery + 1-row monotone/gate metric joins
+    "llm_semdedup_crossset_recall",  # all-pairs batch x standing tau ground truth at fixture scale (measurement twin of the cell-joined crossset op) + 1-row metric join
+    "llm_index_maintenance_policy",  # 1-row metric aggregates (delta count x total count, sweep-curve row) crossJoined into the 3-row decision table
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —
