@@ -848,6 +848,7 @@ R15_PLANNED: list[str] = [
     "llm_semdedup_crossset_recall",
     "llm_index_maintenance_policy",  # rows-only by design (k-means metrics); contract twin oracled
     "llm_index_maintenance_policy_contract",
+    "llm_quality_threshold_sweep",
 ]
 
 

@@ -1477,3 +1477,106 @@ def llm_quality_select_capped(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-threshold calibration sweep (round 14): the sweep discipline
+# (tau -> llm_dedup_threshold_sweep, semantic tau -> llm_semdedup_sweep,
+# dims -> matryoshka, bands -> llm_semdedup_bands, nprobe ->
+# llm_sim_ann_nprobe_sweep) applied to the SELECTION knob: how the
+# quality gate gets CHOSEN.  One curve row per candidate threshold over
+# the continuous llm_quality_score: docs selected, token mass selected,
+# and both shares — the table a mixture plan reads to trade corpus size
+# against quality floor before committing a training set.
+_QUALITY_SWEEP_THRESHOLDS = (0.55, 0.60, 0.65, 0.70, 0.75)
+# Fixture-calibrated grid: scores span 0.4175-0.7265 at sf0.01 (median
+# 0.6508), so the rows run ~full-keep down to EMPTY selection — the
+# 0.75 row pins the zero-selected branch (COALESCE'd sums, identical in
+# both engines) the first sweep cut would otherwise never exercise.
+
+
+def _quality_sweep_oracle() -> str:
+    from ..registry import ORACLES
+
+    grid = ", ".join(f"({t!r})" for t in _QUALITY_SWEEP_THRESHOLDS)
+    return f"""
+    WITH scored AS ({ORACLES["llm_quality_score"]}),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+      FROM scored
+    ),
+    grid AS (
+      SELECT CAST(t AS DOUBLE) AS threshold FROM (VALUES {grid}) v(t)
+    )
+    SELECT g.threshold,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_selected,
+           CAST(COALESCE(SUM(s.n_tokens), 0) AS BIGINT) AS selected_tokens,
+           round(COUNT(s.doc_id) * 1.0 / tot.n_docs, 6) AS doc_share,
+           round(COALESCE(SUM(s.n_tokens), 0) * 1.0 / tot.tot_tokens, 6)
+             AS token_share
+    FROM grid g
+    LEFT JOIN scored s ON s.quality >= g.threshold, tot
+    GROUP BY g.threshold, tot.n_docs, tot.tot_tokens
+    ORDER BY g.threshold
+    """
+
+
+@query("llm_quality_threshold_sweep", oracle=_quality_sweep_oracle())
+def llm_quality_threshold_sweep(spark, sf_dir):
+    """Selection calibration curve over the continuous quality score:
+    per candidate threshold, the docs and token mass that survive and
+    their corpus shares.  Composed from the REGISTERED llm_quality_score
+    on both sides (the never-drifts splice idiom), with the threshold
+    grid as ONE constant interpolated into the Spark body, the DuckDB
+    oracle, and the pytest.
+
+    The comparison runs on the score op's own 6-dp quality column —
+    driver-hash-green cross-engine since its registration, so the
+    >= comparisons see identical doubles in both engines; the grid's
+    top row selects NOTHING at the fixtures (scores max 0.7265), and
+    the zero-selected branch is explicitly COALESCE'd on both sides
+    rather than left to NULL-sum semantics.
+
+    Plan shape: the score op's existing token-stream shuffle, a 5-row
+    broadcast theta-join against the score rows (each doc lands on the
+    thresholds it clears), a 1-row corpus-total crossJoin for the
+    shares — the llm_semdedup_sweep shape on the selection surface.
+    At 100 TB: one pass over the per-doc score table (itself one
+    aggregation of the corpus), grid size is constant."""
+    from ..registry import QUERIES
+
+    scored = QUERIES["llm_quality_score"](spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    grid = spark.createDataFrame(
+        [(float(t),) for t in _QUALITY_SWEEP_THRESHOLDS], "threshold double"
+    )
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+    )
+    return (
+        F.broadcast(grid)
+        .join(scored, F.col("quality") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_selected"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("selected_tokens"),
+        )
+        .join(tot)
+        .select(
+            "threshold",
+            "n_selected",
+            "selected_tokens",
+            F.round(F.col("n_selected") / F.col("n_docs"), 6).alias(
+                "doc_share"
+            ),
+            F.round(F.col("selected_tokens") / F.col("tot_tokens"), 6).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("threshold")
+    )

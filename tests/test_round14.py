@@ -283,3 +283,29 @@ def test_policy_observed_values_come_from_the_audited_artifacts(spark):
         max(sizes) / (n_total / len(sizes)), 4
     )
     assert rows["delta_share"] == round(n_delta / n_total, 4)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 addition: the quality-threshold calibration sweep
+
+
+def test_quality_sweep_matches_independent_recompute(spark):
+    """Each curve row re-derived independently from the registered score
+    op's own output (pandas-side), including the empty top row."""
+    from etl_suite_spark.llm.traindata import _QUALITY_SWEEP_THRESHOLDS
+    from etl_suite_spark.registry import QUERIES
+
+    scored = QUERIES["llm_quality_score"](spark, SF_DIR).toPandas()
+    rows = QUERIES["llm_quality_threshold_sweep"](spark, SF_DIR).collect()
+    assert [r.threshold for r in rows] == list(_QUALITY_SWEEP_THRESHOLDS)
+    n_docs, tot_tokens = len(scored), int(scored.n_tokens.sum())
+    for r in rows:
+        sel = scored[scored.quality >= r.threshold]
+        assert r.n_selected == len(sel)
+        assert r.selected_tokens == int(sel.n_tokens.sum())
+        assert r.doc_share == round(len(sel) / n_docs, 6)
+        assert r.token_share == round(int(sel.n_tokens.sum()) / tot_tokens, 6)
+    # the grid must exercise BOTH branches at the fixture: at least one
+    # threshold selects nothing and at least one selects a majority
+    assert any(r.n_selected == 0 for r in rows)
+    assert any(r.n_selected > n_docs / 2 for r in rows)

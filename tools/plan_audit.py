@@ -128,6 +128,7 @@ EXPECTED_NLJ = {
     "llm_sim_ann_nprobe_sweep_recall",  # same curve machinery + 1-row monotone/gate metric joins
     "llm_semdedup_crossset_recall",  # all-pairs batch x standing tau ground truth at fixture scale (measurement twin of the cell-joined crossset op) + 1-row metric join
     "llm_index_maintenance_policy",  # 1-row metric aggregates (delta count x total count, sweep-curve row) crossJoined into the 3-row decision table
+    "llm_quality_threshold_sweep",  # 5-row threshold grid theta-joined to per-doc scores + 1-row corpus-total crossJoin (the threshold_sweep shape on the selection surface)
 }
 
 # Streaming / stateful / sink queries execute jobs on plan construction —

@@ -658,6 +658,11 @@ def main() -> None:
         help="run the BPE trainer cost-curve tier (sequential at 8/32/128 merges + batched k=8 at a 128-merge budget, uniform corpus at --copies)",
     )
     ap.add_argument(
+        "--bpe-256",
+        action="store_true",
+        help="run the real-vocab BPE tier (VERDICT r13 item 6): one 256-merge budget measured three ways — sequential x256, batched k=64 x 4 rounds, batched k=16 x 16 rounds — recording realized merges/round (interference yield), uniform corpus at --copies",
+    )
+    ap.add_argument(
         "--dedup-first",
         action="store_true",
         help="ANN tier only: collapse near-dup vectors (32-bit sign signature) before index build — measures the addendum-24 remedy",
@@ -1210,6 +1215,67 @@ def main() -> None:
                     "tier": "events",
                     "copies": args.copies,
                     "base": args.base,
+                    "queries": timings,
+                }
+            )
+        )
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        return
+
+    if args.bpe_256:
+        # VERDICT r13 item 6: the ~125-rounds-for-32k claim (addendum
+        # 27) is extrapolated from k=8 x 16 rounds, which realized only
+        # 60/128 merges — a 47% interference yield that the claim's
+        # arithmetic ignores.  Measure ONE 256-merge budget for real,
+        # three ways, on the same corpus: sequential x 256 (the
+        # one-merge comparator), batched k=64 x 4 (few wide rounds),
+        # batched k=16 x 16 (many narrow rounds).  The question each
+        # answers: how much of k survives the non-interference filter
+        # per round (wide rounds lose more — candidates {a,b,merged}
+        # overlap), and what that does to wall per REALIZED merge.
+        from etl_suite_spark.llm.textstats import _bpe_fit, _bpe_fit_batched
+
+        QUERIES["llm_bpe_train"](spark, args.base).count()  # warmup
+        timings = {}
+        t0 = time.perf_counter()
+        merges, _seg = _bpe_fit(spark, out, n_merges=256)
+        timings["sequential_256"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "merges": len(merges),
+            "rounds": 256,
+            "merges_per_round": round(len(merges) / 256, 3),
+        }
+        for k, rounds in ((64, 4), (16, 16)):
+            t0 = time.perf_counter()
+            merges, _seg = _bpe_fit_batched(spark, out, k=k, rounds=rounds)
+            timings[f"batched_k{k}_x{rounds}rounds"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "merges": len(merges),
+                "rounds": rounds,
+                "merges_per_round": round(len(merges) / rounds, 3),
+                "yield_vs_budget": round(len(merges) / 256, 4),
+            }
+        seq = timings["sequential_256"]
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_smoke_bpe_256",
+                    "tier": "bpe256",
+                    "copies": args.copies,
+                    "base": args.base,
+                    "sec_per_realized_merge": {
+                        name: round(t["sec"] / max(1, t["merges"]), 4)
+                        for name, t in timings.items()
+                    },
+                    "speedup_vs_sequential": {
+                        name: round(
+                            (seq["sec"] / seq["merges"])
+                            / (t["sec"] / max(1, t["merges"])),
+                            2,
+                        )
+                        for name, t in timings.items()
+                        if name != "sequential_256"
+                    },
                     "queries": timings,
                 }
             )
