@@ -58,6 +58,12 @@ SEMDEDUP_QUERIES = (
     # centroid-sum cosines, deterministic in both engines
     "llm_semdedup_prototypes",
     "llm_corpus_prune_d4",
+    # round 14: the incremental cross-set screen — same deterministic
+    # cells, rectangular batch x standing GEMM kernel; the random
+    # corpora's % 10 batch split exercises planted dups on both sides
+    # of it (a planted pair fully inside the batch must NOT drop)
+    "llm_semdedup_crossset",
+    "llm_semdedup_crossset_recall",
 )
 
 # Band counts swept by compare_band_counts (VERDICT r12 item 6): the
