@@ -501,6 +501,15 @@ def _positional_gram_matches(docs: DataFrame, cap: int) -> DataFrame:
             )
         ).alias("pos0", "g"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    # Materialize the gram table ONCE (r14 optimization round): Catalyst
+    # recomputes this subtree — normalize + split + posexplode over the
+    # full corpus, the most expensive map work in the plan — for the
+    # hot-gram aggregation AND each self-join side (3 tokenization
+    # passes). localCheckpoint truncates that: one pass builds the gram
+    # table, the hot agg and both join sides read it (plan drops from 3
+    # parquet scans to 1; at 100 TB this is the persisted gram/posting
+    # table every suffix-dedup pipeline keeps next to the corpus).
+    grams = grams.localCheckpoint(eager=True)
     # Hot-gram set is tiny by construction (only grams above the cap), so
     # it broadcasts; the anti-join removes every occurrence before the
     # quadratic step.
@@ -750,21 +759,24 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     # join every round without it; fresh-session time is codegen-bound
     # (~13 s) either way, and the verify harness's wall time for this op
     # is dominated by the DuckDB recursive-CTE oracle (~21 s), not Spark.
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # Undirected adjacency built ONCE (r14 optimization round): the loop
+    # previously ran TWO edge⋈labels joins per round (labels in via src,
+    # labels in via dst). Materializing edges ∪ reversed-edges up front
+    # makes neighbor-label diffusion a SINGLE join per round over the
+    # same total row count — one join stage (and its exchanges) saved per
+    # round, identical label flow, so the fixpoint and round count are
+    # unchanged.
+    e0 = edges.select("src", "dst")
+    adj = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = adj.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
     prev_sum = None
     for _ in range(max_iter):
-        via_src = edges.join(
-            labels, edges.src == labels.node
-        ).select(F.col("dst").alias("node"), "label")
-        via_dst = edges.join(
-            labels, edges.dst == labels.node
-        ).select(F.col("src").alias("node"), "label")
+        via = adj.join(labels, adj.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
         # pointer jumping: label(label(node)) — a labels⋈labels equi-join
         # on the node key (node-cardinality, cheaper than the edge joins)
         jump = (
@@ -774,8 +786,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         )
         new_labels = (
             labels.select("node", "label")
-            .unionByName(via_src)
-            .unionByName(via_dst)
+            .unionByName(via)
             .unionByName(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))

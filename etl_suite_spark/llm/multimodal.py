@@ -218,7 +218,6 @@ def _ensure_payload_dir(spark, sf_dir: str) -> str:
     and is rebuilt instead of silently reused as a subset fixture.
     """
     import os
-    import tempfile
 
     master = spark.conf.get("spark.master", "")
     assert master.startswith("local"), (
@@ -241,7 +240,14 @@ def _ensure_payload_dir(spark, sf_dir: str) -> str:
     if cached and os.path.isdir(cached) and _complete(cached):
         return cached
     digest = hashlib.sha1(sf_dir.encode("utf-8")).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"etl_mm_bin_{digest}")
+    # Per-process root (r14 optimization round): a warm /tmp previously
+    # let a LATER process skip synthesizing the payload fixture — the
+    # cross-run persistence this round's rules class as result caching.
+    # Within one process the _PAYLOAD_DIRS memo + _MANIFEST check still
+    # dedupe the build; the per-process root is swept at exit.
+    from ..core import _mat_run_root
+
+    root = os.path.join(_mat_run_root(), f"etl_mm_bin_{digest}")
     os.makedirs(root, exist_ok=True)
     if not _complete(root):
         docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)

@@ -386,7 +386,10 @@ def llm_sim_ann_ivf_recall(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id")
+        # k-row lineage truncation (r14, the _recall_metric pattern)
+        .localCheckpoint(eager=True)
     )
+    ivf = ivf.localCheckpoint(eager=True)
     found = exact3.join(ivf, ["query_id", "neighbor_id"], "left_semi")
     return exact3.agg(
         F.count("*").alias("n_exact_pairs"),
@@ -1282,8 +1285,21 @@ def _exact_top3(e, q):
 
 def _recall_metric(ann, e, q, threshold, flag_name):
     """(n_exact_pairs, n_queries, <flag>): measured recall of ``ann``
-    pairs against the exact top-3, flagged at ``threshold``."""
-    exact3 = _exact_top3(e, q)
+    pairs against the exact top-3, flagged at ``threshold``.
+
+    r14 (optimization round; results bit-identical): ``exact3`` and
+    ``ann`` are localCheckpoint-ed before the metric fans out. Both are
+    tiny (≤ 3 rows per query), but their SUBTREES are corpus-wide — the
+    brute-force scoring pass and the full ANN probe — and Catalyst
+    recomputed each subtree in every consuming branch (exact3 in its
+    own agg AND the semi-join; ann in the semi-join AND, for the
+    survivor variant, the surfaced filter). Truncating the lineage at
+    the k-row frontier makes every recall twin pay its corpus passes
+    exactly once (guide §2.4/§5: cut the plan where the data is small,
+    e.g. llm_index_tombstone_probe_recall 24 parquet scans -> cell/
+    centroid reads only, plans/r14/)."""
+    exact3 = _exact_top3(e, q).localCheckpoint(eager=True)
+    ann = ann.localCheckpoint(eager=True)
     found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
     return exact3.agg(
         F.count("*").alias("n_exact_pairs"),
@@ -2664,59 +2680,100 @@ def llm_emb_matryoshka_recall(spark, sf_dir):
     the top-8 PCA mass (0.16-0.20) barely clears the 0.125 isotropic
     floor for the same reason.
 
-    Scale shape: |dims| bounded map-only passes over the corpus, each a
-    broadcast of the bounded query set (the llm_sim_cosine_topk layer);
-    per-pair work is a d-term exact integer fold, so the truncated
-    passes are CHEAPER than the full one — exactly the production
-    motivation. Nothing corpus-proportional shuffles beyond the top-3
-    window per query."""
+    Scale shape (restructured r14, optimization round — results
+    bit-identical, oracle unchanged): ONE broadcast-scored corpus pass
+    computes the prefix dot folds for ALL dims per candidate pair, one
+    query-keyed exchange feeds the four rank windows (same partitioning,
+    so Catalyst plans a single shuffle with four in-partition sorts),
+    and "found at dim d" collapses to comparing rank columns ON THE SAME
+    ROW (candidate pairs are unique per (query_id, neighbor_id), so the
+    old per-dim left-semi join against the full-dim top-3 is just
+    rn_d<=3 AND rn_64<=3). The r10-r13 shape paid 4 corpus passes, 4
+    keyless round-robin repartitions (each with its local
+    sort-before-repartition), 4 sort-merge semi-joins and a checkpoint;
+    plan went 178 operators / 28 exchanges -> ~10 operators / 3
+    exchanges (plans/r14/llm_emb_matryoshka_recall_{before,after}.txt).
+    Per-pair work is still a d-term exact integer fold per dim; nothing
+    corpus-proportional shuffles beyond the top-3 windows per query."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cand = e.repartition(spark.sparkContext.defaultParallelism)
-
-    def top3(d):
-        q = e.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            _dot_d("embedding", "embedding", d).alias("q_nsq"),
+    # hash-repartition on vec_id for scoring parallelism: deterministic
+    # (safe under task retry) and skips round-robin's sort-before-
+    # repartition; the single scoring pass amortizes the one exchange.
+    cand = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    dims = _MATRYOSHKA_DIMS
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        *[
+            _dot_d("embedding", "embedding", d).alias(f"q_nsq_{d}")
+            for d in dims
+        ],
+    )
+    pairs = (
+        cand.select(
+            "vec_id",
+            "embedding",
+            *[_dot_d("embedding", "embedding", d).alias(f"nsq_{d}") for d in dims],
         )
-        c = cand.withColumn("nsq", _dot_d("embedding", "embedding", d))
-        joined = c.join(
-            F.broadcast(q), F.col("vec_id") != F.col("query_id")
-        ).select(
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cosine(_dot_d("q_emb", "embedding", d), "q_nsq", "nsq").alias(
-                "cosine"
-            ),
+            *[
+                _cosine(
+                    _dot_d("q_emb", "embedding", d), f"q_nsq_{d}", f"nsq_{d}"
+                ).alias(f"cos_{d}")
+                for d in dims
+            ],
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        *[
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col(f"cos_{d}").desc(), F.col("neighbor_id").asc()
+                )
+            )
+            .alias(f"rn_{d}")
+            for d in dims
+        ],
+    ).filter(F.least(*[F.col(f"rn_{d}") for d in dims]) <= 3)
+    full_d = dims[-1]  # 64 = the full dimension; its top-3 is ground truth
+    tall = ranked.select(
+        F.col(f"rn_{full_d}").alias("rn_full"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("dim"),
+                        F.col(f"rn_{d}").alias("rn"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("s"),
+    ).filter(F.col("s.rn") <= 3)
+    return (
+        tall.groupBy(F.col("s.dim").alias("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n_exact_pairs"),
+            F.sum(F.when(F.col("rn_full") <= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_found"),
         )
-        return (
-            joined.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 3)
-            .select("query_id", "neighbor_id")
-        )
-
-    full3 = top3(64).localCheckpoint(eager=True)  # reused by all 4 branches
-    out = None
-    for d in _MATRYOSHKA_DIMS:
-        # the d=64 branch IS the full computation — reuse the checkpoint
-        # instead of paying the most expensive corpus pass twice
-        t = full3 if d == 64 else top3(d)
-        found = t.join(full3, ["query_id", "neighbor_id"], "left_semi")
-        row = t.agg(F.count("*").alias("n_exact_pairs")).join(
-            found.agg(F.count("*").alias("n_found"))
-        ).select(
-            F.lit(d).cast("long").alias("dim"),
+        .select(
+            "dim",
             "n_exact_pairs",
             "n_found",
             F.round(F.col("n_found") / F.col("n_exact_pairs"), 4).alias(
                 "recall"
             ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("dim")
+        .orderBy("dim")
+    )
 
 
 def _ivf_incr_parts(spark, sf_dir, k=8, iters=3, split=100):
@@ -2906,8 +2963,14 @@ def _survivor_recall_metric(ann, survivors, q):
     tombstone-aware ANN results against exact top-3 over the SURVIVOR
     corpus — shared by the logical (filtered-probe) and physical
     (compacted-cells) delete twins so the metric contract cannot
-    diverge between them (code-review r11)."""
-    exact3 = _exact_top3(survivors, q)
+    diverge between them (code-review r11).
+
+    Same k-row lineage truncation as :func:`_recall_metric` (r14): the
+    three metric branches (exact3 agg, semi-join, surfaced filter) read
+    checkpointed ≤30-row frames instead of re-deriving the corpus-wide
+    scoring/probe subtrees per branch."""
+    exact3 = _exact_top3(survivors, q).localCheckpoint(eager=True)
+    ann = ann.localCheckpoint(eager=True)
     found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
     surfaced = ann.filter((F.col("neighbor_id") % _TOMBSTONE_RESIDUE) == 0)
     return (
@@ -3927,7 +3990,12 @@ def llm_sim_ann_filtered_recall(spark, sf_dir):
         )
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id")
+        # k-row lineage truncation (r14, the _recall_metric pattern):
+        # exact3 and the filtered probe each compute once; the found and
+        # violations branches read the ≤30-row checkpoints.
+        .localCheckpoint(eager=True)
     )
+    ann = ann.localCheckpoint(eager=True)
     found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
     violations = (
         ann.join(
@@ -4144,8 +4212,15 @@ def llm_index_cell_rebalance_recall(spark, sf_dir):
         F.col("embedding").alias("q_emb"),
         F.col("nsq").alias("q_nsq"),
     )
-    ann = _ivf_probe(cells, cents, q).select("query_id", "neighbor_id")
-    exact3 = _exact_top3(e, q)
+    # k-row lineage truncation (r14, the _recall_metric pattern): the
+    # probe and the brute-force pass each run once; the three metric
+    # branches read ≤30-row checkpoints instead of re-deriving them.
+    ann = (
+        _ivf_probe(cells, cents, q)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    exact3 = _exact_top3(e, q).localCheckpoint(eager=True)
     found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
     return (
         exact3.agg(

@@ -1165,14 +1165,23 @@ def llm_dsir_weights(spark, sf_dir):
     decimal before the per-doc sum, so accumulation is
     merge-order-independent (core.py discipline).
 
-    Scale: both count tables are DISTINCT-TOKEN-sized (Heaps-law-linear in
+    Scale: the count table is DISTINCT-TOKEN-sized (Heaps-law-linear in
     corpus tokens — 100M+ rows at web scale), so the scoring join is
     hinted via the byte-gated ``_lm_count_table_hint`` (broadcast under
     256 MiB of source parquet, AQE-chosen shuffle join above); corpus
     totals (N_t, N_s, V) fold in as a broadcast one-row aggregate — no
     driver-side count() at plan construction. The per-doc sum is a
     uniform-keyed hash agg with map-side partials. Nothing materializes
-    pairwise state; wall scales with corpus tokens."""
+    pairwise state; wall scales with corpus tokens.
+
+    Restructured r14 (optimization round; results bit-identical): the
+    target and proposal counts come from ONE token-keyed aggregation —
+    cs = count(*), ct = conditional count over lang='en' — instead of
+    two separate corpus tokenization+shuffle passes joined back together
+    (the old cs⋈ct left join is now two columns of the same row; plan
+    drops one corpus-wide aggregation, one join, and one documents scan:
+    5 scans -> 2, plans/r14/llm_dsir_weights_*.txt). Guide §2.3:
+    aggregate once, shuffle once."""
     from .textstats import _lm_count_table_hint
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1180,28 +1189,24 @@ def llm_dsir_weights(spark, sf_dir):
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    cs = tok.groupBy("tok").agg(F.count("*").alias("cs"))
-    ct = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("tok")
-        .agg(F.count("*").alias("ct"))
+    counts = tok.groupBy("tok").agg(
+        F.count("*").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    tot = cs.agg(F.sum("cs").alias("ns"), F.count("*").alias("v")).crossJoin(
-        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    tot = counts.agg(
+        F.sum("cs").alias("ns"),
+        F.count("*").alias("v"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"),
     )
-    p_t = (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / (
+    p_t = (F.col("ct") + 1).cast("double") / (
         F.col("nt") + F.col("v")
     ).cast("double")
     p_s = (F.col("cs") + 1).cast("double") / (
         F.col("ns") + F.col("v")
     ).cast("double")
-    ratio = (
-        cs.join(ct, "tok", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "tok",
-            F.round(F.log(p_t / p_s), 6).cast("decimal(18,6)").alias("lr"),
-        )
+    ratio = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.log(p_t / p_s), 6).cast("decimal(18,6)").alias("lr"),
     )
     return (
         tok.join(hint(ratio), "tok")

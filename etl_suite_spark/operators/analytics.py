@@ -622,11 +622,12 @@ def agg_market_basket(spark, sf_dir):
     regardless of the cap. Metrics are exact integer ratios rounded
     at 6 dp, so the hash is stable; ORDER BY carries (count, a, b) as a
     total tiebreak under LIMIT."""
-    bp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    bp = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
+    # no .distinct(): basket_pair_metrics collapses to per-basket DISTINCT
+    # item sets via collect_set, so the corpus-wide (o, p) dedup shuffle
+    # the oracle's bp CTE describes is subsumed by the basket aggregation
     return basket_pair_metrics(bp)
 
 
@@ -634,21 +635,50 @@ def basket_pair_metrics(bp: DataFrame) -> DataFrame:
     """support/confidence/lift over (o, p) basket rows; see
     :func:`agg_market_basket` for semantics and the mega-basket cap.
 
+    Restructured r14 (optimization round; results bit-identical): ONE
+    basket-keyed aggregation — groupBy(o).collect_set(p), partial-agg
+    map-side — replaces the old distinct-(o,p) table that Catalyst
+    recomputed in all five consuming branches (n_orders, degrees,
+    cap filter, both self-join sides: 5 lineitem scans + 5 distinct
+    shuffles, 69-operator plan). The basket table is localCheckpoint-ed
+    (tiny: one row per order) and every downstream — order count,
+    per-part degrees (explode + count over the already-distinct item
+    sets), and pair counts (in-row sorted-array pair expansion, bounded
+    by the mega-basket cap, replacing the o-keyed self-join's two
+    exchanges) — reads it. Plan: 69 operators / 16 exchanges -> 1
+    lineitem scan / 4 shuffles (plans/r14/agg_market_basket_*.txt).
+    At 100 TB this is guide §2.4 (share one exchange) + §2.3 (aggregate
+    before shuffling: per-basket item sets, never raw line items).
+
     The order-count denominator rides along as a broadcast single-row
-    join (the agg_gini pattern) so query construction stays lazy — no
-    eager .count() at plan-build time."""
-    n1 = F.broadcast(bp.agg(F.countDistinct("o").alias("n_orders")))
-    deg = bp.groupBy("p").agg(F.count("*").alias("c"))
-    capped = (
+    join (the agg_gini pattern) so query construction stays lazy beyond
+    the one checkpoint job."""
+    baskets = (
         bp.groupBy("o")
-        .agg(F.count("*").alias("k"))
-        .filter(F.col("k") <= _BASKET_CAP)
-        .select("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("items"))
+        .localCheckpoint(eager=True)
     )
-    a, b = bp.join(capped, "o", "left_semi").alias("a"), bp.alias("b")
+    n1 = F.broadcast(baskets.agg(F.count("*").alias("n_orders")))
+    deg = (
+        baskets.select(F.explode("items").alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("c"))
+    )
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        baskets.filter(F.size("items") <= _BASKET_CAP)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) ->"
+                    " transform(slice(items, i + 2, size(items)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(
+            F.col("pr.part_a").alias("part_a"),
+            F.col("pr.part_b").alias("part_b"),
+        )
         .agg(F.count("*").alias("c_ab"))
         .filter(F.col("c_ab") >= 2)
     )

@@ -77,17 +77,12 @@ def _trade_edges(spark, sf_dir, edges_path=None):
     prescribed for 100 TB, and the measured winner at bench scale (see
     graph_pagerank's docstring for the persist()/localCheckpoint numbers).
 
-    Concurrency-safe shared cache (ADVICE r3): each process writes a
-    PID-suffixed temp dir then atomically renames it into place; the loser
-    of a rename race discards its copy and reads the winner's (content is
-    deterministic per sf_dir — the "v1" token versions the derivation so a
-    future edge-logic change can't silently reuse stale data). A complete
-    dir carries Spark's _SUCCESS marker, so a reader never sees a
-    half-written edge list."""
-    import hashlib
-    import os
-    import tempfile
-
+    Cache scope (r14 optimization round): the edge artifact now goes
+    through core.materialize_once — per-PROCESS write-once (the "v1"
+    token versions the derivation), so every fresh invocation rebuilds
+    from parquet and only within-run consumers share the materialized,
+    src-partitioned layout. The old sf_dir-keyed /tmp dir persisted
+    across runs, which this round's rules class as result caching."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e0 = (
@@ -102,24 +97,16 @@ def _trade_edges(spark, sf_dir, edges_path=None):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if edges_path is None:
-        final = os.path.join(
-            tempfile.gettempdir(),
-            "etl_pr_edges_"
-            + hashlib.sha1(("v1:" + sf_dir).encode()).hexdigest()[:12],
-            "edges",
-        )
-        if not os.path.isfile(os.path.join(final, "_SUCCESS")):
-            tmp = f"{final}.tmp.{os.getpid()}"
-            edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(tmp)
-            try:
-                os.rename(tmp, final)
-            except OSError:  # concurrent builder won the rename; use theirs
-                import shutil
+        from ..core import materialize_once
 
-                shutil.rmtree(tmp, ignore_errors=True)
-        edges_path = final
-    else:
-        edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(edges_path)
+        return materialize_once(
+            spark,
+            edges_lazy,
+            token="pr_edges:v1:" + sf_dir,
+            partition_col="src",
+            n_partitions=32,
+        )
+    edges_lazy.repartition(32, "src").write.mode("overwrite").parquet(edges_path)
     return spark.read.parquet(edges_path)
 
 
@@ -162,9 +149,22 @@ def graph_pagerank(
     # checkpointing every ~5 iterations is the standard move.
     edges = _trade_edges(spark, sf_dir, edges_path)
 
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()  # one scalar job; every other step stays distributed
+    # r14 (optimization round; fixed point bit-identical): the edge list
+    # is symmetrized, so every node appears as a src — ``deg`` IS the
+    # node table. Checkpointing it (node-cardinality, tiny) and carrying
+    # ``outdeg`` as a column of the rank table removes the per-iteration
+    # rank⋈deg join AND the per-iteration nodes-distinct exchange: each
+    # iteration is now exactly one edges⋈share join + one dst-keyed
+    # aggregation + one node-cardinality reattach join (was 3 joins + a
+    # distinct). Plan: 20 scans / 38 exchanges -> 7 scans / 17
+    # exchanges (plans/r14/graph_pagerank_*.txt); guide §2.4.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .select(F.col("src").alias("node"), "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()  # one scalar job; every other step stays distributed
     base = (15 * _SCALE) // (100 * n)
 
     hint = (
@@ -173,12 +173,15 @@ def graph_pagerank(
         else (lambda df: df)
     )
 
-    rank = nodes.select("node", F.lit(_SCALE // n).cast("long").alias("rank"))
+    rank = deg.select(
+        "node", F.lit(_SCALE // n).cast("long").alias("rank"), "outdeg"
+    )
     for _ in range(_ITERS):
-        # outdeg folds into the RANK side (node-cardinality join), so each
-        # iteration touches edges exactly once, followed by one dst-keyed
-        # aggregation.  `hint` broadcasts only under the node-count gate.
-        share = rank.join(deg, rank["node"] == deg["src"]).select(
+        # outdeg rides on the rank row, so share is a map-only select;
+        # each iteration touches edges exactly once, followed by one
+        # dst-keyed aggregation. `hint` broadcasts only under the
+        # node-count gate.
+        share = rank.select(
             F.col("node").alias("snode"),
             F.expr("rank div outdeg").alias("share"),
         )
@@ -187,13 +190,14 @@ def graph_pagerank(
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        rank = nodes.join(
-            hint(contrib), nodes["node"] == contrib["dst"], "left"
+        rank = deg.join(
+            hint(contrib), deg["node"] == contrib["dst"], "left"
         ).select(
             "node",
             F.expr(
                 f"CAST({base} + (85 * coalesce(contrib, 0)) div 100 AS BIGINT)"
             ).alias("rank"),
+            "outdeg",
         )
     return (
         rank.select(
@@ -367,18 +371,33 @@ _COPURCHASE_EDGE_SQL = """
 def _copurchase_edges(spark, sf_dir):
     """Support->=2 part co-purchase edge list: distinct (u, v, support)
     with u < v; see the module comment above for the graph's rationale
-    and the mega-basket cap."""
-    li = (
+    and the mega-basket cap.
+
+    Restructured r14 (optimization round; identical edge set): one
+    basket-keyed collect_set aggregation + in-row sorted-array pair
+    expansion replaces the old distinct-(o,p) table (recomputed by
+    Catalyst for the basket-size filter and BOTH self-join sides) and
+    the o-keyed self-join — the basket_pair_metrics shape, see its
+    docstring for the shuffle accounting. Cap semantics unchanged:
+    baskets with > 50 DISTINCT items are dropped before pair expansion
+    (collect_set dedups, so size(items) == the old COUNT over distinct
+    (o, p))."""
+    return (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    bsz = li.groupBy("o").agg(F.count("*").alias("nitems"))
-    okli = li.join(bsz.filter(F.col("nitems") <= 50), "o")
-    a, b = okli.alias("a"), okli.alias("b")
-    return (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .groupBy("o")
+        .agg(F.array_sort(F.collect_set("p")).alias("items"))
+        .filter(F.size("items") <= 50)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) ->"
+                    " transform(slice(items, i + 2, size(items)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.u").alias("u"), F.col("pr.v").alias("v"))
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)
     )
