@@ -506,9 +506,10 @@ def _positional_gram_matches(docs: DataFrame, cap: int) -> DataFrame:
     # full corpus, the most expensive map work in the plan — for the
     # hot-gram aggregation AND each self-join side (3 tokenization
     # passes). localCheckpoint truncates that: one pass builds the gram
-    # table, the hot agg and both join sides read it (plan drops from 3
-    # parquet scans to 1; at 100 TB this is the persisted gram/posting
-    # table every suffix-dedup pipeline keeps next to the corpus).
+    # table, the hot agg and both join sides read it (4 parquet scans
+    # -> 0 in the final plan, plans/r14/llm_dedup_substring_*.txt; at
+    # 100 TB this is the persisted gram/posting table every
+    # suffix-dedup pipeline keeps next to the corpus).
     grams = grams.localCheckpoint(eager=True)
     # Hot-gram set is tiny by construction (only grams above the cap), so
     # it broadcasts; the anti-join removes every occurrence before the

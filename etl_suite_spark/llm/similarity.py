@@ -1296,8 +1296,8 @@ def _recall_metric(ann, e, q, threshold, flag_name):
     survivor variant, the surfaced filter). Truncating the lineage at
     the k-row frontier makes every recall twin pay its corpus passes
     exactly once (guide §2.4/§5: cut the plan where the data is small,
-    e.g. llm_index_tombstone_probe_recall 24 parquet scans -> cell/
-    centroid reads only, plans/r14/)."""
+    e.g. llm_index_tombstone_probe_recall 12 parquet scans / 11
+    shuffle exchanges -> 0 scans (checkpoint reads) / 6, plans/r14/)."""
     exact3 = _exact_top3(e, q).localCheckpoint(eager=True)
     ann = ann.localCheckpoint(eager=True)
     found = exact3.join(ann, ["query_id", "neighbor_id"], "left_semi")
@@ -2691,8 +2691,8 @@ def llm_emb_matryoshka_recall(spark, sf_dir):
     rn_d<=3 AND rn_64<=3). The r10-r13 shape paid 4 corpus passes, 4
     keyless round-robin repartitions (each with its local
     sort-before-repartition), 4 sort-merge semi-joins and a checkpoint;
-    plan went 178 operators / 28 exchanges -> ~10 operators / 3
-    exchanges (plans/r14/llm_emb_matryoshka_recall_{before,after}.txt).
+    plan went 12 parquet scans / 28 shuffle exchanges -> 2 scans / 4
+    (plans/r14/llm_emb_matryoshka_recall_{before,after}.txt).
     Per-pair work is still a d-term exact integer fold per dim; nothing
     corpus-proportional shuffles beyond the top-3 windows per query."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -1180,7 +1180,7 @@ def llm_dsir_weights(spark, sf_dir):
     two separate corpus tokenization+shuffle passes joined back together
     (the old cs⋈ct left join is now two columns of the same row; plan
     drops one corpus-wide aggregation, one join, and one documents scan:
-    5 scans -> 2, plans/r14/llm_dsir_weights_*.txt). Guide §2.3:
+    5 scans -> 3, plans/r14/llm_dsir_weights_*.txt). Guide §2.3:
     aggregate once, shuffle once."""
     from .textstats import _lm_count_table_hint
 

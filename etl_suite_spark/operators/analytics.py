@@ -645,8 +645,9 @@ def basket_pair_metrics(bp: DataFrame) -> DataFrame:
     per-part degrees (explode + count over the already-distinct item
     sets), and pair counts (in-row sorted-array pair expansion, bounded
     by the mega-basket cap, replacing the o-keyed self-join's two
-    exchanges) — reads it. Plan: 69 operators / 16 exchanges -> 1
-    lineitem scan / 4 shuffles (plans/r14/agg_market_basket_*.txt).
+    exchanges) — reads it. Plan (measured, plans/r14/
+    agg_market_basket_*.txt): 6 lineitem scans / 11 shuffle exchanges
+    -> 1 scan (inside the checkpoint job) / 4 shuffles.
     At 100 TB this is guide §2.4 (share one exchange) + §2.3 (aggregate
     before shuffling: per-basket item sets, never raw line items).
 

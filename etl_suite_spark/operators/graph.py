@@ -156,8 +156,9 @@ def graph_pagerank(
     # rank⋈deg join AND the per-iteration nodes-distinct exchange: each
     # iteration is now exactly one edges⋈share join + one dst-keyed
     # aggregation + one node-cardinality reattach join (was 3 joins + a
-    # distinct). Plan: 20 scans / 38 exchanges -> 7 scans / 17
-    # exchanges (plans/r14/graph_pagerank_*.txt); guide §2.4.
+    # distinct). Plan: 10 parquet scans / 10 shuffle exchanges -> 3
+    # scans / 3 shuffle exchanges (plans/r14/graph_pagerank_*.txt);
+    # guide §2.4.
     deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("outdeg"))
