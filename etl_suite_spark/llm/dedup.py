@@ -785,25 +785,33 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.node"))
             .select(F.col("l1.node").alias("node"), F.col("l2.label").alias("label"))
         )
+        # Convergence via the label-sum invariant: per-node labels are
+        # monotone NON-INCREASING (min over a set containing the old
+        # label), so Σlabel strictly decreases iff any node changed.
+        # r14 (optimization round): the scalar probe rides the
+        # checkpoint job itself via observe() — CollectMetrics is
+        # populated when the eager localCheckpoint materializes the
+        # round's labels, so each round runs ONE job instead of two
+        # (checkpoint + separate probe collect). On a dispatch-bound
+        # host that probe job was ~0.2-0.3 s/round across ~8 rounds.
+        # decimal sum: a billion-node graph with 64-bit ids could
+        # overflow a BIGINT Σlabel; decimal(38,0) cannot.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = (
             labels.select("node", "label")
             .unionByName(via)
             .unionByName(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .observe(
+                obs,
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            )
             .localCheckpoint(eager=True)
         )
-        # Convergence via the label-sum invariant: per-node labels are
-        # monotone NON-INCREASING (min over a set containing the old
-        # label), so Σlabel strictly decreases iff any node changed —
-        # one scalar aggregate per round instead of the previous
-        # join+filter+count job (A/B at sf0.1, same session: 5.6-6.4 s
-        # vs 6.9-9.6 s full runs, 8 rounds each — ~0.15 s/round).
-        # decimal sum: a billion-node graph with 64-bit ids could overflow
-        # a BIGINT Σlabel; decimal(38,0) cannot.
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        new_sum = obs.get["s"]
         changed = prev_sum is None or new_sum != prev_sum
         prev_sum = new_sum
         labels = new_labels
