@@ -6,18 +6,18 @@ reordering (a new module import, a renamed query) would silently rotate
 driver evidence away from the families this round is meant to prove.
 This test pins the exact first-50 list and basic contract invariants.
 
-Round-14 window composition (executing VERDICT r13 item 1): the 11
-queries queued in R14_PLANNED during round 13 (multi-band SemDeDup pair,
-corpus-prune pipeline pair, index retrain pair, nprobe sweep pair,
-capped quality selection, D4 prototype pair — clearing the
-never-checked backlog to zero) + 39 re-checks: the 3 pinned r5-era
-leftovers FIRST (win_pareto_abc, win_pct_of_total, win_running_median —
-the r13-generation pin demanded they lead this block), then the first
-36 r6-era queries alphabetically.  The 14 remaining r6-era queries
-(llm_sim_mmr_rerank .. win_zscore_rolling) stay the oldest evidence and
-lead the R15 re-check block.  The strict-ledger endgame test enforces:
-NO registered query may lack a committed driver record unless it sits
-in the active window or is a round-14 addition in R15_PLANNED.
+Round-15 window composition (executing VERDICT r14 item 7): the 5
+queries queued in R15_PLANNED during round 14 (cross-set SemDeDup pair,
+index maintenance-policy pair, quality threshold sweep — clearing the
+never-checked backlog to zero) + 45 re-checks: the 14 pinned r6-era
+leftovers FIRST (llm_sim_mmr_rerank .. win_zscore_rolling — the
+r14-generation R6_LEFTOVER pin demanded they lead this block), then the
+first 31 r7-era queries alphabetically.  The 19 remaining r7-era
+queries (llm_quality_composite .. udf_arrow_map) stay the oldest
+evidence and lead the R16 re-check block.  The strict-ledger endgame
+test enforces: NO registered query may lack a committed driver record
+unless it sits in the active window or is queued in R16_PLANNED (empty
+— round 15 is an optimization round and added no queries).
 """
 
 from __future__ import annotations
@@ -27,67 +27,15 @@ import pathlib
 
 import __spark_entry__ as entry_mod
 
-EXPECTED_R14_WINDOW = [
-    # --- R14_PLANNED: round-13 additions (oracle-checked locally on intro) ---
-    "llm_semdedup_bands",
-    "llm_semdedup_bands_recall",
-    "llm_corpus_prune_pipeline",
-    "llm_corpus_prune_pipeline_audit",
-    "llm_index_retrain",  # rows-only by design (k-means cells)
-    "llm_index_retrain_recall",
-    "llm_sim_ann_nprobe_sweep",  # rows-only by design (k-means cells)
-    "llm_sim_ann_nprobe_sweep_recall",
-    "llm_quality_select_capped",
-    "llm_semdedup_prototypes",
-    "llm_corpus_prune_d4",
-    # --- re-checks: the 3 pinned r5-era leftovers lead the block ---
-    "win_pareto_abc",
-    "win_pct_of_total",
-    "win_running_median",
-    # --- re-checks: first 36 r6-era queries (alphabetical) ---
-    "agg_ab_test",
-    "agg_activity_heatmap",
-    "agg_attribution_last_touch",
-    "agg_autocorr_lag1",
-    "agg_bitmap_distinct",
-    "agg_bitmap_rollup",
-    "agg_cohort_ltv",
-    "agg_dau_wau_stickiness",
-    "agg_entropy_mix",
-    "agg_forecast_snaive",
-    "agg_interevent_gaps",
-    "agg_new_vs_returning",
-    "agg_rfm_segmentation",
-    "agg_sketch_rollup",
-    "agg_survival_km",
-    "agg_trend_corr",
-    "dq_benford",
-    "dq_cross_table_rule",
-    "dq_outlier_iqr",
-    "graph_connected_components",
-    "graph_degree_histogram",
-    "graph_jaccard_neighbors",
-    "inc_late_dim_resolve",
-    "join_asof_nearest",
-    "join_interval_overlap",
-    "llm_bpe_merge_candidates",
-    "llm_corpus_stats",
-    "llm_curriculum_order",
-    "llm_dedup_containment",
-    "llm_dedup_crossset",
-    "llm_dedup_embedding_recall",
-    "llm_ngram_novelty",
-    "llm_perplexity_bucket",
-    "llm_readability",
-    "llm_sim_ann_ivfpq",
-    "llm_sim_ann_pq",
-]
-
-# The 14 r6-era queries that did NOT fit the 50-slot window; they are
-# the oldest evidence after this window executes and must lead the R15
-# re-check block (pinned so the overflow is a plan, not an accident).
-R6_LEFTOVER = [
-    "llm_sim_mmr_rerank",
+EXPECTED_R15_WINDOW = [
+    # --- R15_PLANNED: round-14 additions (oracle-checked locally on intro) ---
+    "llm_semdedup_crossset",
+    "llm_semdedup_crossset_recall",
+    "llm_index_maintenance_policy",  # rows-only by design (k-means metrics)
+    "llm_index_maintenance_policy_contract",
+    "llm_quality_threshold_sweep",
+    # --- re-checks: the 14 pinned r6-era leftovers lead the block ---
+    "llm_sim_mmr_rerank",  # rows-only by design (greedy MMR selection)
     "llm_sim_range_search",
     "llm_span_corruption",
     "llm_vocab_growth",
@@ -101,24 +49,77 @@ R6_LEFTOVER = [
     "win_rank_change",
     "win_rolling_corr7",
     "win_zscore_rolling",
+    # --- re-checks: first 31 r7-era queries (alphabetical) ---
+    "agg_bootstrap_ci",
+    "agg_chisq_independence",
+    "agg_decay_score",
+    "agg_funnel_timebound",
+    "agg_ks_test",
+    "agg_mann_whitney",
+    "agg_path_trigrams",
+    "agg_theil_sen",
+    "agg_trimmed_mean",
+    "agg_welch_ttest",
+    "agg_wow_growth",
+    "dq_freshness",
+    "dq_psi_drift",
+    "dq_schema_contract",
+    "dq_volume_anomaly",
+    "er_golden_record",
+    "graph_assortativity",
+    "graph_bfs_distance",
+    "graph_clustering_local",
+    "inc_partition_rebuild",
+    "inc_snapshot_expire",
+    "join_asof_tolerance",
+    "llm_charset_report",
+    "llm_dedup_simhash_recall",
+    "llm_dedup_threshold_sweep",
+    "llm_emb_quantize_int8",
+    "llm_hard_negatives",
+    "llm_length_histogram",
+    "llm_mixture_epochs",
+    "llm_ngram_kneser_ney",
+    "llm_packing_efficiency",
+]
+
+# The 19 r7-era queries that did NOT fit the 50-slot window; they are
+# the oldest evidence after this window executes and must lead the R16
+# re-check block (pinned so the overflow is a plan, not an accident).
+R7_LEFTOVER = [
+    "llm_quality_composite",
+    "llm_retrieval_ndcg",
+    "llm_sft_pairs",
+    "llm_tokenizer_fertility",
+    "llm_ttr_hapax",
+    "llm_vocab_coverage",
+    "llm_zipf_slope",
+    "ml_feature_scale",
+    "ml_kmeans_quality",
+    "ml_target_encoding",
+    "pipeline_dag_run",
+    "stream_anomaly_zscore",
+    "ts_acf",
+    "ts_forecast_backtest",
+    "ts_holt_damped",
+    "ts_holt_linear",
+    "ts_holt_winters",
+    "ts_stl_decompose",
+    "udf_arrow_map",
 ]
 
 # Window slots without an oracle, each rows-only BY DESIGN with an
-# oracle-checked honesty twin: the `_recall` twins of the retrain and
-# nprobe-sweep ops sit adjacent in this window; the r6-era re-checks
-# `llm_sim_ann_pq` / `llm_sim_ann_ivfpq` (k-means/PQ codebooks) carry
-# the hash-green `_recall` twins re-driven in r13, and
-# `agg_sketch_rollup` (HLL-sketch-internal buckets) carries the oracled
-# `agg_sketch_overlap` contract (driver-green r9).
+# oracle-checked honesty twin: `llm_index_maintenance_policy` (k-means
+# internal metrics) sits adjacent to its oracled `_contract` twin in
+# this window, and `llm_sim_mmr_rerank` (greedy MMR selection order is
+# tie-broken by float dot products DuckDB cannot reproduce exactly) was
+# rows-only in its r6 driver record by the same design.
 ROWS_ONLY_IN_WINDOW = {
-    "llm_index_retrain",
-    "llm_sim_ann_nprobe_sweep",
-    "llm_sim_ann_pq",
-    "llm_sim_ann_ivfpq",
-    "agg_sketch_rollup",
+    "llm_index_maintenance_policy",
+    "llm_sim_mmr_rerank",
 }
 
-_DRIVER_ROUNDS = tuple(range(1, 15))
+_DRIVER_ROUNDS = tuple(range(1, 16))
 
 
 def _driver_history() -> dict[str, dict]:
@@ -131,12 +132,12 @@ def _driver_history() -> dict[str, dict]:
     return latest
 
 
-def _latest_round(before: int = 14) -> dict[str, int]:
+def _latest_round(before: int = 15) -> dict[str, int]:
     """Latest driver-record round per query over rounds STRICTLY BEFORE
     ``before`` — the window-composition tests must read the evidence
-    state the R14 window was PLANNED against, not the state after the
+    state the R15 window was PLANNED against, not the state after the
     driver executes it (code-review r10 finding #1: including the active
-    round would break these pins the moment CORRECTNESS_r14.json lands)."""
+    round would break these pins the moment CORRECTNESS_r15.json lands)."""
     root = pathlib.Path(__file__).resolve().parent.parent
     latest: dict[str, int] = {}
     for n in range(1, before):
@@ -148,57 +149,72 @@ def _latest_round(before: int = 14) -> dict[str, int]:
 
 
 def test_window_is_exactly_50():
-    assert len(EXPECTED_R14_WINDOW) == 50
-    assert len(set(EXPECTED_R14_WINDOW)) == 50
+    assert len(EXPECTED_R15_WINDOW) == 50
+    assert len(set(EXPECTED_R15_WINDOW)) == 50
 
 
 def test_first_50_match_pinned_window():
     qs = list(entry_mod.queries())
-    assert qs[:50] == EXPECTED_R14_WINDOW
-    assert entry_mod.R14_WINDOW == EXPECTED_R14_WINDOW
+    assert qs[:50] == EXPECTED_R15_WINDOW
+    assert entry_mod.R15_WINDOW == EXPECTED_R15_WINDOW
 
 
 def test_window_composition():
-    """The window is exactly R14_PLANNED followed by the re-check block;
+    """The window is exactly R15_PLANNED followed by the re-check block;
     the planned block is exactly the never-driver-checked queries, the
-    re-check block leads with the 3 r5-era leftovers then r6-era
-    evidence, and nothing outside the window carries older-than-r6
+    re-check block leads with the 14 r6-era leftovers then r7-era
+    evidence, and nothing outside the window carries older-than-r7
     evidence (recomputed from the committed CORRECTNESS files)."""
-    assert entry_mod.R14_WINDOW == entry_mod.R14_PLANNED + entry_mod.R14_RECHECKS
+    assert entry_mod.R15_WINDOW == entry_mod.R15_PLANNED + entry_mod.R15_RECHECKS
     latest_round = _latest_round()
-    already = {n for n in entry_mod.R14_PLANNED if n in latest_round}
-    assert not already, f"R14_PLANNED slots already evidenced: {already}"
-    # re-check block: 3 r5-era leftovers first, then 36 r6-era queries
-    lead, tail = entry_mod.R14_RECHECKS[:3], entry_mod.R14_RECHECKS[3:]
-    assert lead == ["win_pareto_abc", "win_pct_of_total", "win_running_median"]
-    bad_r5 = {n: latest_round.get(n) for n in lead if latest_round.get(n) != 5}
-    assert not bad_r5, f"r5-leftover slots with other evidence: {bad_r5}"
-    bad_r6 = {n: latest_round.get(n) for n in tail if latest_round.get(n) != 6}
-    assert not bad_r6, f"r6-era re-check slots with other evidence: {bad_r6}"
+    already = {n for n in entry_mod.R15_PLANNED if n in latest_round}
+    assert not already, f"R15_PLANNED slots already evidenced: {already}"
+    # re-check block: 14 r6-era leftovers first, then 31 r7-era queries
+    lead, tail = entry_mod.R15_RECHECKS[:14], entry_mod.R15_RECHECKS[14:]
+    assert lead == [
+        "llm_sim_mmr_rerank",
+        "llm_sim_range_search",
+        "llm_span_corruption",
+        "llm_vocab_growth",
+        "mm_byte_framing",
+        "scan_rowgroup_stats",
+        "stream_topk_per_window",
+        "ts_gapfill_interpolate",
+        "ts_seasonal_index_dow",
+        "win_cusum_changepoint",
+        "win_drawdown",
+        "win_rank_change",
+        "win_rolling_corr7",
+        "win_zscore_rolling",
+    ]
+    bad_r6 = {n: latest_round.get(n) for n in lead if latest_round.get(n) != 6}
+    assert not bad_r6, f"r6-leftover slots with other evidence: {bad_r6}"
+    bad_r7 = {n: latest_round.get(n) for n in tail if latest_round.get(n) != 7}
+    assert not bad_r7, f"r7-era re-check slots with other evidence: {bad_r7}"
     # oldest-first completeness: after this window executes, the only
-    # registered queries still carrying r6-or-older evidence are the 14
-    # pinned R6_LEFTOVER rows (no unplanned stale query hides outside).
+    # registered queries still carrying r7-or-older evidence are the 19
+    # pinned R7_LEFTOVER rows (no unplanned stale query hides outside).
     stale_outside = {
         n for n, r in latest_round.items()
-        if r <= 6 and n in entry_mod.queries() and n not in entry_mod.R14_WINDOW
+        if r <= 7 and n in entry_mod.queries() and n not in entry_mod.R15_WINDOW
     }
-    assert stale_outside == set(R6_LEFTOVER), (
-        f"unplanned stale queries outside window: {stale_outside ^ set(R6_LEFTOVER)}"
+    assert stale_outside == set(R7_LEFTOVER), (
+        f"unplanned stale queries outside window: {stale_outside ^ set(R7_LEFTOVER)}"
     )
 
 
 def test_every_window_query_is_registered():
     qs = entry_mod.queries()
-    missing = [n for n in EXPECTED_R14_WINDOW if n not in qs]
+    missing = [n for n in EXPECTED_R15_WINDOW if n not in qs]
     assert not missing, f"window names not registered: {missing}"
 
 
 def test_window_oracle_coverage():
-    # Exactly five rows-only slots this round (each by design, with an
+    # Exactly two rows-only slots this round (each by design, with an
     # oracled honesty twin); every other window entry carries a DuckDB
     # oracle.
     oracles = entry_mod.oracle_sql()
-    missing = {n for n in EXPECTED_R14_WINDOW if n not in oracles}
+    missing = {n for n in EXPECTED_R15_WINDOW if n not in oracles}
     assert missing == ROWS_ONLY_IN_WINDOW, (
         f"unexpected rows-only window slots: {missing ^ ROWS_ONLY_IN_WINDOW}"
     )
@@ -214,7 +230,7 @@ def test_no_stale_red_left_outside_window():
     """Any query whose LATEST driver record is not fully green must sit
     inside the active window for a re-check.  Recomputed from the
     committed CORRECTNESS files — this is the test that forces a red
-    record to be re-checked rather than planned around.  As of the r13
+    record to be re-checked rather than planned around.  As of the r14
     evidence the cumulative ledger holds zero red records; the
     in-window invariant is permanent either way."""
     latest = _driver_history()
@@ -223,7 +239,7 @@ def test_no_stale_red_left_outside_window():
         for name, rec in latest.items()
         if name in entry_mod.queries() and not _is_green_or_rows_only(rec)
     ]
-    outside = sorted(set(red) - set(EXPECTED_R14_WINDOW))
+    outside = sorted(set(red) - set(EXPECTED_R15_WINDOW))
     assert not outside, f"stale-red queries not in window: {outside}"
 
 
@@ -237,43 +253,32 @@ def _is_green_or_rows_only(rec: dict) -> bool:
 def test_strict_ledger_endgame():
     """The endgame invariant (VERDICT r8 item 4, kept since): EVERY
     registered query must have a committed green/rows-only driver record,
-    or sit in the active R14 window, or be a round-14 addition pinned in
-    R15_PLANNED.  There is no other escape — a query added with no
-    driver-evidence plan fails here immediately."""
+    or sit in the active R15 window, or be queued in R16_PLANNED.  There
+    is no other escape — a query added with no driver-evidence plan
+    fails here immediately."""
     latest = _driver_history()
     evidenced = {n for n, rec in latest.items() if _is_green_or_rows_only(rec)}
-    planned = set(EXPECTED_R14_WINDOW) | set(entry_mod.R15_PLANNED)
+    planned = set(EXPECTED_R15_WINDOW) | set(entry_mod.R16_PLANNED)
     uncovered = sorted(set(entry_mod.queries()) - evidenced - planned)
     assert not uncovered, f"queries with no driver-evidence plan: {uncovered}"
 
 
-def test_r15_overflow_plan_is_well_formed():
-    assert len(entry_mod.R15_PLANNED) <= 50
-    assert len(set(entry_mod.R15_PLANNED)) == len(entry_mod.R15_PLANNED)
-    overlap = set(entry_mod.R15_PLANNED) & set(EXPECTED_R14_WINDOW)
-    assert not overlap, f"R15 entries already in the R14 window: {overlap}"
+def test_r16_overflow_plan_is_well_formed():
+    """Round 15 is an optimization round: no queries were added, so
+    R16_PLANNED must be empty — any entry would mean a new query snuck
+    into an optimization round (VERDICT r14 process note)."""
+    assert entry_mod.R16_PLANNED == []
+    # The 19 r7-era leftovers are re-checks for R16, NOT additions —
+    # they must still be registered and must still carry exactly r7
+    # evidence so the r16 rotation's oldest-first rule (which the next
+    # round's pinned window test re-derives from the CORRECTNESS
+    # ledger) cannot skip them.
     registered = set(entry_mod.queries())
-    ghosts = sorted(set(entry_mod.R15_PLANNED) - registered)
-    assert not ghosts, f"R15-planned names not registered: {ghosts}"
-    # R15_PLANNED is only for NEW (round-14) queries: none may already
-    # hold driver evidence.
-    latest = _driver_history()
-    stale = sorted(set(entry_mod.R15_PLANNED) & set(latest))
-    assert not stale, f"R15-planned names already evidenced: {stale}"
-    # The 14 r6-era leftovers are re-checks, NOT round-14 additions —
-    # they must not be parked in R15_PLANNED (that slot's strict-ledger
-    # escape is for never-evidenced queries), must still be registered,
-    # and must still carry exactly r6 evidence so the r15 rotation's
-    # oldest-first rule (which the next round's pinned window test
-    # re-derives from the CORRECTNESS ledger) cannot skip them
-    # (code-review r13: the first form of this pin only asserted
-    # registration, which any registered name satisfies).
     latest_round = _latest_round()
-    assert not set(R6_LEFTOVER) & set(entry_mod.R15_PLANNED)
-    for name in R6_LEFTOVER:
+    for name in R7_LEFTOVER:
         assert name in registered
-        assert latest_round.get(name) == 6, (
-            f"{name}: expected r6-era evidence, got {latest_round.get(name)}"
+        assert latest_round.get(name) == 7, (
+            f"{name}: expected r7-era evidence, got {latest_round.get(name)}"
         )
 
 
