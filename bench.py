@@ -265,6 +265,17 @@ def main() -> None:
 
     timings = {n: round(statistics.median(r), 3) for n, r in runs.items()}
     total = round(sum(timings.values()), 3)
+    # Noise-hardening additions (round 15; VERDICT r14 item 2 — the r14
+    # driver run landed in a hypervisor burst and the medians alone could
+    # not separate host noise from regression).  ADDITIVE only: the
+    # headline metric, query list and median protocol are unchanged.
+    # - best-pass per query: a burst can sit on 2 of 3 interleaved passes
+    #   and drag the median; the best pass is the least-contaminated
+    #   single observation on a noisy host.
+    # - per-sched-normalized median: median / sched_1k_tasks_sec — the
+    #   stage-bound normalization of BASELINE.md addendum 14, per query.
+    best = {n: round(min(r), 3) for n, r in runs.items()}
+    value_best = round(sum(best.values()), 3)
     r1_set = [n for n in HEADLINE[:R1_BASELINE_ROWS] if n in timings]
     subtotal = round(sum(timings[n] for n in r1_set), 3)
     detail = {
@@ -280,6 +291,12 @@ def main() -> None:
         "sched_runs": sched_runs,
         "subtotal_r1_20q": subtotal,
         "subtotal_per_sched": round(subtotal / sched, 2) if sched else None,
+        "value_best": value_best,
+        "subtotal_r1_20q_best": round(sum(best[n] for n in r1_set), 3),
+        "queries_best": best,
+        "queries_per_sched": {
+            n: round(v / sched, 3) for n, v in timings.items()
+        } if sched else None,
         "runs": runs,
     }
     # Full detail first (raw per-pass runs for spread inspection), then the
@@ -305,6 +322,7 @@ def compact_record(detail: dict, limit: int = 1900) -> str:
             "sched_1k_tasks_sec",
             "subtotal_r1_20q",
             "subtotal_per_sched",
+            "value_best",
         )
         if k in detail
     }

@@ -95,6 +95,7 @@ def as_long(c: Column) -> Column:
 
 
 _MAT_RUN_ROOT: str | None = None
+_MAT_RUN_ROOT_LOCK = __import__("threading").Lock()
 
 
 def _mat_run_root() -> str:
@@ -109,16 +110,25 @@ def _mat_run_root() -> str:
     invocation the write-once reuse stands (bench pass 1 builds, passes
     2-3 reuse — the median protocol is unchanged). The tree is swept at
     interpreter exit so repeated invocations don't accumulate disk.
+
+    Lock-guarded lazy init (ADVICE r14 item 2): two threads racing the
+    first call could otherwise create two roots, making mat_path(token)
+    non-deterministic within a process and voiding materialize_once's
+    write-once guarantee (concurrent driver threads are a supported
+    pattern — guide §2.6).
     """
     global _MAT_RUN_ROOT
     if _MAT_RUN_ROOT is None:
-        import atexit
-        import os
-        import shutil
-        import tempfile
+        with _MAT_RUN_ROOT_LOCK:
+            if _MAT_RUN_ROOT is None:
+                import atexit
+                import os
+                import shutil
+                import tempfile
 
-        _MAT_RUN_ROOT = tempfile.mkdtemp(prefix=f"etl_mat_run{os.getpid()}_")
-        atexit.register(shutil.rmtree, _MAT_RUN_ROOT, True)
+                root = tempfile.mkdtemp(prefix=f"etl_mat_run{os.getpid()}_")
+                atexit.register(shutil.rmtree, root, True)
+                _MAT_RUN_ROOT = root
     return _MAT_RUN_ROOT
 
 

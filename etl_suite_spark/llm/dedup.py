@@ -726,6 +726,33 @@ def llm_dedup_editdist(spark, sf_dir):
     )
 
 
+def _observed_sum(obs, labels: DataFrame, timeout_sec: float = 10.0):
+    """The Σlabel convergence probe, read from an ``observe()`` attached
+    to the eager localCheckpoint action — with a timeout fallback.
+
+    ``Observation.get`` relies on the checkpoint action firing
+    QueryExecution listeners (true on current Spark, where
+    localCheckpoint runs through withAction) but that is undocumented
+    behavior, and ``get`` blocks FOREVER if the metrics event is never
+    posted — a silent hang on a Spark upgrade instead of a clean error
+    (ADVICE r14 item 3). The checkpoint has already materialized by the
+    time this is called, so on a healthy runtime the metric arrives in
+    milliseconds; if it hasn't within ``timeout_sec``, fall back to a
+    separate one-row aggregate job over the checkpointed labels — the
+    exact pre-r14 probe, same value by construction."""
+    import threading
+
+    out: dict = {}
+    t = threading.Thread(target=lambda: out.update(obs.get), daemon=True)
+    t.start()
+    t.join(timeout_sec)
+    if "s" in out:
+        return out["s"]
+    return labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+
+
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components by min-label propagation WITH pointer
     jumping (the shortcutting half of the Kiveris et al. / Shiloach–
@@ -811,7 +838,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = obs.get["s"]
+        new_sum = _observed_sum(obs, new_labels)
         changed = prev_sum is None or new_sum != prev_sum
         prev_sum = new_sum
         labels = new_labels

@@ -1,6 +1,7 @@
 """Capture ``explain("formatted")`` for bench headline queries into
-``plans/r14/<query>_<tag>.txt`` — the optimization round's before/after
-plan evidence (OPTIMIZATION_r14.md cites these files).
+``plans/r15/<query>_<tag>.txt`` — the optimization round's before/after
+plan evidence (OPTIMIZATION_r15.md cites these files; r14's captures
+stay under plans/r14/).
 
 Usage: python tools/capture_plans.py --tag before [--only q1,q2] [--sf DIR]
 
@@ -32,7 +33,7 @@ def main() -> None:
     import bench
 
     out_dir = args.out or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
     )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -58,9 +59,17 @@ def main() -> None:
             continue
         try:
             df = QUERIES[name](spark, args.sf)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # public capture route (ADVICE r14 item 4: the old
+            # PythonSQLUtils/_jdf reach-in is not a stable API):
+            # DataFrame.explain prints from the Python side, so
+            # redirecting stdout captures it without private internals.
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
         except Exception as e:  # pragma: no cover
             plan = f"# PLAN ERROR {type(e).__name__}: {e}\n"
         with open(path, "w") as f:
