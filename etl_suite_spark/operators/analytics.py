@@ -653,7 +653,22 @@ def basket_pair_metrics(bp: DataFrame) -> DataFrame:
 
     The order-count denominator rides along as a broadcast single-row
     join (the agg_gini pattern) so query construction stays lazy beyond
-    the one checkpoint job."""
+    the one checkpoint job.
+
+    Skew bound this shape assumes (ADVICE r14 item 1, documented as the
+    accepted trade): collect_set builds the FULL distinct item set per
+    basket before the width cap filters it, so a pathological basket
+    holds an unbounded in-row array during the aggregation — unlike the
+    old count-then-filter shape, which never materialized per-basket
+    sets. The bound is the per-KEY distinct-item fanout of one basket
+    (order), which the domain caps at basket width (fixture max 17 at
+    sf0.1; a retail order with a million distinct SKUs is corrupt
+    input, not skew). Spark's ObjectHashAggregate spills per-GROUP sets
+    to disk under memory pressure, so the failure mode of a corrupt
+    mega-basket is a slow task, not an OOM; a pre-aggregation count
+    cap would re-introduce the extra corpus-wide distinct shuffle this
+    rewrite removed (measured r14: the 5-branch recompute it replaced)
+    to defend against input the cap then drops anyway."""
     baskets = (
         bp.groupBy("o")
         .agg(F.array_sort(F.collect_set("p")).alias("items"))
